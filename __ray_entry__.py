@@ -1,44 +1,552 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray-Data-native log-pipeline engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship parse→enrich→route→aggregate pipeline on the
+sf0.001 transcript corpus. ``queries()`` exposes one callable per implemented
+operator/pipeline (SURVEY.md §2); ``oracle_sql()`` gives the DuckDB-equivalent
+SQL. The transcript corpus (BASELINE.json input_hint) is synthesized
+deterministically under /tmp/graft_fixtures/<sf>/transcripts/ (corpus.py);
+oracle SQL for transcript queries reads those parquet files directly via
+read_parquet(); queries over the driver-registered views (events, documents,
+lineitem, embeddings) use the view names.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+The oracle severity/route CASE expressions are GENERATED from the same Python
+mapping tables the engine uses (functions/severity.py) — one source of truth.
+
+Per the driver contract, nothing here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from splunk_otel_collector_ray import corpus
+from splunk_otel_collector_ray.functions.severity import (
+    APACHE_ERROR_LEVELS,
+    JSON_LEVEL_MAP,
+    REDIS_LEVELS,
+    SEVERITY_NUMBER,
+)
+from splunk_otel_collector_ray.stages.enrich import NAMESPACES, PROVIDERS
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+# fixture corpora are generated eagerly at import so the DuckDB oracle can
+# read them regardless of query/oracle execution order
+for _sf in ("sf0.001", "sf0.01"):
+    corpus.ensure_transcripts(_sf)
+
+ORACLE_TGLOB = os.path.join(corpus.transcripts_path("sf0.01"), "*.parquet")
+
+
+# --------------------------------------------------------------------------
+# oracle SQL building blocks (generated from the engine's own mapping tables)
+# --------------------------------------------------------------------------
+
+_RX_NCSA = (r'^(.+) (.+) (.+) \[(.+)\] "(.+) (.+) (.+)" ([0-9]+) ([0-9]+) '
+            r'"(.+)" "(.+)"$')
+_RX_APACHE_ERR = (r'^\[(.+?)\] \[([A-Za-z0-9_]+):([A-Za-z0-9]+)\] '
+                  r'\[pid ([0-9]+):tid ([0-9]+)\] (.*)$')
+_RX_SYSLOG = r'^(.+?) ([^ ]+) ([^ :\[]+)\[?([0-9]+)?\]?: (.*)$'
+_RX_REDIS_SRV = r'^([0-9]+):([^ ]*) (.+?) (.) (.*)$'
+_RX_REDIS_HND = r'^([0-9]+):([^ ]*) \(([0-9]+)\) (.*)$'
+_RX_DOCKER = r'^\{"log":"(.*)","stream":"([a-z]+)","time":"([^"]+)"\}$'
+_RX_PHONE = r'[0-9]{4}-[0-9]{3}-[0-9]{4}'
+
+_DETECT_SQL = (
+    "CASE"
+    " WHEN text LIKE '{\"log\":%' THEN 'docker'"
+    " WHEN text LIKE '{\"Level\":%' THEN 'json_level'"
+    " WHEN text LIKE '[%' THEN 'apache_error'"
+    r" WHEN regexp_matches(text, '^[0-9]+:[A-Za-z0-9_-]+ \([0-9]+\) ') THEN 'redis_handler'"
+    " WHEN regexp_matches(text, '^[0-9]+:[A-Z] ') THEN 'redis_server'"
+    f" WHEN regexp_matches(text, '{_RX_NCSA}') THEN 'apache_access'"
+    r" WHEN regexp_matches(text, '^[A-Z][a-z]{2} [ 0-9][0-9] [0-9]{2}:[0-9]{2}:[0-9]{2} [^ ]+ ') THEN 'syslog'"
+    f" WHEN regexp_matches(text, '{_RX_PHONE}') THEN 'pii'"
+    " ELSE 'plain' END"
+)
+
+
+def _tok_case(expr: str, mapping: dict[str, str]) -> str:
+    parts = " ".join(f"WHEN '{k}' THEN '{v}'" for k, v in mapping.items())
+    return f"CASE {expr} {parts} ELSE '' END"
+
+
+_SEV_TEXT_SQL = (
+    "CASE log_format "
+    "WHEN 'apache_error' THEN "
+    + _tok_case(f"regexp_extract(text, '{_RX_APACHE_ERR}', 3)", APACHE_ERROR_LEVELS)
+    + " WHEN 'redis_server' THEN "
+    + _tok_case(f"regexp_extract(text, '{_RX_REDIS_SRV}', 4)", REDIS_LEVELS)
+    + " WHEN 'json_level' THEN "
+    + _tok_case("regexp_extract(text, '\"Level\":\"([A-Z]+)\"', 1)", JSON_LEVEL_MAP)
+    + " ELSE '' END"
+)
+
+_SEV_NUM_SQL = (
+    "CASE severity_text "
+    + " ".join(f"WHEN '{k}' THEN {v}" for k, v in SEVERITY_NUMBER.items())
+    + " ELSE 0 END"
+)
+
+_BODY_SQL = (
+    "CASE log_format "
+    f"WHEN 'apache_error' THEN regexp_extract(text, '{_RX_APACHE_ERR}', 6) "
+    f"WHEN 'syslog' THEN regexp_extract(text, '{_RX_SYSLOG}', 5) "
+    f"WHEN 'docker' THEN replace(regexp_extract(text, '{_RX_DOCKER}', 1), '\\n', chr(10)) "
+    f"WHEN 'redis_server' THEN regexp_extract(text, '{_RX_REDIS_SRV}', 5) "
+    f"WHEN 'redis_handler' THEN regexp_extract(text, '{_RX_REDIS_HND}', 4) "
+    f"WHEN 'pii' THEN regexp_replace(text, '{_RX_PHONE}', 'XXX-XXX-XXXX') "
+    "ELSE text END"
+)
+
+_TS_SQL = (
+    "CASE log_format "
+    f"WHEN 'apache_access' THEN strptime(regexp_extract(text, '{_RX_NCSA}', 4), "
+    "'%d/%b/%Y:%H:%M:%S %z') AT TIME ZONE 'UTC' "
+    f"WHEN 'apache_error' THEN strptime(regexp_extract(text, '{_RX_APACHE_ERR}', 1), "
+    "'%a %b %d %H:%M:%S %Y') "
+    "WHEN 'syslog' THEN strptime(CAST(year(ts) AS VARCHAR) || ' ' || "
+    f"regexp_extract(text, '{_RX_SYSLOG}', 1), '%Y %b %d %H:%M:%S') "
+    f"WHEN 'docker' THEN strptime(regexp_extract(text, '{_RX_DOCKER}', 3), "
+    "'%Y-%m-%dT%H:%M:%S.%fZ') "
+    f"WHEN 'redis_server' THEN strptime(regexp_extract(text, '{_RX_REDIS_SRV}', 3), "
+    "'%d %b %Y %H:%M:%S.%g') "
+    f"WHEN 'redis_handler' THEN to_timestamp(CAST(regexp_extract(text, "
+    f"'{_RX_REDIS_HND}', 3) AS BIGINT)) AT TIME ZONE 'UTC' "
+    "ELSE ts END"
+)
+
+_SINK_SQL = (
+    "CASE WHEN role = 'tool' AND tool <> '' THEN 'sink_tools' "
+    "WHEN severity_number >= 17 THEN 'sink_errors' "
+    "WHEN role = 'assistant' THEN 'sink_assistant' "
+    "ELSE 'sink_default' END"
+)
+
+
+def _oracle_cte(tglob: str = ORACLE_TGLOB) -> str:
+    """Shared CTE prefix replicating parse→route over the transcript corpus."""
+    return (
+        f"WITH raw AS (SELECT * FROM read_parquet('{tglob}')), "
+        f"det AS (SELECT raw.*, {_DETECT_SQL} AS log_format FROM raw), "
+        f"sev AS (SELECT det.*, {_SEV_TEXT_SQL} AS severity_text FROM det), "
+        f"parsed AS (SELECT sev.*, CAST({_SEV_NUM_SQL} AS TINYINT) AS severity_number, "
+        f"{_BODY_SQL} AS body, {_TS_SQL} AS ts_parsed FROM sev), "
+        f"routed AS (SELECT parsed.*, {_SINK_SQL} AS sink FROM parsed) "
+    )
+
+
+# enrichment dims as inline SQL (must equal stages/enrich.py build_dim_table)
+_BUCKET_SQL = "(CAST(substr(conv_id, 6) AS BIGINT) % 64)"
+_NS_SQL = ("CASE " + " ".join(
+    f"WHEN {_BUCKET_SQL} % 4 = {i} THEN '{v}'" for i, v in enumerate(NAMESPACES))
+    + " END")
+_PROV_SQL = ("CASE " + " ".join(
+    f"WHEN {_BUCKET_SQL} % 3 = {i} THEN '{v}'" for i, v in enumerate(PROVIDERS))
+    + " END")
+
+
+# --------------------------------------------------------------------------
+# engine-side helpers
+# --------------------------------------------------------------------------
+
+def _read_transcripts(sf_dir: str):
+    import ray.data
+    from splunk_otel_collector_ray.pipelines.logs import INPUT_COLUMNS
+
+    path = corpus.ensure_transcripts(sf_dir)
+    return ray.data.read_parquet(path, columns=INPUT_COLUMNS)
+
+
+def _parsed(sf_dir: str):
+    from splunk_otel_collector_ray.pipelines.logs import PARSE_BATCH
+    from splunk_otel_collector_ray.stages.parse import ParseStage
+
+    return _read_transcripts(sf_dir).map_batches(
+        ParseStage, batch_format="pyarrow", batch_size=PARSE_BATCH,
+        concurrency=(1, 8))
+
+
+def _routed(sf_dir: str):
+    from splunk_otel_collector_ray.stages.route import RouteStage
+
+    return _parsed(sf_dir).map_batches(RouteStage(), batch_format="pyarrow")
+
+
+def _table(sf_dir: str, name: str):
+    import ray.data
+
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# --------------------------------------------------------------------------
+# driver entry points
+# --------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001: parse→enrich→route→per-sink aggregate."""
+    from splunk_otel_collector_ray.pipelines.aggregate import grouped_count
+    from splunk_otel_collector_ray.pipelines.logs import build_logs_dataset
+
+    ds = build_logs_dataset(SF_SMOKE)
+    agg = grouped_count(ds, ["sink", "severity_text", "tool"])
+    return agg.to_pandas().sort_values(["sink", "severity_text", "tool"]).reset_index(drop=True)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from splunk_otel_collector_ray.pipelines.aggregate import (
+        grouped_count,
+        grouped_count_sum,
+        grouped_sum,
+    )
+    from splunk_otel_collector_ray.stages import dedup as dd
+    from splunk_otel_collector_ray.stages import text_analysis as ta
+    from splunk_otel_collector_ray.stages.recombine import recombine_fragments
+    from splunk_otel_collector_ray.stages.sample import (
+        probabilistic_sample,
+        tail_sample_conversations,
+    )
+    from splunk_otel_collector_ray.stages.similarity import ann_topk
+    from splunk_otel_collector_ray.stages.timestamp_offset import TimestampOffset
+    from splunk_otel_collector_ray.stages.transform import TruncateBody
+    import pyarrow.compute as pc
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def q_parse_records(sf):
+        return _parsed(sf).select_columns(
+            ["conv_id", "turn_idx", "log_format", "body",
+             "severity_text", "severity_number"])
+
+    def q_parse_ts(sf):
+        return _parsed(sf).select_columns(["conv_id", "turn_idx", "ts"])
+
+    def q_route_rows(sf):
+        return _routed(sf).select_columns(["conv_id", "turn_idx", "sink"])
+
+    def q_route_counts(sf):
+        return grouped_count(_routed(sf), ["sink"])
+
+    def q_sink_aggregate(sf):
+        return grouped_count(_routed(sf), ["sink", "severity_text", "tool"])
+
+    def q_enrich(sf):
+        from splunk_otel_collector_ray.pipelines.logs import build_logs_dataset
+
+        ds = build_logs_dataset(sf)
+        return ds.select_columns(
+            ["conv_id", "turn_idx", "k8s.pod.name", "k8s.namespace.name",
+             "cloud.provider", "host.name"])
+
+    def q_sanitize(sf):
+        ds = _parsed(sf)
+        ds = ds.map_batches(
+            lambda t: t.filter(pc.equal(t["log_format"], "pii")),
+            batch_format="pyarrow")
+        return ds.select_columns(["conv_id", "turn_idx", "body"])
+
+    def q_severity_transform(sf):
+        ds = _parsed(sf).map_batches(
+            lambda t: t.filter(pc.equal(t["log_format"], "json_level")),
+            batch_format="pyarrow")
+        return ds.select_columns(["conv_id", "turn_idx", "severity_text"])
+
+    def q_truncate(sf):
+        ds = _parsed(sf).map_batches(TruncateBody(10), batch_format="pyarrow")
+        return ds.select_columns(["conv_id", "turn_idx", "body"])
+
+    def q_recombine(sf):
+        ds = _parsed(sf).map_batches(
+            lambda t: t.filter(pc.equal(t["log_format"], "docker")),
+            batch_format="pyarrow")
+        return recombine_fragments(ds)
+
+    def q_spans(sf):
+        ds = _parsed(sf).map_batches(
+            lambda t: t.filter(pc.not_equal(t["span_id"], "")),
+            batch_format="pyarrow")
+        return ds.select_columns(["conv_id", "turn_idx", "tool", "span_id"])
+
+    def q_timestamp_offset(sf):
+        ds = _read_transcripts(sf).map_batches(
+            TimestampOffset(3600), batch_format="pyarrow")
+        return ds.select_columns(["conv_id", "turn_idx", "ts"])
+
+    def q_filter_severity(sf):
+        ds = _parsed(sf).map_batches(
+            lambda t: t.filter(pc.greater_equal(
+                t["severity_number"], pa.scalar(13, type=pa.int8()))),
+            batch_format="pyarrow")
+        return ds.select_columns(["conv_id", "turn_idx", "severity_text"])
+
+    def q_sampler(sf):
+        ds = probabilistic_sample(_read_transcripts(sf), 25)
+        return ds.select_columns(["conv_id", "turn_idx"])
+
+    def q_tail_sample(sf):
+        ds = _routed(sf)
+
+        def is_err(batch: pa.Table):
+            return pc.greater_equal(
+                batch["severity_number"], pa.scalar(17, type=pa.int8())).to_numpy(
+                zero_copy_only=False)
+
+        kept = tail_sample_conversations(ds, is_err)
+        return kept.select_columns(["conv_id", "turn_idx"])
+
+    # ---- events (count/sum connectors, filters, windows, delta) ----------
+
+    def q_events_count(sf):
+        return grouped_count(_table(sf, "events"), ["event_type"])
+
+    def q_events_sum(sf):
+        ds = grouped_sum(_table(sf, "events"), ["event_type"], "value")
+
+        def r6(t: pa.Table) -> pa.Table:
+            return t.set_column(
+                t.column_names.index("sum_value"), "sum_value",
+                pc.round(t["sum_value"], 6))
+
+        return ds.map_batches(r6, batch_format="pyarrow")
+
+    def q_events_filtered(sf):
+        from splunk_otel_collector_ray.stages.filters import (
+            FilterSet,
+            OverridableFilter,
+        )
+
+        fs = FilterSet(
+            excludes=[OverridableFilter(metric_names=["c*", "/^v.*w$/"])],
+            includes=[OverridableFilter(metric_names=["click"])],
+        )
+
+        def fn(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            return pa.Table.from_pandas(
+                df[fs.keep_mask(df, name_col="event_type")], preserve_index=False)
+
+        ds = _table(sf, "events").map_batches(fn, batch_format="pyarrow")
+        return grouped_count(ds, ["event_type"])
+
+    def q_events_window(sf):
+        def add_window(t: pa.Table) -> pa.Table:
+            w = pc.floor_temporal(t["ts"], unit="hour")
+            return t.append_column("window_start", w)
+
+        ds = _table(sf, "events").map_batches(add_window, batch_format="pyarrow")
+        agg = grouped_count_sum(ds, ["event_type", "window_start"], "value")
+
+        def r6(t: pa.Table) -> pa.Table:
+            return t.set_column(
+                t.column_names.index("sum_value"), "sum_value",
+                pc.round(t["sum_value"], 6))
+
+        return agg.map_batches(r6, batch_format="pyarrow")
+
+    def q_events_delta(sf):
+        def per_user(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["ts", "event_id"])
+            g["delta"] = (g["value"] - g["value"].shift(1)).fillna(0.0).round(6)
+            return g[["event_id", "delta"]]
+
+        return _table(sf, "events").groupby("user_id").map_groups(
+            per_user, batch_format="pandas")
+
+    def q_events_topk(sf):
+        ds = _table(sf, "events").sort(
+            ["value", "event_id"], descending=[True, False]).limit(10)
+        return ds.select_columns(["event_id", "event_type", "value"])
+
+    def q_lineitem_pricing(sf):
+        ds = grouped_count_sum(
+            _table(sf, "lineitem"), ["l_returnflag", "l_linestatus"],
+            "l_quantity", count_alias="n", sum_alias="sum_qty")
+
+        def r6(t: pa.Table) -> pa.Table:
+            return t.set_column(
+                t.column_names.index("sum_qty"), "sum_qty",
+                pc.round(t["sum_qty"], 6))
+
+        return ds.map_batches(r6, batch_format="pyarrow")
+
+    # ---- documents / embeddings (training-data ops) ----------------------
+
+    def q_docs_exact_dedup(sf):
+        return dd.exact_dedup(_table(sf, "documents"), col="text", id_col="doc_id")
+
+    def q_docs_token_stats(sf):
+        ds = _table(sf, "documents").map_batches(ta.token_stats, batch_format="pyarrow")
+        return ds.select_columns(
+            ["doc_id", "n_ws_tokens", "n_bpe_tokens", "n_chars_actual"])
+
+    def q_docs_quality(sf):
+        ds = _table(sf, "documents").map_batches(ta.quality_scores, batch_format="pyarrow")
+        return ds.select_columns(["doc_id", "alpha_ratio", "punct_ratio"])
+
+    def q_docs_langid(sf):
+        ds = _table(sf, "documents").map_batches(
+            ta.LangIdStage, batch_format="pyarrow", concurrency=(1, 4))
+        return ds.select_columns(["doc_id", "pred_lang"])
+
+    def q_docs_fingerprint(sf):
+        ds = _table(sf, "documents").map_batches(ta.fingerprint, batch_format="pyarrow")
+        return ds.select_columns(["doc_id", "fingerprint"])
+
+    def q_docs_minhash_groups(sf):
+        return dd.minhash_duplicate_groups(_table(sf, "documents"))
+
+    def q_emb_ann_topk(sf):
+        return ann_topk(_table(sf, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=5)
+
+    def q_multimodal_features(sf):
+        import ray.data
+        from splunk_otel_collector_ray.stages.multimodal import (
+            FeatureExtractStage,
+            make_fake_items,
+        )
+
+        ds = ray.data.from_arrow(make_fake_items(64))
+        out = ds.map_batches(FeatureExtractStage, batch_format="pyarrow",
+                             batch_size=16, concurrency=(1, 2))
+        return out.select_columns(["item_id", "mime", "width", "height"])
+
+    return {
+        "parse_records": q_parse_records,
+        "parse_ts": q_parse_ts,
+        "route_rows": q_route_rows,
+        "route_counts": q_route_counts,
+        "sink_aggregate": q_sink_aggregate,
+        "enrich": q_enrich,
+        "sanitize": q_sanitize,
+        "severity_transform": q_severity_transform,
+        "truncate": q_truncate,
+        "recombine": q_recombine,
+        "spans": q_spans,
+        "timestamp_offset": q_timestamp_offset,
+        "filter_severity": q_filter_severity,
+        "sampler": q_sampler,
+        "tail_sample": q_tail_sample,
+        "events_count": q_events_count,
+        "events_sum": q_events_sum,
+        "events_filtered": q_events_filtered,
+        "events_window": q_events_window,
+        "events_delta": q_events_delta,
+        "events_topk": q_events_topk,
+        "lineitem_pricing": q_lineitem_pricing,
+        "docs_exact_dedup": q_docs_exact_dedup,
+        "docs_token_stats": q_docs_token_stats,
+        "docs_quality": q_docs_quality,
+        "docs_langid": q_docs_langid,
+        "docs_fingerprint": q_docs_fingerprint,
+        "docs_minhash_groups": q_docs_minhash_groups,
+        "emb_ann_topk": q_emb_ann_topk,
+        "multimodal_features": q_multimodal_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    C = _oracle_cte()
+    bpe = r"[A-Za-z]{1,8}|[0-9]{1,3}|[^\sA-Za-z0-9]"
+    return {
+        "parse_records": C + (
+            "SELECT conv_id, turn_idx, log_format, body, severity_text, "
+            "severity_number FROM parsed"),
+        "parse_ts": C + "SELECT conv_id, turn_idx, ts_parsed AS ts FROM parsed",
+        "route_rows": C + "SELECT conv_id, turn_idx, sink FROM routed",
+        "route_counts": C + "SELECT sink, COUNT(*) AS n FROM routed GROUP BY sink",
+        "sink_aggregate": C + (
+            "SELECT sink, severity_text, tool, COUNT(*) AS n FROM routed "
+            "GROUP BY sink, severity_text, tool"),
+        "enrich": C + (
+            f"SELECT conv_id, turn_idx, printf('pod-%02d', {_BUCKET_SQL}) "
+            f"AS \"k8s.pod.name\", {_NS_SQL} AS \"k8s.namespace.name\", "
+            f"{_PROV_SQL} AS \"cloud.provider\", "
+            f"'host-' || ({_BUCKET_SQL} % 8) AS \"host.name\" FROM raw"),
+        "sanitize": C + (
+            "SELECT conv_id, turn_idx, body FROM parsed WHERE log_format = 'pii'"),
+        "severity_transform": C + (
+            "SELECT conv_id, turn_idx, severity_text FROM parsed "
+            "WHERE log_format = 'json_level'"),
+        "truncate": C + (
+            "SELECT conv_id, turn_idx, substr(body, 1, 10) AS body FROM parsed"),
+        "recombine": C + (
+            ", frag AS (SELECT conv_id, turn_idx, body, ends_with(body, chr(10)) "
+            "AS is_last FROM parsed WHERE log_format = 'docker'), "
+            "rid AS (SELECT *, CAST(COALESCE(SUM(CASE WHEN is_last THEN 1 ELSE 0 "
+            "END) OVER (PARTITION BY conv_id ORDER BY turn_idx ROWS BETWEEN "
+            "UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS record_id "
+            "FROM frag) "
+            "SELECT conv_id, record_id, string_agg(body, '' ORDER BY turn_idx) "
+            "AS body, COUNT(*) AS n_fragments, bool_or(is_last) AS is_complete "
+            "FROM rid GROUP BY conv_id, record_id"),
+        "spans": C + (
+            "SELECT conv_id, turn_idx, tool, printf('%016x', "
+            "CAST(substr(conv_id, 6) AS BIGINT) * 100000 + turn_idx) AS span_id "
+            "FROM raw WHERE role = 'tool' AND tool <> ''"),
+        "timestamp_offset": C + (
+            "SELECT conv_id, turn_idx, ts + INTERVAL 1 HOUR AS ts FROM raw"),
+        "filter_severity": C + (
+            "SELECT conv_id, turn_idx, severity_text FROM parsed "
+            "WHERE severity_number >= 13"),
+        "sampler": C + (
+            "SELECT conv_id, turn_idx FROM raw WHERE "
+            "(CAST(substr(conv_id, 6) AS BIGINT) * 2654435761 + turn_idx * 97) "
+            "% 100 < 25"),
+        "tail_sample": C + (
+            "SELECT conv_id, turn_idx FROM routed WHERE conv_id IN "
+            "(SELECT DISTINCT conv_id FROM routed WHERE severity_number >= 17)"),
+        "events_count": (
+            "SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type"),
+        "events_sum": (
+            "SELECT event_type, round(SUM(value), 6) AS sum_value FROM events "
+            "GROUP BY event_type"),
+        "events_filtered": (
+            "SELECT event_type, COUNT(*) AS n FROM events WHERE NOT ("
+            "(event_type LIKE 'c%' OR regexp_matches(event_type, '^v.*w$')) "
+            "AND event_type <> 'click') GROUP BY event_type"),
+        "events_window": (
+            "SELECT event_type, date_trunc('hour', ts) AS window_start, "
+            "COUNT(*) AS n, round(SUM(value), 6) AS sum_value FROM events "
+            "GROUP BY event_type, date_trunc('hour', ts)"),
+        "events_delta": (
+            "SELECT event_id, round(COALESCE(value - LAG(value) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id), 0), 6) AS delta "
+            "FROM events"),
+        "events_topk": (
+            "SELECT event_id, event_type, value FROM events "
+            "ORDER BY value DESC, event_id LIMIT 10"),
+        "lineitem_pricing": (
+            "SELECT l_returnflag, l_linestatus, COUNT(*) AS n, "
+            "round(SUM(l_quantity), 6) AS sum_qty FROM lineitem "
+            "GROUP BY l_returnflag, l_linestatus"),
+        "docs_exact_dedup": (
+            "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dupes FROM documents "
+            "GROUP BY text"),
+        "docs_token_stats": (
+            "SELECT doc_id, CAST(length(regexp_extract_all(trim(text), "
+            r"'[^ \t\n]+')) AS BIGINT) AS n_ws_tokens, "
+            f"CAST(length(regexp_extract_all(text, '{bpe}')) AS BIGINT) "
+            "AS n_bpe_tokens, CAST(length(text) AS BIGINT) AS n_chars_actual "
+            "FROM documents"),
+        "docs_quality": (
+            "SELECT doc_id, (length(text) - length(regexp_replace(text, "
+            "'[A-Za-z]', '', 'g'))) / CAST(length(text) AS DOUBLE) AS "
+            "alpha_ratio, length(regexp_extract_all(text, "
+            r"'[^\w\s]')) / CAST(length(text) AS DOUBLE) AS punct_ratio "
+            "FROM documents"),
+        "emb_ann_topk": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM "
+            "embeddings WHERE vec_id IN (0,1,2,3,4)), "
+            "sims AS (SELECT q.query_id, e.vec_id, round(list_cosine_similarity("
+            "CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), 6) AS sim "
+            "FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id) "
+            "SELECT query_id, vec_id, sim FROM sims "
+            "QUALIFY row_number() OVER (PARTITION BY query_id "
+            "ORDER BY sim DESC, vec_id) <= 5"),
+        # docs_langid / docs_fingerprint / docs_minhash_groups /
+        # multimodal_features: no SQL equivalent → rows-only driver check
+    }

@@ -1,0 +1,115 @@
+"""Benchmark harness — headline flagship pipeline + per-stage timings.
+
+Plain run: one JSON line with the headline seconds (flagship
+parse→enrich→route→export+aggregate over the generated transcript corpus at
+$GRAFT_SF_DIR scale) plus per-query timings.
+
+--scaling: runs the same job in two FRESH processes at num_cpus=8 and 32 and
+reports both throughputs + scaling efficiency T(32)/(4·T(8)) — the sandbox
+evidence for the north rule's two-cluster-size criterion (see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from splunk_otel_collector_ray import corpus
+    from splunk_otel_collector_ray.pipelines.aggregate import grouped_count
+    from splunk_otel_collector_ray.pipelines.logs import (
+        build_logs_dataset,
+        run_flagship,
+    )
+
+    path = corpus.ensure_transcripts(SF_DIR)
+    # warm the page cache so we measure compute+shuffle, not first disk read
+    for f in os.listdir(path):
+        with open(os.path.join(path, f), "rb") as fh:
+            while fh.read(1 << 22):
+                pass
+    # warm the worker pool (package+pandas imports per worker) with an
+    # untimed tiny run so the timed run measures steady-state throughput
+    shutil.rmtree("/tmp/bench_warm", ignore_errors=True)
+    run_flagship("/root/testdata/sf0.001", "/tmp/bench_warm")
+    n_turns = corpus.n_turns_for(corpus.sf_name(SF_DIR))
+
+    queries: dict[str, float] = {}
+
+    # headline: full flagship (export per-sink parquet + aggregate)
+    out_dir = f"/tmp/bench_out_{NCPU}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.time()
+    run_flagship(SF_DIR, out_dir)
+    headline = time.time() - t0
+    queries["flagship_export"] = round(headline, 3)
+
+    # parse+enrich+route without the write (pure pipeline throughput)
+    t0 = time.time()
+    ds = build_logs_dataset(SF_DIR)
+    grouped_count(ds, ["sink"]).to_pandas()
+    queries["route_aggregate"] = round(time.time() - t0, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "flagship parse→enrich→route→export seconds",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": corpus.sf_name(SF_DIR),
+        "rows": n_turns,
+        "turns_per_sec": round(n_turns / headline, 1),
+        "num_cpus": NCPU,
+    }
+
+
+def run_scaling() -> dict:
+    # the scaling criterion needs a compute-bound job at BOTH levels — use a
+    # 16M-turn corpus (same input for both runs) so fixed costs don't
+    # dominate; ~400 MB/run is closer to a real per-node share of 100 TB
+    scaling_sf = os.environ.get("GRAFT_SCALING_SF_DIR", "/root/testdata/sf1.6")
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=scaling_sf)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__))).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    return {
+        "metric": "scaling efficiency (num_cpus 8 → 32)",
+        "sec_8": r_lo["value"],
+        "sec_32": r_hi["value"],
+        "turns_per_sec_8": r_lo["turns_per_sec"],
+        "turns_per_sec_32": r_hi["turns_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "sf": r_hi["sf"],
+        "rows": r_hi["rows"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -1,0 +1,287 @@
+"""Deterministic synthetic transcript corpus (FIXTURES.md §1/§3).
+
+The engine's primary input (BASELINE.json ``input_hint``) is a Parquet table of
+multi-turn conversation/agent transcripts:
+
+    (conv_id: string, turn_idx: int32, role: string,
+     text: string, tool: string, ts: timestamp[us])
+
+This module synthesizes it deterministically (pure function of the scale
+name), fully vectorized with numpy/pandas, and writes it under
+``/tmp/graft_fixtures/<sf>/transcripts.parquet``. The ``text`` payloads are
+drawn from the log-format families whose parse semantics the reference pins
+(citations into /root/reference):
+
+  fmt 0  apache access   logs_config_linux.yaml:50-54      (NCSA combined)
+  fmt 1  apache error    logs_config_linux.yaml:66-84      (%c ts + level map)
+  fmt 2  syslog          logs_config_linux.yaml:520-535    (%b %e %H:%M:%S)
+  fmt 3  docker json     logs_config_linux.yaml:155-171    (json_parser + move)
+  fmt 4  redis           logs_config_linux.yaml:476-516    (router, 2 subformats)
+  fmt 5  plain           logs_config_linux.yaml:267-272    (no operators)
+  fmt 6  PII             examples/otel-logs-sanitization-splunk/otel-collector-config.yml:5-12
+  fmt 7  json Level      examples/otel-logs-severity-splunk/otel-collector-config.yml:33-44
+  fmt 8  continuation    examples/recombine/otel-collector-config.yml:9-23
+
+Determinism contract (shared with the DuckDB oracle in __ray_entry__.py):
+
+- conversations are ``conv-%08d`` for i in 0..n_convs-1; the first
+  ``n_hot ≈ 1%`` conversations are "hot" and own ~30% of all turns
+  (Zipf-ish skew that exercises salted repartition);
+- ``fmt(row) = (conv_seq * 1000003 + turn_idx * 7919) % 9`` where
+  ``conv_seq = int(conv_id[5:])`` — SQL-expressible, and unit-tested to agree
+  with the engine's regex-router format detection;
+- ``ts = BASE + conv_seq*60s + cumsum(1 + mix % 29)s + (gidx % 997)ms`` where
+  the per-turn delta mix is taken from a seeded rng — in-order per conv.
+
+Skew knob: ~1% of conv_ids own ~30% of turns (FIXTURES.md §1).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+FIXTURE_ROOT = "/tmp/graft_fixtures"
+BASE_EPOCH_US = 1_767_225_600_000_000  # 2026-01-01T00:00:00Z
+N_FORMATS = 9
+TURNS_PER_SF = 10_000_000  # sf0.001 → 10k turns, sf0.01 → 100k, sf0.1 → 1M
+
+ROLES = np.array(["user", "assistant", "system", "tool"])
+ROLE_W = np.array([0.35, 0.35, 0.10, 0.20])
+TOOLS = np.array(["bash", "search", "browser", "editor"])
+VERBS = np.array(["open", "close", "flush", "retry", "load", "sync", "drop", "scan"])
+NOUNS = np.array(["socket", "buffer", "index", "shard", "segment", "cache", "queue", "page"])
+METHODS = np.array(["GET", "GET", "GET", "POST", "PUT", "DELETE"])
+CODES = np.array([200, 200, 200, 301, 404, 500, 503])
+APACHE_MODULES = np.array(["core", "mpm_prefork", "ssl", "rewrite"])
+# cycle through the full level vocabulary so every severity appears
+APACHE_LEVELS = np.array(
+    ["emerg", "alert", "crit", "error", "warn", "notice", "info", "debug", "trace1"]
+)
+SYSLOG_PROGRAMS = np.array(["sshd", "cron", "systemd", "kernel", "nginx"])
+REDIS_SYMS = np.array(["#", "*", "-", "."])
+REDIS_ROLES = np.array(["M", "C", "S"])
+JSON_LEVELS = np.array(["DETAIL", "LOG", "SEVERE"])
+STREAMS = np.array(["stdout", "stderr"])
+
+
+def sf_name(sf_dir: str) -> str:
+    """'/root/testdata/sf0.01' -> 'sf0.01'."""
+    return os.path.basename(os.path.normpath(sf_dir))
+
+
+def n_turns_for(sf: str) -> int:
+    return max(1000, round(float(sf.removeprefix("sf")) * TURNS_PER_SF))
+
+
+def transcripts_path(sf_dir_or_name: str) -> str:
+    """Directory of part-*.parquet files (the unit of resumable processing)."""
+    name = sf_name(sf_dir_or_name)
+    return os.path.join(FIXTURE_ROOT, name, "transcripts")
+
+
+def _conv_layout(n_turns: int, rng: np.random.Generator) -> tuple[np.ndarray, np.ndarray]:
+    """Return (conv_seq, turn_idx) arrays of length n_turns, sorted.
+
+    First ~1% of conversations are hot and own ~30% of the turns.
+    """
+    n_conv_est = max(4, n_turns // 20)
+    n_hot = max(1, n_conv_est // 100)
+    hot_len = max(30, int(0.30 * n_turns / n_hot))
+    chunks = [np.full(n_hot, hot_len, dtype=np.int64)]
+    total = int(chunks[0].sum())
+    while total < n_turns:  # keep drawing normal lengths until covered
+        c = rng.integers(4, 25, max(16, (n_turns - total) // 14 + 8))
+        chunks.append(c)
+        total += int(c.sum())
+    lens = np.concatenate(chunks)
+    cum = np.cumsum(lens)
+    n_convs = int(np.searchsorted(cum, n_turns) + 1)
+    lens = lens[:n_convs]
+    lens[-1] -= cum[n_convs - 1] - n_turns
+    conv_seq = np.repeat(np.arange(n_convs, dtype=np.int64), lens)
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    turn_idx = np.arange(n_turns, dtype=np.int64) - np.repeat(starts, lens)
+    return conv_seq, turn_idx.astype(np.int32)
+
+
+def build_transcripts(sf: str) -> pa.Table:
+    """Build the transcript table for scale name ``sf`` (e.g. 'sf0.01')."""
+    n = n_turns_for(sf)
+    # NOTE: rng draws below are order-sensitive; the layout draw comes first.
+    rng = np.random.default_rng(int(float(sf.removeprefix("sf")) * 1e6) + 42)
+    conv_seq, turn_idx = _conv_layout(n, rng)
+    gidx = np.arange(n, dtype=np.int64)
+
+    conv_id = pd.Series(conv_seq).map(lambda i: f"conv-{i:08d}").to_numpy()
+    fmt = (conv_seq * 1000003 + turn_idx.astype(np.int64) * 7919) % N_FORMATS
+
+    role = rng.choice(ROLES, size=n, p=ROLE_W)
+    tool = np.where(role == "tool", TOOLS[(conv_seq + turn_idx) % len(TOOLS)], "")
+
+    # timestamps: in-order per conversation, deterministic
+    delta = 1 + (conv_seq * 31 + turn_idx.astype(np.int64) * 17) % 29  # seconds
+    # per-conv cumulative sum of deltas
+    df = pd.DataFrame({"conv": conv_seq, "delta": delta})
+    cumdelta = df.groupby("conv")["delta"].cumsum().to_numpy()
+    ms = gidx % 997
+    ts_us = BASE_EPOCH_US + conv_seq * 60_000_000 + cumdelta * 1_000_000 + ms * 1000
+
+    # shared message components
+    verbs = VERBS[(conv_seq * 7 + turn_idx) % len(VERBS)]
+    nouns = NOUNS[(conv_seq * 13 + turn_idx) % len(NOUNS)]
+    nnum = ((conv_seq * 97 + turn_idx.astype(np.int64) * 11) % 10_000).astype(str)
+    msg = pd.Series(verbs).str.cat(pd.Series(nouns), sep=" ").str.cat(pd.Series(nnum), sep=" ")
+
+    msg = msg.to_numpy().astype(object)
+    tss = pd.Series(pd.to_datetime(ts_us, unit="us"))
+    text = np.empty(n, dtype=object)
+    ti64 = turn_idx.astype(np.int64)
+
+    def s(a) -> np.ndarray:
+        """int/str array -> object array of strings (for elementwise +)."""
+        return np.asarray(a).astype(str).astype(object)
+
+    def strf(mask: np.ndarray, f: str) -> np.ndarray:
+        return tss[mask].dt.strftime(f).to_numpy().astype(object)
+
+    m = fmt == 0  # apache access
+    if m.any():
+        text[m] = (
+            "10.0." + s(conv_seq[m] % 256) + "." + s(ti64[m] % 256)
+            + " - user" + s(conv_seq[m] % 50)
+            + " [" + strf(m, "%d/%b/%Y:%H:%M:%S +0000") + '] "'
+            + s(METHODS[(conv_seq[m] + ti64[m]) % len(METHODS)])
+            + " /api/v1/" + s(nouns[m])
+            + ' HTTP/1.1" ' + s(CODES[(conv_seq[m] * 3 + ti64[m]) % len(CODES)])
+            + " " + s((conv_seq[m] * 131 + ti64[m] * 7) % 100_000)
+            + ' "-" "agent-' + s(conv_seq[m] % 9) + '"'
+        )
+    m = fmt == 1  # apache error
+    if m.any():
+        text[m] = (
+            "[" + strf(m, "%a %b %d %H:%M:%S %Y") + "] ["
+            + s(APACHE_MODULES[conv_seq[m] % len(APACHE_MODULES)])
+            + ":" + s(APACHE_LEVELS[(conv_seq[m] + ti64[m]) % len(APACHE_LEVELS)])
+            + "] [pid " + s(1000 + conv_seq[m] % 500)
+            + ":tid " + s(ti64[m] % 64) + "] "
+            + msg[m]
+        )
+    m = fmt == 2  # syslog
+    if m.any():
+        text[m] = (
+            strf(m, "%b %d %H:%M:%S") + " host-" + s(conv_seq[m] % 8) + " "
+            + s(SYSLOG_PROGRAMS[(conv_seq[m] + ti64[m]) % len(SYSLOG_PROGRAMS)])
+            + "[" + s(100 + ti64[m] % 900) + "]: "
+            + msg[m]
+        )
+    m = fmt == 3  # docker json (complete records: log ends with \n)
+    if m.any():
+        text[m] = (
+            '{"log":"' + msg[m] + '\\n","stream":"'
+            + s(STREAMS[(conv_seq[m] + ti64[m]) % 2])
+            + '","time":"' + strf(m, "%Y-%m-%dT%H:%M:%S.%fZ") + '"}'
+        )
+    m = fmt == 4  # redis (router: even turn → server format, odd → handler)
+    sub = m & (turn_idx % 2 == 0)
+    if sub.any():  # server log: logs_config_linux.yaml:486-498
+        text[sub] = (
+            s(1 + conv_seq[sub] % 9999) + ":" + s(REDIS_ROLES[conv_seq[sub] % 3])
+            + " " + strf(sub, "%d %b %Y %H:%M:%S.")
+            + s(np.char.zfill(ms[sub].astype(str), 3))
+            + " " + s(REDIS_SYMS[(conv_seq[sub] + ti64[sub]) % 4])
+            + " " + msg[sub]
+        )
+    sub = m & (turn_idx % 2 == 1)
+    if sub.any():  # handler log: logs_config_linux.yaml:499-506 (epoch secs)
+        text[sub] = (
+            s(1 + conv_seq[sub] % 9999) + ":signal-handler ("
+            + s(ts_us[sub] // 1_000_000) + ") " + msg[sub]
+        )
+    m = fmt == 5  # plain
+    if m.any():
+        text[m] = "note " + msg[m] + " step " + s(nnum)[m]
+    m = fmt == 6  # PII phone numbers 9999-999-9999
+    if m.any():
+        text[m] = (
+            "contact " + s(verbs[m]) + " at "
+            + s(np.char.zfill(((conv_seq[m] * 7 + ti64[m]) % 10_000).astype(str), 4))
+            + "-" + s(np.char.zfill(((conv_seq[m] + ti64[m] * 3) % 1000).astype(str), 3))
+            + "-" + s(np.char.zfill(((conv_seq[m] * 3 + ti64[m] * 7) % 10_000).astype(str), 4))
+            + " re " + s(nouns[m])
+        )
+    m = fmt == 7  # json with Level key
+    if m.any():
+        text[m] = (
+            '{"Level":"' + s(JSON_LEVELS[(conv_seq[m] + ti64[m]) % 3])
+            + '","message":"' + msg[m]
+            + '","time":"' + strf(m, "%Y-%m-%dT%H:%M:%S") + '"}'
+        )
+    m = fmt == 8  # continuation fragments (docker-shaped; last entry ends \n)
+    if m.any():
+        tail = np.where((conv_seq[m] + ti64[m]) % 3 == 0, "\\n", "").astype(object)
+        text[m] = (
+            '{"log":"' + msg[m] + tail + '","stream":"stdout","time":"'
+            + strf(m, "%Y-%m-%dT%H:%M:%S.%fZ") + '"}'
+        )
+
+    table = pa.table(
+        {
+            "conv_id": pa.array(conv_id, type=pa.string()),
+            "turn_idx": pa.array(turn_idx, type=pa.int32()),
+            "role": pa.array(role, type=pa.string()),
+            "text": pa.array(text, type=pa.string()),
+            "tool": pa.array(tool, type=pa.string()),
+            "ts": pa.array(ts_us, type=pa.timestamp("us")),
+        }
+    )
+    return table
+
+
+ROWS_PER_FILE = 100_000
+
+
+def ensure_transcripts(sf_dir_or_name: str, force: bool = False) -> str:
+    """Write the transcript corpus for this scale if absent; return its dir.
+
+    Layout: ``<dir>/part-000.parquet`` … — one file per ~100k turns, split on
+    conversation boundaries (a conv never spans files, so per-file processing
+    preserves per-conv grouped semantics). Atomic: built in a temp dir then
+    renamed into place, so concurrent callers are safe. Row groups are 50k
+    rows so Ray's read layer can split within files too.
+    """
+    path = transcripts_path(sf_dir_or_name)
+    if os.path.isdir(path) and not force:
+        return path
+    table = build_transcripts(sf_name(sf_dir_or_name))
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmpdir = tempfile.mkdtemp(dir=os.path.dirname(path), prefix=".transcripts.tmp")
+    n = table.num_rows
+    n_files = max(1, round(n / ROWS_PER_FILE))
+    # split points aligned to conversation boundaries
+    conv = table.column("conv_id").to_pandas().to_numpy()
+    bounds = [0]
+    for k in range(1, n_files):
+        i = k * n // n_files
+        while i < n and conv[i] == conv[i - 1]:
+            i += 1
+        if i > bounds[-1] and i < n:
+            bounds.append(i)
+    bounds.append(n)
+    for k in range(len(bounds) - 1):
+        pq.write_table(
+            table.slice(bounds[k], bounds[k + 1] - bounds[k]),
+            os.path.join(tmpdir, f"part-{k:03d}.parquet"),
+            row_group_size=50_000,
+        )
+    try:
+        os.replace(tmpdir, path)
+    except OSError:  # lost the race to a concurrent writer — theirs is fine
+        import shutil
+        shutil.rmtree(tmpdir, ignore_errors=True)
+    return path

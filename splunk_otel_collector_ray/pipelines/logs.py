@@ -1,0 +1,190 @@
+"""The flagship logs pipeline: read → parse → enrich → route → export/aggregate.
+
+This is the Ray-Data expression of the reference's canonical logs service
+(/root/reference/cmd/otelcol/config/collector/logs_config_linux.yaml:723-755:
+``filelog* → [memory_limiter, batch] → splunk_hec``, plus the routing-connector
+gateway wiring gateway_config.yaml:163-221):
+
+    read_parquet(transcripts, columns pruned)          # filelog / otlp receive
+      → map_batches(ParseStage,  pyarrow, actor pool)  # stanza operator chain
+      → map_batches(EnrichStage, pyarrow, actor pool)  # resourcedetection/k8s
+      → map_batches(RouteStage,  pyarrow)              # routing connector
+      → write_parquet(out, partition_cols=["sink"])    # per-sink HEC exporters
+      + grouped_count(sink[, severity, tool])          # count-connector/batch
+
+Collector concerns we get from Ray Data for free (SURVEY.md §4): streaming
+backpressure (memory_limiter), re-batching (batch processor), retries, and
+per-stage parallelism. What stays explicit: per-partition manifests
+(file_storage checkpoint analogue — state.manifest), stable
+(conv_id, turn_idx) ordering at export, and partitioning/skew strategy.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any
+
+import ray
+import ray.data
+
+from ..corpus import ensure_transcripts
+from ..stages.enrich import EnrichStage, build_dim_table, make_enrich_fn
+from ..stages.parse import ParseStage
+from ..stages.route import RouteStage
+from ..state import manifest as mf
+from .aggregate import grouped_count
+
+INPUT_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+PARSE_BATCH = 32_768
+
+
+def read_transcripts(sf_dir: str, parallelism: int | None = None) -> "ray.data.Dataset":
+    """Read the transcript corpus for a testdata dir (generating if absent)."""
+    path = ensure_transcripts(sf_dir)
+    return ray.data.read_parquet(path, columns=INPUT_COLUMNS)
+
+
+def build_logs_dataset(
+    src: "str | ray.data.Dataset",
+    routes: RouteStage | None = None,
+    use_actors: bool = False,
+    concurrency: tuple[int, int] | int | None = None,
+) -> "ray.data.Dataset":
+    """Compose parse → enrich → route over a transcript source (lazy).
+
+    Default path: FUNCTION stages with per-process state caches — Ray fuses
+    Read→parse→enrich→route into one task chain (zero intermediate
+    materialization, no actor-pool ramp-up), which benchmarks ~2× faster at
+    this state size. ``use_actors=True`` switches to the actor-pool form —
+    the right shape when per-worker init is genuinely expensive (models,
+    large dim caches; SURVEY.md §7.3).
+    """
+    ds = read_transcripts(src) if isinstance(src, str) else src
+    dims_ref = ray.put(build_dim_table())  # broadcast ONCE, read per worker
+    if use_actors:
+        if concurrency is None:
+            ncpu = int(ray.cluster_resources().get("CPU", 8))
+            concurrency = (2, max(2, ncpu - 2))
+        ds = ds.map_batches(
+            ParseStage, batch_format="pyarrow", batch_size=PARSE_BATCH,
+            concurrency=concurrency,
+        )
+        ds = ds.map_batches(
+            EnrichStage, fn_constructor_kwargs={"dims": dims_ref},
+            batch_format="pyarrow", batch_size=PARSE_BATCH,
+            concurrency=concurrency,
+        )
+    else:
+        ds = ds.map_batches(ParseStage.as_fn(), batch_format="pyarrow")
+        ds = ds.map_batches(make_enrich_fn(dims_ref), batch_format="pyarrow")
+    ds = ds.map_batches(routes or RouteStage(), batch_format="pyarrow")
+    return ds
+
+
+def sink_counts(ds: "ray.data.Dataset") -> dict[str, int]:
+    """Per-sink routed-row counts (HEC LogRecordCount assertion analogue,
+    /root/reference/tests/testutils/hec_receiver_sink.go:120-127)."""
+    pdf = grouped_count(ds, ["sink"]).to_pandas()
+    return dict(zip(pdf["sink"], pdf["n"].astype(int)))
+
+
+def run_flagship(sf_dir: str, out_dir: str) -> dict[str, Any]:
+    """End-to-end run: export per-sink Parquet + per-sink aggregates.
+
+    ONE streaming pass: the write-through SinkWriter stage exports each
+    batch's per-sink parquet and emits partial (sink, severity, tool) counts;
+    the only shuffled rows are those partials (collector exporter+obsreport
+    coupling, see stages/export.py). Aggregates land next to the sink dirs.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..stages.export import SinkWriter
+
+    t0 = time.time()
+    ds = build_logs_dataset(sf_dir)
+    routed_dir = os.path.join(out_dir, "by_sink")
+    os.makedirs(routed_dir, exist_ok=True)
+    partials = ds.map_batches(SinkWriter(routed_dir), batch_format="pyarrow")
+    agg = partials.groupby(["sink", "severity_text", "tool"]).aggregate(
+        Sum("n", alias_name="n"))
+    agg_pdf = agg.to_pandas()
+    t_route = time.time() - t0
+
+    agg_dir = os.path.join(out_dir, "aggregates")
+    os.makedirs(agg_dir, exist_ok=True)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.Table.from_pandas(agg_pdf, preserve_index=False),
+                   os.path.join(agg_dir, "sink_severity_tool.parquet"))
+    counts = agg_pdf.groupby("sink")["n"].sum().astype(int).to_dict()
+    return {
+        "rows": int(agg_pdf["n"].sum()),
+        "sink_counts": counts,
+        "routed_dir": routed_dir,
+        "aggregate_dir": agg_dir,
+        "sec_route": round(t_route, 3),
+        "sec_total": round(time.time() - t0, 3),
+    }
+
+
+def run_resumable(sf_dir: str, out_dir: str) -> dict[str, Any]:
+    """Flagship run with per-partition manifests and exactly-once resume.
+
+    Partition = one input part file (a conversation never spans part files).
+    Completed partitions (valid manifest, matching fingerprint) are skipped;
+    incomplete ones have their output reset and are reprocessed in ONE Ray
+    Dataset job (so the streaming executor still pipelines across partitions).
+    """
+    src = ensure_transcripts(sf_dir)
+    parts = sorted(
+        os.path.join(src, f) for f in os.listdir(src) if f.endswith(".parquet")
+    )
+    todo: list[tuple[str, str, str]] = []  # (part_id, input_path, fingerprint)
+    skipped = []
+    for p in parts:
+        part_id = os.path.splitext(os.path.basename(p))[0]
+        fp = mf.input_fingerprint(p)
+        pdir = os.path.join(out_dir, f"part={part_id}")  # hive layout dir
+        if mf.is_complete(pdir, fp):
+            skipped.append(part_id)
+        else:
+            mf.reset_partition(pdir)
+            todo.append((part_id, p, fp))
+
+    processed: dict[str, dict] = {}
+    if todo:
+        ds = ray.data.read_parquet(
+            [p for _, p, _ in todo], columns=INPUT_COLUMNS, include_paths=True
+        )
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        def tag_part(t: "pa.Table") -> "pa.Table":
+            base = pc.replace_substring_regex(t["path"], r"^.*/|\.parquet$", "")
+            return t.drop_columns(["path"]).append_column("part", base)
+
+        ds = ds.map_batches(tag_part, batch_format="pyarrow")
+        ds = build_logs_dataset(ds)
+        ds.write_parquet(out_dir, partition_cols=["part", "sink"])
+        # commit manifests per partition (atomic, after output is durable)
+        back = ray.data.read_parquet(
+            [os.path.join(out_dir, f"part={pid}") for pid, _, _ in todo],
+            columns=["part", "sink"], file_extensions=["parquet"],
+            partitioning=ray.data.datasource.partitioning.Partitioning(
+                "hive", base_dir=out_dir),
+        )
+        cpdf = grouped_count(back, ["part", "sink"]).to_pandas()
+        for part_id, p, fp in todo:
+            sub = cpdf[cpdf["part"] == part_id]
+            payload = {
+                "partition": part_id,
+                "input": p,
+                "fingerprint": fp,
+                "rows": int(sub["n"].sum()),
+                "sink_counts": dict(zip(sub["sink"], sub["n"].astype(int))),
+            }
+            mf.write_manifest(os.path.join(out_dir, f"part={part_id}"), payload)
+            processed[part_id] = payload
+    return {"skipped": skipped, "processed": processed, "out_dir": out_dir}

@@ -1,0 +1,80 @@
+"""`attributes` / `resource` processor — action lists over record fields.
+
+Reference semantics (/root/reference/cmd/otelcol/config/collector/
+full_config_linux.yaml:397-470): an ordered list of actions applied per
+record: ``insert`` (only if absent), ``update`` (only if present), ``upsert``,
+``delete``, ``extract`` (regex with named capture groups → new attributes),
+``hash`` (value → sha1 digest per the upstream attributesprocessor), plus the
+smartagent ``extraDimensions`` override-merge
+(pkg/receiver/smartagentreceiver/output.go:256-259).
+
+Columnar mapping: this engine promotes attributes to real Arrow columns
+(SURVEY.md §1.3), so the open-map actions become column ops — absent key ==
+null cell (or missing column). All vectorized; `extract` is one
+str.extract per action; `hash` is a vectorized sha over the UTF-8 bytes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+@dataclass
+class Action:
+    action: str                 # insert|update|upsert|delete|extract|hash
+    key: str
+    value: str | None = None    # for insert/update/upsert
+    pattern: str | None = None  # for extract
+
+
+@dataclass
+class AttributesStage:
+    """Ordered action list as one vectorized map_batches stage."""
+
+    actions: list[Action] = field(default_factory=list)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        for a in self.actions:
+            if a.action == "insert":
+                if a.key not in df.columns:
+                    df[a.key] = a.value
+                else:
+                    df[a.key] = df[a.key].where(df[a.key].notna(), a.value)
+            elif a.action == "update":
+                if a.key in df.columns:
+                    df.loc[df[a.key].notna(), a.key] = a.value
+            elif a.action == "upsert":
+                df[a.key] = a.value
+            elif a.action == "delete":
+                df.drop(columns=[a.key], errors="ignore", inplace=True)
+            elif a.action == "extract":
+                rx = re.compile(a.pattern)
+                g = df[a.key].str.extract(rx)
+                for col in g.columns:
+                    df[col] = g[col]
+            elif a.action == "hash":
+                if a.key in df.columns:
+                    df[a.key] = [
+                        hashlib.sha1(v.encode()).hexdigest() if isinstance(v, str) else v
+                        for v in df[a.key]
+                    ]
+            else:
+                raise ValueError(f"unknown action {a.action!r}")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def extra_dimensions_merge(batch: pa.Table, extra: dict[str, str]) -> pa.Table:
+    """extraDimensions merge: static dims OVERRIDE the record's own values
+    (output.go:256-259) — i.e. upsert of constant columns."""
+    n = batch.num_rows
+    cols = dict(zip(batch.column_names, batch.columns))
+    for k, v in extra.items():
+        cols[k] = pa.array(np.full(n, v, dtype=object), type=pa.string())
+    return pa.table(cols)

@@ -1,0 +1,145 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+The reference's only dedup is the discovery receiver's emit-once keyed set
+(/root/reference/internal/receiver/discoveryreceiver/evaluator.go:110-113 —
+LoadOrStore on (endpoint, receiver, status, pattern)); we generalize that to
+the dedup family a 100 TB corpus pipeline needs:
+
+- exact dedup          hash-partition on a content hash, keep first per group
+- MinHash + LSH        shingle → minhash sig → band buckets → candidate pairs
+- SimHash              64-bit hyperplane-free token-hash sign aggregate
+- n-gram Jaccard       verification kernel for candidate pairs
+- embedding cosine     near-dup over an embedding column (see similarity.py)
+
+Scale shape: exact dedup shuffles only (hash, id) pairs after a vectorized
+per-batch hash; MinHash emits (band_id, band_hash, doc_id) rows — the groupby
+key is the band bucket, so hot buckets are bounded by band width; candidate
+verification is per-group pairwise but groups are small by construction.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+from ray.data.aggregate import Count, Min
+
+MERSENNE = (1 << 61) - 1
+
+
+def _token_hashes(text: pd.Series, n: int = 5) -> list[np.ndarray]:
+    """Per-doc arrays of hashed character n-gram shingles (vectorized-ish:
+    one pass per doc over a numpy view; no Python-level char loops)."""
+    out = []
+    for s in text.fillna(""):
+        b = np.frombuffer(s.encode("utf-8", "ignore"), dtype=np.uint8)
+        if len(b) < n:
+            out.append(np.array([0], dtype=np.uint64))
+            continue
+        # rolling polynomial hash over byte n-grams, fully vectorized
+        win = np.lib.stride_tricks.sliding_window_view(b, n).astype(np.uint64)
+        coef = (np.uint64(257) ** np.arange(n, dtype=np.uint64)) % np.uint64(MERSENNE)
+        h = (win * coef).sum(axis=1) % np.uint64(MERSENNE)
+        out.append(np.unique(h))
+    return out
+
+
+def add_content_hash(batch: pa.Table, col: str = "text",
+                     out: str = "content_hash") -> pa.Table:
+    """Vectorized 64-bit content hash (FNV-1a over utf-8) as a new column."""
+    s = batch[col].to_pandas().fillna("")
+    h = pd.util.hash_array(s.to_numpy(dtype=object)).astype(np.uint64)
+    return batch.append_column(out, pa.array(h.astype(np.int64), type=pa.int64()))
+
+
+def exact_dedup(ds: "ray.data.Dataset", col: str = "text",
+                id_col: str = "doc_id") -> "ray.data.Dataset":
+    """Keep the first (min id) row per distinct content.
+
+    Two-phase: per-batch content hash (map_batches, vectorized) then a
+    groupby on the HASH (fixed-width key — far cheaper to shuffle than full
+    text) keeping min(id) + count. Emit-once-per-key == the discovery
+    receiver's LoadOrStore semantics, distributed.
+    """
+    hashed = ds.map_batches(
+        lambda t: add_content_hash(t, col), batch_format="pyarrow"
+    ).select_columns(["content_hash", id_col])
+    return (
+        hashed.groupby("content_hash")
+        .aggregate(Min(id_col, alias_name=id_col), Count(alias_name="dupes"))
+        .select_columns([id_col, "dupes"])
+    )
+
+
+class MinHasher:
+    """Actor-pool stage: text → MinHash signature → LSH band rows.
+
+    Emits (doc_id, band, band_hash) rows; near-dup candidates are doc pairs
+    sharing any (band, band_hash) bucket. num_perm=64, bands=16×4 targets
+    Jaccard ≈ 0.5+ (standard MinHash-LSH S-curve).
+    """
+
+    def __init__(self, num_perm: int = 64, bands: int = 16, shingle: int = 5,
+                 text_col: str = "text", id_col: str = "doc_id") -> None:
+        rng = np.random.default_rng(1234)
+        self.a = rng.integers(1, MERSENNE, num_perm, dtype=np.uint64)
+        self.b = rng.integers(0, MERSENNE, num_perm, dtype=np.uint64)
+        self.num_perm, self.bands = num_perm, bands
+        self.rows_per_band = num_perm // bands
+        self.shingle, self.text_col, self.id_col = shingle, text_col, id_col
+
+    def signature(self, hashes: np.ndarray) -> np.ndarray:
+        # (num_perm,) minima of (a*h + b) mod p — one matmul-shaped op per doc
+        v = (hashes[None, :] * self.a[:, None] + self.b[:, None]) % np.uint64(MERSENNE)
+        return v.min(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch[self.text_col].to_pandas()
+        ids = batch[self.id_col].to_pandas().to_numpy()
+        sigs = np.stack(
+            [self.signature(h) for h in _token_hashes(text, self.shingle)])
+        # fold each band's rows into one bucket hash
+        band_hash = np.zeros((len(ids), self.bands), dtype=np.uint64)
+        for bi in range(self.bands):
+            seg = sigs[:, bi * self.rows_per_band:(bi + 1) * self.rows_per_band]
+            band_hash[:, bi] = pd.util.hash_array(
+                np.ascontiguousarray(seg).view([("", seg.dtype)] * seg.shape[1]).ravel()
+            ).astype(np.uint64)
+        n, b = len(ids), self.bands
+        return pa.table({
+            self.id_col: pa.array(np.repeat(ids, b)),
+            "band": pa.array(np.tile(np.arange(b), n), type=pa.int32()),
+            "band_hash": pa.array(band_hash.reshape(-1).astype(np.int64)),
+        })
+
+
+def minhash_duplicate_groups(
+    ds: "ray.data.Dataset", id_col: str = "doc_id", **kw
+) -> "ray.data.Dataset":
+    """LSH bucket groups with >1 member: (band, band_hash, min_id, size)."""
+    bands = ds.map_batches(MinHasher, fn_constructor_kwargs={"id_col": id_col, **kw},
+                           batch_format="pyarrow", concurrency=(1, 8))
+    g = bands.groupby(["band", "band_hash"]).aggregate(
+        Min(id_col, alias_name="min_id"), Count(alias_name="size"))
+    return g.filter(lambda r: r["size"] > 1)
+
+
+def simhash64(text: pd.Series, shingle: int = 4) -> np.ndarray:
+    """64-bit SimHash per doc (token-hash sign aggregate)."""
+    out = np.zeros(len(text), dtype=np.uint64)
+    for i, h in enumerate(_token_hashes(text, shingle)):
+        bits = (h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+        v = np.where(bits.astype(bool), 1, -1).sum(axis=0)
+        out[i] = np.packbits((v > 0).astype(np.uint8)[::-1]).view(">u8")[0]
+    return out
+
+
+def ngram_jaccard(a: str, b: str, n: int = 5) -> float:
+    """Exact n-gram Jaccard — the verification kernel for candidate pairs."""
+    ha = _token_hashes(pd.Series([a]), n)[0]
+    hb = _token_hashes(pd.Series([b]), n)[0]
+    inter = np.intersect1d(ha, hb).size
+    union = ha.size + hb.size - inter
+    return inter / union if union else 1.0

@@ -1,0 +1,322 @@
+"""Vectorized parse stage — the stanza operator chain of `filelog`, Ray-Data-first.
+
+Reproduces (semantically, not mechanically) the reference's per-source operator
+chains (citations into /root/reference):
+
+- regex_parser with named capture groups → attributes
+  (apache access: cmd/otelcol/config/collector/logs_config_linux.yaml:50-54)
+- embedded `timestamp:` sub-parser (strptime layouts incl. %z, %L ms, epoch,
+  %c locale; logs_config_linux.yaml:52-54,503-506) — parse_from field is
+  consumed, record ts replaced, input ts kept as observed_ts fallback
+- embedded `severity:` sub-parser with custom mapping tables
+  (logs_config_linux.yaml:71-78 apache, :491-497 redis)
+- json_parser (docker: logs_config_linux.yaml:155-171)
+- move log→body + retain projection (logs_config_linux.yaml:78-84)
+- router first-match classification (redis two-way router
+  logs_config_linux.yaml:479-485; format families here play the role of the
+  per-file sources of logs_config_linux.yaml:723-753)
+
+Hot path is Arrow-native: classification and field extraction run through
+pyarrow.compute's RE2 kernels (`match_substring_regex`, `extract_regex`) on
+the zero-copy `text` column — no Python-level regex loop; only timestamp
+strptime and the tiny severity dictionary map go through pandas. The
+attributes open-map is materialized as a real Arrow `map<string,string>`
+column built from flat offset/key/value arrays.
+
+Deployment shapes: plain function stage via ``ParseStage.as_fn()`` (fuses with
+read and downstream task stages; state cached per worker process) or an actor
+pool via ``map_batches(ParseStage, concurrency=N)`` (mirrors once-per-instance
+Configure, receiver.go:91-127) when fleet-wide fusion matters less than
+isolation.
+
+Output schema (FIXTURES.md §2):
+  conv_id, turn_idx, role, tool            passthrough (+ any extra columns)
+  ts          timestamp[us]   parsed from text when matched, else input ts
+  observed_ts timestamp[us]   the input ts (ingest-time surrogate)
+  log_format  string          detected family (= com.splunk.sourcetype value)
+  body        string          message remnant after `move`, else raw line
+  severity_text string / severity_number int8
+  attributes  map<string,string>
+  span_id     string          deterministic surrogate for tool-call turns
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.severity import (
+    APACHE_ERROR_LEVELS,
+    JSON_LEVEL_MAP,
+    REDIS_LEVELS,
+    SEVERITY_NUMBER,
+)
+
+# family -> attribute keys kept after the chain's `retain` projection
+FAMILY_ATTR_KEYS: dict[str, list[str]] = {
+    # no move/retain in the apache-access chain → all capture groups kept
+    # (time consumed by the timestamp sub-parser)
+    "apache_access": [
+        "host", "remote_logname", "user", "method", "path",
+        "protocol", "code", "size", "referer", "agent",
+    ],
+    "apache_error": ["module"],        # retain: logs_config_linux.yaml:81-84
+    "syslog": ["program"],             # retain: logs_config_linux.yaml:529-534
+    "docker": ["stream"],              # retain: logs_config_linux.yaml:164-167
+    "redis_server": ["redis_role"],    # retain attributes.role :510-513
+    "redis_handler": ["redis_role"],
+    "json_level": [],                  # transform deletes Level/message/time
+    "pii": [],
+    "plain": [],
+}
+
+FAMILIES = list(FAMILY_ATTR_KEYS)
+
+# extraction patterns (verbatim semantics from the shipped configs; all-named
+# groups so pyarrow's RE2 extract_regex can run them)
+RX = {
+    # NCSA combined (logs_config_linux.yaml:51)
+    "apache_access": (
+        r'^(?P<host>.+) (?P<remote_logname>.+) (?P<user>.+) \[(?P<time>.+)\] '
+        r'"(?P<method>.+) (?P<path>.+) (?P<protocol>.+)" (?P<code>\d+) '
+        r'(?P<size>\d+) "(?P<referer>.+)" "(?P<agent>.+)"$'),
+    "apache_error": (
+        r"^\[(?P<time>.+?)\] \[(?P<module>\w+):(?P<level>\w+)\] "
+        r"\[pid (?P<pid>\d+):tid (?P<tid>\d+)\] (?P<log>.*)$"),
+    "syslog": (
+        r"^(?P<time>.+?) (?P<hostname>\S+) (?P<program>[^ :\[]+)"
+        r"\[?(?P<pid>\d+)?\]?: (?P<log>.*)$"),
+    "redis_server": (
+        r"^(?P<pid>\d+):(?P<role>\S*) (?P<time>.+?) (?P<level>.) (?P<log>.*)$"),
+    "redis_handler": (
+        r"^(?P<pid>\d+):(?P<role>\S*) \((?P<time>\d+)\) (?P<log>.*)$"),
+    "docker": (
+        r'^\{"log":"(?P<log>.*)","stream":"(?P<stream>[a-z]+)",'
+        r'"time":"(?P<time>[^"]+)"\}$'),
+    "json_level": (
+        r'^\{"Level":"(?P<level>[A-Z]+)","message":"(?P<message>.*)",'
+        r'"time":"(?P<time>[^"]+)"\}$'),
+    "pii": r"(?P<before>.*)\d\d\d\d-\d\d\d-\d\d\d\d(?P<after>.*)",
+}
+
+# detection, in router order (first match wins) — stanza router exprs; the
+# JSON/bracket families are cheap prefix tests, the rest anchored RE2
+DETECT: list[tuple[str, str, str]] = [  # (family, kind, pattern)
+    ("docker", "prefix", '{"log":'),
+    ("json_level", "prefix", '{"Level":'),
+    ("apache_error", "prefix", "["),
+    # redis router expr order: handler first (logs_config_linux.yaml:480-485)
+    ("redis_handler", "regex", r"^[0-9]+:[\w-]+ \([0-9]+\) "),
+    ("redis_server", "regex", r"^[0-9]+:[A-Z] "),
+    ("apache_access", "regex", RX["apache_access"]),
+    ("syslog", "regex", r"^[A-Z][a-z]{2} [ \d]\d \d{2}:\d{2}:\d{2} \S+ "),
+    # sanitization family: any line bearing a phone-shaped token
+    # (examples/otel-logs-sanitization-splunk/otel-collector-config.yml:6)
+    ("pii", "regex", r"\d{4}-\d{3}-\d{4}"),
+]
+
+
+def _np(arr) -> np.ndarray:
+    return arr.to_numpy(zero_copy_only=False)
+
+
+class ParseStage:
+    """Arrow-native parse stage for ``map_batches`` (RE2 kernels, no row loop)."""
+
+    def __init__(self) -> None:
+        self.detect = DETECT
+        self.rx = RX
+
+    def classify(self, text: pa.Array) -> np.ndarray:
+        """First-match router → family name per row ('plain' fallback)."""
+        masks, names = [], []
+        for name, kind, pat in self.detect:
+            if kind == "prefix":
+                m = pc.starts_with(text, pat)
+            else:
+                m = pc.match_substring_regex(text, pat)
+            masks.append(_np(m))
+            names.append(name)
+        return np.select(masks, names, default="plain")
+
+    def _extract(self, text: pa.Array, idx: np.ndarray, family: str):
+        """RE2 named-group extract over the rows of one family.
+
+        Returns (idx, struct_fields: dict[str, pd.Series]) where non-matching
+        rows carry None (the stanza parser's on-error passthrough)."""
+        sub = text.take(pa.array(idx, type=pa.int64()))
+        st = pc.extract_regex(sub, self.rx[family])
+        fields = {f.name: st.field(f.name) for f in st.type}
+        return fields
+
+    # -- the batch transform ----------------------------------------------
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        ts_in_np = _np(batch.column("ts")).astype("datetime64[us]")
+        fam = self.classify(text)
+
+        body = _np(text).astype(object)  # default: raw line
+        sev_text = np.full(n, "", dtype=object)
+        ts_out = ts_in_np.copy()
+        attr_vals: dict[str, dict[str, np.ndarray]] = {}
+
+        def put_ts(idx: np.ndarray, parsed: pd.Series) -> None:
+            v = parsed.to_numpy()
+            v = v.astype("datetime64[us]")
+            ok = ~pd.isna(v)
+            ts_out[idx[ok]] = v[ok]  # failures keep observed-time fallback
+
+        def put_body(idx: np.ndarray, vals: pa.Array) -> None:
+            v = _np(vals).astype(object)
+            ok = ~pd.isna(v)
+            body[idx[ok]] = v[ok]
+
+        def attrs_of(family: str, fields, idx) -> None:
+            keys = FAMILY_ATTR_KEYS[family]
+            if not keys:
+                return
+            out = {}
+            for out_key in keys:
+                fname = "role" if out_key == "redis_role" else out_key
+                v = _np(fields[fname]).astype(object)
+                out[out_key] = np.where(pd.isna(v), "", v)
+            attr_vals[family] = out
+
+        for family in ("apache_access", "apache_error", "syslog", "docker",
+                       "redis_server", "redis_handler", "json_level", "pii"):
+            idx = np.flatnonzero(fam == family)
+            if not len(idx):
+                continue
+            f = self._extract(text, idx, family)
+
+            if family == "apache_access":
+                put_ts(idx, pd.to_datetime(
+                    _np(f["time"]), format="%d/%b/%Y:%H:%M:%S %z",
+                    errors="coerce", utc=True).tz_localize(None))
+                attrs_of(family, f, idx)
+            elif family == "apache_error":
+                put_ts(idx, pd.to_datetime(
+                    _np(f["time"]), format="%a %b %d %H:%M:%S %Y", errors="coerce"))
+                sev_text[idx] = pd.Series(_np(f["level"])).map(
+                    APACHE_ERROR_LEVELS).fillna("").to_numpy()
+                put_body(idx, f["log"])
+                attrs_of(family, f, idx)
+            elif family == "syslog":
+                # no year in the layout (%b %e %H:%M:%S) — stanza infers the
+                # current year; we pin it to the observed (input) ts year
+                years = ts_in_np[idx].astype("datetime64[Y]").astype(int) + 1970
+                withyear = pd.Series(years.astype(str)) + " " + pd.Series(
+                    _np(f["time"]).astype(object)).fillna("")
+                put_ts(idx, pd.to_datetime(
+                    withyear, format="%Y %b %d %H:%M:%S", errors="coerce"))
+                put_body(idx, f["log"])
+                attrs_of(family, f, idx)
+            elif family == "docker":
+                put_ts(idx, pd.to_datetime(
+                    _np(f["time"]), format="%Y-%m-%dT%H:%M:%S.%fZ", errors="coerce"))
+                put_body(idx, pc.replace_substring(f["log"], "\\n", "\n"))
+                attrs_of(family, f, idx)
+            elif family == "redis_server":
+                put_ts(idx, pd.to_datetime(
+                    _np(f["time"]), format="%d %b %Y %H:%M:%S.%f", errors="coerce"))
+                sev_text[idx] = pd.Series(_np(f["level"])).map(
+                    REDIS_LEVELS).fillna("").to_numpy()
+                put_body(idx, f["log"])
+                attrs_of(family, f, idx)
+            elif family == "redis_handler":
+                # layout_type: epoch, layout: s (logs_config_linux.yaml:503-506)
+                put_ts(idx, pd.to_datetime(pd.to_numeric(
+                    pd.Series(_np(f["time"]).astype(object)), errors="coerce"),
+                    unit="s", errors="coerce"))
+                put_body(idx, f["log"])
+                attrs_of(family, f, idx)
+            elif family == "json_level":
+                sev_text[idx] = pd.Series(_np(f["level"])).map(
+                    JSON_LEVEL_MAP).fillna("").to_numpy()
+                # transform deletes Level/message/time; body stays raw line
+            elif family == "pii":
+                # regex_parser parse_to body.parsed + add body
+                # EXPR(before + "XXX-XXX-XXXX" + after)
+                joined = pc.binary_join_element_wise(
+                    f["before"], f["after"], "XXX-XXX-XXXX")
+                put_body(idx, joined)
+
+        sev_num = pd.Series(sev_text).map(SEVERITY_NUMBER).fillna(0).astype(
+            np.int8).to_numpy()
+
+        # deterministic tool-call span ids (FIXTURES.md §2): surrogate for the
+        # collector's trace/span context on tool-call turns
+        role = _np(batch.column("role"))
+        tool = _np(batch.column("tool"))
+        conv_seq = pd.Series(_np(batch.column("conv_id"))).str.slice(5).astype(
+            np.int64).to_numpy()
+        turn = _np(batch.column("turn_idx")).astype(np.int64)
+        has_span = (role == "tool") & (tool != "")
+        span_id = np.full(n, "", dtype=object)
+        if has_span.any():
+            raw = conv_seq[has_span] * 100_000 + turn[has_span]
+            span_id[has_span] = [format(v, "016x") for v in raw]
+
+        attributes = self._build_map(fam, attr_vals, n)
+
+        # passthrough-preserving output: keep every input column except the
+        # consumed `text` and the replaced `ts` (original ts → observed_ts),
+        # so upstream-added columns (e.g. a lineage `part` id) survive.
+        cols = {name: col for name, col in zip(batch.column_names, batch.columns)
+                if name not in ("text", "ts")}
+        cols["ts"] = pa.array(ts_out, type=pa.timestamp("us"))
+        cols["observed_ts"] = batch.column("ts")
+        cols["log_format"] = pa.array(fam, type=pa.string())
+        cols["body"] = pa.array(body, type=pa.string())
+        cols["severity_text"] = pa.array(sev_text, type=pa.string())
+        cols["severity_number"] = pa.array(sev_num, type=pa.int8())
+        cols["attributes"] = attributes
+        cols["span_id"] = pa.array(span_id, type=pa.string())
+        return pa.table(cols)
+
+    # per-worker-process singleton so the compiled chain can run as a plain
+    # FUNCTION stage (fusable with the read and downstream task stages) —
+    # for heavyweight state use the class as an actor pool instead.
+    _singleton: "ParseStage | None" = None
+
+    @classmethod
+    def as_fn(cls):
+        def parse_batch(batch: pa.Table) -> pa.Table:
+            if cls._singleton is None:
+                cls._singleton = cls()
+            return cls._singleton(batch)
+
+        return parse_batch
+
+    @staticmethod
+    def _build_map(
+        fam: np.ndarray, attr_vals: dict[str, dict[str, np.ndarray]], n: int
+    ) -> pa.Array:
+        """Build map<string,string> from per-family flat arrays, no row loop."""
+        counts = np.zeros(n, dtype=np.int64)
+        for name, keys in FAMILY_ATTR_KEYS.items():
+            if keys and name in attr_vals:
+                counts[fam == name] = len(keys)
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        total = int(offsets[-1])
+        keys_flat = np.empty(total, dtype=object)
+        vals_flat = np.empty(total, dtype=object)
+        for name, vals in attr_vals.items():
+            keys = [k for k in vals]
+            idx = np.flatnonzero(fam == name)
+            starts = offsets[idx]
+            for j, k in enumerate(keys):
+                keys_flat[starts + j] = k
+                vals_flat[starts + j] = vals[k]
+        return pa.MapArray.from_arrays(
+            pa.array(offsets, type=pa.int32()),
+            pa.array(keys_flat, type=pa.string()),
+            pa.array(vals_flat, type=pa.string()),
+        )

@@ -1,0 +1,106 @@
+"""Similarity search over an embedding column (`embeddings` table).
+
+Baseline: brute-force cosine top-k — the query matrix is broadcast once
+(`ray.put`), each map_batches task does one numpy matmul against its batch and
+emits per-batch local top-k; a final tiny groupby keeps the global top-k.
+Scale path: LSH bucketing (random hyperplane signs) so each query only scans
+matching buckets — same broadcast pattern, plus a bucket column to co-locate.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def _as_matrix(col: pd.Series) -> np.ndarray:
+    return np.stack(col.to_numpy())
+
+
+class BruteForceTopK:
+    """Per-batch cosine scores vs a broadcast query matrix; emits local top-k
+    rows (query_id, vec_id, sim) — global top-k finishes in a tiny sort."""
+
+    def __init__(self, queries_ref, k: int = 5,
+                 vec_col: str = "embedding", id_col: str = "vec_id") -> None:
+        q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
+        self.qids = q[0]
+        qm = q[1].astype(np.float64)
+        self.qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+        self.k, self.vec_col, self.id_col = k, vec_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_pandas().to_numpy()
+        m = _as_matrix(batch[self.vec_col].to_pandas()).astype(np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = self.qm @ m.T  # (nq, nb)
+        nq, nb = sims.shape
+        k = min(self.k, nb)
+        top = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        rows_q = np.repeat(self.qids, k)
+        rows_v = ids[top.reshape(-1)]
+        rows_s = np.take_along_axis(sims, top, axis=1).reshape(-1)
+        keep = rows_v != rows_q  # drop self-matches
+        return pa.table({
+            "query_id": pa.array(rows_q[keep]),
+            "vec_id": pa.array(rows_v[keep]),
+            "sim": pa.array(np.round(rows_s[keep], 6)),
+        })
+
+
+def ann_topk(
+    ds: "ray.data.Dataset", query_ids: list[int], k: int = 5,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """Global cosine top-k for each query id (queries drawn from the dataset).
+
+    Returns a small pandas frame (query_id, vec_id, sim) — nq×k rows.
+    """
+    import pyarrow.compute as pc
+
+    wanted = pa.array(list(query_ids))
+
+    def pick(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t[id_col], value_set=wanted))
+
+    qdf = ds.map_batches(pick, batch_format="pyarrow").to_pandas()
+    qids = qdf[id_col].to_numpy()
+    qm = _as_matrix(qdf[vec_col])
+    ref = ray.put((qids, qm))
+    local = ds.map_batches(
+        BruteForceTopK, fn_constructor_kwargs={"queries_ref": ref, "k": k,
+                                               "vec_col": vec_col, "id_col": id_col},
+        batch_format="pyarrow", concurrency=(1, 8),
+    ).to_pandas()
+    out = (
+        local.sort_values(["query_id", "sim", "vec_id"],
+                          ascending=[True, False, True])
+        .groupby("query_id", sort=True)
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return out
+
+
+class LSHBucketStage:
+    """Scale path: random-hyperplane sign buckets as a column; co-locating on
+    (bucket) turns ANN into per-bucket brute force. Hyperplanes broadcast."""
+
+    def __init__(self, planes_ref, vec_col: str = "embedding") -> None:
+        p = ray.get(planes_ref) if isinstance(planes_ref, ray.ObjectRef) else planes_ref
+        self.planes = p
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _as_matrix(batch[self.vec_col].to_pandas()).astype(np.float64)
+        signs = (m @ self.planes.T) > 0  # (n, nbits)
+        bucket = np.packbits(signs, axis=1, bitorder="little")[:, 0].astype(np.int32)
+        return batch.append_column("lsh_bucket", pa.array(bucket, type=pa.int32()))
+
+
+def make_planes(dim: int, nbits: int = 8, seed: int = 7) -> np.ndarray:
+    return np.random.default_rng(seed).standard_normal((nbits, dim))

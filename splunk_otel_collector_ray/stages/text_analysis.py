@@ -1,0 +1,101 @@
+"""Text-analysis operators for training-data pipelines (documents table).
+
+Beyond the reference's operator set (SURVEY brief): language-ID, quality
+scoring, token counting, document fingerprinting — each a vectorized
+map_batches stage over the `documents` table.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+# tiny per-language stopword profiles (n-gram/stopword heuristic language ID)
+LANG_STOPWORDS: dict[str, frozenset[str]] = {
+    "en": frozenset("the and of to a in is that it for".split()),
+    "de": frozenset("der die das und ist nicht ein zu den von".split()),
+    "fr": frozenset("le la les et de un une est pour que".split()),
+    "es": frozenset("el la los y de un una es para que".split()),
+}
+
+_WORD_RX = re.compile(r"[a-zA-ZÀ-ÿ]+")
+# BPE-ish token estimate: word pieces + digits + punctuation runs
+_TOKEN_RX = re.compile(r"[A-Za-z]{1,8}|\d{1,3}|[^\sA-Za-z0-9]")
+
+
+class LangIdStage:
+    """Stopword-profile language ID: argmax of per-language stopword hits."""
+
+    def __init__(self, text_col: str = "text") -> None:
+        self.text_col = text_col
+        self.langs = list(LANG_STOPWORDS)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        words = batch[self.text_col].to_pandas().str.lower().str.findall(_WORD_RX)
+        scores = np.zeros((batch.num_rows, len(self.langs)), dtype=np.int32)
+        for j, lang in enumerate(self.langs):
+            sw = LANG_STOPWORDS[lang]
+            scores[:, j] = words.map(lambda ws, sw=sw: sum(w in sw for w in ws))
+        best = scores.argmax(axis=1)
+        pred = np.where(scores.max(axis=1) > 0,
+                        np.array(self.langs, dtype=object)[best], "unk")
+        return batch.append_column("pred_lang", pa.array(pred, type=pa.string()))
+
+
+def token_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Whitespace tokens, BPE-ish token estimate, char count — vectorized."""
+    s = batch[text_col].to_pandas().fillna("")
+    ws_tokens = s.str.split().str.len().fillna(0).astype(np.int64)
+    bpe_tokens = s.str.count(_TOKEN_RX).astype(np.int64)
+    return (
+        batch.append_column("n_ws_tokens", pa.array(ws_tokens))
+        .append_column("n_bpe_tokens", pa.array(bpe_tokens))
+        .append_column("n_chars_actual", pa.array(s.str.len().astype(np.int64)))
+    )
+
+
+def quality_scores(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Length / punctuation / stopword-ratio quality features + a 0..1 score."""
+    s = batch[text_col].to_pandas().fillna("")
+    length = s.str.len().astype(np.float64)
+    n_alpha = s.str.count(r"[A-Za-z]").astype(np.float64)
+    n_punct = s.str.count(r"[^\w\s]").astype(np.float64)
+    words = s.str.lower().str.findall(_WORD_RX)
+    n_words = words.str.len().astype(np.float64)
+    sw = LANG_STOPWORDS["en"]
+    n_stop = words.map(lambda ws: sum(w in sw for w in ws)).astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        alpha_ratio = np.where(length > 0, n_alpha / length, 0.0)
+        punct_ratio = np.where(length > 0, n_punct / length, 0.0)
+        stop_ratio = np.where(n_words > 0, n_stop / n_words, 0.0)
+    score = np.clip(
+        0.5 * alpha_ratio + 0.3 * np.minimum(stop_ratio * 3, 1.0)
+        + 0.2 * (1.0 - np.minimum(punct_ratio * 4, 1.0)),
+        0.0, 1.0,
+    )
+    # NOTE: ratios are emitted as raw IEEE divisions (no rounding) — identical
+    # operands give bit-identical doubles in any engine, while round() differs
+    # between numpy (banker's) and SQL (half-away) exactly at ties.
+    return (
+        batch.append_column("alpha_ratio", pa.array(alpha_ratio))
+        .append_column("punct_ratio", pa.array(punct_ratio))
+        .append_column("stop_ratio", pa.array(stop_ratio))
+        .append_column("quality", pa.array(score))
+    )
+
+
+def fingerprint(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Base-256 polynomial fingerprint (utf-8 bytes as a bigint, mod 2^61-1).
+
+    One C-level bigint op per document (int.from_bytes % M) — no per-char
+    Python loop; equivalent to a rolling Horner hash with base 256.
+    """
+    s = batch[text_col].to_pandas().fillna("")
+    M = (1 << 61) - 1
+    out = np.fromiter(
+        (int.from_bytes(doc.encode("utf-8", "ignore"), "big") % M for doc in s),
+        dtype=np.int64, count=len(s))
+    return batch.append_column("fingerprint", pa.array(out, type=pa.int64()))

@@ -1,0 +1,163 @@
+"""Unit tests for the remaining operator kernels (no Ray session needed)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from splunk_otel_collector_ray.functions import scalars
+from splunk_otel_collector_ray.stages.attributes import (
+    Action,
+    AttributesStage,
+    extra_dimensions_merge,
+)
+from splunk_otel_collector_ray.stages.dedup import (
+    MinHasher,
+    ngram_jaccard,
+    simhash64,
+)
+from splunk_otel_collector_ray.stages.multimodal import (
+    FeatureExtractStage,
+    decode_image,
+    make_fake_items,
+)
+from splunk_otel_collector_ray.stages.sample import sample_mask
+from splunk_otel_collector_ray.stages.text_analysis import (
+    LangIdStage,
+    quality_scores,
+    token_stats,
+)
+from splunk_otel_collector_ray.stages.timestamp_offset import TimestampOffset
+from splunk_otel_collector_ray.stages.transform import (
+    RedactRegex,
+    SetWhere,
+    TruncateBody,
+)
+
+
+def test_truncate_body():
+    t = pa.table({"body": ["0123456789abcdef", "short", ""]})
+    out = TruncateBody(10)(t).to_pandas()
+    assert out.body.tolist() == ["0123456789", "short", ""]
+
+
+def test_redact():
+    t = pa.table({"body": ["a 1111-222-3333 b 4444-555-6666 c", "clean"]})
+    out = RedactRegex()(t).to_pandas()
+    assert out.body.tolist() == ["a XXX-XXX-XXXX b XXX-XXX-XXXX c", "clean"]
+
+
+def test_set_where():
+    t = pa.table({"severity_text": ["", ""], "level": ["DETAIL", "LOG"]})
+    out = SetWhere("severity_text", "DEBUG", "level", "DETAIL")(t).to_pandas()
+    assert out.severity_text.tolist() == ["DEBUG", ""]
+
+
+def test_timestamp_offset_null_passthrough():
+    t = pa.table({"ts": pa.array([pd.Timestamp("2026-01-01"), None],
+                                 type=pa.timestamp("us"))})
+    out = TimestampOffset(3600)(t).to_pandas()
+    assert out.ts[0] == pd.Timestamp("2026-01-01 01:00:00")
+    assert pd.isna(out.ts[1])  # zero/unset ts passes through (log_processor.go:32-36)
+
+
+def test_attributes_actions():
+    t = pa.table({"a": ["x", None], "path": ["/api/v1/buy", "/api/v2/sell"]})
+    st = AttributesStage([
+        Action("insert", "a", value="filled"),       # only fills the null
+        Action("upsert", "b", value="B"),
+        Action("extract", "path", pattern=r"/api/(?P<ver>v\d+)/(?P<op>\w+)"),
+        Action("delete", "path"),
+        Action("hash", "b"),
+    ])
+    out = st(t).to_pandas()
+    assert out.a.tolist() == ["x", "filled"]
+    assert out.ver.tolist() == ["v1", "v2"]
+    assert out.op.tolist() == ["buy", "sell"]
+    assert "path" not in out.columns
+    assert (out.b == scalars.hash_value("B")).all()
+
+
+def test_extra_dimensions_override():
+    t = pa.table({"host": ["a", "b"], "x": [1, 2]})
+    out = extra_dimensions_merge(t, {"host": "forced", "new": "v"}).to_pandas()
+    assert out.host.tolist() == ["forced", "forced"]
+    assert out.new.tolist() == ["v", "v"]
+
+
+def test_sample_mask_deterministic_rate():
+    conv = np.arange(100_000, dtype=np.int64)
+    turn = np.zeros(100_000, dtype=np.int64)
+    m = sample_mask(conv, turn, 25)
+    assert m.mean() == pytest.approx(0.25, abs=0.01)
+    assert (m == sample_mask(conv, turn, 25)).all()
+
+
+def test_minhash_similar_docs_share_buckets():
+    base = "the quick brown fox jumps over the lazy dog " * 10
+    near = base.replace("lazy", "sleepy")
+    far = "completely different content about databases " * 10
+    t = pa.table({"doc_id": [1, 2, 3], "text": [base, near, far]})
+    rows = MinHasher()(t).to_pandas()
+    buckets = rows.groupby(["band", "band_hash"]).doc_id.agg(set)
+    together12 = sum({1, 2} <= s for s in buckets)
+    together13 = sum({1, 3} <= s for s in buckets)
+    assert together12 > 0 and together13 == 0
+
+
+def test_ngram_jaccard_bounds():
+    assert ngram_jaccard("abcdefgh", "abcdefgh") == 1.0
+    assert ngram_jaccard("abcdefgh", "zzzzzzzz") == 0.0
+    sim = ngram_jaccard("the quick brown fox", "the quick brown cat")
+    assert 0.0 < sim < 1.0
+
+
+def test_simhash_close_for_near_dups():
+    a = "the quick brown fox jumps over the lazy dog " * 5
+    b = a.replace("dog", "cat")
+    c = "entirely unrelated words about ray data pipelines " * 5
+    h = simhash64(pd.Series([a, b, c]))
+    def hamming(x, y):
+        return bin(int(x) ^ int(y)).count("1")
+    assert hamming(h[0], h[1]) < hamming(h[0], h[2])
+
+
+def test_token_stats_and_quality():
+    t = pa.table({"text": ["hello world foo", "", "a,b,c!!!"]})
+    out = token_stats(t).to_pandas()
+    assert out.n_ws_tokens.tolist() == [3, 0, 1]
+    assert out.n_chars_actual.tolist() == [15, 0, 8]
+    q = quality_scores(t).to_pandas()
+    assert q.alpha_ratio[0] > q.alpha_ratio[2]
+    assert q.quality[0] > q.quality[2]
+
+
+def test_langid():
+    t = pa.table({"text": [
+        "the cat and the dog sat in a corner of the room",
+        "der Hund und die Katze sind nicht in der Wohnung",
+        "le chat et le chien sont dans la maison pour que",
+        "xyzzy qwerty",
+    ]})
+    out = LangIdStage()(t).to_pandas()
+    assert out.pred_lang.tolist()[:3] == ["en", "de", "fr"]
+    assert out.pred_lang[3] == "unk"
+
+
+def test_multimodal_stub():
+    items = make_fake_items(8)
+    out = FeatureExtractStage()(items).to_pandas()
+    assert len(out) == 8
+    assert all(len(f) == FeatureExtractStage.FEAT_DIM for f in out.features)
+    assert "payload" not in out.columns
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
+
+
+def test_scalar_kernels():
+    assert scalars.parse_duration("90s") == 90
+    assert scalars.parse_duration("-1h") == -3600
+    assert scalars.parse_duration("1h30m") == 5400
+    body = "x" * 1000
+    assert scalars.decode_event_body(scalars.encode_event_body(body)) == body
+    assert scalars.glob_to_regex("cpu.*")

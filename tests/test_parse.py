@@ -1,0 +1,166 @@
+"""ParseStage unit tests — stanza operator-chain semantics on fixed lines.
+
+Pinned against the reference configs (see stages/parse.py citations):
+regex/json parse, timestamp layouts, severity mapping tables, move/retain,
+router first-match, sanitization EXPR.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from splunk_otel_collector_ray import corpus
+from splunk_otel_collector_ray.stages.parse import FAMILY_ATTR_KEYS, ParseStage
+
+
+def _parse_lines(lines, ts="2026-03-01T12:00:00"):
+    n = len(lines)
+    t = pa.table({
+        "conv_id": pa.array([f"conv-{i:08d}" for i in range(n)]),
+        "turn_idx": pa.array(np.zeros(n, dtype=np.int32)),
+        "role": pa.array(["user"] * n),
+        "tool": pa.array([""] * n),
+        "text": pa.array(lines),
+        "ts": pa.array([pd.Timestamp(ts)] * n, type=pa.timestamp("us")),
+    })
+    return ParseStage()(t).to_pandas()
+
+
+def test_apache_access():
+    line = ('10.1.2.3 - frank [10/Oct/2000:13:55:36 -0700] '
+            '"GET /apache_pb.gif HTTP/1.0" 200 2326 "-" "Mozilla"')
+    r = _parse_lines([line]).iloc[0]
+    assert r.log_format == "apache_access"
+    attrs = dict(r.attributes)
+    assert attrs["host"] == "10.1.2.3"
+    assert attrs["method"] == "GET"
+    assert attrs["code"] == "200"
+    # %z layout → UTC naive (13:55:36 -0700 == 20:55:36 UTC)
+    assert r.ts == pd.Timestamp("2000-10-10 20:55:36")
+    assert r.body == line  # no move in the apache-access chain
+    assert r.severity_number == 0
+
+
+def test_apache_error_severity_mapping():
+    # custom map: fatal:emerg, error3:alert, error2:crit, info2:notice
+    cases = {"emerg": ("FATAL", 21), "alert": ("ERROR3", 19),
+             "crit": ("ERROR2", 18), "error": ("ERROR", 17),
+             "warn": ("WARN", 13), "notice": ("INFO2", 10),
+             "info": ("INFO", 9), "debug": ("DEBUG", 5), "trace1": ("TRACE", 1)}
+    lines = [f"[Thu Jun 27 06:58:09 2024] [core:{lvl}] [pid 10:tid 20] boom"
+             for lvl in cases]
+    df = _parse_lines(lines)
+    for (lvl, (txt, num)), (_, row) in zip(cases.items(), df.iterrows()):
+        assert row.severity_text == txt, lvl
+        assert row.severity_number == num, lvl
+        assert row.body == "boom"
+        assert dict(row.attributes) == {"module": "core"}
+        assert row.ts == pd.Timestamp("2024-06-27 06:58:09")
+
+
+def test_syslog():
+    r = _parse_lines(["Mar 01 06:15:30 web-1 sshd[4321]: session opened"]).iloc[0]
+    assert r.log_format == "syslog"
+    assert r.body == "session opened"
+    assert dict(r.attributes) == {"program": "sshd"}
+    # year inferred from the observed (input) ts
+    assert r.ts == pd.Timestamp("2026-03-01 06:15:30")
+
+
+def test_docker_json():
+    r = _parse_lines(['{"log":"hello world\\n","stream":"stderr",'
+                      '"time":"2024-01-02T03:04:05.123456Z"}']).iloc[0]
+    assert r.log_format == "docker"
+    assert r.body == "hello world\n"        # move log → body keeps the \n
+    assert dict(r.attributes) == {"stream": "stderr"}
+    assert r.ts == pd.Timestamp("2024-01-02 03:04:05.123456")
+
+
+def test_redis_router_first_match():
+    # router order: handler pattern first, then server
+    # (logs_config_linux.yaml:480-485)
+    hnd = "123:signal-handler (1767225687) Received SIGTERM"
+    srv = "123:M 01 Jan 2026 00:01:27.005 # Server started"
+    df = _parse_lines([hnd, srv])
+    assert list(df.log_format) == ["redis_handler", "redis_server"]
+    assert df.iloc[0].body == "Received SIGTERM"
+    assert df.iloc[0].ts == pd.Timestamp("2026-01-01 00:01:27")  # epoch secs
+    assert df.iloc[1].severity_text == "WARN"  # '#' symbol map
+    assert df.iloc[1].ts == pd.Timestamp("2026-01-01 00:01:27.005")
+    assert dict(df.iloc[1].attributes) == {"redis_role": "M"}
+
+
+def test_redis_symbol_severities():
+    syms = {"#": ("WARN", 13), "*": ("INFO", 9), "-": ("INFO2", 10),
+            ".": ("DEBUG", 5)}
+    lines = [f"9:M 01 Jan 2026 00:00:00.000 {s} msg" for s in syms]
+    df = _parse_lines(lines)
+    for (s, (txt, num)), (_, row) in zip(syms.items(), df.iterrows()):
+        assert (row.severity_text, row.severity_number) == (txt, num), s
+
+
+def test_json_level_transform():
+    cases = {"DETAIL": "DEBUG", "LOG": "INFO", "SEVERE": "WARN"}
+    lines = [f'{{"Level":"{k}","message":"m","time":"2026-01-01T00:00:00"}}'
+             for k in cases]
+    df = _parse_lines(lines)
+    assert list(df.severity_text) == list(cases.values())
+    assert all(len(a) == 0 for a in df.attributes)  # delete_key'd
+
+
+def test_pii_sanitization():
+    r = _parse_lines(["call 1234-567-8901 now"]).iloc[0]
+    assert r.log_format == "pii"
+    assert r.body == "call XXX-XXX-XXXX now"
+
+
+def test_plain_passthrough():
+    r = _parse_lines(["just some text"]).iloc[0]
+    assert r.log_format == "plain"
+    assert r.body == "just some text"
+    assert r.severity_number == 0 and r.severity_text == ""
+    assert len(r.attributes) == 0
+
+
+def test_unparseable_ts_falls_back_to_observed():
+    r = _parse_lines(["[not a real time] [core:error] [pid 1:tid 2] x"]).iloc[0]
+    assert r.log_format == "apache_error"
+    assert r.ts == r.observed_ts  # strptime failed → observed-time fallback
+
+
+def test_detection_matches_generation_arithmetic():
+    """Engine regex-router classification == corpus fmt arithmetic, full sf."""
+    t = corpus.build_transcripts("sf0.001")
+    df = ParseStage()(t).to_pandas()
+    conv_seq = df.conv_id.str.slice(5).astype(np.int64)
+    fmt = (conv_seq * 1000003 + df.turn_idx * 7919) % 9
+    names = {0: "apache_access", 1: "apache_error", 2: "syslog", 3: "docker",
+             5: "plain", 6: "pii", 7: "json_level", 8: "docker"}
+    exp = np.where(fmt == 4,
+                   np.where(df.turn_idx % 2 == 0, "redis_server", "redis_handler"),
+                   pd.Series(fmt).map(names))
+    assert (df.log_format.to_numpy() == exp).all()
+
+
+def test_span_ids_only_for_tool_calls():
+    t = corpus.build_transcripts("sf0.001")
+    df = ParseStage()(t).to_pandas()
+    has = df.span_id != ""
+    assert ((df.role == "tool") & (df.tool != "")).equals(has)
+    assert df.loc[has, "span_id"].str.len().eq(16).all()
+
+
+def test_passthrough_columns_survive():
+    t = corpus.build_transcripts("sf0.001").slice(0, 100)
+    t = t.append_column("part", pa.array(["p0"] * 100))
+    out = ParseStage()(t)
+    assert "part" in out.column_names
+
+
+def test_family_attr_keys_retained_only():
+    t = corpus.build_transcripts("sf0.001")
+    df = ParseStage()(t).to_pandas()
+    for fam, keys in FAMILY_ATTR_KEYS.items():
+        sub = df[df.log_format == fam]
+        if len(sub):
+            assert all(sorted(dict(a)) == sorted(keys) for a in sub.attributes.head(20))

@@ -1,0 +1,102 @@
+"""End-to-end pipeline tests (Ray session): flagship run, per-sink equality,
+resumable manifests, and the driver-style oracle parity harness."""
+
+import glob
+import os
+import shutil
+
+import pandas as pd
+import pytest
+
+
+def test_entry_smoke(ray_session):
+    import __ray_entry__ as e
+
+    out = e.entry()
+    assert len(out) > 0
+    assert {"sink", "severity_text", "tool", "n"} <= set(out.columns)
+    assert out.n.sum() == 10_000  # every turn lands in exactly one sink
+
+
+def test_flagship_counts_match_oracle(ray_session, sf_dir, tmp_path):
+    import duckdb
+
+    from splunk_otel_collector_ray import corpus
+    from splunk_otel_collector_ray.pipelines.logs import run_flagship
+
+    out = run_flagship(sf_dir, str(tmp_path / "flag"))
+    tglob = os.path.join(corpus.ensure_transcripts(sf_dir), "*.parquet")
+    import __ray_entry__ as e
+
+    sql = e.oracle_sql()["route_counts"].replace(e.ORACLE_TGLOB, tglob)
+    exp = dict(duckdb.sql(sql).fetchall())
+    assert out["sink_counts"] == {k: int(v) for k, v in exp.items()}
+    # routed parquet exists per sink (hive layout)
+    assert sorted(os.path.basename(p) for p in
+                  glob.glob(str(tmp_path / "flag" / "by_sink" / "sink=*"))) == [
+        "sink=sink_assistant", "sink=sink_default", "sink=sink_errors",
+        "sink=sink_tools"]
+
+
+def test_routed_rows_stable_order_and_text_equality(ray_session, sf_dir, tmp_path):
+    """North-rule check: per-turn body equality under (conv_id, turn_idx)
+    ordering, reassembled from the per-sink outputs."""
+    import duckdb
+
+    from splunk_otel_collector_ray import corpus
+    from splunk_otel_collector_ray.pipelines.logs import run_flagship
+
+    out = run_flagship(sf_dir, str(tmp_path / "flag2"))
+    files = glob.glob(str(tmp_path / "flag2" / "by_sink" / "sink=*" / "*.parquet"))
+    got = (
+        pd.concat([pd.read_parquet(f, columns=["conv_id", "turn_idx", "body"])
+                   for f in files])
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    import __ray_entry__ as e
+
+    tglob = os.path.join(corpus.ensure_transcripts(sf_dir), "*.parquet")
+    sql = e.oracle_sql()["parse_records"].replace(e.ORACLE_TGLOB, tglob)
+    exp = (duckdb.sql(sql).fetchdf()[["conv_id", "turn_idx", "body"]]
+           .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    assert got.equals(exp)
+
+
+def test_resumable_skips_completed(ray_session, sf_dir, tmp_path):
+    from splunk_otel_collector_ray.pipelines.logs import run_resumable
+    from splunk_otel_collector_ray.state import manifest as mf
+
+    out_dir = str(tmp_path / "res")
+    r1 = run_resumable(sf_dir, out_dir)
+    assert r1["processed"] and not r1["skipped"]
+    r2 = run_resumable(sf_dir, out_dir)
+    assert not r2["processed"] and r2["skipped"]
+    # corrupting one manifest forces exactly that partition to rerun
+    part = r2["skipped"][0]
+    pdir = os.path.join(out_dir, f"part={part}")
+    os.remove(mf.manifest_path(pdir))
+    r3 = run_resumable(sf_dir, out_dir)
+    assert list(r3["processed"]) == [part]
+    assert set(r3["skipped"]) == set(r2["skipped"]) - {part}
+    # manifest contents: lineage fields present, counts consistent
+    m = mf.read_manifest(pdir)
+    assert m["rows"] == sum(m["sink_counts"].values())
+    assert m["fingerprint"] == mf.input_fingerprint(m["input"])
+
+
+@pytest.mark.parametrize("subset", [
+    {"parse_records", "parse_ts", "route_rows", "route_counts",
+     "sink_aggregate", "enrich"},
+    {"sanitize", "severity_transform", "truncate", "spans",
+     "timestamp_offset", "filter_severity", "sampler"},
+    {"recombine", "tail_sample"},
+    {"events_count", "events_sum", "events_filtered", "events_window",
+     "events_delta", "events_topk", "lineitem_pricing"},
+    {"docs_exact_dedup", "docs_token_stats", "docs_quality", "emb_ann_topk"},
+])
+def test_oracle_parity(ray_session, sf_dir, subset):
+    from splunk_otel_collector_ray.oracle_check import run_parity
+
+    fails = run_parity(sf_dir, subset, log=lambda *_: None)
+    assert not fails, fails
