@@ -165,12 +165,10 @@ def _read_transcripts(sf_dir: str):
 
 
 def _parsed(sf_dir: str):
-    from splunk_otel_collector_ray.pipelines.logs import PARSE_BATCH
     from splunk_otel_collector_ray.stages.parse import ParseStage
 
     return _read_transcripts(sf_dir).map_batches(
-        ParseStage, batch_format="pyarrow", batch_size=PARSE_BATCH,
-        concurrency=(1, 8))
+        ParseStage.as_fn(), batch_format="pyarrow")
 
 
 def _routed(sf_dir: str):
@@ -402,6 +400,69 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_emb_ann_topk(sf):
         return ann_topk(_table(sf, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=5)
 
+    def q_hec(sf):
+        from splunk_otel_collector_ray.pipelines.logs import build_logs_dataset
+        from splunk_otel_collector_ray.stages.hec import HecProjection
+
+        ds = build_logs_dataset(sf).map_batches(
+            HecProjection(), batch_format="pyarrow")
+        return ds
+
+    def q_dim_upsert(sf):
+        from splunk_otel_collector_ray.stages.metrics import dimension_upsert
+
+        ds = dimension_upsert(_table(sf, "events"), key="user_id",
+                              order="event_id", values=["event_type", "value"])
+        return ds
+
+    def q_span_metrics(sf):
+        from splunk_otel_collector_ray.stages.metrics import span_durations
+
+        spans = span_durations(_read_transcripts(sf))
+        out = grouped_count_sum(spans, ["tool"], "duration_s",
+                                count_alias="n_calls",
+                                sum_alias="sum_duration")
+
+        def r6(t: pa.Table) -> pa.Table:
+            return t.set_column(
+                t.column_names.index("sum_duration"), "sum_duration",
+                pc.round(t["sum_duration"], 6))
+
+        return out.map_batches(r6, batch_format="pyarrow")
+
+    def q_config_pipeline(sf):
+        from splunk_otel_collector_ray.config import build_pipeline
+
+        ds = build_pipeline({
+            "source": {"transcripts": sf},
+            "stages": [{"type": "parse"}, {"type": "enrich"},
+                       {"type": "route"}],
+        })
+        return grouped_count(ds, ["sink"])
+
+    def q_prometheus_parse(sf):
+        import ray.data
+        from splunk_otel_collector_ray.stages.metrics import (
+            parse_prometheus_text,
+        )
+
+        blobs = []
+        for i in range(32):
+            blobs.append("\n".join([
+                "# TYPE http_requests_total counter",
+                f'http_requests_total{{code="200",handler="h{i % 4}"}} {100 + i}',
+                f'http_requests_total{{code="500",handler="h{i % 4}"}} {i}',
+                "# TYPE process_cpu gauge",
+                f"process_cpu {0.5 + i}",
+                "# TYPE latency histogram",
+                f'latency_bucket{{le="0.1"}} {10 + i}',
+                f'latency_bucket{{le="1"}} {20 + i}',
+                f'latency_bucket{{le="+Inf"}} {25 + i}',
+                f"latency_sum {40 + i}", f"latency_count {25 + i}",
+            ]))
+        ds = ray.data.from_arrow(pa.table({"text": blobs}))
+        return ds.map_batches(parse_prometheus_text, batch_format="pyarrow")
+
     def q_multimodal_features(sf):
         import ray.data
         from splunk_otel_collector_ray.stages.multimodal import (
@@ -445,6 +506,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_minhash_groups": q_docs_minhash_groups,
         "emb_ann_topk": q_emb_ann_topk,
         "multimodal_features": q_multimodal_features,
+        "hec_envelope": q_hec,
+        "dim_upsert": q_dim_upsert,
+        "span_metrics": q_span_metrics,
+        "config_pipeline": q_config_pipeline,
+        "prometheus_parse": q_prometheus_parse,
     }
 
 
@@ -547,6 +613,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT query_id, vec_id, sim FROM sims "
             "QUALIFY row_number() OVER (PARTITION BY query_id "
             "ORDER BY sim DESC, vec_id) <= 5"),
+        "hec_envelope": C + (
+            "SELECT CAST(epoch_us(ts_parsed) AS DOUBLE)/1000000.0 AS time, "
+            f"'host-' || ({_BUCKET_SQL} % 8) AS host, "
+            "'transcripts' AS source, log_format AS sourcetype, "
+            "CASE sink WHEN 'sink_tools' THEN 'tools' WHEN 'sink_errors' THEN "
+            "'errors' WHEN 'sink_assistant' THEN 'assistant' ELSE 'main' END "
+            "AS index, body AS event, conv_id, turn_idx FROM routed"),
+        "dim_upsert": (
+            "SELECT user_id, event_id, event_type, value FROM events QUALIFY "
+            "row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1"),
+        "span_metrics": C + (
+            ", d AS (SELECT conv_id, turn_idx, role, tool, ts, LEAD(ts) OVER "
+            "(PARTITION BY conv_id ORDER BY turn_idx) AS nxt FROM raw) "
+            "SELECT tool, COUNT(*) AS n_calls, "
+            "round(SUM(COALESCE((epoch_us(nxt) - epoch_us(ts)) / 1000000.0, "
+            "0)), 6) AS sum_duration FROM d "
+            "WHERE role = 'tool' AND tool <> '' GROUP BY tool"),
+        "config_pipeline": C + (
+            "SELECT sink, COUNT(*) AS n FROM routed GROUP BY sink"),
         # docs_langid / docs_fingerprint / docs_minhash_groups /
-        # multimodal_features: no SQL equivalent → rows-only driver check
+        # multimodal_features / prometheus_parse: no SQL equivalent →
+        # rows-only driver check
     }

@@ -1,0 +1,171 @@
+"""Pipeline config surface — named-stage registry + declarative DAG builder.
+
+The collector assembles pipelines from a factory registry keyed by component
+name (/root/reference/internal/components/components.go:179-364) driven by the
+``service.pipelines`` config (agent_config.yaml:221-264). Our analogue: a
+registry of stage builders and a plain-dict pipeline spec:
+
+    {
+      "source": {"transcripts": "/root/testdata/sf0.01"},
+      "stages": [
+        {"type": "parse"},
+        {"type": "enrich"},
+        {"type": "truncate", "n": 10},
+        {"type": "redact", "pattern": "...", "replacement": "..."},
+        {"type": "filter_severity", "min": 13},
+        {"type": "sample", "pct": 25},
+        {"type": "route"},
+        {"type": "hec"},
+      ],
+      "sink": {"parquet": "/tmp/out"},
+    }
+
+Each stage builder returns a callable for ``map_batches`` (or a Dataset→
+Dataset combinator), mirroring factory `Get()`. User extension = registering
+a new builder (`register_stage`) — the EXPR/UDF hook of SURVEY.md §2.13.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+import ray
+import ray.data
+
+StageBuilder = Callable[[dict[str, Any]], Callable]
+
+_REGISTRY: dict[str, StageBuilder] = {}
+
+
+def register_stage(name: str):
+    def deco(builder: StageBuilder) -> StageBuilder:
+        _REGISTRY[name] = builder
+        return builder
+    return deco
+
+
+def available_stages() -> list[str]:
+    return sorted(_REGISTRY)
+
+
+# --- built-in stage factories (components.go:319-338 analogue) -------------
+
+@register_stage("parse")
+def _parse(cfg):
+    from .stages.parse import ParseStage
+
+    return ("map_batches", ParseStage.as_fn())
+
+
+@register_stage("enrich")
+def _enrich(cfg):
+    from .stages.enrich import build_dim_table, make_enrich_fn
+
+    dims_ref = ray.put(build_dim_table())
+    return ("map_batches", make_enrich_fn(dims_ref))
+
+
+@register_stage("route")
+def _route(cfg):
+    from .stages.route import RouteStage
+
+    return ("map_batches", RouteStage())
+
+
+@register_stage("truncate")
+def _truncate(cfg):
+    from .stages.transform import TruncateBody
+
+    return ("map_batches", TruncateBody(int(cfg.get("n", 10))))
+
+
+@register_stage("redact")
+def _redact(cfg):
+    from .stages.transform import RedactRegex
+
+    return ("map_batches", RedactRegex(
+        cfg.get("pattern", r"\d{4}-\d{3}-\d{4}"),
+        cfg.get("replacement", "XXX-XXX-XXXX"),
+        cfg.get("column", "body")))
+
+
+@register_stage("attributes")
+def _attributes(cfg):
+    from .stages.attributes import Action, AttributesStage
+
+    return ("map_batches", AttributesStage(
+        [Action(**a) for a in cfg.get("actions", [])]))
+
+
+@register_stage("timestamp_offset")
+def _ts_offset(cfg):
+    from .stages.timestamp_offset import TimestampOffset
+
+    return ("map_batches", TimestampOffset(int(cfg.get("seconds", 0))))
+
+
+@register_stage("hec")
+def _hec(cfg):
+    from .stages.hec import DEFAULT_INDEX_MAP, HecProjection
+
+    return ("map_batches", HecProjection(
+        cfg.get("index_map") or dict(DEFAULT_INDEX_MAP)))
+
+
+@register_stage("filter_severity")
+def _filter_sev(cfg):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    lo = int(cfg.get("min", 13))
+
+    def fn(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(
+            t["severity_number"], pa.scalar(lo, type=pa.int8())))
+
+    return ("map_batches", fn)
+
+
+@register_stage("sample")
+def _sample(cfg):
+    from .stages.sample import probabilistic_sample
+
+    pct = int(cfg.get("pct", 10))
+    return ("dataset", lambda ds: probabilistic_sample(ds, pct))
+
+
+def build_pipeline(spec: dict[str, Any]) -> "ray.data.Dataset":
+    """Spec dict → lazy Dataset (the service-pipeline assembly step)."""
+    src = spec["source"]
+    if "transcripts" in src:
+        from .pipelines.logs import read_transcripts
+
+        ds = read_transcripts(src["transcripts"])
+    elif "parquet" in src:
+        ds = ray.data.read_parquet(src["parquet"], columns=src.get("columns"))
+    else:
+        raise ValueError(f"unknown source {src!r}")
+    for scfg in spec.get("stages", []):
+        name = scfg["type"]
+        if name not in _REGISTRY:
+            raise ValueError(
+                f"unknown stage {name!r}; available: {available_stages()}")
+        kind, obj = _REGISTRY[name](scfg)
+        if kind == "map_batches":
+            ds = ds.map_batches(obj, batch_format="pyarrow")
+        else:
+            ds = obj(ds)
+    return ds
+
+
+def run_pipeline(spec: dict[str, Any]) -> Any:
+    """Build and consume per the spec's sink ({'parquet': dir} or
+    {'count': True})."""
+    ds = build_pipeline(spec)
+    sink = spec.get("sink", {"count": True})
+    if "parquet" in sink:
+        ds.write_parquet(sink["parquet"],
+                         partition_cols=sink.get("partition_cols"))
+        return sink["parquet"]
+    return ds.count()

@@ -27,9 +27,8 @@ def grouped_count(
     """groupby(keys).count() with per-batch partial aggregation."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.select(keys).to_pandas()
-        g = df.groupby(keys, observed=True, dropna=False).size().reset_index(name=alias)
-        return pa.Table.from_pandas(g, preserve_index=False)
+        g = batch.select(keys).group_by(keys).aggregate([([], "count_all")])
+        return g.rename_columns([*keys, alias])
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     return partials.groupby(keys).aggregate(Sum(alias, alias_name=alias))
@@ -42,13 +41,8 @@ def grouped_sum(
     alias = alias or f"sum_{value}"
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.select([*keys, value]).to_pandas()
-        g = (
-            df.groupby(keys, observed=True, dropna=False)[value]
-            .sum()
-            .reset_index(name=alias)
-        )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        g = batch.select([*keys, value]).group_by(keys).aggregate([(value, "sum")])
+        return g.rename_columns([*keys, alias])
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     return partials.groupby(keys).aggregate(Sum(alias, alias_name=alias))
@@ -62,14 +56,9 @@ def grouped_count_sum(
     sum_alias = sum_alias or f"sum_{value}"
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.select([*keys, value]).to_pandas()
-        g = (
-            df.groupby(keys, observed=True, dropna=False)[value]
-            .agg(["size", "sum"])
-            .reset_index()
-            .rename(columns={"size": count_alias, "sum": sum_alias})
-        )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        g = batch.select([*keys, value]).group_by(keys).aggregate(
+            [([], "count_all"), (value, "sum")])
+        return g.rename_columns([*keys, count_alias, sum_alias])
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     return partials.groupby(keys).aggregate(

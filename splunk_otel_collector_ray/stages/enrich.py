@@ -55,9 +55,15 @@ def build_dim_table() -> pd.DataFrame:
 
 
 def conv_bucket(conv_id_col: pa.ChunkedArray | pa.Array) -> np.ndarray:
-    """conv-00000123 -> 123 % 64 (SQL: CAST(conv_id[6:] AS INT) % 64)."""
-    s = conv_id_col.to_pandas().str.slice(5).astype(np.int64)
-    return (s % N_BUCKETS).to_numpy()
+    """conv-00000123 -> 123 % 64 (SQL: CAST(conv_id[6:] AS INT) % 64).
+
+    Arrow-native: slice+cast are C kernels; no per-row Python strings."""
+    import pyarrow.compute as pc
+
+    seq = pc.cast(pc.utf8_slice_codeunits(conv_id_col, 5, 32), pa.int64())
+    arr = seq.to_numpy(zero_copy_only=False) if isinstance(
+        seq, (pa.Array, pa.ChunkedArray)) else np.asarray(seq)
+    return arr % N_BUCKETS
 
 
 class EnrichStage:
@@ -78,18 +84,24 @@ class EnrichStage:
         if isinstance(dims, ray.ObjectRef):
             dims = ray.get(dims)
         dims = dims.sort_values("dim_key").reset_index(drop=True)
-        # dense bucket index -> value arrays (O(1) vectorized take per batch)
-        self.lookup = {c: dims[c].to_numpy(dtype=object) for c in self.DIM_COLS}
+        # dense bucket index -> small Arrow value arrays; per batch the join
+        # is one C-level take (no Python string objects)
+        self.lookup = {
+            c: pa.array(dims[c].tolist(), type=pa.string())
+            for c in self.DIM_COLS
+        }
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        b = conv_bucket(batch.column("conv_id"))
+        import pyarrow.compute as pc
+
+        b = pa.array(conv_bucket(batch.column("conv_id")), type=pa.int32())
         cols = dict(zip(batch.column_names, batch.columns))
         # enrichment dims OVERRIDE existing record columns of the same name
         # (extraDimensions merge semantics, output.go:256-259)
         for c in self.DIM_COLS:
-            cols[c] = pa.array(self.lookup[c][b], type=pa.string())
-        cols["com.splunk.source"] = pa.array(
-            np.full(batch.num_rows, SOURCE, dtype=object), type=pa.string())
+            cols[c] = pc.take(self.lookup[c], b)
+        cols["com.splunk.source"] = pa.nulls(
+            batch.num_rows, pa.string()).fill_null(SOURCE)
         # sourcetype := detected format family (the per-source sourcetype
         # stamping of otel-logs-with-sourcetypes-splunk)
         cols["com.splunk.sourcetype"] = batch.column("log_format")

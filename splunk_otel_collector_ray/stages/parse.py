@@ -129,8 +129,12 @@ class ParseStage:
         self.detect = DETECT
         self.rx = RX
 
-    def classify(self, text: pa.Array) -> np.ndarray:
-        """First-match router → family name per row ('plain' fallback)."""
+    def classify(self, text: pa.Array) -> tuple[np.ndarray, list[str]]:
+        """First-match router → (int8 family codes, family name list).
+
+        Codes (not object strings) keep the hot path allocation-free; code
+        len(names) == 'plain' fallback.
+        """
         masks, names = [], []
         for name, kind, pat in self.detect:
             if kind == "prefix":
@@ -139,17 +143,8 @@ class ParseStage:
                 m = pc.match_substring_regex(text, pat)
             masks.append(_np(m))
             names.append(name)
-        return np.select(masks, names, default="plain")
-
-    def _extract(self, text: pa.Array, idx: np.ndarray, family: str):
-        """RE2 named-group extract over the rows of one family.
-
-        Returns (idx, struct_fields: dict[str, pd.Series]) where non-matching
-        rows carry None (the stanza parser's on-error passthrough)."""
-        sub = text.take(pa.array(idx, type=pa.int64()))
-        st = pc.extract_regex(sub, self.rx[family])
-        fields = {f.name: st.field(f.name) for f in st.type}
-        return fields
+        codes = np.select(masks, np.arange(len(names)), default=len(names))
+        return codes.astype(np.int8), [*names, "plain"]
 
     # -- the batch transform ----------------------------------------------
 
@@ -159,10 +154,11 @@ class ParseStage:
         if isinstance(text, pa.ChunkedArray):
             text = text.combine_chunks()
         ts_in_np = _np(batch.column("ts")).astype("datetime64[us]")
-        fam = self.classify(text)
+        codes, names = self.classify(text)
 
-        body = _np(text).astype(object)  # default: raw line
+        body = text  # default: raw line — stays Arrow end to end
         sev_text = np.full(n, "", dtype=object)
+        sev_num = np.zeros(n, dtype=np.int8)
         ts_out = ts_in_np.copy()
         attr_vals: dict[str, dict[str, np.ndarray]] = {}
 
@@ -172,10 +168,18 @@ class ParseStage:
             ok = ~pd.isna(v)
             ts_out[idx[ok]] = v[ok]  # failures keep observed-time fallback
 
-        def put_body(idx: np.ndarray, vals: pa.Array) -> None:
-            v = _np(vals).astype(object)
-            ok = ~pd.isna(v)
-            body[idx[ok]] = v[ok]
+        def put_body(mask: np.ndarray, sub: pa.Array, vals: pa.Array) -> None:
+            # null extraction (parse failure) keeps the raw line — coalesce,
+            # then scatter into body via Arrow's replace_with_mask (no Python
+            # string objects are materialized)
+            nonlocal body
+            body = pc.replace_with_mask(
+                body, pa.array(mask), pc.coalesce(vals, sub))
+
+        def put_sev(idx: np.ndarray, tokens: pa.Array, table: dict) -> None:
+            s = pd.Series(_np(tokens).astype(object)).map(table).fillna("")
+            sev_text[idx] = s.to_numpy()
+            sev_num[idx] = s.map(SEVERITY_NUMBER).fillna(0).astype(np.int8)
 
         def attrs_of(family: str, fields, idx) -> None:
             keys = FAMILY_ATTR_KEYS[family]
@@ -188,12 +192,16 @@ class ParseStage:
                 out[out_key] = np.where(pd.isna(v), "", v)
             attr_vals[family] = out
 
-        for family in ("apache_access", "apache_error", "syslog", "docker",
-                       "redis_server", "redis_handler", "json_level", "pii"):
-            idx = np.flatnonzero(fam == family)
+        for fam_code, family in enumerate(names):
+            if family == "plain":
+                continue
+            mask = codes == fam_code
+            idx = np.flatnonzero(mask)
             if not len(idx):
                 continue
-            f = self._extract(text, idx, family)
+            sub = text.take(pa.array(idx, type=pa.int64()))
+            st = pc.extract_regex(sub, self.rx[family])
+            f = {fld.name: st.field(fld.name) for fld in st.type}
 
             if family == "apache_access":
                 put_ts(idx, pd.to_datetime(
@@ -203,9 +211,8 @@ class ParseStage:
             elif family == "apache_error":
                 put_ts(idx, pd.to_datetime(
                     _np(f["time"]), format="%a %b %d %H:%M:%S %Y", errors="coerce"))
-                sev_text[idx] = pd.Series(_np(f["level"])).map(
-                    APACHE_ERROR_LEVELS).fillna("").to_numpy()
-                put_body(idx, f["log"])
+                put_sev(idx, f["level"], APACHE_ERROR_LEVELS)
+                put_body(mask, sub, f["log"])
                 attrs_of(family, f, idx)
             elif family == "syslog":
                 # no year in the layout (%b %e %H:%M:%S) — stanza infers the
@@ -215,55 +222,52 @@ class ParseStage:
                     _np(f["time"]).astype(object)).fillna("")
                 put_ts(idx, pd.to_datetime(
                     withyear, format="%Y %b %d %H:%M:%S", errors="coerce"))
-                put_body(idx, f["log"])
+                put_body(mask, sub, f["log"])
                 attrs_of(family, f, idx)
             elif family == "docker":
                 put_ts(idx, pd.to_datetime(
                     _np(f["time"]), format="%Y-%m-%dT%H:%M:%S.%fZ", errors="coerce"))
-                put_body(idx, pc.replace_substring(f["log"], "\\n", "\n"))
+                put_body(mask, sub, pc.replace_substring(f["log"], "\\n", "\n"))
                 attrs_of(family, f, idx)
             elif family == "redis_server":
                 put_ts(idx, pd.to_datetime(
                     _np(f["time"]), format="%d %b %Y %H:%M:%S.%f", errors="coerce"))
-                sev_text[idx] = pd.Series(_np(f["level"])).map(
-                    REDIS_LEVELS).fillna("").to_numpy()
-                put_body(idx, f["log"])
+                put_sev(idx, f["level"], REDIS_LEVELS)
+                put_body(mask, sub, f["log"])
                 attrs_of(family, f, idx)
             elif family == "redis_handler":
                 # layout_type: epoch, layout: s (logs_config_linux.yaml:503-506)
                 put_ts(idx, pd.to_datetime(pd.to_numeric(
                     pd.Series(_np(f["time"]).astype(object)), errors="coerce"),
                     unit="s", errors="coerce"))
-                put_body(idx, f["log"])
+                put_body(mask, sub, f["log"])
                 attrs_of(family, f, idx)
             elif family == "json_level":
-                sev_text[idx] = pd.Series(_np(f["level"])).map(
-                    JSON_LEVEL_MAP).fillna("").to_numpy()
+                put_sev(idx, f["level"], JSON_LEVEL_MAP)
                 # transform deletes Level/message/time; body stays raw line
             elif family == "pii":
                 # regex_parser parse_to body.parsed + add body
                 # EXPR(before + "XXX-XXX-XXXX" + after)
-                joined = pc.binary_join_element_wise(
-                    f["before"], f["after"], "XXX-XXX-XXXX")
-                put_body(idx, joined)
-
-        sev_num = pd.Series(sev_text).map(SEVERITY_NUMBER).fillna(0).astype(
-            np.int8).to_numpy()
+                put_body(mask, sub, pc.binary_join_element_wise(
+                    f["before"], f["after"], "XXX-XXX-XXXX"))
 
         # deterministic tool-call span ids (FIXTURES.md §2): surrogate for the
         # collector's trace/span context on tool-call turns
-        role = _np(batch.column("role"))
-        tool = _np(batch.column("tool"))
-        conv_seq = pd.Series(_np(batch.column("conv_id"))).str.slice(5).astype(
-            np.int64).to_numpy()
-        turn = _np(batch.column("turn_idx")).astype(np.int64)
-        has_span = (role == "tool") & (tool != "")
+        role = batch.column("role")
+        tool = batch.column("tool")
+        has_span = _np(pc.and_(pc.equal(role, "tool"), pc.not_equal(tool, "")))
         span_id = np.full(n, "", dtype=object)
         if has_span.any():
-            raw = conv_seq[has_span] * 100_000 + turn[has_span]
-            span_id[has_span] = [format(v, "016x") for v in raw]
+            sidx = np.flatnonzero(has_span)
+            conv_sub = pc.cast(pc.utf8_slice_codeunits(
+                batch.column("conv_id").take(pa.array(sidx)), 5, 32), pa.int64())
+            turn_sub = _np(batch.column("turn_idx").take(pa.array(sidx))).astype(
+                np.int64)
+            raw = _np(conv_sub) * 100_000 + turn_sub
+            span_id[sidx] = [format(v, "016x") for v in raw]
 
-        attributes = self._build_map(fam, attr_vals, n)
+        fam_names = np.asarray(names, dtype=object)
+        attributes = self._build_map(codes, fam_names, attr_vals, n)
 
         # passthrough-preserving output: keep every input column except the
         # consumed `text` and the replaced `ts` (original ts → observed_ts),
@@ -272,8 +276,11 @@ class ParseStage:
                 if name not in ("text", "ts")}
         cols["ts"] = pa.array(ts_out, type=pa.timestamp("us"))
         cols["observed_ts"] = batch.column("ts")
-        cols["log_format"] = pa.array(fam, type=pa.string())
-        cols["body"] = pa.array(body, type=pa.string())
+        # format names materialize via Arrow take on the tiny name list —
+        # a C-level string build, no per-row Python objects
+        cols["log_format"] = pc.take(
+            pa.array(names, type=pa.string()), pa.array(codes, type=pa.int8()))
+        cols["body"] = body
         cols["severity_text"] = pa.array(sev_text, type=pa.string())
         cols["severity_number"] = pa.array(sev_num, type=pa.int8())
         cols["attributes"] = attributes
@@ -296,23 +303,23 @@ class ParseStage:
 
     @staticmethod
     def _build_map(
-        fam: np.ndarray, attr_vals: dict[str, dict[str, np.ndarray]], n: int
+        codes: np.ndarray, fam_names: np.ndarray,
+        attr_vals: dict[str, dict[str, np.ndarray]], n: int
     ) -> pa.Array:
         """Build map<string,string> from per-family flat arrays, no row loop."""
+        code_of = {name: i for i, name in enumerate(fam_names)}
         counts = np.zeros(n, dtype=np.int64)
-        for name, keys in FAMILY_ATTR_KEYS.items():
-            if keys and name in attr_vals:
-                counts[fam == name] = len(keys)
+        for name, vals in attr_vals.items():
+            counts[codes == code_of[name]] = len(vals)
         offsets = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(counts, out=offsets[1:])
         total = int(offsets[-1])
         keys_flat = np.empty(total, dtype=object)
         vals_flat = np.empty(total, dtype=object)
         for name, vals in attr_vals.items():
-            keys = [k for k in vals]
-            idx = np.flatnonzero(fam == name)
+            idx = np.flatnonzero(codes == code_of[name])
             starts = offsets[idx]
-            for j, k in enumerate(keys):
+            for j, k in enumerate(vals):
                 keys_flat[starts + j] = k
                 vals_flat[starts + j] = vals[k]
         return pa.MapArray.from_arrays(

@@ -11,21 +11,53 @@ at EOF. Our source identifier is the conversation: fragments only ever combine
 within one `conv_id`, in `turn_idx` order (SURVEY.md §7.4 — the one truly
 stateful cross-row parse, confined to per-conv groups).
 
-Scale: requires a shuffle keyed on conv_id. The corpus writer guarantees a
-conversation never spans input files, so at scale this can run per-file with
-no shuffle; the generic path below uses groupby(conv_id).map_groups.
+Scale shape: the stitch needs all fragments of a conversation co-located, but
+NOT one task per conversation. We bucket conversations (hash(conv) % B) and
+run ONE vectorized pandas stitch per bucket — B grouped tasks instead of
+millions, with everything inside the task done by groupby.cumsum /
+groupby.agg (no per-conv Python). Hot-key safety: a single conversation can't
+exceed a bucket, and B scales with the cluster. The corpus writer also keeps
+conversations within one input file, so a per-file variant needs no shuffle
+at all.
 
 Record identity (shared with the DuckDB oracle): within a conv's fragment
 stream ordered by turn_idx, ``record_id = count of PRIOR last-entries`` —
 an exclusive prefix sum of the is_last flag.
+
+Also here: the `multiline` framing config of filelog
+(logs_config_linux.yaml:95-97,312-315) — splitting a text blob into records
+at line_start_pattern boundaries — as a vectorized kernel.
 """
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 import ray.data
+
+N_STITCH_BUCKETS = 64
+
+
+def _stitch_frame(g: pd.DataFrame, body_col: str, key: str, order: str
+                  ) -> pd.DataFrame:
+    """Vectorized stitch of MANY conversations at once (one bucket)."""
+    g = g.sort_values([key, order], kind="mergesort")
+    is_last = g[body_col].str.endswith("\n").fillna(False)
+    # exclusive per-conv prefix sum of is_last == record id
+    rid = is_last.groupby(g[key], sort=False).cumsum() - is_last.astype(int)
+    g = g.assign(record_id=rid.astype(np.int64), _last=is_last)
+    out = (
+        g.groupby([key, "record_id"], sort=True)
+        .agg(body=(body_col, "".join), n_fragments=(body_col, "size"),
+             is_complete=("_last", "last"))
+        .reset_index()
+        .rename(columns={key: "conv_id"})
+    )
+    return out[["conv_id", "record_id", "body", "n_fragments", "is_complete"]]
 
 
 def recombine_fragments(
@@ -33,25 +65,34 @@ def recombine_fragments(
     body_col: str = "body",
     key: str = "conv_id",
     order: str = "turn_idx",
+    num_buckets: int = N_STITCH_BUCKETS,
 ) -> "ray.data.Dataset":
     """Stitch fragment rows into records: one output row per record with
     columns (conv_id, record_id, body, n_fragments, is_complete)."""
 
-    def stitch(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(order)
-        is_last = g[body_col].str.endswith("\n").fillna(False).to_numpy()
-        rid = np.concatenate([[0], np.cumsum(is_last)[:-1]])
-        out = (
-            g.assign(record_id=rid)
-            .groupby("record_id", sort=True)
-            .agg(
-                conv_id=(key, "first"),
-                body=(body_col, "".join),
-                n_fragments=(body_col, "size"),
-                is_complete=(body_col, lambda s: bool(s.iloc[-1].endswith("\n"))),
-            )
-            .reset_index()
-        )
-        return out[["conv_id", "record_id", "body", "n_fragments", "is_complete"]]
+    def add_bucket(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(
+            t[key].to_pandas().to_numpy(dtype=object)) % num_buckets
+        return t.append_column("_bucket", pa.array(h.astype(np.int32)))
 
-    return ds.groupby(key).map_groups(stitch, batch_format="pandas")
+    def stitch_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return _stitch_frame(g, body_col, key, order)
+
+    return (
+        ds.select_columns([key, order, body_col])
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(stitch_bucket, batch_format="pandas")
+    )
+
+
+def split_multiline(text: str, line_start_pattern: str) -> list[str]:
+    """filelog `multiline` framing: split a blob into records beginning at
+    each line_start_pattern match (logs_config_linux.yaml:95-97). Lines before
+    the first match form one leading record."""
+    rx = re.compile(line_start_pattern, re.MULTILINE)
+    starts = [m.start() for m in rx.finditer(text)]
+    if not starts:
+        return [text] if text else []
+    bounds = ([0] if starts[0] != 0 else []) + starts + [len(text)]
+    return [text[a:b] for a, b in zip(bounds[:-1], bounds[1:]) if text[a:b]]

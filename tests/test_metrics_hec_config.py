@@ -1,0 +1,130 @@
+"""Unit tests: metric-path operators, HEC projection, multiline framing,
+config-driven pipeline assembly."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from splunk_otel_collector_ray.config import available_stages, build_pipeline
+from splunk_otel_collector_ray.stages.hec import HecProjection
+from splunk_otel_collector_ray.stages.metrics import (
+    MetricRenameChain,
+    histogram_bucket_deltas,
+    parse_prometheus_text,
+    rename_dimensions,
+)
+from splunk_otel_collector_ray.stages.recombine import (
+    _stitch_frame,
+    split_multiline,
+)
+
+
+def test_parse_prometheus_text_golden():
+    blob = "\n".join([
+        "# HELP http_requests_total Total requests.",
+        "# TYPE http_requests_total counter",
+        'http_requests_total{code="200"} 1027',
+        'http_requests_total{code="500"} 3',
+        "# TYPE process_cpu gauge",
+        "process_cpu 0.75",
+        "# TYPE latency histogram",
+        'latency_bucket{le="0.1"} 10',
+        'latency_bucket{le="+Inf"} 25',
+        "latency_sum 40.5",
+        "latency_count 25",
+    ])
+    out = parse_prometheus_text(pa.table({"text": [blob]})).to_pandas()
+    assert len(out) == 7
+    assert out.name.tolist() == [
+        "http_requests_total", "http_requests_total", "process_cpu",
+        "latency_bucket", "latency_bucket", "latency_sum", "latency_count"]
+    assert out.type.tolist() == [
+        "counter", "counter", "gauge", "histogram", "histogram",
+        "histogram", "histogram"]
+    assert out.value.tolist() == [1027.0, 3.0, 0.75, 10.0, 25.0, 40.5, 25.0]
+    assert out.labels[0] == 'code="200"'
+
+
+def test_histogram_bucket_deltas():
+    # cumulative le-counts → per-bucket (scraper.go:218-235)
+    assert histogram_bucket_deltas([10, 25, 25, 40]).tolist() == [10, 15, 0, 15]
+
+
+def test_metric_rename_chain_with_backrefs():
+    chain = MetricRenameChain([
+        (r"^cpu\.(.*)$", r"system.cpu.\1"),
+        (r"\.pct$", ".percent"),
+    ])
+    t = pa.table({"name": ["cpu.idle.pct", "mem.free"]})
+    assert chain(t).to_pandas().name.tolist() == [
+        "system.cpu.idle.percent", "mem.free"]
+
+
+def test_rename_dimensions_delete_on_empty():
+    t = pa.table({"a": [1], "b": [2], "c": [3]})
+    out = rename_dimensions(t, {"a": "x", "b": ""})  # "" deletes (monitor.go:117-122)
+    assert sorted(out.column_names) == ["c", "x"]
+
+
+def test_hec_projection():
+    t = pa.table({
+        "ts": pa.array([pd.Timestamp("2026-01-01 00:00:01.500000")],
+                       type=pa.timestamp("us")),
+        "host.name": ["h1"], "com.splunk.source": ["transcripts"],
+        "com.splunk.sourcetype": ["syslog"], "sink": ["sink_errors"],
+        "body": ["boom"], "conv_id": ["conv-00000001"],
+        "turn_idx": pa.array([0], type=pa.int32()),
+    })
+    out = HecProjection()(t).to_pandas()
+    assert out.columns.tolist() == [
+        "time", "host", "source", "sourcetype", "index", "event",
+        "conv_id", "turn_idx"]
+    assert out.index[0] == 0
+    assert out["index"][0] == "errors"
+    assert out.time[0] == pytest.approx(1767225601.5)
+    assert out.event[0] == "boom"
+
+
+def test_split_multiline():
+    text = ("INFO  [main] 1 first line\n  continuation\n"
+            "WARN  [gc] 2 second record\n")
+    recs = split_multiline(text, r"^[A-Z]+\s+\[[\w:]+\]\s\d")
+    assert len(recs) == 2
+    assert recs[0].startswith("INFO") and "continuation" in recs[0]
+    assert recs[1].startswith("WARN")
+    # leading garbage before the first match forms its own record
+    recs2 = split_multiline("garbage\n" + text, r"^[A-Z]+\s+\[[\w:]+\]\s\d")
+    assert len(recs2) == 3 and recs2[0] == "garbage\n"
+
+
+def test_stitch_frame_vectorized():
+    g = pd.DataFrame({
+        "conv_id": ["a", "a", "a", "b", "b"],
+        "turn_idx": [0, 1, 2, 0, 1],
+        "body": ["x", "y\n", "z\n", "p", "q"],  # conv b never completes
+    })
+    out = _stitch_frame(g, "body", "conv_id", "turn_idx")
+    assert out.body.tolist() == ["xy\n", "z\n", "pq"]
+    assert out.n_fragments.tolist() == [2, 1, 2]
+    assert out.is_complete.tolist() == [True, True, False]
+    assert out.record_id.tolist() == [0, 1, 0]
+
+
+def test_config_registry_and_unknown_stage(ray_session):
+    assert {"parse", "enrich", "route", "truncate", "redact", "sample",
+            "hec"} <= set(available_stages())
+    with pytest.raises(ValueError, match="unknown stage"):
+        build_pipeline({"source": {"transcripts": "/root/testdata/sf0.001"},
+                        "stages": [{"type": "nope"}]})
+
+
+def test_config_pipeline_runs(ray_session):
+    ds = build_pipeline({
+        "source": {"transcripts": "/root/testdata/sf0.001"},
+        "stages": [{"type": "parse"}, {"type": "enrich"}, {"type": "route"},
+                   {"type": "hec"}],
+    })
+    df = ds.to_pandas()
+    assert len(df) == 10_000
+    assert set(df["index"].unique()) <= {"tools", "errors", "assistant", "main"}
