@@ -28,7 +28,9 @@ import pyarrow as pa
 from splunk_otel_collector_ray import corpus
 from splunk_otel_collector_ray.functions.severity import (
     APACHE_ERROR_LEVELS,
+    ETCD_LEVELS,
     JSON_LEVEL_MAP,
+    MONGODB_LEVELS,
     REDIS_LEVELS,
     SEVERITY_NUMBER,
 )
@@ -57,12 +59,17 @@ _RX_REDIS_SRV = r'^([0-9]+):([^ ]*) (.+?) (.) (.*)$'
 _RX_REDIS_HND = r'^([0-9]+):([^ ]*) \(([0-9]+)\) (.*)$'
 _RX_DOCKER = r'^\{"log":"(.*)","stream":"([a-z]+)","time":"([^"]+)"\}$'
 _RX_PHONE = r'[0-9]{4}-[0-9]{3}-[0-9]{4}'
+_RX_MONGODB = (r'^\{"t":\{"\$date":"([^"]+)"\},"s":"([A-Z0-9]+)",'
+               r'"c":"([A-Z]+)","ctx":"([^"]+)","msg":"(.*)"\}$')
+_RX_ETCD = r'^(.+?) (\w) \| (.*)$'
 
 _DETECT_SQL = (
     "CASE"
     " WHEN text LIKE '{\"log\":%' THEN 'docker'"
     " WHEN text LIKE '{\"Level\":%' THEN 'json_level'"
+    " WHEN text LIKE '{\"t\":%' THEN 'mongodb'"
     " WHEN text LIKE '[%' THEN 'apache_error'"
+    r" WHEN regexp_matches(text, '^[0-9]{4}-[0-9]{2}-[0-9]{2} [0-9]{2}:[0-9]{2}:[0-9]{2} [A-Z] \| ') THEN 'etcd'"
     r" WHEN regexp_matches(text, '^[0-9]+:[A-Za-z0-9_-]+ \([0-9]+\) ') THEN 'redis_handler'"
     " WHEN regexp_matches(text, '^[0-9]+:[A-Z] ') THEN 'redis_server'"
     f" WHEN regexp_matches(text, '{_RX_NCSA}') THEN 'apache_access'"
@@ -85,6 +92,10 @@ _SEV_TEXT_SQL = (
     + _tok_case(f"regexp_extract(text, '{_RX_REDIS_SRV}', 4)", REDIS_LEVELS)
     + " WHEN 'json_level' THEN "
     + _tok_case("regexp_extract(text, '\"Level\":\"([A-Z]+)\"', 1)", JSON_LEVEL_MAP)
+    + " WHEN 'mongodb' THEN "
+    + _tok_case(f"regexp_extract(text, '{_RX_MONGODB}', 2)", MONGODB_LEVELS)
+    + " WHEN 'etcd' THEN "
+    + _tok_case(f"regexp_extract(text, '{_RX_ETCD}', 2)", ETCD_LEVELS)
     + " ELSE '' END"
 )
 
@@ -101,6 +112,8 @@ _BODY_SQL = (
     f"WHEN 'docker' THEN replace(regexp_extract(text, '{_RX_DOCKER}', 1), '\\n', chr(10)) "
     f"WHEN 'redis_server' THEN regexp_extract(text, '{_RX_REDIS_SRV}', 5) "
     f"WHEN 'redis_handler' THEN regexp_extract(text, '{_RX_REDIS_HND}', 4) "
+    f"WHEN 'mongodb' THEN regexp_extract(text, '{_RX_MONGODB}', 5) "
+    f"WHEN 'etcd' THEN regexp_extract(text, '{_RX_ETCD}', 3) "
     f"WHEN 'pii' THEN regexp_replace(text, '{_RX_PHONE}', 'XXX-XXX-XXXX') "
     "ELSE text END"
 )
@@ -119,6 +132,10 @@ _TS_SQL = (
     "'%d %b %Y %H:%M:%S.%g') "
     f"WHEN 'redis_handler' THEN to_timestamp(CAST(regexp_extract(text, "
     f"'{_RX_REDIS_HND}', 3) AS BIGINT)) AT TIME ZONE 'UTC' "
+    f"WHEN 'mongodb' THEN strptime(regexp_extract(text, '{_RX_MONGODB}', 1), "
+    "'%Y-%m-%dT%H:%M:%S.%g%z') AT TIME ZONE 'UTC' "
+    f"WHEN 'etcd' THEN strptime(regexp_extract(text, '{_RX_ETCD}', 1), "
+    "'%Y-%m-%d %H:%M:%S') "
     "ELSE ts END"
 )
 
@@ -463,6 +480,73 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = ray.data.from_arrow(pa.table({"text": blobs}))
         return ds.map_batches(parse_prometheus_text, batch_format="pyarrow")
 
+    def q_groupbyattrs(sf):
+        # groupbyattrs processor analogue: regroup under resource identity
+        # (host.name) — components.go:324
+        from splunk_otel_collector_ray.pipelines.logs import build_logs_dataset
+
+        return grouped_count(build_logs_dataset(sf), ["host.name"])
+
+    def q_conv_sampler(sf):
+        # probabilistic sampler keyed on the conversation (trace-id hashing
+        # analogue): whole conversations kept or dropped together
+        import pyarrow.compute as pc2
+
+        def fn(t: pa.Table) -> pa.Table:
+            seq = pc2.cast(pc2.utf8_slice_codeunits(t["conv_id"], 5, 32),
+                           pa.int64()).to_numpy(zero_copy_only=False)
+            keep = (seq * 2654435761) % 100 < 20
+            return t.filter(pa.array(keep))
+
+        return _read_transcripts(sf).map_batches(
+            fn, batch_format="pyarrow").select_columns(["conv_id", "turn_idx"])
+
+    def q_distinct_convs(sf):
+        # distinct-cardinality per sink via two-phase distinct (per-batch
+        # distinct pairs → keyed distinct → count); no full-row shuffle
+        from ray.data.aggregate import Count
+
+        ds = _routed(sf).select_columns(["sink", "conv_id"])
+        pairs = ds.map_batches(
+            lambda t: t.group_by(["sink", "conv_id"]).aggregate([]),
+            batch_format="pyarrow")
+        distinct = pairs.groupby(["sink", "conv_id"]).aggregate(
+            Count(alias_name="_c")).select_columns(["sink", "conv_id"])
+        return grouped_count(distinct, ["sink"])
+
+    def q_topk_per_sink(sf):
+        # per-group top-k (processlist top-N analogue, SURVEY §2.8)
+        def top3(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["severity_number", "conv_id", "turn_idx"],
+                              ascending=[False, True, True]).head(3)
+            return g[["sink", "conv_id", "turn_idx", "severity_number"]]
+
+        return _routed(sf).select_columns(
+            ["sink", "conv_id", "turn_idx", "severity_number"]).groupby(
+            "sink").map_groups(top3, batch_format="pandas")
+
+    def q_events_sessions(sf):
+        # gap-based sessionization (streaming-shaped workload, ray_guide):
+        # new session when >600s since the previous event of the same user
+        def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+            gap = g.groupby("user_id", sort=False)["ts"].diff()
+            new = (gap.isna() | (gap > pd.Timedelta(seconds=600)))
+            sid = new.groupby(g["user_id"], sort=False).cumsum() - 1
+            g = g.assign(session_id=sid.astype(np.int64))
+            out = (g.groupby(["user_id", "session_id"], sort=True)
+                   .agg(session_start=("ts", "min"), n=("event_id", "size"))
+                   .reset_index())
+            out["n"] = out["n"].astype(np.int64)
+            return out
+
+        ds = _table(sf, "events").map_batches(
+            lambda t: t.append_column("_bucket", pa.array(
+                (t["user_id"].to_pandas().to_numpy() % 64).astype(np.int32))),
+            batch_format="pyarrow")
+        return ds.groupby("_bucket").map_groups(
+            per_bucket, batch_format="pandas")
+
     def q_multimodal_features(sf):
         import ray.data
         from splunk_otel_collector_ray.stages.multimodal import (
@@ -511,6 +595,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_metrics": q_span_metrics,
         "config_pipeline": q_config_pipeline,
         "prometheus_parse": q_prometheus_parse,
+        "groupbyattrs": q_groupbyattrs,
+        "conv_sampler": q_conv_sampler,
+        "distinct_convs": q_distinct_convs,
+        "topk_per_sink": q_topk_per_sink,
+        "events_sessions": q_events_sessions,
     }
 
 
@@ -632,6 +721,29 @@ def oracle_sql() -> dict[str, str]:
             "WHERE role = 'tool' AND tool <> '' GROUP BY tool"),
         "config_pipeline": C + (
             "SELECT sink, COUNT(*) AS n FROM routed GROUP BY sink"),
+        "groupbyattrs": C + (
+            f"SELECT 'host-' || ({_BUCKET_SQL} % 8) AS \"host.name\", "
+            "COUNT(*) AS n FROM raw GROUP BY 1"),
+        "conv_sampler": C + (
+            "SELECT conv_id, turn_idx FROM raw WHERE "
+            "(CAST(substr(conv_id, 6) AS BIGINT) * 2654435761) % 100 < 20"),
+        "distinct_convs": C + (
+            "SELECT sink, COUNT(DISTINCT conv_id) AS n FROM routed "
+            "GROUP BY sink"),
+        "topk_per_sink": C + (
+            "SELECT sink, conv_id, turn_idx, severity_number FROM routed "
+            "QUALIFY row_number() OVER (PARTITION BY sink ORDER BY "
+            "severity_number DESC, conv_id, turn_idx) <= 3"),
+        "events_sessions": (
+            "WITH o AS (SELECT user_id, event_id, ts, CASE WHEN "
+            "ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+            "> INTERVAL 600 SECOND OR LAG(ts) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) IS NULL THEN 1 ELSE 0 END AS new_s "
+            "FROM events), s AS (SELECT *, CAST(SUM(new_s) OVER (PARTITION "
+            "BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) - 1 "
+            "AS BIGINT) AS session_id FROM o) "
+            "SELECT user_id, session_id, MIN(ts) AS session_start, "
+            "COUNT(*) AS n FROM s GROUP BY user_id, session_id"),
         # docs_langid / docs_fingerprint / docs_minhash_groups /
         # multimodal_features / prometheus_parse: no SQL equivalent →
         # rows-only driver check

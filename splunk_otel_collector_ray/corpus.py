@@ -21,13 +21,15 @@ drawn from the log-format families whose parse semantics the reference pins
   fmt 6  PII             examples/otel-logs-sanitization-splunk/otel-collector-config.yml:5-12
   fmt 7  json Level      examples/otel-logs-severity-splunk/otel-collector-config.yml:33-44
   fmt 8  continuation    examples/recombine/otel-collector-config.yml:9-23
+  fmt 9  mongodb json    logs_config_linux.yaml:275-300    (t.$date ts, s map)
+  fmt 10 etcd            logs_config_linux.yaml:177-200    (letter levels, |)
 
 Determinism contract (shared with the DuckDB oracle in __ray_entry__.py):
 
 - conversations are ``conv-%08d`` for i in 0..n_convs-1; the first
   ``n_hot ≈ 1%`` conversations are "hot" and own ~30% of all turns
   (Zipf-ish skew that exercises salted repartition);
-- ``fmt(row) = (conv_seq * 1000003 + turn_idx * 7919) % 9`` where
+- ``fmt(row) = (conv_seq * 1000003 + turn_idx * 7919) % 11`` where
   ``conv_seq = int(conv_id[5:])`` — SQL-expressible, and unit-tested to agree
   with the engine's regex-router format detection;
 - ``ts = BASE + conv_seq*60s + cumsum(1 + mix % 29)s + (gidx % 997)ms`` where
@@ -48,7 +50,7 @@ import pyarrow.parquet as pq
 
 FIXTURE_ROOT = "/tmp/graft_fixtures"
 BASE_EPOCH_US = 1_767_225_600_000_000  # 2026-01-01T00:00:00Z
-N_FORMATS = 9
+N_FORMATS = 11
 TURNS_PER_SF = 10_000_000  # sf0.001 → 10k turns, sf0.01 → 100k, sf0.1 → 1M
 
 ROLES = np.array(["user", "assistant", "system", "tool"])
@@ -68,6 +70,9 @@ REDIS_SYMS = np.array(["#", "*", "-", "."])
 REDIS_ROLES = np.array(["M", "C", "S"])
 JSON_LEVELS = np.array(["DETAIL", "LOG", "SEVERE"])
 STREAMS = np.array(["stdout", "stderr"])
+MONGO_LEVELS = np.array(["F", "E", "W", "I", "D1", "D2", "D3", "D4"])
+MONGO_COMPONENTS = np.array(["NETWORK", "STORAGE", "COMMAND", "REPL"])
+ETCD_LEVELS = np.array(["C", "E", "W", "N", "I", "D", "T"])
 
 
 def sf_name(sf_dir: str) -> str:
@@ -229,6 +234,23 @@ def build_transcripts(sf: str) -> pa.Table:
             '{"log":"' + msg[m] + tail + '","stream":"stdout","time":"'
             + strf(m, "%Y-%m-%dT%H:%M:%S.%fZ") + '"}'
         )
+    m = fmt == 9  # mongodb structured json (v4.4+)
+    if m.any():
+        ms3 = s(np.char.zfill(ms[m].astype(str), 3))
+        text[m] = (
+            '{"t":{"$date":"' + strf(m, "%Y-%m-%dT%H:%M:%S.") + ms3
+            + '+00:00"},"s":"' + s(MONGO_LEVELS[(conv_seq[m] + ti64[m]) % len(MONGO_LEVELS)])
+            + '","c":"' + s(MONGO_COMPONENTS[conv_seq[m] % len(MONGO_COMPONENTS)])
+            + '","ctx":"conn' + s(conv_seq[m] % 1000)
+            + '","msg":"' + msg[m] + '"}'
+        )
+    m = fmt == 10  # etcd capnslog
+    if m.any():
+        text[m] = (
+            strf(m, "%Y-%m-%d %H:%M:%S") + " "
+            + s(ETCD_LEVELS[(conv_seq[m] + ti64[m]) % len(ETCD_LEVELS)])
+            + " | " + msg[m]
+        )
 
     table = pa.table(
         {
@@ -244,6 +266,15 @@ def build_transcripts(sf: str) -> pa.Table:
 
 
 ROWS_PER_FILE = 100_000
+CORPUS_VERSION = "2"  # bump when the generator's output changes → regenerate
+
+
+def _version_ok(path: str) -> bool:
+    try:
+        with open(os.path.join(path, ".version")) as f:
+            return f.read().strip() == CORPUS_VERSION
+    except OSError:
+        return False
 
 
 def ensure_transcripts(sf_dir_or_name: str, force: bool = False) -> str:
@@ -256,8 +287,11 @@ def ensure_transcripts(sf_dir_or_name: str, force: bool = False) -> str:
     rows so Ray's read layer can split within files too.
     """
     path = transcripts_path(sf_dir_or_name)
-    if os.path.isdir(path) and not force:
+    if os.path.isdir(path) and _version_ok(path) and not force:
         return path
+    if os.path.isdir(path):
+        import shutil
+        shutil.rmtree(path, ignore_errors=True)
     table = build_transcripts(sf_name(sf_dir_or_name))
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmpdir = tempfile.mkdtemp(dir=os.path.dirname(path), prefix=".transcripts.tmp")
@@ -279,6 +313,8 @@ def ensure_transcripts(sf_dir_or_name: str, force: bool = False) -> str:
             os.path.join(tmpdir, f"part-{k:03d}.parquet"),
             row_group_size=50_000,
         )
+    with open(os.path.join(tmpdir, ".version"), "w") as f:
+        f.write(CORPUS_VERSION)
     try:
         os.replace(tmpdir, path)
     except OSError:  # lost the race to a concurrent writer — theirs is fine

@@ -49,7 +49,9 @@ import pyarrow.compute as pc
 
 from ..functions.severity import (
     APACHE_ERROR_LEVELS,
+    ETCD_LEVELS,
     JSON_LEVEL_MAP,
+    MONGODB_LEVELS,
     REDIS_LEVELS,
     SEVERITY_NUMBER,
 )
@@ -67,6 +69,8 @@ FAMILY_ATTR_KEYS: dict[str, list[str]] = {
     "docker": ["stream"],              # retain: logs_config_linux.yaml:164-167
     "redis_server": ["redis_role"],    # retain attributes.role :510-513
     "redis_handler": ["redis_role"],
+    "mongodb": ["ctx"],                # retain: logs_config_linux.yaml:294-297
+    "etcd": [],                        # retain only log.file.path :188-191
     "json_level": [],                  # transform deletes Level/message/time
     "pii": [],
     "plain": [],
@@ -98,6 +102,14 @@ RX = {
     "json_level": (
         r'^\{"Level":"(?P<level>[A-Z]+)","message":"(?P<message>.*)",'
         r'"time":"(?P<time>[^"]+)"\}$'),
+    # mongodb json_parser + attributes.t.$$date ts + s severity
+    # (logs_config_linux.yaml:275-300)
+    "mongodb": (
+        r'^\{"t":\{"\$date":"(?P<time>[^"]+)"\},"s":"(?P<level>[A-Z0-9]+)",'
+        r'"c":"(?P<component>[A-Z]+)","ctx":"(?P<ctx>[^"]+)",'
+        r'"msg":"(?P<log>.*)"\}$'),
+    # etcd capnslog (logs_config_linux.yaml:180-187)
+    "etcd": r"^(?P<time>.+?) (?P<level>\w) \| (?P<log>.*)$",
     "pii": r"(?P<before>.*)\d\d\d\d-\d\d\d-\d\d\d\d(?P<after>.*)",
 }
 
@@ -106,7 +118,10 @@ RX = {
 DETECT: list[tuple[str, str, str]] = [  # (family, kind, pattern)
     ("docker", "prefix", '{"log":'),
     ("json_level", "prefix", '{"Level":'),
+    ("mongodb", "prefix", '{"t":'),
     ("apache_error", "prefix", "["),
+    ("etcd", "regex",
+     r"^\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2} [A-Z] \| "),
     # redis router expr order: handler first (logs_config_linux.yaml:480-485)
     ("redis_handler", "regex", r"^[0-9]+:[\w-]+ \([0-9]+\) "),
     ("redis_server", "regex", r"^[0-9]+:[A-Z] "),
@@ -242,6 +257,19 @@ class ParseStage:
                     unit="s", errors="coerce"))
                 put_body(mask, sub, f["log"])
                 attrs_of(family, f, idx)
+            elif family == "mongodb":
+                # layout '%Y-%m-%dT%H:%M:%S.%L%z' (logs_config_linux.yaml:280)
+                put_ts(idx, pd.to_datetime(
+                    _np(f["time"]), format="%Y-%m-%dT%H:%M:%S.%f%z",
+                    errors="coerce", utc=True).tz_localize(None))
+                put_sev(idx, f["level"], MONGODB_LEVELS)
+                put_body(mask, sub, f["log"])
+                attrs_of(family, f, idx)
+            elif family == "etcd":
+                put_ts(idx, pd.to_datetime(
+                    _np(f["time"]), format="%Y-%m-%d %H:%M:%S", errors="coerce"))
+                put_sev(idx, f["level"], ETCD_LEVELS)
+                put_body(mask, sub, f["log"])
             elif family == "json_level":
                 put_sev(idx, f["level"], JSON_LEVEL_MAP)
                 # transform deletes Level/message/time; body stays raw line

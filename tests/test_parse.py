@@ -108,6 +108,33 @@ def test_json_level_transform():
     assert all(len(a) == 0 for a in df.attributes)  # delete_key'd
 
 
+def test_mongodb_structured():
+    cases = {"F": ("FATAL", 21), "E": ("ERROR", 17), "W": ("WARN", 13),
+             "I": ("INFO", 9), "D1": ("DEBUG", 5), "D2": ("DEBUG2", 6),
+             "D3": ("DEBUG3", 7), "D4": ("DEBUG4", 8)}
+    lines = ['{"t":{"$date":"2026-02-03T04:05:06.123+00:00"},"s":"%s",'
+             '"c":"NETWORK","ctx":"conn7","msg":"hello"}' % lvl
+             for lvl in cases]
+    df = _parse_lines(lines)
+    assert (df.log_format == "mongodb").all()
+    for (lvl, (txt, num)), (_, row) in zip(cases.items(), df.iterrows()):
+        assert (row.severity_text, row.severity_number) == (txt, num), lvl
+        assert row.body == "hello"
+        assert dict(row.attributes) == {"ctx": "conn7"}
+        assert row.ts == pd.Timestamp("2026-02-03 04:05:06.123")
+
+
+def test_etcd():
+    cases = {"C": "FATAL", "E": "ERROR", "W": "WARN", "N": "INFO2",
+             "I": "INFO", "D": "DEBUG", "T": "TRACE"}
+    lines = [f"2026-02-03 04:05:06 {lvl} | raft ready" for lvl in cases]
+    df = _parse_lines(lines)
+    assert (df.log_format == "etcd").all()
+    assert df.severity_text.tolist() == list(cases.values())
+    assert (df.body == "raft ready").all()
+    assert (df.ts == pd.Timestamp("2026-02-03 04:05:06")).all()
+
+
 def test_pii_sanitization():
     r = _parse_lines(["call 1234-567-8901 now"]).iloc[0]
     assert r.log_format == "pii"
@@ -133,9 +160,10 @@ def test_detection_matches_generation_arithmetic():
     t = corpus.build_transcripts("sf0.001")
     df = ParseStage()(t).to_pandas()
     conv_seq = df.conv_id.str.slice(5).astype(np.int64)
-    fmt = (conv_seq * 1000003 + df.turn_idx * 7919) % 9
+    fmt = (conv_seq * 1000003 + df.turn_idx * 7919) % 11
     names = {0: "apache_access", 1: "apache_error", 2: "syslog", 3: "docker",
-             5: "plain", 6: "pii", 7: "json_level", 8: "docker"}
+             5: "plain", 6: "pii", 7: "json_level", 8: "docker",
+             9: "mongodb", 10: "etcd"}
     exp = np.where(fmt == 4,
                    np.where(df.turn_idx % 2 == 0, "redis_server", "redis_handler"),
                    pd.Series(fmt).map(names))
