@@ -547,6 +547,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return ds.groupby("_bucket").map_groups(
             per_bucket, batch_format="pandas")
 
+    def q_hot_convs(sf):
+        # hot-key detection pass (skew strategy, partitioning.py): convs
+        # owning >100 turns — the inputs to salted repartition
+        from splunk_otel_collector_ray.partitioning import key_counts
+
+        ds = key_counts(_read_transcripts(sf), "conv_id")
+        return ds.map_batches(
+            lambda t: t.filter(pc.greater(t["n"], 100)),
+            batch_format="pyarrow")
+
     def q_multimodal_features(sf):
         import ray.data
         from splunk_otel_collector_ray.stages.multimodal import (
@@ -600,6 +610,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_convs": q_distinct_convs,
         "topk_per_sink": q_topk_per_sink,
         "events_sessions": q_events_sessions,
+        "hot_convs": q_hot_convs,
     }
 
 
@@ -734,6 +745,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT sink, conv_id, turn_idx, severity_number FROM routed "
             "QUALIFY row_number() OVER (PARTITION BY sink ORDER BY "
             "severity_number DESC, conv_id, turn_idx) <= 3"),
+        "hot_convs": C + (
+            "SELECT conv_id, COUNT(*) AS n FROM raw GROUP BY conv_id "
+            "HAVING COUNT(*) > 100"),
         "events_sessions": (
             "WITH o AS (SELECT user_id, event_id, ts, CASE WHEN "
             "ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
