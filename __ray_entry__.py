@@ -547,6 +547,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return ds.groupby("_bucket").map_groups(
             per_bucket, batch_format="pandas")
 
+    def q_neardup_pairs(sf):
+        # full near-dup pipeline: minhash → LSH buckets → candidate pairs →
+        # exact n-gram Jaccard verification (rows-only; non-SQL)
+        from splunk_otel_collector_ray.stages.dedup import neardup_pairs
+
+        return neardup_pairs(_table(sf, "documents"), jaccard_threshold=0.8)
+
+    def q_ann_lsh(sf):
+        # LSH-bucketed ANN (multi-probe) — the scale path next to the
+        # brute-force baseline of emb_ann_topk (rows-only; approximate)
+        from splunk_otel_collector_ray.stages.similarity import lsh_topk
+
+        return lsh_topk(_table(sf, "embeddings"), [0, 1, 2, 3, 4], k=5)
+
     def q_hot_convs(sf):
         # hot-key detection pass (skew strategy, partitioning.py): convs
         # owning >100 turns — the inputs to salted repartition
@@ -611,6 +625,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_per_sink": q_topk_per_sink,
         "events_sessions": q_events_sessions,
         "hot_convs": q_hot_convs,
+        "neardup_pairs": q_neardup_pairs,
+        "ann_lsh": q_ann_lsh,
     }
 
 

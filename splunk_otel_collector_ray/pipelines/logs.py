@@ -155,6 +155,10 @@ def run_resumable(sf_dir: str, out_dir: str) -> dict[str, Any]:
 
     processed: dict[str, dict] = {}
     if todo:
+        from ray.data.aggregate import Sum
+
+        from ..stages.export import SinkWriter
+
         ds = ray.data.read_parquet(
             [p for _, p, _ in todo], columns=INPUT_COLUMNS, include_paths=True
         )
@@ -167,23 +171,27 @@ def run_resumable(sf_dir: str, out_dir: str) -> dict[str, Any]:
 
         ds = ds.map_batches(tag_part, batch_format="pyarrow")
         ds = build_logs_dataset(ds)
-        ds.write_parquet(out_dir, partition_cols=["part", "sink"])
-        # commit manifests per partition (atomic, after output is durable)
-        back = ray.data.read_parquet(
-            [os.path.join(out_dir, f"part={pid}") for pid, _, _ in todo],
-            columns=["part", "sink"], file_extensions=["parquet"],
-            partitioning=ray.data.datasource.partitioning.Partitioning(
-                "hive", base_dir=out_dir),
+        # single pass: per-partition per-sink export + lineage partials
+        # (manifest counts come from the SAME pass, no output re-read)
+        partials = ds.map_batches(
+            SinkWriter(out_dir, partition_col="part"), batch_format="pyarrow")
+        cpdf = (
+            partials.groupby(["part", "sink", "severity_text", "tool"])
+            .aggregate(Sum("n", alias_name="n"))
+            .to_pandas()
         )
-        cpdf = grouped_count(back, ["part", "sink"]).to_pandas()
         for part_id, p, fp in todo:
             sub = cpdf[cpdf["part"] == part_id]
+            sinks = sub.groupby("sink")["n"].sum().astype(int)
             payload = {
                 "partition": part_id,
                 "input": p,
                 "fingerprint": fp,
                 "rows": int(sub["n"].sum()),
-                "sink_counts": dict(zip(sub["sink"], sub["n"].astype(int))),
+                "sink_counts": sinks.to_dict(),
+                # batch-processor roll-up analogue: per-severity counters
+                "severity_counts": sub.groupby("severity_text")["n"].sum()
+                .astype(int).to_dict(),
             }
             mf.write_manifest(os.path.join(out_dir, f"part={part_id}"), payload)
             processed[part_id] = payload

@@ -126,6 +126,49 @@ def minhash_duplicate_groups(
     return g.filter(lambda r: r["size"] > 1)
 
 
+def neardup_pairs(
+    ds: "ray.data.Dataset", jaccard_threshold: float = 0.5,
+    id_col: str = "doc_id", text_col: str = "text", **kw
+) -> pd.DataFrame:
+    """End-to-end near-dup detection: MinHash → LSH buckets → candidate
+    pairs → exact n-gram-Jaccard verification. Returns (doc_a, doc_b) with
+    doc_a < doc_b, verified ≥ threshold.
+
+    Scale shape: candidate pairs come only from same-bucket groups (bounded
+    by band width); verification needs the two texts — here the doc texts are
+    broadcast (test-scale corpus); at 100 TB you join pair ids back to the
+    text table by id (two broadcast-free hash joins) and verify inside
+    map_groups per pair-bucket.
+    """
+    import ray
+
+    bands = ds.map_batches(
+        MinHasher, fn_constructor_kwargs={"id_col": id_col,
+                                          "text_col": text_col, **kw},
+        batch_format="pyarrow", concurrency=(1, 8))
+
+    def pairs_of(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g[id_col].unique())
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": []})
+        a, b = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"doc_a": ids[a], "doc_b": ids[b]})
+
+    cand = (
+        bands.groupby(["band", "band_hash"])
+        .map_groups(pairs_of, batch_format="pandas")
+    )
+    cand_pdf = cand.to_pandas().drop_duplicates()  # pair set is small
+    tdf = ds.select_columns([id_col, text_col]).to_pandas()
+    texts = dict(zip(tdf[id_col], tdf[text_col]))
+    keep = [
+        ngram_jaccard(texts[a], texts[b]) >= jaccard_threshold
+        for a, b in zip(cand_pdf["doc_a"], cand_pdf["doc_b"])
+    ]
+    out = cand_pdf[np.asarray(keep, dtype=bool)] if len(cand_pdf) else cand_pdf
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
 def simhash64(text: pd.Series, shingle: int = 4) -> np.ndarray:
     """64-bit SimHash per doc (token-hash sign aggregate)."""
     out = np.zeros(len(text), dtype=np.uint64)

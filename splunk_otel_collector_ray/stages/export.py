@@ -30,12 +30,20 @@ import pyarrow.parquet as pq
 
 
 class SinkWriter:
-    """map_batches stage: side-effect parquet export, partial-count output."""
+    """map_batches stage: side-effect parquet export, partial-count output.
+
+    With ``partition_col`` set (e.g. a lineage ``part`` id tagged from the
+    input file), each batch's rows land under
+    ``out_dir/<partition_col>=<v>/sink=<s>/`` and the partial counts carry the
+    partition id — one streaming pass yields resumable per-partition output
+    AND its lineage metrics (see pipelines/logs.run_resumable)."""
 
     def __init__(self, out_dir: str, agg_keys: tuple[str, ...] = (
-            "sink", "severity_text", "tool")) -> None:
+            "sink", "severity_text", "tool"),
+            partition_col: str | None = None) -> None:
         self.out_dir = out_dir
         self.agg_keys = list(agg_keys)
+        self.partition_col = partition_col
 
     def _fingerprint(self, batch: pa.Table) -> str:
         key = "|".join([
@@ -46,11 +54,20 @@ class SinkWriter:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         fp = self._fingerprint(batch)
+        group_keys = list(self.agg_keys)
+        subdirs = [""]
+        if self.partition_col is not None:
+            parts = pc.unique(batch[self.partition_col])
+            assert len(parts) == 1, (
+                "a batch must not span input partitions (blocks never span "
+                f"files): saw {parts}")
+            subdirs = [f"{self.partition_col}={parts[0]}"]
+            group_keys = [self.partition_col, *group_keys]
         for sink in pc.unique(batch["sink"]):
             part = batch.filter(pc.equal(batch["sink"], sink))
-            d = os.path.join(self.out_dir, f"sink={sink}")
+            d = os.path.join(self.out_dir, subdirs[0], f"sink={sink}")
             os.makedirs(d, exist_ok=True)
             # deterministic name → idempotent under Ray task retries
             pq.write_table(part, os.path.join(d, f"part-{fp}.parquet"))
-        counts = batch.group_by(self.agg_keys).aggregate([("sink", "count")])
-        return counts.rename_columns([*self.agg_keys, "n"])
+        counts = batch.group_by(group_keys).aggregate([("sink", "count")])
+        return counts.rename_columns([*group_keys, "n"])

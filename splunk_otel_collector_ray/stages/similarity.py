@@ -104,3 +104,64 @@ class LSHBucketStage:
 
 def make_planes(dim: int, nbits: int = 8, seed: int = 7) -> np.ndarray:
     return np.random.default_rng(seed).standard_normal((nbits, dim))
+
+
+def lsh_topk(
+    ds: "ray.data.Dataset", query_ids: list[int], k: int = 5, nbits: int = 6,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """Scale-path ANN: search only the rows in each query's LSH bucket.
+
+    Approximate (recall < 1 by design); the multi-probe refinement would also
+    scan neighboring buckets. At cluster scale, bucket the dataset once
+    (LSHBucketStage column + partition on it) and route each query to its
+    bucket's partition instead of broadcasting the full query set.
+    """
+    import pyarrow.compute as pc
+
+    wanted = pa.array(list(query_ids))
+
+    def pick(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t[id_col], value_set=wanted))
+
+    qdf = ds.map_batches(pick, batch_format="pyarrow").to_pandas()
+    dim = len(qdf[vec_col].iloc[0])
+    planes = make_planes(dim, nbits)
+    planes_ref = ray.put(planes)
+
+    bucketed = ds.map_batches(
+        LSHBucketStage, fn_constructor_kwargs={"planes_ref": planes_ref,
+                                               "vec_col": vec_col},
+        batch_format="pyarrow", concurrency=(1, 8))
+
+    qm = _as_matrix(qdf[vec_col]).astype(np.float64)
+    qsign = (qm @ planes.T) > 0
+    qbucket = np.packbits(qsign, axis=1, bitorder="little")[:, 0].astype(np.int32)
+    # multi-probe: each query scans its own bucket plus all buckets at
+    # hamming distance 1 (flip one hyperplane sign) — the standard recall
+    # lever that keeps the scanned fraction at (nbits+1)/2^nbits
+    probes = {
+        qid: {int(b)} | {int(b) ^ (1 << i) for i in range(nbits)}
+        for qid, b in zip(qdf[id_col], qbucket)
+    }
+    buckets = pa.array(sorted({b for s in probes.values() for b in s}))
+
+    def in_buckets(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["lsh_bucket"], value_set=buckets))
+
+    cand = bucketed.map_batches(in_buckets, batch_format="pyarrow").to_pandas()
+    out_rows = []
+    qnorm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    for qi, qid in enumerate(qdf[id_col]):
+        sub = cand[cand["lsh_bucket"].isin(probes[qid])]
+        sub = sub[sub[id_col] != qid]
+        if not len(sub):
+            continue
+        m = _as_matrix(sub[vec_col]).astype(np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = m @ qnorm[qi]
+        order = np.argsort(-sims, kind="stable")[:k]
+        for j in order:
+            out_rows.append((qid, int(sub[id_col].iloc[j]),
+                             round(float(sims[j]), 6)))
+    return pd.DataFrame(out_rows, columns=["query_id", "vec_id", "sim"])
