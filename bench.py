@@ -71,6 +71,30 @@ def run_bench() -> dict:
     grouped_count(ds, ["sink"]).to_pandas()
     queries["route_aggregate"] = round(time.time() - t0, 3)
 
+    # parse only (the grok-core in isolation)
+    import ray.data
+
+    from splunk_otel_collector_ray.pipelines.logs import read_transcripts
+    from splunk_otel_collector_ray.stages.parse import ParseStage
+
+    t0 = time.time()
+    read_transcripts(SF_DIR).map_batches(
+        ParseStage.as_fn(), batch_format="pyarrow").count()
+    queries["parse_only"] = round(time.time() - t0, 3)
+
+    # recombine (grouped stateful stitch over the docker families)
+    import pyarrow.compute as pc
+
+    from splunk_otel_collector_ray.stages.recombine import recombine_fragments
+
+    t0 = time.time()
+    frag = read_transcripts(SF_DIR).map_batches(
+        ParseStage.as_fn(), batch_format="pyarrow").map_batches(
+        lambda t: t.filter(pc.equal(t["log_format"], "docker")),
+        batch_format="pyarrow")
+    recombine_fragments(frag).count()
+    queries["recombine"] = round(time.time() - t0, 3)
+
     ray.shutdown()
     return {
         "metric": "flagship parse→enrich→route→export seconds",

@@ -35,12 +35,49 @@ class Action:
 
 @dataclass
 class AttributesStage:
-    """Ordered action list as one vectorized map_batches stage."""
+    """Ordered action list as one vectorized map_batches stage.
+
+    ``include`` is the processor-level match guard (strict/regexp include of
+    full_config_linux.yaml:438-443 / the attribute-gated routing of
+    examples/otel-logs-processor-splunk): a dict of column → string-filter
+    items (see stages/filters.StringFilter); when set, actions apply ONLY to
+    matching rows and the rest pass through untouched.
+    """
 
     actions: list[Action] = field(default_factory=list)
+    include: dict[str, list[str]] | None = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
+        if self.include:
+            import numpy as np
+
+            from .filters import StringFilter
+
+            full = batch.to_pandas()
+            m = np.ones(len(full), dtype=bool)
+            for col, items in self.include.items():
+                if col in full.columns:
+                    m &= StringFilter(items).matches(full[col].fillna(""))
+                else:
+                    m[:] = False
+            changed = self._apply(full[m])
+            # untouched rows keep their values; new columns become null there
+            out = full.copy()
+            for c in changed.columns:
+                if c not in out.columns:
+                    out[c] = None
+            out.loc[m, list(changed.columns)] = changed.to_numpy()
+            dropped = [c for c in out.columns if c not in changed.columns]
+            # a delete action only drops the column where the guard matched;
+            # with a guard present the column survives (nulls where deleted)
+            for c in dropped:
+                out.loc[m, c] = None
+            return pa.Table.from_pandas(out, preserve_index=False)
+        return pa.Table.from_pandas(self._apply(batch.to_pandas()),
+                                    preserve_index=False)
+
+    def _apply(self, df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
         for a in self.actions:
             if a.action == "insert":
                 if a.key not in df.columns:
@@ -67,7 +104,7 @@ class AttributesStage:
                     ]
             else:
                 raise ValueError(f"unknown action {a.action!r}")
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return df
 
 
 def extra_dimensions_merge(batch: pa.Table, extra: dict[str, str]) -> pa.Table:

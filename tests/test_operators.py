@@ -161,3 +161,14 @@ def test_scalar_kernels():
     body = "x" * 1000
     assert scalars.decode_event_body(scalars.encode_event_body(body)) == body
     assert scalars.glob_to_regex("cpu.*")
+
+
+def test_attributes_include_guard():
+    # processor-level include match (strict/regexp guard): actions apply only
+    # to matching rows (full_config_linux.yaml:438-443)
+    t = pa.table({"name": ["cpu.idle", "mem.free"], "v": ["a", "b"]})
+    st = AttributesStage([Action("upsert", "tag", value="T")],
+                         include={"name": ["cpu.*"]})
+    out = st(t).to_pandas()
+    assert out.tag.tolist() == ["T", None]
+    assert out.v.tolist() == ["a", "b"]  # non-matching rows untouched

@@ -100,3 +100,29 @@ def test_oracle_parity(ray_session, sf_dir, subset):
 
     fails = run_parity(sf_dir, subset, log=lambda *_: None)
     assert not fails, fails
+
+
+def test_resumable_resets_partial_output(ray_session, sf_dir, tmp_path):
+    """A partition with files on disk but NO manifest (crash mid-write) must
+    be wiped and reprocessed — the exactly-once recovery path."""
+    import json
+
+    from splunk_otel_collector_ray.pipelines.logs import run_resumable
+    from splunk_otel_collector_ray.state import manifest as mf
+
+    out_dir = str(tmp_path / "resx")
+    r1 = run_resumable(sf_dir, out_dir)
+    part = list(r1["processed"])[0]
+    pdir = os.path.join(out_dir, f"part={part}")
+    # simulate a crash: drop the manifest, plant junk partial output
+    os.remove(mf.manifest_path(pdir))
+    junk = os.path.join(pdir, "sink=sink_tools", "junk.parquet")
+    with open(junk, "w") as f:
+        f.write("not parquet")
+    r2 = run_resumable(sf_dir, out_dir)
+    assert part in r2["processed"]
+    assert not os.path.exists(junk)  # partial output was reset
+    m = mf.read_manifest(pdir)
+    assert m["rows"] == r1["processed"][part]["rows"]
+    # rows must equal severity roll-up too (lineage self-consistency)
+    assert m["rows"] == sum(m["severity_counts"].values())
