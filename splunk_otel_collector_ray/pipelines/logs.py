@@ -136,8 +136,14 @@ def run_resumable(sf_dir: str, out_dir: str) -> dict[str, Any]:
     Completed partitions (valid manifest, matching fingerprint) are skipped;
     incomplete ones have their output reset and are reprocessed in ONE Ray
     Dataset job (so the streaming executor still pipelines across partitions).
+
+    ``sf_dir`` may be a testdata scale dir (corpus generated on demand) or a
+    directory that already contains ``*.parquet`` part files.
     """
-    src = ensure_transcripts(sf_dir)
+    is_corpus_dir = os.path.isdir(sf_dir) and any(
+        f.startswith("part-") and f.endswith(".parquet")
+        for f in os.listdir(sf_dir))
+    src = sf_dir if is_corpus_dir else ensure_transcripts(sf_dir)
     parts = sorted(
         os.path.join(src, f) for f in os.listdir(src) if f.endswith(".parquet")
     )

@@ -79,6 +79,52 @@ def parse_prometheus_text(batch: pa.Table, text_col: str = "text") -> pa.Table:
     })
 
 
+def prometheus_error_counters(
+    ds: "ray.data.Dataset", text_col: str = "text"
+) -> "ray.data.Dataset":
+    """Bad-sample running totals — the PRW receiver's error side-counters
+    (signalfxgatewayprometheusremotewrite prometheus_to_otel.go:129-166:
+    invalid-request / NaN / missing-name cumulative sums).
+
+    Per-batch partial counters → one grouped sum; returns a single row
+    (total_samples, malformed_lines, nan_samples).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        total = malformed = nans = 0
+        for blob in batch[text_col].to_pandas():
+            for line in (blob or "").splitlines():
+                line = line.strip()
+                if not line or line.startswith("#"):
+                    continue
+                m = _PROM_LINE.match(line)
+                if not m:
+                    malformed += 1
+                    continue
+                total += 1
+                try:
+                    v = float(m.group("value"))
+                    if v != v:  # NaN sample
+                        nans += 1
+                except ValueError:
+                    nans += 1
+        return pa.table({
+            "k": ["all"],
+            "total_samples": pa.array([total], type=pa.int64()),
+            "malformed_lines": pa.array([malformed], type=pa.int64()),
+            "nan_samples": pa.array([nans], type=pa.int64()),
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Sum("total_samples", alias_name="total_samples"),
+                   Sum("malformed_lines", alias_name="malformed_lines"),
+                   Sum("nan_samples", alias_name="nan_samples"))
+    )
+
+
 def histogram_bucket_deltas(cum_counts: np.ndarray) -> np.ndarray:
     """Cumulative `le` bucket counts → per-bucket counts (scraper.go:218-235):
     bucket[i] = cum[i] - cum[i-1], bucket[0] = cum[0]."""

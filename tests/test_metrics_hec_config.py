@@ -128,3 +128,21 @@ def test_config_pipeline_runs(ray_session):
     df = ds.to_pandas()
     assert len(df) == 10_000
     assert set(df["index"].unique()) <= {"tools", "errors", "assistant", "main"}
+
+
+def test_prometheus_error_counters(ray_session):
+    import ray.data
+
+    from splunk_otel_collector_ray.stages.metrics import (
+        prometheus_error_counters,
+    )
+
+    blobs = [
+        "good_metric 1\nbad line without value\nnan_metric NaN",
+        "# comment only\nanother_good 2.5",
+        "}{garbage",
+    ]
+    out = prometheus_error_counters(
+        ray.data.from_arrow(pa.table({"text": blobs}))).to_pandas()
+    row = out.iloc[0]
+    assert (row.total_samples, row.malformed_lines, row.nan_samples) == (3, 2, 1)

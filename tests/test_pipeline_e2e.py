@@ -126,3 +126,45 @@ def test_resumable_resets_partial_output(ray_session, sf_dir, tmp_path):
     assert m["rows"] == r1["processed"][part]["rows"]
     # rows must equal severity roll-up too (lineage self-consistency)
     assert m["rows"] == sum(m["severity_counts"].values())
+
+
+def test_resumable_multi_partition_matrix(ray_session, tmp_path):
+    """3 input part files: complete ones skip, the stale one resets, a NEW
+    part joins an existing run — the full skip/reset/extend matrix."""
+    import pyarrow.parquet as pq
+
+    from splunk_otel_collector_ray import corpus
+    from splunk_otel_collector_ray.pipelines.logs import run_resumable
+    from splunk_otel_collector_ray.state import manifest as mf
+
+    t = corpus.build_transcripts("sf0.001")
+    src = tmp_path / "src"
+    src.mkdir()
+    # conv-aligned thirds (conv never spans: split at conv boundaries)
+    conv = t.column("conv_id").to_pandas().to_numpy()
+    cuts = [0]
+    for k in (1, 2):
+        i = k * t.num_rows // 3
+        while conv[i] == conv[i - 1]:
+            i += 1
+        cuts.append(i)
+    cuts.append(t.num_rows)
+    for k in range(3):
+        pq.write_table(t.slice(cuts[k], cuts[k + 1] - cuts[k]),
+                       str(src / f"part-{k:03d}.parquet"))
+    out = str(tmp_path / "out")
+
+    r1 = run_resumable(str(src), out)
+    assert sorted(r1["processed"]) == ["part-000", "part-001", "part-002"]
+    total = sum(m["rows"] for m in r1["processed"].values())
+    assert total == t.num_rows
+
+    # invalidate ONE partition's manifest; rewrite a NEW fourth part
+    os.remove(mf.manifest_path(os.path.join(out, "part=part-001")))
+    pq.write_table(t.slice(0, 500), str(src / "part-003.parquet"))
+    r2 = run_resumable(str(src), out)
+    assert sorted(r2["processed"]) == ["part-001", "part-003"]
+    assert sorted(r2["skipped"]) == ["part-000", "part-002"]
+    # reprocessed partition reproduces identical counts
+    assert (r2["processed"]["part-001"]["sink_counts"]
+            == r1["processed"]["part-001"]["sink_counts"])
