@@ -547,6 +547,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return ds.groupby("_bucket").map_groups(
             per_bucket, batch_format="pandas")
 
+    def q_events_stats(sf):
+        # multi-aggregate (count/mean/min/max) via mergeable partials — the
+        # Mean/Min/Max aggregate family over the count-connector shape
+        from splunk_otel_collector_ray.pipelines.aggregate import grouped_stats
+
+        return grouped_stats(_table(sf, "events"), ["event_type"], "value")
+
+    def q_union_sources(sf):
+        # stream union — the multi-receiver pipeline shape
+        # (logs_config_linux.yaml:725-753: 26 filelog sources in one pipeline)
+        a = _read_transcripts(sf).select_columns(["conv_id", "role"])
+        b = _read_transcripts(sf).select_columns(["conv_id", "role"])
+        return grouped_count(a.union(b), ["role"])
+
     def q_neardup_pairs(sf):
         # full near-dup pipeline: minhash → LSH buckets → candidate pairs →
         # exact n-gram Jaccard verification (rows-only; non-SQL)
@@ -627,6 +641,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hot_convs": q_hot_convs,
         "neardup_pairs": q_neardup_pairs,
         "ann_lsh": q_ann_lsh,
+        "events_stats": q_events_stats,
+        "union_sources": q_union_sources,
     }
 
 
@@ -761,6 +777,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT sink, conv_id, turn_idx, severity_number FROM routed "
             "QUALIFY row_number() OVER (PARTITION BY sink ORDER BY "
             "severity_number DESC, conv_id, turn_idx) <= 3"),
+        "events_stats": (
+            "SELECT event_type, COUNT(*) AS n, min(value) AS min, "
+            "max(value) AS max, round(SUM(value)/COUNT(*), 6) AS mean "
+            "FROM events GROUP BY event_type"),
+        "union_sources": C + (
+            "SELECT role, COUNT(*) AS n FROM (SELECT role FROM raw "
+            "UNION ALL SELECT role FROM raw) GROUP BY role"),
         "hot_convs": C + (
             "SELECT conv_id, COUNT(*) AS n FROM raw GROUP BY conv_id "
             "HAVING COUNT(*) > 100"),

@@ -48,6 +48,40 @@ def grouped_sum(
     return partials.groupby(keys).aggregate(Sum(alias, alias_name=alias))
 
 
+def grouped_stats(
+    ds: "ray.data.Dataset", keys: list[str], value: str,
+) -> "ray.data.Dataset":
+    """count/mean/min/max per group via mergeable partials (n, sum, min, max).
+
+    The partial tuple is the canonical mergeable-statistic pattern (sketches
+    merge the same way): each batch contributes one row per key; the final
+    combine is a tiny grouped reduction + a vectorized mean division.
+    """
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Max, Min
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.select([*keys, value]).group_by(keys).aggregate(
+            [([], "count_all"), (value, "sum"), (value, "min"), (value, "max")])
+        return g.rename_columns([*keys, "n", "_sum", "_min", "_max"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    combined = partials.groupby(keys).aggregate(
+        Sum("n", alias_name="n"), Sum("_sum", alias_name="_sum"),
+        Min("_min", alias_name="_min"), Max("_max", alias_name="_max"))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        mean = pc.divide(pc.cast(t["_sum"], pa.float64()),
+                         pc.cast(t["n"], pa.float64()))
+        out = t.drop_columns(["_sum"]).append_column("mean", pc.round(mean, 6))
+        return out.rename_columns(
+            [c if c not in ("_min", "_max") else c[1:]
+             for c in out.column_names])
+
+    return combined.map_batches(finalize, batch_format="pyarrow")
+
+
 def grouped_count_sum(
     ds: "ray.data.Dataset", keys: list[str], value: str,
     count_alias: str = "n", sum_alias: str | None = None,
