@@ -64,8 +64,12 @@ def build_logs_dataset(
     dims_ref = ray.put(build_dim_table())  # broadcast ONCE, read per worker
     if use_actors:
         if concurrency is None:
+            # two pools must leave CPUs for read/route/write tasks, or the
+            # pipeline deadlocks on small sessions (each pool reserves its
+            # min actors up front)
             ncpu = int(ray.cluster_resources().get("CPU", 8))
-            concurrency = (2, max(2, ncpu - 2))
+            per_pool = max(1, (ncpu - 2) // 2)
+            concurrency = (1, per_pool)
         ds = ds.map_batches(
             ParseStage, batch_format="pyarrow", batch_size=PARSE_BATCH,
             concurrency=concurrency,

@@ -108,6 +108,35 @@ class EnrichStage:
         return pa.table(cols)
 
 
+def enrich_via_join(ds, dims: pd.DataFrame | None = None,
+                    num_partitions: int | None = None):
+    """Shuffle hash-join variant of the enrichment — the path for a
+    dimension side too large to broadcast (contrast EnrichStage's broadcast
+    lookup; ray_guide "both sides large"). Uses ``Dataset.join`` hash-
+    partitioned on the association key; every record row moves once, so use
+    ONLY when the dim table genuinely can't ride `ray.put`.
+    """
+    import ray
+    import ray.data
+
+    if num_partitions is None:
+        # join spawns one aggregator actor per partition; cap below the CPU
+        # count or the pool deadlocks on small sessions
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = max(2, min(16, ncpu // 2))
+
+    dims_ds = ray.data.from_pandas(dims if dims is not None else build_dim_table())
+
+    def add_key(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "dim_key", pa.array(conv_bucket(t.column("conv_id")),
+                                type=pa.int64()))
+
+    keyed = ds.map_batches(add_key, batch_format="pyarrow")
+    return keyed.join(dims_ds, join_type="inner",
+                      num_partitions=num_partitions, on=("dim_key",))
+
+
 def make_enrich_fn(dims_ref):
     """Function-stage variant: per-process cached EnrichStage over a broadcast
     dims ObjectRef — fuses with adjacent task stages (no actor-pool ramp-up).

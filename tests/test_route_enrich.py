@@ -61,3 +61,43 @@ def test_enrich_lookup_and_override():
 
 def test_dim_table_deterministic():
     assert build_dim_table().equals(build_dim_table())
+
+
+def test_enrich_join_variant_matches_broadcast(ray_session):
+    """Shuffle-join enrichment (large-dim path) must produce the same dim
+    values as the broadcast lookup."""
+    import ray.data
+
+    from splunk_otel_collector_ray import corpus
+    from splunk_otel_collector_ray.stages.enrich import (
+        EnrichStage,
+        enrich_via_join,
+    )
+
+    t = corpus.build_transcripts("sf0.001").slice(0, 2000)
+    t = t.append_column("log_format", pa.array(["plain"] * 2000))
+    cols = ["conv_id", "turn_idx", "k8s.pod.name", "k8s.namespace.name",
+            "cloud.provider", "host.name"]
+    joined = (
+        enrich_via_join(ray.data.from_arrow(t))
+        .to_pandas()[cols]
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    broadcast = (
+        EnrichStage()(t).to_pandas()[cols]
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    assert joined.equals(broadcast)
+
+
+def test_actor_pool_path_matches_function_path(ray_session, sf_dir):
+    """use_actors=True (actor pools) and the fused function path must agree."""
+    from splunk_otel_collector_ray.pipelines.aggregate import grouped_count
+    from splunk_otel_collector_ray.pipelines.logs import build_logs_dataset
+
+    a = grouped_count(build_logs_dataset(sf_dir), ["sink"]).to_pandas()
+    b = grouped_count(build_logs_dataset(sf_dir, use_actors=True),
+                      ["sink"]).to_pandas()
+    a = a.sort_values("sink").reset_index(drop=True)
+    b = b.sort_values("sink").reset_index(drop=True)
+    assert a.equals(b)
