@@ -1,0 +1,86 @@
+"""Property-based tests (hypothesis) for the order/state-sensitive kernels —
+invariants that fixture corpora can't sweep exhaustively."""
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from splunk_otel_collector_ray.functions.severity import SEVERITY_NUMBER
+from splunk_otel_collector_ray.stages.recombine import (
+    _stitch_frame,
+    split_multiline,
+)
+
+frag = st.text(alphabet="abc ", min_size=0, max_size=6)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(frag, st.booleans()), min_size=1, max_size=30),
+       st.integers(min_value=1, max_value=3))
+def test_stitch_preserves_content_and_boundaries(frags, n_convs):
+    """Concatenation invariant: per conversation, joining the stitched
+    records reproduces the joined fragments; every non-final record ends in
+    exactly one trailing newline boundary."""
+    rows = []
+    for i, (body, last) in enumerate(frags):
+        conv = f"c{i % n_convs}"
+        rows.append((conv, i, body + ("\n" if last else "")))
+    g = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "body"])
+    out = _stitch_frame(g, "body", "conv_id", "turn_idx")
+    for conv, sub in g.groupby("conv_id"):
+        rec = out[out.conv_id == conv].sort_values("record_id")
+        assert "".join(rec.body) == "".join(sub.sort_values("turn_idx").body)
+        # all but possibly the last record are complete
+        assert rec.is_complete.iloc[:-1].all()
+        assert (rec.n_fragments.sum()) == len(sub)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(
+    st.tuples(st.booleans(), st.text(alphabet="xyz ", min_size=1, max_size=8)),
+    min_size=1, max_size=20))
+def test_split_multiline_roundtrip(lines):
+    """Joining the split records reproduces the original text."""
+    text = "".join(("REC " if start else "cont ") + body + "\n"
+                   for start, body in lines)
+    recs = split_multiline(text, r"^REC ")
+    assert "".join(recs) == text
+    # every record after the first starts at a match
+    for r in recs[1:]:
+        assert r.startswith("REC ")
+
+
+def test_severity_table_is_consistent():
+    """Every canonical name maps into 1..24, granularity ordering holds."""
+    for name, num in SEVERITY_NUMBER.items():
+        assert 1 <= num <= 24
+    assert SEVERITY_NUMBER["TRACE"] < SEVERITY_NUMBER["DEBUG"] < \
+        SEVERITY_NUMBER["INFO"] < SEVERITY_NUMBER["WARN"] < \
+        SEVERITY_NUMBER["ERROR"] < SEVERITY_NUMBER["FATAL"]
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(min_value=0, max_value=100))
+def test_sample_mask_rate_monotone(pct):
+    from splunk_otel_collector_ray.stages.sample import sample_mask
+
+    conv = np.arange(20_000, dtype=np.int64)
+    turn = np.zeros(20_000, dtype=np.int64)
+    rate = sample_mask(conv, turn, pct).mean()
+    assert abs(rate - pct / 100) < 0.02
+    if pct > 0:
+        # keep-set is nested: raising pct never drops a previously kept row
+        assert (sample_mask(conv, turn, pct) >= sample_mask(
+            conv, turn, max(0, pct - 10))).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.text(alphabet="abcdef.*", min_size=1, max_size=8))
+def test_string_filter_negation_is_complement(item):
+    from splunk_otel_collector_ray.stages.filters import StringFilter
+
+    vals = pd.Series(["abc", "a.c", "zzz", item if "*" not in item else "q"])
+    pos = StringFilter([item]).matches(vals)
+    neg = StringFilter(["!" + item]).matches(vals)
+    assert (pos ^ neg).all()  # negation is the exact complement per row
