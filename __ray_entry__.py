@@ -362,6 +362,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return agg.map_batches(r6, batch_format="pyarrow")
 
+    def q_events_sliding(sf):
+        # overlapping windows (size 3600s, slide 1800s): each event counts in
+        # two windows; expansion happens on partials (stages/windows.py)
+        from splunk_otel_collector_ray.stages.windows import sliding_counts
+
+        return sliding_counts(_table(sf, "events"), ["event_type"],
+                              size_s=3600, slide_s=1800)
+
     def q_events_delta(sf):
         def per_user(g: pd.DataFrame) -> pd.DataFrame:
             g = g.sort_values(["ts", "event_id"])
@@ -528,24 +536,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_events_sessions(sf):
         # gap-based sessionization (streaming-shaped workload, ray_guide):
         # new session when >600s since the previous event of the same user
-        def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-            g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
-            gap = g.groupby("user_id", sort=False)["ts"].diff()
-            new = (gap.isna() | (gap > pd.Timedelta(seconds=600)))
-            sid = new.groupby(g["user_id"], sort=False).cumsum() - 1
-            g = g.assign(session_id=sid.astype(np.int64))
-            out = (g.groupby(["user_id", "session_id"], sort=True)
-                   .agg(session_start=("ts", "min"), n=("event_id", "size"))
-                   .reset_index())
-            out["n"] = out["n"].astype(np.int64)
-            return out
+        from splunk_otel_collector_ray.stages.windows import session_windows
 
-        ds = _table(sf, "events").map_batches(
-            lambda t: t.append_column("_bucket", pa.array(
-                (t["user_id"].to_pandas().to_numpy() % 64).astype(np.int32))),
-            batch_format="pyarrow")
-        return ds.groupby("_bucket").map_groups(
-            per_bucket, batch_format="pandas")
+        return session_windows(_table(sf, "events"), key="user_id",
+                               gap_s=600, order_col="event_id")
 
     def q_events_stats(sf):
         # multi-aggregate (count/mean/min/max) via mergeable partials — the
@@ -638,6 +632,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_convs": q_distinct_convs,
         "topk_per_sink": q_topk_per_sink,
         "events_sessions": q_events_sessions,
+        "events_sliding": q_events_sliding,
         "hot_convs": q_hot_convs,
         "neardup_pairs": q_neardup_pairs,
         "ann_lsh": q_ann_lsh,
@@ -777,6 +772,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT sink, conv_id, turn_idx, severity_number FROM routed "
             "QUALIFY row_number() OVER (PARTITION BY sink ORDER BY "
             "severity_number DESC, conv_id, turn_idx) <= 3"),
+        "events_sliding": (
+            "SELECT event_type, to_timestamp((CAST(floor(epoch(ts)/1800) AS "
+            "BIGINT) - k.j) * 1800) AT TIME ZONE 'UTC' AS window_start, "
+            "COUNT(*) AS n FROM events CROSS JOIN (VALUES (0), (1)) AS k(j) "
+            "WHERE (CAST(floor(epoch(ts)/1800) AS BIGINT) - k.j) >= 0 "
+            "GROUP BY 1, 2"),
         "events_stats": (
             "SELECT event_type, COUNT(*) AS n, min(value) AS min, "
             "max(value) AS max, round(SUM(value)/COUNT(*), 6) AS mean "

@@ -1,0 +1,114 @@
+"""Windowed aggregates — tumbling, sliding, session (event-time, batch-mode).
+
+The reference collector has NO event-time windowing (SURVEY §2.12 — its only
+time behavior is batch-timeout flushing), but a large-scale telemetry/training
+pipeline needs windows; these are the Ray-Data-native constructions:
+
+- tumbling: window id is a pure row function (`floor_temporal`) → add-column
+  + two-phase grouped count — no extra shuffle beyond the aggregate.
+- sliding: each row expands to size/slide window memberships (vectorized
+  repeat) → partial counts per (key, window) per batch → grouped sum. The
+  expansion happens on the tiny (key, window) partials, never on full rows.
+- session: gap-based; needs per-key ordering → hash-bucketed vectorized pass
+  (same pattern as recombine; one pandas pass per bucket).
+
+Ordering/keys assumption: session windows require all rows of a key in one
+bucket, ordered by (ts, tiebreaker); tumbling/sliding are order-free.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.aggregate import Sum
+
+
+def tumbling_counts(
+    ds: "ray.data.Dataset", keys: list[str], ts_col: str = "ts",
+    unit: str = "hour",
+) -> "ray.data.Dataset":
+    """Per (keys…, window_start) count — window id via floor_temporal."""
+
+    def add_window(t: pa.Table) -> pa.Table:
+        return t.append_column("window_start",
+                               pc.floor_temporal(t[ts_col], unit=unit))
+
+    from ..pipelines.aggregate import grouped_count
+
+    return grouped_count(
+        ds.map_batches(add_window, batch_format="pyarrow"),
+        [*keys, "window_start"])
+
+
+def sliding_counts(
+    ds: "ray.data.Dataset", keys: list[str], ts_col: str = "ts",
+    size_s: int = 3600, slide_s: int = 1800,
+) -> "ray.data.Dataset":
+    """Per (keys…, window_start) count for overlapping windows.
+
+    Each event belongs to ``size/slide`` windows; the expansion is a numpy
+    repeat inside the partial stage, and only the per-batch partial rows
+    (≤ groups × k) reach the shuffle.
+    """
+    assert size_s % slide_s == 0, "size must be a multiple of slide"
+    k = size_s // slide_s
+
+    def partial(t: pa.Table) -> pa.Table:
+        epoch = pc.cast(t[ts_col], pa.int64()).to_numpy(
+            zero_copy_only=False) // 1_000_000
+        base = (epoch // slide_s) * slide_s
+        df = t.select(keys).to_pandas()
+        frames = []
+        for j in range(k):
+            f = df.copy()
+            f["window_start"] = base - j * slide_s
+            frames.append(f)
+        big = pd.concat(frames, ignore_index=True)
+        big = big[big["window_start"] >= 0]
+        g = (big.groupby([*keys, "window_start"], observed=True)
+             .size().reset_index(name="n"))
+        g["window_start"] = pd.to_datetime(g["window_start"], unit="s")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby([*keys, "window_start"]).aggregate(
+        Sum("n", alias_name="n"))
+
+
+def session_windows(
+    ds: "ray.data.Dataset", key: str, ts_col: str = "ts",
+    gap_s: int = 600, order_col: str | None = None, num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Gap-based sessions per key: (key, session_id, session_start, n).
+
+    New session when > gap since the key's previous event; per-key streams
+    are co-located via hash buckets and processed in one vectorized pass.
+    """
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        kv = t[key].to_pandas().to_numpy()
+        h = (pd.util.hash_array(kv.astype(object))
+             if kv.dtype == object else kv.astype(np.int64) % (1 << 62))
+        return t.append_column(
+            "_bucket", pa.array((h % num_buckets).astype(np.int32)))
+
+    order = [key, ts_col] + ([order_col] if order_col else [])
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order, kind="mergesort")
+        gap = g.groupby(key, sort=False)[ts_col].diff()
+        new = gap.isna() | (gap > pd.Timedelta(seconds=gap_s))
+        sid = new.groupby(g[key], sort=False).cumsum() - 1
+        g = g.assign(session_id=sid.astype(np.int64))
+        out = (g.groupby([key, "session_id"], sort=True)
+               .agg(session_start=(ts_col, "min"), n=(ts_col, "size"))
+               .reset_index())
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("_bucket").map_groups(per_bucket, batch_format="pandas"))

@@ -146,3 +146,32 @@ def test_prometheus_error_counters(ray_session):
         ray.data.from_arrow(pa.table({"text": blobs}))).to_pandas()
     row = out.iloc[0]
     assert (row.total_samples, row.malformed_lines, row.nan_samples) == (3, 2, 1)
+
+
+def test_windows_module(ray_session):
+    import ray.data
+
+    from splunk_otel_collector_ray.stages.windows import (
+        session_windows,
+        sliding_counts,
+        tumbling_counts,
+    )
+
+    ts = pd.to_datetime(
+        ["2026-01-01 00:05:00", "2026-01-01 00:20:00", "2026-01-01 00:50:00",
+         "2026-01-01 02:00:00"])
+    t = pa.table({"k": ["a", "a", "a", "a"],
+                  "ts": pa.array(ts, type=pa.timestamp("us"))})
+    ds = ray.data.from_arrow(t)
+    tum = tumbling_counts(ds, ["k"], unit="hour").to_pandas().sort_values(
+        "window_start").reset_index(drop=True)
+    assert tum.n.tolist() == [3, 1]
+    sld = sliding_counts(ds, ["k"], size_s=3600, slide_s=1800).to_pandas()
+    sld = sld.sort_values("window_start").reset_index(drop=True)
+    # windows (23:30→00:30]:2? — membership: event at 00:05 in starts 00:00 and 23:30
+    assert int(sld.n.sum()) == 8  # each event counts in exactly 2 windows
+    ses = session_windows(ds, key="k", gap_s=600).to_pandas().sort_values(
+        "session_id").reset_index(drop=True)
+    # gaps: 15min (>10min → new), 30min (new), 70min (new) → 4 sessions? first
+    # two events are 15min apart → sessions: [e1],[e2],[e3],[e4]
+    assert len(ses) == 4 and ses.n.tolist() == [1, 1, 1, 1]
