@@ -135,6 +135,39 @@ def _sample(cfg):
     return ("dataset", lambda ds: probabilistic_sample(ds, pct))
 
 
+@register_stage("recombine")
+def _recombine(cfg):
+    from .stages.recombine import recombine_fragments
+
+    return ("dataset", lambda ds: recombine_fragments(
+        ds, body_col=cfg.get("combine_field", "body")))
+
+
+@register_stage("tumbling_window")
+def _tumbling(cfg):
+    from .stages.windows import tumbling_counts
+
+    return ("dataset", lambda ds: tumbling_counts(
+        ds, cfg.get("keys", ["sink"]), ts_col=cfg.get("ts_col", "ts"),
+        unit=cfg.get("unit", "hour")))
+
+
+@register_stage("session_window")
+def _session(cfg):
+    from .stages.windows import session_windows
+
+    return ("dataset", lambda ds: session_windows(
+        ds, key=cfg.get("key", "conv_id"), ts_col=cfg.get("ts_col", "ts"),
+        gap_s=int(cfg.get("gap_s", 600))))
+
+
+@register_stage("aggregate_count")
+def _agg_count(cfg):
+    from .pipelines.aggregate import grouped_count
+
+    return ("dataset", lambda ds: grouped_count(ds, cfg.get("keys", ["sink"])))
+
+
 def build_pipeline(spec: dict[str, Any]) -> "ray.data.Dataset":
     """Spec dict → lazy Dataset (the service-pipeline assembly step)."""
     src = spec["source"]

@@ -175,3 +175,15 @@ def test_windows_module(ray_session):
     # gaps: 15min (>10min → new), 30min (new), 70min (new) → 4 sessions? first
     # two events are 15min apart → sessions: [e1],[e2],[e3],[e4]
     assert len(ses) == 4 and ses.n.tolist() == [1, 1, 1, 1]
+
+
+def test_config_dataset_combinator_stages(ray_session):
+    # a full declarative pipeline ending in a windowed aggregate
+    ds = build_pipeline({
+        "source": {"transcripts": "/root/testdata/sf0.001"},
+        "stages": [{"type": "parse"}, {"type": "enrich"}, {"type": "route"},
+                   {"type": "tumbling_window", "keys": ["sink"]}],
+    })
+    df = ds.to_pandas()
+    assert {"sink", "window_start", "n"} <= set(df.columns)
+    assert df.n.sum() == 10_000
