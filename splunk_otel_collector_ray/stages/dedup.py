@@ -159,13 +159,21 @@ def neardup_pairs(
         .map_groups(pairs_of, batch_format="pandas")
     )
     cand_pdf = cand.to_pandas().drop_duplicates()  # pair set is small
+    if not len(cand_pdf):
+        return cand_pdf
+    # verify: shingle-hash each candidate DOC once (not once per pair), then
+    # per-pair Jaccard is two sorted-array intersections
+    wanted = set(cand_pdf["doc_a"]) | set(cand_pdf["doc_b"])
     tdf = ds.select_columns([id_col, text_col]).to_pandas()
-    texts = dict(zip(tdf[id_col], tdf[text_col]))
-    keep = [
-        ngram_jaccard(texts[a], texts[b]) >= jaccard_threshold
-        for a, b in zip(cand_pdf["doc_a"], cand_pdf["doc_b"])
-    ]
-    out = cand_pdf[np.asarray(keep, dtype=bool)] if len(cand_pdf) else cand_pdf
+    tdf = tdf[tdf[id_col].isin(wanted)]
+    hashes = dict(zip(tdf[id_col], _token_hashes(tdf[text_col])))
+    keep = np.empty(len(cand_pdf), dtype=bool)
+    for i, (a, b) in enumerate(zip(cand_pdf["doc_a"], cand_pdf["doc_b"])):
+        ha, hb = hashes[a], hashes[b]
+        inter = np.intersect1d(ha, hb, assume_unique=True).size
+        union = ha.size + hb.size - inter
+        keep[i] = (inter / union if union else 1.0) >= jaccard_threshold
+    out = cand_pdf[keep]
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
