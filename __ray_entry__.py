@@ -569,6 +569,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return lsh_topk(_table(sf, "embeddings"), [0, 1, 2, 3, 4], k=5)
 
+    def q_ann_ivf(sf):
+        # IVF ANN: coarse k-means quantizer + nprobe inverted lists
+        # (the other scale path the brief names, beside LSH)
+        from splunk_otel_collector_ray.stages.similarity import ivf_topk
+
+        return ivf_topk(_table(sf, "embeddings"), [0, 1, 2, 3, 4], k=5)
+
     def q_hot_convs(sf):
         # hot-key detection pass (skew strategy, partitioning.py): convs
         # owning >100 turns — the inputs to salted repartition
@@ -636,6 +643,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hot_convs": q_hot_convs,
         "neardup_pairs": q_neardup_pairs,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "events_stats": q_events_stats,
         "union_sources": q_union_sources,
     }

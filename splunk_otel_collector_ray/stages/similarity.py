@@ -106,6 +106,93 @@ def make_planes(dim: int, nbits: int = 8, seed: int = 7) -> np.ndarray:
     return np.random.default_rng(seed).standard_normal((nbits, dim))
 
 
+def kmeans_fit(x: np.ndarray, k: int, iters: int = 10, seed: int = 11
+               ) -> np.ndarray:
+    """Deterministic Lloyd's k-means (coarse quantizer for IVF)."""
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=k, replace=False)].copy()
+    for _ in range(iters):
+        d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for j in range(k):
+            m = assign == j
+            if m.any():
+                cent[j] = x[m].mean(axis=0)
+    return cent
+
+
+class IVFAssignStage:
+    """Assign each vector to its nearest coarse centroid (broadcast) — the
+    IVF inverted-list id as a column; partitioning on it co-locates lists."""
+
+    def __init__(self, centroids_ref, vec_col: str = "embedding") -> None:
+        c = ray.get(centroids_ref) if isinstance(centroids_ref, ray.ObjectRef) \
+            else centroids_ref
+        self.cent = c.astype(np.float64)
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _as_matrix(batch[self.vec_col].to_pandas()).astype(np.float64)
+        d = ((m[:, None, :] - self.cent[None, :, :]) ** 2).sum(axis=2)
+        return batch.append_column(
+            "ivf_list", pa.array(d.argmin(axis=1).astype(np.int32)))
+
+
+def ivf_topk(
+    ds: "ray.data.Dataset", query_ids: list[int], k: int = 5,
+    nlist: int = 16, nprobe: int = 4, train_sample: int = 2048,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """IVF ANN: train a coarse quantizer on a sample, assign inverted-list
+    ids, scan only each query's ``nprobe`` nearest lists.
+
+    Scale shape: training happens once on a driver-side sample; centroids are
+    broadcast; assignment is a map_batches matmul; at cluster scale partition
+    on ``ivf_list`` so a query touches nprobe partitions.
+    """
+    import pyarrow.compute as pc
+
+    sample = ds.limit(train_sample).to_pandas()
+    x = _as_matrix(sample[vec_col]).astype(np.float64)
+    cent = kmeans_fit(x, nlist)
+    cent_ref = ray.put(cent)
+
+    assigned = ds.map_batches(
+        IVFAssignStage, fn_constructor_kwargs={"centroids_ref": cent_ref,
+                                               "vec_col": vec_col},
+        batch_format="pyarrow", concurrency=(1, 8))
+
+    wanted = pa.array(list(query_ids))
+    qdf = ds.map_batches(
+        lambda t: t.filter(pc.is_in(t[id_col], value_set=wanted)),
+        batch_format="pyarrow").to_pandas()
+    qm = _as_matrix(qdf[vec_col]).astype(np.float64)
+    qd = ((qm[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    probes = {qid: set(np.argsort(row)[:nprobe].tolist())
+              for qid, row in zip(qdf[id_col], qd)}
+    lists = pa.array(sorted({int(p) for s in probes.values() for p in s}),
+                     type=pa.int32())
+
+    cand = assigned.map_batches(
+        lambda t: t.filter(pc.is_in(t["ivf_list"], value_set=lists)),
+        batch_format="pyarrow").to_pandas()
+    out_rows = []
+    qnorm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    for qi, qid in enumerate(qdf[id_col]):
+        sub = cand[cand["ivf_list"].isin(probes[qid])]
+        sub = sub[sub[id_col] != qid]
+        if not len(sub):
+            continue
+        m = _as_matrix(sub[vec_col]).astype(np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = m @ qnorm[qi]
+        order = np.argsort(-sims, kind="stable")[:k]
+        for j in order:
+            out_rows.append((qid, int(sub[id_col].iloc[j]),
+                             round(float(sims[j]), 6)))
+    return pd.DataFrame(out_rows, columns=["query_id", "vec_id", "sim"])
+
+
 def lsh_topk(
     ds: "ray.data.Dataset", query_ids: list[int], k: int = 5, nbits: int = 6,
     vec_col: str = "embedding", id_col: str = "vec_id",

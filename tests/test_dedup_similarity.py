@@ -57,3 +57,27 @@ def test_lsh_topk_recall_vs_bruteforce(ray_session, sf_dir):
     merged = approx.merge(exact, on=["query_id", "vec_id"], how="inner",
                           suffixes=("_a", "_e"))
     assert np.allclose(merged.sim_a, merged.sim_e, atol=1e-6)
+
+
+def test_ivf_topk_recall_vs_bruteforce(ray_session, sf_dir):
+    import ray.data
+
+    from splunk_otel_collector_ray.stages.similarity import ann_topk, ivf_topk
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    qids = [0, 1, 2]
+    exact = ann_topk(ds, qids, k=10)
+    approx = ivf_topk(ds, qids, k=10, nlist=16, nprobe=4)
+    hits = 0
+    for q in qids:
+        e = set(exact[exact.query_id == q].vec_id)
+        a = set(approx[approx.query_id == q].vec_id)
+        hits += len(e & a)
+    recall = hits / (10 * len(qids))
+    # scanning ~nprobe/nlist = 25% of the data must beat the random baseline
+    assert recall >= 0.3, recall
+    merged = approx.merge(exact, on=["query_id", "vec_id"], how="inner",
+                          suffixes=("_a", "_e"))
+    assert np.allclose(merged.sim_a, merged.sim_e, atol=1e-6)
+    # deterministic end to end (seeded k-means, fixed sample)
+    assert approx.equals(ivf_topk(ds, qids, k=10, nlist=16, nprobe=4))
