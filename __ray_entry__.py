@@ -371,13 +371,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
                               size_s=3600, slide_s=1800)
 
     def q_events_delta(sf):
-        def per_user(g: pd.DataFrame) -> pd.DataFrame:
-            g = g.sort_values(["ts", "event_id"])
-            g["delta"] = (g["value"] - g["value"].shift(1)).fillna(0.0).round(6)
-            return g[["event_id", "delta"]]
+        # cumulative→delta per series: bucketed vectorized lag (64 grouped
+        # passes, not one task per user — SCALE.md grouped-op rule)
+        def add_bucket(t: pa.Table) -> pa.Table:
+            u = t["user_id"].to_pandas().to_numpy() % 64
+            return t.append_column("_bucket", pa.array(u.astype(np.int32)))
 
-        return _table(sf, "events").groupby("user_id").map_groups(
-            per_user, batch_format="pandas")
+        def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+            lag = g.groupby("user_id", sort=False)["value"].shift(1)
+            out = g[["event_id"]].copy()
+            out["delta"] = (g["value"] - lag).fillna(0.0).round(6)
+            return out
+
+        return _table(sf, "events").map_batches(
+            add_bucket, batch_format="pyarrow").groupby("_bucket").map_groups(
+            per_bucket, batch_format="pandas")
 
     def q_events_topk(sf):
         ds = _table(sf, "events").sort(

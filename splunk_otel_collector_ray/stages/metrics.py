@@ -206,11 +206,22 @@ def dimension_upsert(
         keep = df.loc[df.groupby(key, sort=False)[order].idxmax()]
         return pa.Table.from_pandas(keep, preserve_index=False)
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        return g.loc[[g[order].idxmax()]]
+    def add_bucket(t: pa.Table) -> pa.Table:
+        kv = t[key].to_pandas().to_numpy()
+        h = (pd.util.hash_array(kv.astype(object))
+             if kv.dtype == object else kv.astype(np.int64) % (1 << 62))
+        return t.append_column("_bucket",
+                               pa.array((h % 64).astype(np.int32)))
 
+    def final_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        keep = g.loc[g.groupby(key, sort=False)[order].idxmax()]
+        return keep.drop(columns=["_bucket"])
+
+    # per-batch partials shrink to ≤1 row/key/batch; the final reduce runs
+    # per hash bucket (64 vectorized pandas passes, not one task per key)
     return (
         ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(key)
-        .map_groups(final, batch_format="pandas")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(final_bucket, batch_format="pandas")
     )
