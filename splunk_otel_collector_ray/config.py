@@ -68,9 +68,18 @@ def _enrich(cfg):
 
 @register_stage("route")
 def _route(cfg):
-    from .stages.route import RouteStage
+    """Default FIXTURES §4 table, or a config-defined OTTL-style condition
+    table: {"type": "route", "routes": [["sink_x", "role == 'tool'"], …],
+    "default_sink": "sink_default"} — conditions compiled by functions.expr."""
+    from .functions.expr import compile_predicate
+    from .stages.route import Route, RouteStage
 
-    return ("map_batches", RouteStage())
+    if "routes" not in cfg:
+        return ("map_batches", RouteStage())
+    routes = [Route(sink, compile_predicate(expr))
+              for sink, expr in cfg["routes"]]
+    return ("map_batches", RouteStage(
+        routes, default_sink=cfg.get("default_sink", "sink_default")))
 
 
 @register_stage("truncate")

@@ -1,0 +1,70 @@
+"""Safe expression predicates (OTTL/expr hook) + config-defined routing."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from splunk_otel_collector_ray.functions.expr import compile_predicate
+
+
+def _batch():
+    return pa.table({
+        "role": ["tool", "assistant", "user", "tool"],
+        "tool": ["bash", "", "", ""],
+        "severity_number": pa.array([21, 17, 9, 0], type=pa.int8()),
+        "body": ["123:go", "hello", "456:x", "no match"],
+    })
+
+
+def test_comparisons_and_boolops():
+    f = compile_predicate("role == 'tool' and tool != ''")
+    assert f(_batch()).tolist() == [True, False, False, False]
+    f = compile_predicate("severity_number >= 17 or role == 'user'")
+    assert f(_batch()).tolist() == [True, True, True, False]
+    f = compile_predicate("not (severity_number < 17)")
+    assert f(_batch()).tolist() == [True, True, False, False]
+
+
+def test_in_and_matches():
+    f = compile_predicate("role in ('tool', 'user')")
+    assert f(_batch()).tolist() == [True, False, True, True]
+    # stanza router expr: body matches "^\\d+" (logs_config_linux.yaml:346)
+    f = compile_predicate(r"matches(body, '^\d+')")
+    assert f(_batch()).tolist() == [True, False, True, False]
+
+
+def test_rejects_unsafe_expressions():
+    for bad in ["__import__('os')", "role == open('/etc/passwd')",
+                "(lambda: 1)()", "role.__class__", "1 if x else 2"]:
+        with pytest.raises((ValueError, KeyError)):
+            compile_predicate(bad)(_batch())
+
+
+def test_unknown_column_is_clear():
+    with pytest.raises(KeyError, match="unknown column"):
+        compile_predicate("nope == 'x'")(_batch())
+
+
+def test_config_defined_route_table(ray_session):
+    from splunk_otel_collector_ray.config import build_pipeline
+    from splunk_otel_collector_ray.pipelines.aggregate import grouped_count
+
+    # the FIXTURES §4 table expressed as config strings — must reproduce the
+    # built-in RouteStage exactly
+    ds = build_pipeline({
+        "source": {"transcripts": "/root/testdata/sf0.001"},
+        "stages": [{"type": "parse"}, {"type": "route", "routes": [
+            ["sink_tools", "role == 'tool' and tool != ''"],
+            ["sink_errors", "severity_number >= 17"],
+            ["sink_assistant", "role == 'assistant'"],
+        ]}],
+    })
+    got = grouped_count(ds, ["sink"]).to_pandas().sort_values(
+        "sink").reset_index(drop=True)
+    builtin = build_pipeline({
+        "source": {"transcripts": "/root/testdata/sf0.001"},
+        "stages": [{"type": "parse"}, {"type": "route"}],
+    })
+    exp = grouped_count(builtin, ["sink"]).to_pandas().sort_values(
+        "sink").reset_index(drop=True)
+    assert got.equals(exp)
