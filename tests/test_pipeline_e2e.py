@@ -168,3 +168,15 @@ def test_resumable_multi_partition_matrix(ray_session, tmp_path):
     # reprocessed partition reproduces identical counts
     assert (r2["processed"]["part-001"]["sink_counts"]
             == r1["processed"]["part-001"]["sink_counts"])
+
+
+def test_two_tier_matches_single_tier(ray_session, sf_dir, tmp_path):
+    """agent→gateway split must reproduce the single-tier flagship exactly
+    (same per-sink counts) — the tier boundary is pure transport."""
+    from splunk_otel_collector_ray.pipelines.logs import run_flagship
+    from splunk_otel_collector_ray.pipelines.two_tier import run_two_tier
+
+    single = run_flagship(sf_dir, str(tmp_path / "single"))
+    double = run_two_tier(sf_dir, str(tmp_path / "double"))
+    assert double["sink_counts"] == single["sink_counts"]
+    assert double["rows"] == single["rows"]
