@@ -319,14 +319,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return grouped_count(_table(sf, "events"), ["event_type"])
 
     def q_events_sum(sf):
-        ds = grouped_sum(_table(sf, "events"), ["event_type"], "value")
-
-        def r6(t: pa.Table) -> pa.Table:
-            return t.set_column(
-                t.column_names.index("sum_value"), "sum_value",
-                pc.round(t["sum_value"], 6))
-
-        return ds.map_batches(r6, batch_format="pyarrow")
+        # raw IEEE sums on both sides (no independent rounding) — the parity
+        # harness canon() quantizes both through the same np.round
+        return grouped_sum(_table(sf, "events"), ["event_type"], "value")
 
     def q_events_filtered(sf):
         from splunk_otel_collector_ray.stages.filters import (
@@ -353,14 +348,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             return t.append_column("window_start", w)
 
         ds = _table(sf, "events").map_batches(add_window, batch_format="pyarrow")
-        agg = grouped_count_sum(ds, ["event_type", "window_start"], "value")
-
-        def r6(t: pa.Table) -> pa.Table:
-            return t.set_column(
-                t.column_names.index("sum_value"), "sum_value",
-                pc.round(t["sum_value"], 6))
-
-        return agg.map_batches(r6, batch_format="pyarrow")
+        return grouped_count_sum(ds, ["event_type", "window_start"], "value")
 
     def q_events_sliding(sf):
         # overlapping windows (size 3600s, slide 1800s): each event counts in
@@ -381,7 +369,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
             lag = g.groupby("user_id", sort=False)["value"].shift(1)
             out = g[["event_id"]].copy()
-            out["delta"] = (g["value"] - lag).fillna(0.0).round(6)
+            out["delta"] = (g["value"] - lag).fillna(0.0)
             return out
 
         return _table(sf, "events").map_batches(
@@ -394,16 +382,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return ds.select_columns(["event_id", "event_type", "value"])
 
     def q_lineitem_pricing(sf):
-        ds = grouped_count_sum(
+        return grouped_count_sum(
             _table(sf, "lineitem"), ["l_returnflag", "l_linestatus"],
             "l_quantity", count_alias="n", sum_alias="sum_qty")
-
-        def r6(t: pa.Table) -> pa.Table:
-            return t.set_column(
-                t.column_names.index("sum_qty"), "sum_qty",
-                pc.round(t["sum_qty"], 6))
-
-        return ds.map_batches(r6, batch_format="pyarrow")
 
     # ---- documents / embeddings (training-data ops) ----------------------
 
@@ -453,16 +434,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from splunk_otel_collector_ray.stages.metrics import span_durations
 
         spans = span_durations(_read_transcripts(sf))
-        out = grouped_count_sum(spans, ["tool"], "duration_s",
-                                count_alias="n_calls",
-                                sum_alias="sum_duration")
-
-        def r6(t: pa.Table) -> pa.Table:
-            return t.set_column(
-                t.column_names.index("sum_duration"), "sum_duration",
-                pc.round(t["sum_duration"], 6))
-
-        return out.map_batches(r6, batch_format="pyarrow")
+        return grouped_count_sum(spans, ["tool"], "duration_s",
+                                 count_alias="n_calls",
+                                 sum_alias="sum_duration")
 
     def q_config_pipeline(sf):
         from splunk_otel_collector_ray.config import build_pipeline
@@ -660,7 +634,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     C = _oracle_cte()
-    bpe = r"[A-Za-z]{1,8}|[0-9]{1,3}|[^\sA-Za-z0-9]"
+    # explicit ASCII classes, byte-identical to stages/text_analysis._TOKEN_RX
+    bpe = r"[A-Za-z]{1,8}|[0-9]{1,3}|[^ \t\n\f\r\vA-Za-z0-9]"
     return {
         "parse_records": C + (
             "SELECT conv_id, turn_idx, log_format, body, severity_text, "
@@ -712,7 +687,7 @@ def oracle_sql() -> dict[str, str]:
         "events_count": (
             "SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type"),
         "events_sum": (
-            "SELECT event_type, round(SUM(value), 6) AS sum_value FROM events "
+            "SELECT event_type, SUM(value) AS sum_value FROM events "
             "GROUP BY event_type"),
         "events_filtered": (
             "SELECT event_type, COUNT(*) AS n FROM events WHERE NOT ("
@@ -720,18 +695,18 @@ def oracle_sql() -> dict[str, str]:
             "AND event_type <> 'click') GROUP BY event_type"),
         "events_window": (
             "SELECT event_type, date_trunc('hour', ts) AS window_start, "
-            "COUNT(*) AS n, round(SUM(value), 6) AS sum_value FROM events "
+            "COUNT(*) AS n, SUM(value) AS sum_value FROM events "
             "GROUP BY event_type, date_trunc('hour', ts)"),
         "events_delta": (
-            "SELECT event_id, round(COALESCE(value - LAG(value) OVER "
-            "(PARTITION BY user_id ORDER BY ts, event_id), 0), 6) AS delta "
+            "SELECT event_id, COALESCE(value - LAG(value) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id), 0) AS delta "
             "FROM events"),
         "events_topk": (
             "SELECT event_id, event_type, value FROM events "
             "ORDER BY value DESC, event_id LIMIT 10"),
         "lineitem_pricing": (
             "SELECT l_returnflag, l_linestatus, COUNT(*) AS n, "
-            "round(SUM(l_quantity), 6) AS sum_qty FROM lineitem "
+            "SUM(l_quantity) AS sum_qty FROM lineitem "
             "GROUP BY l_returnflag, l_linestatus"),
         "docs_exact_dedup": (
             "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dupes FROM documents "
@@ -746,13 +721,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, (length(text) - length(regexp_replace(text, "
             "'[A-Za-z]', '', 'g'))) / CAST(length(text) AS DOUBLE) AS "
             "alpha_ratio, length(regexp_extract_all(text, "
-            r"'[^\w\s]')) / CAST(length(text) AS DOUBLE) AS punct_ratio "
-            "FROM documents"),
+            r"'[^0-9A-Za-z_ \t\n\f\r\v]')) / CAST(length(text) AS DOUBLE) "
+            "AS punct_ratio FROM documents"),
         "emb_ann_topk": (
             "WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM "
             "embeddings WHERE vec_id IN (0,1,2,3,4)), "
-            "sims AS (SELECT q.query_id, e.vec_id, round(list_cosine_similarity("
-            "CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), 6) AS sim "
+            "sims AS (SELECT q.query_id, e.vec_id, list_cosine_similarity("
+            "CAST(e.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) AS sim "
             "FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id) "
             "SELECT query_id, vec_id, sim FROM sims "
             "QUALIFY row_number() OVER (PARTITION BY query_id "
@@ -771,8 +746,8 @@ def oracle_sql() -> dict[str, str]:
             ", d AS (SELECT conv_id, turn_idx, role, tool, ts, LEAD(ts) OVER "
             "(PARTITION BY conv_id ORDER BY turn_idx) AS nxt FROM raw) "
             "SELECT tool, COUNT(*) AS n_calls, "
-            "round(SUM(COALESCE((epoch_us(nxt) - epoch_us(ts)) / 1000000.0, "
-            "0)), 6) AS sum_duration FROM d "
+            "SUM(COALESCE((epoch_us(nxt) - epoch_us(ts)) / 1000000.0, "
+            "0)) AS sum_duration FROM d "
             "WHERE role = 'tool' AND tool <> '' GROUP BY tool"),
         "config_pipeline": C + (
             "SELECT sink, COUNT(*) AS n FROM routed GROUP BY sink"),
@@ -797,7 +772,7 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY 1, 2"),
         "events_stats": (
             "SELECT event_type, COUNT(*) AS n, min(value) AS min, "
-            "max(value) AS max, round(SUM(value)/COUNT(*), 6) AS mean "
+            "max(value) AS max, SUM(value)/COUNT(*) AS mean "
             "FROM events GROUP BY event_type"),
         "union_sources": C + (
             "SELECT role, COUNT(*) AS n FROM (SELECT role FROM raw "

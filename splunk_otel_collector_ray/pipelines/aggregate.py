@@ -74,7 +74,7 @@ def grouped_stats(
     def finalize(t: pa.Table) -> pa.Table:
         mean = pc.divide(pc.cast(t["_sum"], pa.float64()),
                          pc.cast(t["n"], pa.float64()))
-        out = t.drop_columns(["_sum"]).append_column("mean", pc.round(mean, 6))
+        out = t.drop_columns(["_sum"]).append_column("mean", mean)
         return out.rename_columns(
             [c if c not in ("_min", "_max") else c[1:]
              for c in out.column_names])

@@ -46,15 +46,24 @@ class SinkWriter:
         self.partition_col = partition_col
 
     def _fingerprint(self, batch: pa.Table) -> str:
+        # first row + last row + count: disjoint ordered batches can't collide
+        # (same endpoints + same count ⇒ same block under a fixed input order)
+        n = batch.num_rows
         key = "|".join([
             str(batch["conv_id"][0]), str(batch["turn_idx"][0]),
-            str(batch.num_rows),
+            str(batch["conv_id"][n - 1]), str(batch["turn_idx"][n - 1]),
+            str(n),
         ])
         return hashlib.md5(key.encode()).hexdigest()[:16]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        fp = self._fingerprint(batch)
         group_keys = list(self.agg_keys)
+        if self.partition_col is not None:
+            group_keys = [self.partition_col, *group_keys]
+        if batch.num_rows == 0:  # filtered-empty upstream: no files, no counts
+            counts = batch.group_by(group_keys).aggregate([("sink", "count")])
+            return counts.rename_columns([*group_keys, "n"])
+        fp = self._fingerprint(batch)
         subdirs = [""]
         if self.partition_col is not None:
             parts = pc.unique(batch[self.partition_col])
@@ -62,7 +71,6 @@ class SinkWriter:
                 "a batch must not span input partitions (blocks never span "
                 f"files): saw {parts}")
             subdirs = [f"{self.partition_col}={parts[0]}"]
-            group_keys = [self.partition_col, *group_keys]
         for sink in pc.unique(batch["sink"]):
             part = batch.filter(pc.equal(batch["sink"], sink))
             d = os.path.join(self.out_dir, subdirs[0], f"sink={sink}")

@@ -38,17 +38,22 @@ class BruteForceTopK:
         m = _as_matrix(batch[self.vec_col].to_pandas()).astype(np.float64)
         m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
         sims = self.qm @ m.T  # (nq, nb)
+        # mask self-matches BEFORE selection so the query's own row can't
+        # occupy a top-k slot (its batch's (k+1)-th candidate would be lost)
+        sims[ids[None, :] == self.qids[:, None]] = -np.inf
         nq, nb = sims.shape
         k = min(self.k, nb)
         top = np.argpartition(-sims, k - 1, axis=1)[:, :k]
         rows_q = np.repeat(self.qids, k)
         rows_v = ids[top.reshape(-1)]
         rows_s = np.take_along_axis(sims, top, axis=1).reshape(-1)
-        keep = rows_v != rows_q  # drop self-matches
+        keep = np.isfinite(rows_s)  # drop masked self rows
+        # raw IEEE sims — the parity harness canon() quantizes; rounding here
+        # (numpy banker's) vs SQL half-away would diverge at tie boundaries
         return pa.table({
             "query_id": pa.array(rows_q[keep]),
             "vec_id": pa.array(rows_v[keep]),
-            "sim": pa.array(np.round(rows_s[keep], 6)),
+            "sim": pa.array(rows_s[keep]),
         })
 
 

@@ -22,8 +22,12 @@ LANG_STOPWORDS: dict[str, frozenset[str]] = {
 }
 
 _WORD_RX = re.compile(r"[a-zA-ZÀ-ÿ]+")
-# BPE-ish token estimate: word pieces + digits + punctuation runs
-_TOKEN_RX = re.compile(r"[A-Za-z]{1,8}|\d{1,3}|[^\sA-Za-z0-9]")
+# BPE-ish token estimate: word pieces + digits + punctuation runs.
+# ASCII classes only (match the DuckDB/RE2 oracle exactly — Python's \d/\s
+# are Unicode-aware and would diverge on NBSP or Unicode digits).
+_TOKEN_RX = re.compile(r"[A-Za-z]{1,8}|[0-9]{1,3}|[^ \t\n\f\r\vA-Za-z0-9]")
+_WS_TOKEN_RX = re.compile(r"[^ \t\n]+")
+_PUNCT_RX = re.compile(r"[^0-9A-Za-z_ \t\n\f\r\v]")
 
 
 class LangIdStage:
@@ -55,7 +59,7 @@ class LangIdStage:
 def token_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Whitespace tokens, BPE-ish token estimate, char count — vectorized."""
     s = batch[text_col].to_pandas().fillna("")
-    ws_tokens = s.str.split().str.len().fillna(0).astype(np.int64)
+    ws_tokens = s.str.count(_WS_TOKEN_RX).astype(np.int64)
     bpe_tokens = s.str.count(_TOKEN_RX).astype(np.int64)
     return (
         batch.append_column("n_ws_tokens", pa.array(ws_tokens))
@@ -69,7 +73,7 @@ def quality_scores(batch: pa.Table, text_col: str = "text") -> pa.Table:
     s = batch[text_col].to_pandas().fillna("")
     length = s.str.len().astype(np.float64)
     n_alpha = s.str.count(r"[A-Za-z]").astype(np.float64)
-    n_punct = s.str.count(r"[^\w\s]").astype(np.float64)
+    n_punct = s.str.count(_PUNCT_RX).astype(np.float64)
     low = s.str.lower()
     n_words = low.str.count(_WORD_RX).astype(np.float64)
     stop_rx = r"\b(?:" + "|".join(sorted(LANG_STOPWORDS["en"])) + r")\b"
