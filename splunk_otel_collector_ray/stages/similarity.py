@@ -23,15 +23,24 @@ def _as_matrix(col: pd.Series) -> np.ndarray:
 
 class BruteForceTopK:
     """Per-batch cosine scores vs a broadcast query matrix; emits local top-k
-    rows (query_id, vec_id, sim) — global top-k finishes in a tiny sort."""
+    rows (query_id, vec_id, sim) — global top-k finishes in a tiny sort.
+
+    With ``bucket_col`` + a per-query boolean ``probe_matrix`` (nq × n_buckets,
+    broadcast in the same object-store ref), each query only scores batch rows
+    whose bucket it probes — the shared scoring kernel for the LSH and IVF
+    paths, so ANN candidate scoring runs distributed in map_batches instead of
+    a driver-side loop."""
 
     def __init__(self, queries_ref, k: int = 5,
-                 vec_col: str = "embedding", id_col: str = "vec_id") -> None:
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 bucket_col: str | None = None) -> None:
         q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
         self.qids = q[0]
         qm = q[1].astype(np.float64)
         self.qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+        self.probe_matrix = q[2] if len(q) > 2 else None
         self.k, self.vec_col, self.id_col = k, vec_col, id_col
+        self.bucket_col = bucket_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_col].to_pandas().to_numpy()
@@ -41,13 +50,16 @@ class BruteForceTopK:
         # mask self-matches BEFORE selection so the query's own row can't
         # occupy a top-k slot (its batch's (k+1)-th candidate would be lost)
         sims[ids[None, :] == self.qids[:, None]] = -np.inf
+        if self.bucket_col is not None:
+            b = batch[self.bucket_col].to_pandas().to_numpy().astype(np.int64)
+            sims[~self.probe_matrix[:, b]] = -np.inf  # outside probe set
         nq, nb = sims.shape
         k = min(self.k, nb)
         top = np.argpartition(-sims, k - 1, axis=1)[:, :k]
         rows_q = np.repeat(self.qids, k)
         rows_v = ids[top.reshape(-1)]
         rows_s = np.take_along_axis(sims, top, axis=1).reshape(-1)
-        keep = np.isfinite(rows_s)  # drop masked self rows
+        keep = np.isfinite(rows_s)  # drop masked self / out-of-bucket rows
         # raw IEEE sims — the parity harness canon() quantizes; rounding here
         # (numpy banker's) vs SQL half-away would diverge at tie boundaries
         return pa.table({
@@ -55,6 +67,17 @@ class BruteForceTopK:
             "vec_id": pa.array(rows_v[keep]),
             "sim": pa.array(rows_s[keep]),
         })
+
+
+def _final_topk(local: pd.DataFrame, k: int) -> pd.DataFrame:
+    """Tiny final reduce over per-batch local top-k rows (≤ k·#batches)."""
+    return (
+        local.sort_values(["query_id", "sim", "vec_id"],
+                          ascending=[True, False, True])
+        .groupby("query_id", sort=True)
+        .head(k)
+        .reset_index(drop=True)
+    )
 
 
 def ann_topk(
@@ -81,14 +104,7 @@ def ann_topk(
                                                "vec_col": vec_col, "id_col": id_col},
         batch_format="pyarrow", concurrency=(1, 8),
     ).to_pandas()
-    out = (
-        local.sort_values(["query_id", "sim", "vec_id"],
-                          ascending=[True, False, True])
-        .groupby("query_id", sort=True)
-        .head(k)
-        .reset_index(drop=True)
-    )
-    return out
+    return _final_topk(local, k)
 
 
 class LSHBucketStage:
@@ -151,9 +167,11 @@ def ivf_topk(
     """IVF ANN: train a coarse quantizer on a sample, assign inverted-list
     ids, scan only each query's ``nprobe`` nearest lists.
 
-    Scale shape: training happens once on a driver-side sample; centroids are
-    broadcast; assignment is a map_batches matmul; at cluster scale partition
-    on ``ivf_list`` so a query touches nprobe partitions.
+    Scale shape: training happens once on a driver-side sample; centroids +
+    the per-query probe matrix are broadcast; assignment AND candidate scoring
+    are map_batches matmuls (the BruteForceTopK kernel with probe masking) —
+    only per-batch local top-k rows ever reach the driver. At cluster scale,
+    partition on ``ivf_list`` so a query touches nprobe partitions.
     """
     import pyarrow.compute as pc
 
@@ -171,31 +189,25 @@ def ivf_topk(
     qdf = ds.map_batches(
         lambda t: t.filter(pc.is_in(t[id_col], value_set=wanted)),
         batch_format="pyarrow").to_pandas()
+    qids = qdf[id_col].to_numpy()
     qm = _as_matrix(qdf[vec_col]).astype(np.float64)
     qd = ((qm[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-    probes = {qid: set(np.argsort(row)[:nprobe].tolist())
-              for qid, row in zip(qdf[id_col], qd)}
-    lists = pa.array(sorted({int(p) for s in probes.values() for p in s}),
+    probe_matrix = np.zeros((len(qids), nlist), dtype=bool)
+    np.put_along_axis(probe_matrix, np.argsort(qd, axis=1)[:, :nprobe],
+                      True, axis=1)
+    lists = pa.array(sorted(set(np.flatnonzero(probe_matrix.any(axis=0)).tolist())),
                      type=pa.int32())
 
     cand = assigned.map_batches(
         lambda t: t.filter(pc.is_in(t["ivf_list"], value_set=lists)),
-        batch_format="pyarrow").to_pandas()
-    out_rows = []
-    qnorm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
-    for qi, qid in enumerate(qdf[id_col]):
-        sub = cand[cand["ivf_list"].isin(probes[qid])]
-        sub = sub[sub[id_col] != qid]
-        if not len(sub):
-            continue
-        m = _as_matrix(sub[vec_col]).astype(np.float64)
-        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-        sims = m @ qnorm[qi]
-        order = np.argsort(-sims, kind="stable")[:k]
-        for j in order:
-            out_rows.append((qid, int(sub[id_col].iloc[j]),
-                             round(float(sims[j]), 6)))
-    return pd.DataFrame(out_rows, columns=["query_id", "vec_id", "sim"])
+        batch_format="pyarrow")
+    ref = ray.put((qids, qm, probe_matrix))
+    local = cand.map_batches(
+        BruteForceTopK, fn_constructor_kwargs={
+            "queries_ref": ref, "k": k, "vec_col": vec_col,
+            "id_col": id_col, "bucket_col": "ivf_list"},
+        batch_format="pyarrow", concurrency=(1, 8)).to_pandas()
+    return _final_topk(local, k)
 
 
 def lsh_topk(
@@ -204,10 +216,12 @@ def lsh_topk(
 ) -> pd.DataFrame:
     """Scale-path ANN: search only the rows in each query's LSH bucket.
 
-    Approximate (recall < 1 by design); the multi-probe refinement would also
-    scan neighboring buckets. At cluster scale, bucket the dataset once
-    (LSHBucketStage column + partition on it) and route each query to its
-    bucket's partition instead of broadcasting the full query set.
+    Approximate (recall < 1 by design); multi-probe scans each query's bucket
+    plus all buckets at hamming distance 1. Candidate scoring runs in
+    map_batches via the probe-masked BruteForceTopK kernel — only per-batch
+    local top-k rows reach the driver. At cluster scale, bucket the dataset
+    once (LSHBucketStage column + partition on it) so each query's probes
+    touch (nbits+1)/2^nbits of the partitions.
     """
     import pyarrow.compute as pc
 
@@ -226,34 +240,29 @@ def lsh_topk(
                                                "vec_col": vec_col},
         batch_format="pyarrow", concurrency=(1, 8))
 
+    qids = qdf[id_col].to_numpy()
     qm = _as_matrix(qdf[vec_col]).astype(np.float64)
     qsign = (qm @ planes.T) > 0
-    qbucket = np.packbits(qsign, axis=1, bitorder="little")[:, 0].astype(np.int32)
+    qbucket = np.packbits(qsign, axis=1, bitorder="little")[:, 0].astype(np.int64)
     # multi-probe: each query scans its own bucket plus all buckets at
     # hamming distance 1 (flip one hyperplane sign) — the standard recall
     # lever that keeps the scanned fraction at (nbits+1)/2^nbits
-    probes = {
-        qid: {int(b)} | {int(b) ^ (1 << i) for i in range(nbits)}
-        for qid, b in zip(qdf[id_col], qbucket)
-    }
-    buckets = pa.array(sorted({b for s in probes.values() for b in s}))
+    probe_matrix = np.zeros((len(qids), 1 << nbits), dtype=bool)
+    for qi, b in enumerate(qbucket):
+        probe_matrix[qi, int(b)] = True
+        for i in range(nbits):
+            probe_matrix[qi, int(b) ^ (1 << i)] = True
+    buckets = pa.array(np.flatnonzero(probe_matrix.any(axis=0)).astype(np.int32))
 
     def in_buckets(t: pa.Table) -> pa.Table:
-        return t.filter(pc.is_in(t["lsh_bucket"], value_set=buckets))
+        return t.filter(pc.is_in(pc.cast(t["lsh_bucket"], pa.int32()),
+                                 value_set=buckets))
 
-    cand = bucketed.map_batches(in_buckets, batch_format="pyarrow").to_pandas()
-    out_rows = []
-    qnorm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
-    for qi, qid in enumerate(qdf[id_col]):
-        sub = cand[cand["lsh_bucket"].isin(probes[qid])]
-        sub = sub[sub[id_col] != qid]
-        if not len(sub):
-            continue
-        m = _as_matrix(sub[vec_col]).astype(np.float64)
-        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-        sims = m @ qnorm[qi]
-        order = np.argsort(-sims, kind="stable")[:k]
-        for j in order:
-            out_rows.append((qid, int(sub[id_col].iloc[j]),
-                             round(float(sims[j]), 6)))
-    return pd.DataFrame(out_rows, columns=["query_id", "vec_id", "sim"])
+    cand = bucketed.map_batches(in_buckets, batch_format="pyarrow")
+    ref = ray.put((qids, qm, probe_matrix))
+    local = cand.map_batches(
+        BruteForceTopK, fn_constructor_kwargs={
+            "queries_ref": ref, "k": k, "vec_col": vec_col,
+            "id_col": id_col, "bucket_col": "lsh_bucket"},
+        batch_format="pyarrow", concurrency=(1, 8)).to_pandas()
+    return _final_topk(local, k)
