@@ -126,21 +126,49 @@ def minhash_duplicate_groups(
     return g.filter(lambda r: r["size"] > 1)
 
 
+def shingle_hash_rows(batch: pa.Table, id_col: str = "doc_id",
+                      text_col: str = "text", shingle: int = 5) -> pa.Table:
+    """(id, text) batch → (id, hashes: large_binary) — each doc's sorted
+    unique shingle-hash set packed as raw little-endian uint64 bytes, computed
+    ONCE per doc. Binary (not list) because it's the payload of the
+    candidate-verification hash JOIN and Acero joins only carry fixed-width /
+    binary non-key fields."""
+    hs = _token_hashes(batch[text_col].to_pandas(), shingle)
+    lens = np.fromiter((len(h) for h in hs), dtype=np.int64, count=len(hs))
+    offsets = np.zeros(len(hs) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    flat = (np.concatenate(hs) if hs else np.array([], dtype=np.uint64))
+    hashes = pa.Array.from_buffers(
+        pa.large_binary(), len(hs),
+        [None, pa.py_buffer((offsets * 8).tobytes()),
+         pa.py_buffer(flat.astype("<u8").tobytes())])
+    return pa.table({id_col: batch[id_col], "hashes": hashes})
+
+
 def neardup_pairs(
     ds: "ray.data.Dataset", jaccard_threshold: float = 0.5,
-    id_col: str = "doc_id", text_col: str = "text", **kw
+    id_col: str = "doc_id", text_col: str = "text",
+    num_partitions: int | None = None, **kw
 ) -> pd.DataFrame:
     """End-to-end near-dup detection: MinHash → LSH buckets → candidate
     pairs → exact n-gram-Jaccard verification. Returns (doc_a, doc_b) with
     doc_a < doc_b, verified ≥ threshold.
 
-    Scale shape: candidate pairs come only from same-bucket groups (bounded
-    by band width); verification needs the two texts — here the doc texts are
-    broadcast (test-scale corpus); at 100 TB you join pair ids back to the
-    text table by id (two broadcast-free hash joins) and verify inside
-    map_groups per pair-bucket.
+    Scale shape (fully distributed — no doc text ever reaches the driver):
+    candidate pairs come only from same-bucket LSH groups (bounded by band
+    width) and stay a Dataset; per-doc shingle-hash sets are computed once in
+    map_batches and hash-JOINED back onto the pairs by doc id (two keyed
+    joins, no broadcast); the Jaccard verify runs per joined batch. Only the
+    verified (doc_a, doc_b) id pairs — by construction a small set — are
+    collected at the end.
     """
     import ray
+    from ray.data.aggregate import Count
+
+    if num_partitions is None:
+        # Dataset.join spawns one aggregator actor per partition; keep well
+        # under the CPU count so two joins can't starve the cluster
+        num_partitions = max(2, int(ray.cluster_resources().get("CPU", 8)) // 4)
 
     bands = ds.map_batches(
         MinHasher, fn_constructor_kwargs={"id_col": id_col,
@@ -150,7 +178,7 @@ def neardup_pairs(
     def pairs_of(g: pd.DataFrame) -> pd.DataFrame:
         ids = np.sort(g[id_col].unique())
         if len(ids) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []})
+            return pd.DataFrame({"doc_a": ids[:0], "doc_b": ids[:0]})
         a, b = np.triu_indices(len(ids), k=1)
         return pd.DataFrame({"doc_a": ids[a], "doc_b": ids[b]})
 
@@ -158,22 +186,41 @@ def neardup_pairs(
         bands.groupby(["band", "band_hash"])
         .map_groups(pairs_of, batch_format="pandas")
     )
-    cand_pdf = cand.to_pandas().drop_duplicates()  # pair set is small
-    if not len(cand_pdf):
-        return cand_pdf
-    # verify: shingle-hash each candidate DOC once (not once per pair), then
-    # per-pair Jaccard is two sorted-array intersections
-    wanted = set(cand_pdf["doc_a"]) | set(cand_pdf["doc_b"])
-    tdf = ds.select_columns([id_col, text_col]).to_pandas()
-    tdf = tdf[tdf[id_col].isin(wanted)]
-    hashes = dict(zip(tdf[id_col], _token_hashes(tdf[text_col])))
-    keep = np.empty(len(cand_pdf), dtype=bool)
-    for i, (a, b) in enumerate(zip(cand_pdf["doc_a"], cand_pdf["doc_b"])):
-        ha, hb = hashes[a], hashes[b]
-        inter = np.intersect1d(ha, hb, assume_unique=True).size
-        union = ha.size + hb.size - inter
-        keep[i] = (inter / union if union else 1.0) >= jaccard_threshold
-    out = cand_pdf[keep]
+    # distinct pairs (a pair can surface from several bands) — keyed distinct,
+    # not a driver-side drop_duplicates
+    pairs = (
+        cand.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="_nb"))
+        .select_columns(["doc_a", "doc_b"])
+    )
+    hashes = ds.map_batches(
+        shingle_hash_rows,
+        fn_kwargs={"id_col": id_col, "text_col": text_col,
+                   "shingle": kw.get("shingle", 5)},
+        batch_format="pyarrow")
+
+    joined = pairs.join(hashes, join_type="inner",
+                        num_partitions=num_partitions,
+                        on=("doc_a",), right_on=(id_col,),
+                        right_suffix="_a")
+    joined = (  # the join folds the right key column into the left key
+        joined.rename_columns({"hashes": "hashes_a"})
+        .join(hashes, join_type="inner", num_partitions=num_partitions,
+              on=("doc_b",), right_on=(id_col,), right_suffix="_b")
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        ha = batch["hashes_a"].to_pandas()
+        hb = batch["hashes"].to_pandas()
+        keep = np.empty(batch.num_rows, dtype=bool)
+        for i in range(batch.num_rows):  # per CANDIDATE pair, not per doc
+            a = np.frombuffer(ha[i], dtype="<u8")
+            b = np.frombuffer(hb[i], dtype="<u8")
+            inter = np.intersect1d(a, b, assume_unique=True).size
+            union = a.size + b.size - inter
+            keep[i] = (inter / union if union else 1.0) >= jaccard_threshold
+        return batch.select(["doc_a", "doc_b"]).filter(pa.array(keep))
+
+    out = joined.map_batches(verify, batch_format="pyarrow").to_pandas()
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 

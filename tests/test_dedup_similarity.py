@@ -35,6 +35,41 @@ def test_neardup_pairs_on_documents_table(ray_session, sf_dir):
     assert out.equals(out2)
 
 
+def test_neardup_pairs_matches_driver_side_reference(ray_session, sf_dir):
+    """Distributed join+verify must equal a driver-side recomputation of the
+    same candidates (the pre-r2 implementation's shape)."""
+    import ray.data
+
+    from splunk_otel_collector_ray.stages.dedup import (
+        MinHasher,
+        _token_hashes,
+        neardup_pairs,
+    )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    got = neardup_pairs(ds, jaccard_threshold=0.8)
+
+    # reference: same MinHash bands, candidates + verify in plain pandas
+    docs = ds.to_pandas()
+    bands = MinHasher()(pa.Table.from_pandas(docs, preserve_index=False))
+    bdf = bands.to_pandas()
+    cand = set()
+    for _, g in bdf.groupby(["band", "band_hash"]):
+        ids = np.sort(g["doc_id"].unique())
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                cand.add((ids[i], ids[j]))
+    hashes = dict(zip(docs["doc_id"], _token_hashes(docs["text"])))
+    exp = []
+    for a, b in sorted(cand):
+        ha, hb = hashes[a], hashes[b]
+        inter = np.intersect1d(ha, hb, assume_unique=True).size
+        union = ha.size + hb.size - inter
+        if (inter / union if union else 1.0) >= 0.8:
+            exp.append((a, b))
+    assert list(map(tuple, got.to_numpy())) == exp
+
+
 def test_lsh_topk_recall_vs_bruteforce(ray_session, sf_dir):
     import ray.data
 
