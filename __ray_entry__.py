@@ -506,15 +506,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return grouped_count(distinct, ["sink"])
 
     def q_topk_per_sink(sf):
-        # per-group top-k (processlist top-N analogue, SURVEY §2.8)
-        def top3(g: pd.DataFrame) -> pd.DataFrame:
-            g = g.sort_values(["severity_number", "conv_id", "turn_idx"],
-                              ascending=[False, True, True]).head(3)
-            return g[["sink", "conv_id", "turn_idx", "severity_number"]]
+        # per-group top-k via per-batch partial pruning (no full-stream
+        # map_groups over 4 giant sink groups)
+        from splunk_otel_collector_ray.pipelines.aggregate import grouped_topk
 
-        return _routed(sf).select_columns(
-            ["sink", "conv_id", "turn_idx", "severity_number"]).groupby(
-            "sink").map_groups(top3, batch_format="pandas")
+        ds = _routed(sf).select_columns(
+            ["sink", "conv_id", "turn_idx", "severity_number"])
+        return grouped_topk(ds, keys=["sink"], k=3,
+                            by=["severity_number", "conv_id", "turn_idx"],
+                            ascending=[False, True, True])
 
     def q_events_sessions(sf):
         # gap-based sessionization (streaming-shaped workload, ray_guide):

@@ -82,6 +82,33 @@ def grouped_stats(
     return combined.map_batches(finalize, batch_format="pyarrow")
 
 
+def grouped_topk(
+    ds: "ray.data.Dataset", keys: list[str], k: int,
+    by: list[str], ascending: list[bool],
+) -> "ray.data.Dataset":
+    """Per-group top-k (processlist top-N analogue, SURVEY §2.8) with
+    per-batch partial pruning: each batch keeps only its local top-k per
+    group, so the final per-group reduce sees ≤ k·#batches rows instead of
+    the full stream — a full-stream ``groupby(keys).map_groups`` would pull
+    ~1/#groups of the corpus into a single task per group.
+
+    ``by``/``ascending`` must be a TOTAL order (include a unique tiebreak)
+    so partial pruning is exact.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        out = df.sort_values(by, ascending=ascending,
+                             kind="mergesort").groupby(keys, sort=False).head(k)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(by, ascending=ascending, kind="mergesort").head(k)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby(keys).map_groups(final, batch_format="pandas")
+
+
 def grouped_count_sum(
     ds: "ray.data.Dataset", keys: list[str], value: str,
     count_alias: str = "n", sum_alias: str | None = None,
