@@ -200,6 +200,90 @@ def _table(sf_dir: str, name: str):
     return ray.data.read_parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+# --- prometheus expfmt fixture (shared between query + oracle SQL) ---------
+
+def _prom_blob_lines(i: int) -> list[str]:
+    return [
+        "# TYPE http_requests_total counter",
+        f'http_requests_total{{code="200",handler="h{i % 4}"}} {100 + i}',
+        f'http_requests_total{{code="500",handler="h{i % 4}"}} {i}',
+        "# TYPE process_cpu gauge",
+        f"process_cpu {0.5 + i}",
+        "# TYPE latency histogram",
+        f'latency_bucket{{le="0.1"}} {10 + i}',
+        f'latency_bucket{{le="1"}} {20 + i}',
+        f'latency_bucket{{le="+Inf"}} {25 + i}',
+        f"latency_sum {40 + i}", f"latency_count {25 + i}",
+        "# TYPE rtt summary",
+        f'rtt{{quantile="0.5"}} {i % 7}',
+        "!! not expfmt !!",           # malformed → error counter
+        "stale_gauge NaN",            # NaN sample → error counter
+    ]
+
+
+def _prom_dataset():
+    import ray.data
+
+    blobs = ["\n".join(_prom_blob_lines(i)) for i in range(32)]
+    return ray.data.from_arrow(pa.table({
+        "blob_id": pa.array(np.arange(32, dtype=np.int64)),
+        "text": pa.array(blobs, type=pa.string()),
+    }))
+
+
+_PROM_RX = (r"^([a-zA-Z_:][a-zA-Z0-9_:]*)(\{([^}]*)\})?[ \t]+([^ \t]+)"
+            r"([ \t]+([0-9]+))?$")
+
+
+def _prom_sql_cte() -> str:
+    """DuckDB reconstruction of the expfmt blobs + the parse, byte-matching
+    ``_prom_blob_lines`` / stages.metrics.parse_prometheus_text."""
+    lines_sql = " || chr(10) || ".join([
+        "'# TYPE http_requests_total counter'",
+        "'http_requests_total{code=\"200\",handler=\"h' || (i % 4) "
+        "|| '\"} ' || CAST(100 + i AS VARCHAR)",
+        "'http_requests_total{code=\"500\",handler=\"h' || (i % 4) "
+        "|| '\"} ' || CAST(i AS VARCHAR)",
+        "'# TYPE process_cpu gauge'",
+        "'process_cpu ' || CAST(0.5 + i AS VARCHAR)",
+        "'# TYPE latency histogram'",
+        "'latency_bucket{le=\"0.1\"} ' || CAST(10 + i AS VARCHAR)",
+        "'latency_bucket{le=\"1\"} ' || CAST(20 + i AS VARCHAR)",
+        "'latency_bucket{le=\"+Inf\"} ' || CAST(25 + i AS VARCHAR)",
+        "'latency_sum ' || CAST(40 + i AS VARCHAR)",
+        "'latency_count ' || CAST(25 + i AS VARCHAR)",
+        "'# TYPE rtt summary'",
+        "'rtt{quantile=\"0.5\"} ' || CAST(i % 7 AS VARCHAR)",
+        "'!! not expfmt !!'",
+        "'stale_gauge NaN'",
+    ])
+    rx = _PROM_RX
+    return (
+        f"WITH pb AS (SELECT CAST(i AS BIGINT) AS src_row, {lines_sql} AS text "
+        "FROM (SELECT range AS i FROM range(32))), "
+        "pl AS (SELECT src_row, trim(unnest(string_split(text, chr(10)))) "
+        "AS line FROM pb), "
+        "ptypes AS (SELECT src_row, "
+        "regexp_extract(line, '^# TYPE ([^ ]+) ([^ ]+)$', 1) AS tname, "
+        "regexp_extract(line, '^# TYPE ([^ ]+) ([^ ]+)$', 2) AS t "
+        "FROM pl WHERE line LIKE '# TYPE %'), "
+        f"psamp AS (SELECT src_row, regexp_extract(line, '{rx}', 1) AS name, "
+        f"regexp_extract(line, '{rx}', 3) AS labels, "
+        f"TRY_CAST(regexp_extract(line, '{rx}', 4) AS DOUBLE) AS value "
+        f"FROM pl WHERE line NOT LIKE '#%' AND line <> '' "
+        f"AND regexp_matches(line, '{rx}')), "
+        "pbase AS (SELECT *, regexp_replace(name, '_(bucket|sum|count)$', '') "
+        "AS bname FROM psamp), "
+        "prom AS (SELECT b.src_row, b.name, b.labels, b.value, "
+        "COALESCE(tb.t, tn.t, 'untyped') AS type, "
+        "regexp_extract(b.labels, 'le=\"([^\"]*)\"', 1) AS le, "
+        "regexp_extract(b.labels, 'quantile=\"([^\"]*)\"', 1) AS quantile "
+        "FROM pbase b "
+        "LEFT JOIN ptypes tb ON tb.src_row = b.src_row AND tb.tname = b.bname "
+        "LEFT JOIN ptypes tn ON tn.src_row = b.src_row AND tn.tname = b.name) "
+    )
+
+
 # --------------------------------------------------------------------------
 # driver entry points
 # --------------------------------------------------------------------------
@@ -449,27 +533,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return grouped_count(ds, ["sink"])
 
     def q_prometheus_parse(sf):
-        import ray.data
+        ds = _prom_dataset()
         from splunk_otel_collector_ray.stages.metrics import (
             parse_prometheus_text,
         )
 
-        blobs = []
-        for i in range(32):
-            blobs.append("\n".join([
-                "# TYPE http_requests_total counter",
-                f'http_requests_total{{code="200",handler="h{i % 4}"}} {100 + i}',
-                f'http_requests_total{{code="500",handler="h{i % 4}"}} {i}',
-                "# TYPE process_cpu gauge",
-                f"process_cpu {0.5 + i}",
-                "# TYPE latency histogram",
-                f'latency_bucket{{le="0.1"}} {10 + i}',
-                f'latency_bucket{{le="1"}} {20 + i}',
-                f'latency_bucket{{le="+Inf"}} {25 + i}',
-                f"latency_sum {40 + i}", f"latency_count {25 + i}",
-            ]))
-        ds = ray.data.from_arrow(pa.table({"text": blobs}))
-        return ds.map_batches(parse_prometheus_text, batch_format="pyarrow")
+        return ds.map_batches(
+            lambda t: parse_prometheus_text(t, id_col="blob_id"),
+            batch_format="pyarrow")
+
+    def q_prometheus_histogram(sf):
+        from splunk_otel_collector_ray.stages.metrics import (
+            prometheus_histograms,
+        )
+
+        return prometheus_histograms(_prom_dataset(), id_col="blob_id")
+
+    def q_prometheus_errors(sf):
+        from splunk_otel_collector_ray.stages.metrics import (
+            prometheus_error_counters,
+        )
+
+        return prometheus_error_counters(_prom_dataset())
 
     def q_groupbyattrs(sf):
         # groupbyattrs processor analogue: regroup under resource identity
@@ -617,6 +702,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_metrics": q_span_metrics,
         "config_pipeline": q_config_pipeline,
         "prometheus_parse": q_prometheus_parse,
+        "prometheus_histogram": q_prometheus_histogram,
+        "prometheus_errors": q_prometheus_errors,
         "groupbyattrs": q_groupbyattrs,
         "conv_sampler": q_conv_sampler,
         "distinct_convs": q_distinct_convs,
@@ -790,7 +877,26 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS session_id FROM o) "
             "SELECT user_id, session_id, MIN(ts) AS session_start, "
             "COUNT(*) AS n FROM s GROUP BY user_id, session_id"),
+        "prometheus_parse": _prom_sql_cte() + (
+            "SELECT src_row, name, labels, value, type, le, quantile "
+            "FROM prom"),
+        "prometheus_histogram": _prom_sql_cte() + (
+            "SELECT src_row, name, le, value AS cum_count, "
+            "value - COALESCE(LAG(value) OVER (PARTITION BY src_row, name "
+            "ORDER BY CASE WHEN le = '+Inf' THEN 1e308 ELSE "
+            "CAST(le AS DOUBLE) END), 0) AS bucket_count FROM prom "
+            "WHERE type = 'histogram' AND regexp_matches(name, '_bucket$')"),
+        "prometheus_errors": _prom_sql_cte() + (
+            "SELECT 'all' AS k, "
+            f"CAST(COUNT(*) FILTER (WHERE regexp_matches(line, '{_PROM_RX}')) "
+            "AS BIGINT) AS total_samples, "
+            f"CAST(COUNT(*) FILTER (WHERE NOT regexp_matches(line, "
+            f"'{_PROM_RX}')) AS BIGINT) AS malformed_lines, "
+            f"CAST(COUNT(*) FILTER (WHERE regexp_matches(line, '{_PROM_RX}') "
+            f"AND (TRY_CAST(regexp_extract(line, '{_PROM_RX}', 4) AS DOUBLE) "
+            f"IS NULL OR isnan(TRY_CAST(regexp_extract(line, '{_PROM_RX}', 4) "
+            "AS DOUBLE)))) AS BIGINT) AS nan_samples "
+            "FROM pl WHERE line NOT LIKE '#%' AND line <> ''"),
         # docs_langid / docs_fingerprint / docs_minhash_groups /
-        # multimodal_features / prometheus_parse: no SQL equivalent →
-        # rows-only driver check
+        # multimodal_features: no SQL equivalent → rows-only driver check
     }

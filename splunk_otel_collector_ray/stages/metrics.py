@@ -25,58 +25,143 @@ from dataclasses import dataclass
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
-_PROM_LINE = re.compile(
+# sample line (expfmt): name{labels} value [timestamp] — all-named groups so
+# pyarrow's RE2 extract_regex can run it over the flattened line array
+_PROM_SAMPLE_RX = (
     r"^(?P<name>[a-zA-Z_:][a-zA-Z0-9_:]*)"
-    r"(?:\{(?P<labels>[^}]*)\})?\s+(?P<value>[^\s]+)(?:\s+(?P<ts>\d+))?$")
-_PROM_LABEL = re.compile(r'(\w+)="([^"]*)"')
+    r"(?:\{(?P<labels>[^}]*)\})?[ \t]+(?P<value>[^ \t]+)"
+    r"(?:[ \t]+(?P<ts>[0-9]+))?$")
+_PROM_TYPE_RX = r"^# TYPE (?P<name>[^ ]+) (?P<t>[^ ]+)$"
 
 
-def parse_prometheus_text(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """expfmt text blobs → one row per sample (name, labels json, value).
+def _prom_lines(batch: pa.Table, text_col: str, id_col: str | None
+                ) -> tuple[pa.Array, np.ndarray]:
+    """Split text blobs into trimmed lines; return (lines, per-line blob id).
 
-    TYPE/HELP comments classify the metric (gauge/counter/histogram/summary);
-    `_bucket`/`_sum`/`_count` suffixes keep their roles via the name. Metric
-    type is carried per sample (scraper.go:181-277 partitions by type).
+    Blob id is the ``id_col`` value when given (globally stable across
+    blocks), else the in-batch row index.
     """
-    texts = batch[text_col].to_pandas()
-    names, labels, values, types, rows_src = [], [], [], [], []
-    for i, blob in enumerate(texts):
-        mtype = {}
-        cur_types = {}
-        for line in (blob or "").splitlines():
-            line = line.strip()
-            if not line:
-                continue
-            if line.startswith("# TYPE "):
-                _, _, rest = line.partition("# TYPE ")
-                mname, _, t = rest.partition(" ")
-                cur_types[mname] = t.strip()
-                continue
-            if line.startswith("#"):
-                continue
-            m = _PROM_LINE.match(line)
-            if not m:
-                continue
-            name = m.group("name")
-            base = re.sub(r"_(bucket|sum|count)$", "", name)
-            names.append(name)
-            labels.append(m.group("labels") or "")
-            try:
-                values.append(float(m.group("value")))
-            except ValueError:
-                values.append(float("nan"))
-            types.append(cur_types.get(base, cur_types.get(name, "untyped")))
-            rows_src.append(i)
-    return pa.table({
-        "src_row": pa.array(np.asarray(rows_src, dtype=np.int64)),
-        "name": pa.array(names, type=pa.string()),
-        "labels": pa.array(labels, type=pa.string()),
-        "value": pa.array(np.asarray(values, dtype=np.float64)),
-        "type": pa.array(types, type=pa.string()),
+    text = batch[text_col]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    lines_list = pc.split_pattern(text, pattern="\n")
+    parent = pc.list_parent_indices(lines_list).to_numpy(zero_copy_only=False)
+    lines = pc.utf8_trim_whitespace(pc.list_flatten(lines_list))
+    if id_col is not None:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = ids[parent]
+    else:
+        src = parent.astype(np.int64)
+    return lines, src
+
+
+def parse_prometheus_text(batch: pa.Table, text_col: str = "text",
+                          id_col: str | None = None) -> pa.Table:
+    """expfmt text blobs → one row per sample, fully Arrow-native.
+
+    One split_pattern + list_flatten pass frames lines; one extract_regex
+    pass pulls (name, labels, value); TYPE comments are extracted the same
+    way and propagated to samples with a vectorized (blob, metric) hash join
+    — base name (``_bucket``/``_sum``/``_count`` stripped) first, full name
+    second, 'untyped' fallback, matching the scraper's lookup
+    (internal/receiver/lightprometheusreceiver/scraper.go:181-277).
+    Histogram/summary label decomposition: ``le`` and ``quantile`` are lifted
+    out of the label string as columns (empty when absent).
+    """
+    lines, src = _prom_lines(batch, text_col, id_col)
+    is_type = pc.starts_with(lines, "# TYPE ")
+    is_comment = pc.starts_with(lines, "#")
+    nonempty = pc.not_equal(lines, "")
+    sample_mask = pc.and_(pc.and_(pc.invert(is_comment), nonempty),
+                          pc.invert(is_type))
+
+    # TYPE table: (blob, metric name) → declared type
+    tmask = is_type.to_numpy(zero_copy_only=False)
+    tt = pc.extract_regex(lines.filter(pa.array(tmask)), _PROM_TYPE_RX)
+    types_df = pd.DataFrame({
+        "src_row": src[tmask],
+        "tname": tt.field("name").to_pandas(),
+        "t": tt.field("t").to_pandas(),
+    }).drop_duplicates(["src_row", "tname"], keep="last")  # dict overwrite
+
+    smask = sample_mask.to_numpy(zero_copy_only=False)
+    st = pc.extract_regex(lines.filter(pa.array(smask)), _PROM_SAMPLE_RX)
+    valid = pc.is_valid(st).to_numpy(zero_copy_only=False)  # malformed → null
+    name = st.field("name").to_pandas()[valid]
+    labels = st.field("labels").to_pandas()[valid].fillna("")
+    value = pd.to_numeric(st.field("value").to_pandas()[valid],
+                          errors="coerce").astype(np.float64)
+    df = pd.DataFrame({
+        "src_row": src[smask][valid], "name": name.to_numpy(),
+        "labels": labels.to_numpy(), "value": value.to_numpy(),
     })
+    df["bname"] = df["name"].str.replace(r"_(bucket|sum|count)$", "",
+                                         regex=True)
+    m1 = df.merge(types_df, how="left",
+                  left_on=["src_row", "bname"], right_on=["src_row", "tname"])
+    m2 = df.merge(types_df, how="left",
+                  left_on=["src_row", "name"], right_on=["src_row", "tname"])
+    df["type"] = m1["t"].fillna(m2["t"]).fillna("untyped").to_numpy()
+    lab = pa.array(df["labels"], type=pa.string())
+    le = pc.extract_regex(lab, r'le="(?P<le>[^"]*)"')
+    qu = pc.extract_regex(lab, r'quantile="(?P<q>[^"]*)"')
+    return pa.table({
+        "src_row": pa.array(df["src_row"].to_numpy(), type=pa.int64()),
+        "name": pa.array(df["name"], type=pa.string()),
+        "labels": lab,
+        "value": pa.array(df["value"].to_numpy(), type=pa.float64()),
+        "type": pa.array(df["type"], type=pa.string()),
+        "le": pc.coalesce(le.field("le") if le.type.num_fields else le, ""),
+        "quantile": pc.coalesce(qu.field("q") if qu.type.num_fields else qu, ""),
+    })
+
+
+def prometheus_histograms(
+    ds: "ray.data.Dataset", text_col: str = "text",
+    id_col: str | None = None,
+) -> "ray.data.Dataset":
+    """Histogram sample decomposition + cumulative→per-bucket counts.
+
+    The scraper converts prometheus' cumulative ``le`` bucket counts into
+    OTLP per-bucket counts by adjacent difference (scraper.go:218-235); here
+    each (blob, metric) series is co-located by hash bucket and differenced
+    in ONE vectorized pandas pass per bucket (grouped-op rule, SCALE.md).
+    Output: (src_row, name, le, cum_count, bucket_count).
+    """
+
+    def fn(t: pa.Table) -> pa.Table:
+        return parse_prometheus_text(t, text_col, id_col)
+
+    def buckets_only(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.equal(t["type"], "histogram"),
+                    pc.match_substring_regex(t["name"], "_bucket$"))
+        return t.filter(m)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        h = t["src_row"].to_numpy(zero_copy_only=False) % 64
+        return t.append_column("_bucket", pa.array(h.astype(np.int32)))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        le_num = pd.to_numeric(g["le"].replace("+Inf", "inf"), errors="coerce")
+        g = g.assign(_le_num=le_num).sort_values(
+            ["src_row", "name", "_le_num"], kind="mergesort")
+        lag = g.groupby(["src_row", "name"], sort=False)["value"].shift(1)
+        out = g[["src_row", "name", "le"]].copy()
+        out["cum_count"] = g["value"].to_numpy()
+        out["bucket_count"] = (g["value"] - lag.fillna(0.0)).to_numpy()
+        return out
+
+    return (
+        ds.map_batches(fn, batch_format="pyarrow")
+        .map_batches(buckets_only, batch_format="pyarrow")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
 
 
 def prometheus_error_counters(
@@ -86,34 +171,28 @@ def prometheus_error_counters(
     (signalfxgatewayprometheusremotewrite prometheus_to_otel.go:129-166:
     invalid-request / NaN / missing-name cumulative sums).
 
-    Per-batch partial counters → one grouped sum; returns a single row
+    Per-batch partial counters (same Arrow line/extract kernels as the
+    parser — no Python line loop) → one grouped sum; returns a single row
     (total_samples, malformed_lines, nan_samples).
     """
     from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
-        total = malformed = nans = 0
-        for blob in batch[text_col].to_pandas():
-            for line in (blob or "").splitlines():
-                line = line.strip()
-                if not line or line.startswith("#"):
-                    continue
-                m = _PROM_LINE.match(line)
-                if not m:
-                    malformed += 1
-                    continue
-                total += 1
-                try:
-                    v = float(m.group("value"))
-                    if v != v:  # NaN sample
-                        nans += 1
-                except ValueError:
-                    nans += 1
+        lines, _ = _prom_lines(batch, text_col, None)
+        is_comment = pc.starts_with(lines, "#")
+        nonempty = pc.not_equal(lines, "")
+        smask = pc.and_(pc.invert(is_comment), nonempty)
+        sl = lines.filter(smask)
+        st = pc.extract_regex(sl, _PROM_SAMPLE_RX)
+        valid = pc.is_valid(st).to_numpy(zero_copy_only=False)
+        v = pd.to_numeric(st.field("value").to_pandas()[valid],
+                          errors="coerce")
         return pa.table({
             "k": ["all"],
-            "total_samples": pa.array([total], type=pa.int64()),
-            "malformed_lines": pa.array([malformed], type=pa.int64()),
-            "nan_samples": pa.array([nans], type=pa.int64()),
+            "total_samples": pa.array([int(valid.sum())], type=pa.int64()),
+            "malformed_lines": pa.array([int((~valid).sum())],
+                                        type=pa.int64()),
+            "nan_samples": pa.array([int(v.isna().sum())], type=pa.int64()),
         })
 
     return (
