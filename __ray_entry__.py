@@ -28,6 +28,7 @@ import pyarrow as pa
 from splunk_otel_collector_ray import corpus
 from splunk_otel_collector_ray.functions.severity import (
     APACHE_ERROR_LEVELS,
+    DEFAULT_LEVELS,
     ETCD_LEVELS,
     JSON_LEVEL_MAP,
     MONGODB_LEVELS,
@@ -62,17 +63,42 @@ _RX_PHONE = r'[0-9]{4}-[0-9]{3}-[0-9]{4}'
 _RX_MONGODB = (r'^\{"t":\{"\$date":"([^"]+)"\},"s":"([A-Z0-9]+)",'
                r'"c":"([A-Z]+)","ctx":"([^"]+)","msg":"(.*)"\}$')
 _RX_ETCD = r'^(.+?) (\w) \| (.*)$'
+_RX_CASSANDRA = r'^(\w+) +\[([\w:]+)\] (.+) (\S+):([0-9]+) - ([\s\S]*)$'
+_RX_JETTY = r'^([\d-]{10} [\d:.]{12}):(\w+):([\w.]+):([\w:]+?): (.*)$'
+_RX_MYSQL_ERR = r'^(.+?) [0-9]+ \[(\w+)\] ([\s\S]*)$'
+_RX_MYSQL_QUERY = r'^([0-9]{6} [\d:.]+)\s+([\s\S]*)$'
+_RX_NGINX_ERR = r'^(.+?) \[(\w+)\] ([0-9]+)#([0-9]+): (.*)$'
+_RX_PG = r'^(.+?) \[([0-9]+)\] (.*)$'
+_RX_RABBIT = r'^(.+?) \[(\w+)\] <([\d.]+)> ([\s\S]*)$'
+_RX_TOMCAT = r'^(.+?) (\w+) \[([\w:-]+)\] (\S+) ([\s\S]*)$'
+_RX_ZK = r'^(.+?) - (\w+) +\[([\w:]+?):(\w+)@([0-9]+|\?)\] - (.*)$'
+_RX_NCSA_COMMON = (r'^(.+) (.+) (.+) \[(.+)\] "(.+) (.+) (.+)" '
+                   r'([0-9]+) ([0-9]+)$')
 
+# mirrors stages/parse.DETECT exactly (same first-match order)
 _DETECT_SQL = (
     "CASE"
     " WHEN text LIKE '{\"log\":%' THEN 'docker'"
     " WHEN text LIKE '{\"Level\":%' THEN 'json_level'"
     " WHEN text LIKE '{\"t\":%' THEN 'mongodb'"
     " WHEN text LIKE '[%' THEN 'apache_error'"
+    " WHEN text LIKE '<%' THEN 'memcached'"
+    r" WHEN regexp_matches(text, '^(\tat |Caused by: )') THEN 'java_stack'"
+    " WHEN regexp_matches(text, '^(# Time: |# User@Host: |SELECT )') THEN 'mysql_slow'"
     r" WHEN regexp_matches(text, '^[0-9]{4}-[0-9]{2}-[0-9]{2} [0-9]{2}:[0-9]{2}:[0-9]{2} [A-Z] \| ') THEN 'etcd'"
+    r" WHEN regexp_matches(text, '^[0-9]{4}-[0-9]{2}-[0-9]{2} [0-9]{2}:[0-9]{2}:[0-9]{2}\.[0-9]{3}:[A-Z]+:') THEN 'jetty9'"
+    r" WHEN regexp_matches(text, '^[0-9]{4}-[0-9]{2}-[0-9]{2} [0-9]{2}:[0-9]{2}:[0-9]{2}\.[0-9]{3} UTC \[[0-9]+\] ') THEN 'postgresql'"
+    r" WHEN regexp_matches(text, '^[0-9]{4}-[0-9]{2}-[0-9]{2} [0-9]{2}:[0-9]{2}:[0-9]{2}\.[0-9]{3} \[[a-z]+\] <') THEN 'rabbitmq'"
+    r" WHEN regexp_matches(text, '^[0-9]{4}-[0-9]{2}-[0-9]{2} [0-9]{2}:[0-9]{2}:[0-9]{2} [0-9]+ \[\w+\] ') THEN 'mysql_error'"
+    r" WHEN regexp_matches(text, '^[0-9]{4}-[0-9]{2}-[0-9]{2} [0-9]{2}:[0-9]{2}:[0-9]{2} - [A-Z]+ +\[') THEN 'zookeeper'"
+    " WHEN regexp_matches(text, '^[0-9]{6} [0-9]{2}:[0-9]{2}:[0-9]{2}') THEN 'mysql_query'"
+    r" WHEN regexp_matches(text, '^[0-9]{4}/[0-9]{2}/[0-9]{2} [0-9]{2}:[0-9]{2}:[0-9]{2} \[[a-z0-9]+\] [0-9]+#[0-9]+: ') THEN 'nginx_error'"
+    r" WHEN regexp_matches(text, '^[0-9]{2}-[A-Z][a-z]{2}-[0-9]{4} [0-9]{2}:[0-9]{2}:[0-9]{2} [A-Z]+ \[') THEN 'tomcat'"
+    r" WHEN regexp_matches(text, '^[A-Z]+ +\[[\w:]+\] [0-9]') THEN 'cassandra'"
     r" WHEN regexp_matches(text, '^[0-9]+:[A-Za-z0-9_-]+ \([0-9]+\) ') THEN 'redis_handler'"
     " WHEN regexp_matches(text, '^[0-9]+:[A-Z] ') THEN 'redis_server'"
     f" WHEN regexp_matches(text, '{_RX_NCSA}') THEN 'apache_access'"
+    f" WHEN regexp_matches(text, '{_RX_NCSA_COMMON}') THEN 'ncsa_common'"
     r" WHEN regexp_matches(text, '^[A-Z][a-z]{2} [ 0-9][0-9] [0-9]{2}:[0-9]{2}:[0-9]{2} [^ ]+ ') THEN 'syslog'"
     f" WHEN regexp_matches(text, '{_RX_PHONE}') THEN 'pii'"
     " ELSE 'plain' END"
@@ -96,6 +122,20 @@ _SEV_TEXT_SQL = (
     + _tok_case(f"regexp_extract(text, '{_RX_MONGODB}', 2)", MONGODB_LEVELS)
     + " WHEN 'etcd' THEN "
     + _tok_case(f"regexp_extract(text, '{_RX_ETCD}', 2)", ETCD_LEVELS)
+    + " WHEN 'cassandra' THEN "
+    + _tok_case(f"lower(regexp_extract(text, '{_RX_CASSANDRA}', 1))", DEFAULT_LEVELS)
+    + " WHEN 'jetty9' THEN "
+    + _tok_case(f"lower(regexp_extract(text, '{_RX_JETTY}', 2))", DEFAULT_LEVELS)
+    + " WHEN 'mysql_error' THEN "
+    + _tok_case(f"lower(regexp_extract(text, '{_RX_MYSQL_ERR}', 2))", DEFAULT_LEVELS)
+    + " WHEN 'nginx_error' THEN "
+    + _tok_case(f"regexp_extract(text, '{_RX_NGINX_ERR}', 2)", APACHE_ERROR_LEVELS)
+    + " WHEN 'rabbitmq' THEN "
+    + _tok_case(f"lower(regexp_extract(text, '{_RX_RABBIT}', 2))", DEFAULT_LEVELS)
+    + " WHEN 'tomcat' THEN "
+    + _tok_case(f"lower(regexp_extract(text, '{_RX_TOMCAT}', 2))", DEFAULT_LEVELS)
+    + " WHEN 'zookeeper' THEN "
+    + _tok_case(f"lower(regexp_extract(text, '{_RX_ZK}', 2))", DEFAULT_LEVELS)
     + " ELSE '' END"
 )
 
@@ -115,6 +155,15 @@ _BODY_SQL = (
     f"WHEN 'mongodb' THEN regexp_extract(text, '{_RX_MONGODB}', 5) "
     f"WHEN 'etcd' THEN regexp_extract(text, '{_RX_ETCD}', 3) "
     f"WHEN 'pii' THEN regexp_replace(text, '{_RX_PHONE}', 'XXX-XXX-XXXX') "
+    f"WHEN 'cassandra' THEN regexp_extract(text, '{_RX_CASSANDRA}', 6) "
+    f"WHEN 'jetty9' THEN regexp_extract(text, '{_RX_JETTY}', 5) "
+    f"WHEN 'mysql_error' THEN regexp_extract(text, '{_RX_MYSQL_ERR}', 3) "
+    f"WHEN 'mysql_query' THEN regexp_extract(text, '{_RX_MYSQL_QUERY}', 2) "
+    f"WHEN 'nginx_error' THEN regexp_extract(text, '{_RX_NGINX_ERR}', 5) "
+    f"WHEN 'postgresql' THEN regexp_extract(text, '{_RX_PG}', 3) "
+    f"WHEN 'rabbitmq' THEN regexp_extract(text, '{_RX_RABBIT}', 4) "
+    f"WHEN 'tomcat' THEN regexp_extract(text, '{_RX_TOMCAT}', 5) "
+    f"WHEN 'zookeeper' THEN regexp_extract(text, '{_RX_ZK}', 6) "
     "ELSE text END"
 )
 
@@ -136,6 +185,26 @@ _TS_SQL = (
     "'%Y-%m-%dT%H:%M:%S.%g%z') AT TIME ZONE 'UTC' "
     f"WHEN 'etcd' THEN strptime(regexp_extract(text, '{_RX_ETCD}', 1), "
     "'%Y-%m-%d %H:%M:%S') "
+    f"WHEN 'cassandra' THEN strptime(regexp_extract(text, '{_RX_CASSANDRA}', 3), "
+    "'%Y-%m-%d %H:%M:%S') "
+    f"WHEN 'jetty9' THEN strptime(regexp_extract(text, '{_RX_JETTY}', 1), "
+    "'%Y-%m-%d %H:%M:%S.%g') "
+    f"WHEN 'mysql_error' THEN strptime(regexp_extract(text, '{_RX_MYSQL_ERR}', 1), "
+    "'%Y-%m-%d %H:%M:%S') "
+    f"WHEN 'mysql_query' THEN strptime(regexp_extract(text, '{_RX_MYSQL_QUERY}', 1), "
+    "'%y%m%d %H:%M:%S') "
+    f"WHEN 'nginx_error' THEN strptime(regexp_extract(text, '{_RX_NGINX_ERR}', 1), "
+    "'%Y/%m/%d %H:%M:%S') "
+    f"WHEN 'postgresql' THEN strptime(replace(regexp_extract(text, "
+    f"'{_RX_PG}', 1), ' UTC', ''), '%Y-%m-%d %H:%M:%S.%g') "
+    f"WHEN 'rabbitmq' THEN strptime(regexp_extract(text, '{_RX_RABBIT}', 1), "
+    "'%Y-%m-%d %H:%M:%S.%g') "
+    f"WHEN 'tomcat' THEN strptime(regexp_extract(text, '{_RX_TOMCAT}', 1), "
+    "'%d-%b-%Y %H:%M:%S') "
+    f"WHEN 'zookeeper' THEN strptime(regexp_extract(text, '{_RX_ZK}', 1), "
+    "'%Y-%m-%d %H:%M:%S') "
+    f"WHEN 'ncsa_common' THEN strptime(regexp_extract(text, "
+    f"'{_RX_NCSA_COMMON}', 4), '%d/%b/%Y:%H:%M:%S %z') AT TIME ZONE 'UTC' "
     "ELSE ts END"
 )
 

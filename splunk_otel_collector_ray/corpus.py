@@ -23,6 +23,22 @@ drawn from the log-format families whose parse semantics the reference pins
   fmt 8  continuation    examples/recombine/otel-collector-config.yml:9-23
   fmt 9  mongodb json    logs_config_linux.yaml:275-300    (t.$date ts, s map)
   fmt 10 etcd            logs_config_linux.yaml:177-200    (letter levels, |)
+  fmt 11 cassandra       logs_config_linux.yaml:93-118     (+ java stack lines
+                         exercising the multiline line_start framing :95-97;
+                         every 5th turn is a `\tat …`/`Caused by:` fragment)
+  fmt 12 jetty9          logs_config_linux.yaml:212-231    (%L ms ts)
+  fmt 13 memcached       logs_config_linux.yaml:268-274    (no operators)
+  fmt 14 mysql error     logs_config_linux.yaml:310-331    (default level map)
+  fmt 15 mysql query     logs_config_linux.yaml:337-361    (%y%m%d ts, router)
+  fmt 16 mysql slow      logs_config_linux.yaml:365-375    (`# Time:` multiline
+                         framing only, no operators; 3-line record cycle)
+  fmt 17 nginx error     logs_config_linux.yaml:390-415    (apache level map)
+  fmt 18 postgresql      logs_config_linux.yaml:417-435    (%L %Z ts)
+  fmt 19 rabbitmq        logs_config_linux.yaml:437-459    (erlang pid)
+  fmt 20 tomcat          logs_config_linux.yaml:541-564    (%d-%b-%Y ts, JULI)
+  fmt 21 zookeeper       logs_config_linux.yaml:606-628    (log4j @line)
+  fmt 22 NCSA common     logs_config_linux.yaml:255-266    (jetty9-request /
+                         tomcat access: NCSA without referer/agent)
 
 Determinism contract (shared with the DuckDB oracle in __ray_entry__.py):
 
@@ -50,7 +66,7 @@ import pyarrow.parquet as pq
 
 FIXTURE_ROOT = "/tmp/graft_fixtures"
 BASE_EPOCH_US = 1_767_225_600_000_000  # 2026-01-01T00:00:00Z
-N_FORMATS = 11
+N_FORMATS = 23
 TURNS_PER_SF = 10_000_000  # sf0.001 → 10k turns, sf0.01 → 100k, sf0.1 → 1M
 
 ROLES = np.array(["user", "assistant", "system", "tool"])
@@ -73,6 +89,29 @@ STREAMS = np.array(["stdout", "stderr"])
 MONGO_LEVELS = np.array(["F", "E", "W", "I", "D1", "D2", "D3", "D4"])
 MONGO_COMPONENTS = np.array(["NETWORK", "STORAGE", "COMMAND", "REPL"])
 ETCD_LEVELS = np.array(["C", "E", "W", "N", "I", "D", "T"])
+CASSANDRA_LEVELS = np.array(["INFO", "WARN", "ERROR", "DEBUG", "TRACE"])
+CASSANDRA_THREADS = np.array(
+    ["main", "ReadStage:1", "MutationStage:2", "GossipStage:1"])
+CASSANDRA_FILES = np.array(
+    ["CassandraDaemon", "StorageService", "ColumnFamilyStore"])
+JETTY_LEVELS = np.array(["INFO", "WARN", "DEBUG"])
+JETTY_CLASSES = np.array(
+    ["org.eclipse.jetty.server.Server", "org.eclipse.jetty.util.log",
+     "org.eclipse.jetty.io.ManagedSelector"])
+MEMCACHED_VERBS = np.array(["get", "set", "delete", "incr"])
+MYSQL_LEVELS = np.array(["Note", "Warning", "ERROR"])
+NGINX_LEVELS = np.array(
+    ["emerg", "alert", "crit", "error", "warn", "notice", "info", "debug"])
+PG_LEVELS = np.array(["LOG", "WARNING", "ERROR", "STATEMENT", "DETAIL"])
+RABBIT_LEVELS = np.array(["debug", "info", "warning", "error"])
+TOMCAT_LEVELS = np.array(["INFO", "WARNING", "SEVERE", "FINE", "CONFIG"])
+TOMCAT_THREADS = np.array(["main", "Thread-3", "http-nio-8080-exec-1"])
+TOMCAT_FUNCS = np.array(
+    ["org.apache.catalina.startup.Catalina.start",
+     "org.apache.coyote.AbstractProtocol.init"])
+ZK_LEVELS = np.array(["INFO", "WARN", "ERROR", "DEBUG"])
+ZK_THREADS = np.array(["main", "ProcessThread", "SyncThread:0"])
+ZK_CLASSES = np.array(["QuorumPeer", "ZooKeeperServer", "FileSnap"])
 
 
 def sf_name(sf_dir: str) -> str:
@@ -251,6 +290,118 @@ def build_transcripts(sf: str) -> pa.Table:
             + s(ETCD_LEVELS[(conv_seq[m] + ti64[m]) % len(ETCD_LEVELS)])
             + " | " + msg[m]
         )
+    m = fmt == 11  # cassandra logback (+ java stack-trace fragments)
+    sub = m & ((conv_seq + ti64) % 5 != 4)
+    if sub.any():
+        text[sub] = (
+            s(CASSANDRA_LEVELS[(conv_seq[sub] + ti64[sub]) % 5]) + "  ["
+            + s(CASSANDRA_THREADS[conv_seq[sub] % 4]) + "] "
+            + strf(sub, "%Y-%m-%d %H:%M:%S") + " "
+            + s(CASSANDRA_FILES[(conv_seq[sub] * 3 + ti64[sub]) % 3])
+            + ".java:" + s(100 + ti64[sub] % 900) + " - " + msg[sub]
+        )
+    sub = m & ((conv_seq + ti64) % 5 == 4)
+    if sub.any():  # fragments framed by multiline.line_start_pattern :95-97
+        cls = s(CASSANDRA_FILES[(conv_seq[sub] * 3 + ti64[sub]) % 3])
+        text[sub] = np.where(
+            ti64[sub] % 2 == 0,
+            "\tat org.apache.cassandra." + cls + ".run(" + cls + ".java:"
+            + s(100 + ti64[sub] % 900) + ")",
+            "Caused by: java.lang.RuntimeException: " + msg[sub],
+        )
+    m = fmt == 12  # jetty9 (:%L ms timestamp, colon-separated)
+    if m.any():
+        text[m] = (
+            strf(m, "%Y-%m-%d %H:%M:%S.")
+            + s(np.char.zfill(ms[m].astype(str), 3)) + ":"
+            + s(JETTY_LEVELS[(conv_seq[m] + ti64[m]) % 3]) + ":"
+            + s(JETTY_CLASSES[conv_seq[m] % 3]) + ":main: " + msg[m]
+        )
+    m = fmt == 13  # memcached -vv (no operators; raw passthrough)
+    if m.any():
+        text[m] = (
+            "<" + s(10 + conv_seq[m] % 90) + " "
+            + s(MEMCACHED_VERBS[(conv_seq[m] + ti64[m]) % 4]) + " "
+            + s(nouns[m]) + "_" + s(nnum)[m]
+        )
+    m = fmt == 14  # mysql error log
+    if m.any():
+        text[m] = (
+            strf(m, "%Y-%m-%d %H:%M:%S") + " " + s(ti64[m] % 8)
+            + " [" + s(MYSQL_LEVELS[(conv_seq[m] + ti64[m]) % 3]) + "] "
+            + msg[m]
+        )
+    m = fmt == 15  # mysql general query log (%y%m%d ts)
+    if m.any():
+        text[m] = (
+            strf(m, "%y%m%d %H:%M:%S") + "\t" + s(100 + conv_seq[m] % 900)
+            + " Query\tSELECT * FROM " + s(nouns[m]) + " WHERE id = "
+            + s(nnum)[m]
+        )
+    m = fmt == 16  # mysql slow log (no operators; `# Time:`-anchored records)
+    sub = m & ((conv_seq + ti64) % 3 == 0)
+    if sub.any():
+        text[sub] = "# Time: " + strf(sub, "%y%m%d %H:%M:%S")
+    sub = m & ((conv_seq + ti64) % 3 == 1)
+    if sub.any():
+        text[sub] = ("# User@Host: app[app] @ host-" + s(conv_seq[sub] % 8)
+                     + " []")
+    sub = m & ((conv_seq + ti64) % 3 == 2)
+    if sub.any():
+        text[sub] = ("SELECT count(*) FROM " + s(nouns[sub])
+                     + " WHERE id > " + s(nnum)[sub] + ";")
+    m = fmt == 17  # nginx error log
+    if m.any():
+        text[m] = (
+            strf(m, "%Y/%m/%d %H:%M:%S") + " ["
+            + s(NGINX_LEVELS[(conv_seq[m] + ti64[m]) % 8]) + "] "
+            + s(1000 + conv_seq[m] % 500) + "#" + s(ti64[m] % 8) + ": "
+            + msg[m]
+        )
+    m = fmt == 18  # postgresql (%L %Z ts; body keeps the level prefix)
+    if m.any():
+        text[m] = (
+            strf(m, "%Y-%m-%d %H:%M:%S.")
+            + s(np.char.zfill(ms[m].astype(str), 3)) + " UTC ["
+            + s(1000 + conv_seq[m] % 500) + "] "
+            + s(PG_LEVELS[(conv_seq[m] + ti64[m]) % 5]) + ":  " + msg[m]
+        )
+    m = fmt == 19  # rabbitmq broker log
+    if m.any():
+        text[m] = (
+            strf(m, "%Y-%m-%d %H:%M:%S.")
+            + s(np.char.zfill(ms[m].astype(str), 3)) + " ["
+            + s(RABBIT_LEVELS[(conv_seq[m] + ti64[m]) % 4]) + "] <0."
+            + s(200 + conv_seq[m] % 700) + ".0> " + msg[m]
+        )
+    m = fmt == 20  # tomcat catalina (JULI levels)
+    if m.any():
+        text[m] = (
+            strf(m, "%d-%b-%Y %H:%M:%S") + " "
+            + s(TOMCAT_LEVELS[(conv_seq[m] + ti64[m]) % 5]) + " ["
+            + s(TOMCAT_THREADS[conv_seq[m] % 3]) + "] "
+            + s(TOMCAT_FUNCS[conv_seq[m] % 2]) + " " + msg[m]
+        )
+    m = fmt == 21  # zookeeper log4j
+    if m.any():
+        text[m] = (
+            strf(m, "%Y-%m-%d %H:%M:%S") + " - "
+            + s(ZK_LEVELS[(conv_seq[m] + ti64[m]) % 4]) + "  ["
+            + s(ZK_THREADS[conv_seq[m] % 3]) + ":"
+            + s(ZK_CLASSES[(conv_seq[m] * 7 + ti64[m]) % 3]) + "@"
+            + s(100 + ti64[m] % 900) + "] - " + msg[m]
+        )
+    m = fmt == 22  # NCSA common (jetty9-request / tomcat access: no ref/agent)
+    if m.any():
+        text[m] = (
+            "10.1." + s(conv_seq[m] % 256) + "." + s(ti64[m] % 256)
+            + " - user" + s(conv_seq[m] % 50)
+            + " [" + strf(m, "%d/%b/%Y:%H:%M:%S +0000") + '] "'
+            + s(METHODS[(conv_seq[m] + ti64[m]) % len(METHODS)])
+            + " /app/" + s(nouns[m])
+            + ' HTTP/1.0" ' + s(CODES[(conv_seq[m] * 3 + ti64[m]) % len(CODES)])
+            + " " + s((conv_seq[m] * 113 + ti64[m] * 5) % 100_000)
+        )
 
     table = pa.table(
         {
@@ -266,7 +417,7 @@ def build_transcripts(sf: str) -> pa.Table:
 
 
 ROWS_PER_FILE = 100_000
-CORPUS_VERSION = "2"  # bump when the generator's output changes → regenerate
+CORPUS_VERSION = "3"  # bump when the generator's output changes → regenerate
 
 
 def _version_ok(path: str) -> bool:

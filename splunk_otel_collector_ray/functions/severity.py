@@ -50,6 +50,24 @@ APACHE_ERROR_LEVELS: dict[str, str] = {
     "trace5": "TRACE", "trace6": "TRACE", "trace7": "TRACE", "trace8": "TRACE",
 }
 
+# Stanza-style default severity aliases (case-insensitive token → level),
+# used by the chains that configure `severity: parse_from` with no custom
+# mapping table (cassandra logs_config_linux.yaml:100-101, tomcat :552-553,
+# zookeeper :617-618, jetty9 :220-221, mysql-error :320-321, rabbitmq
+# :447-448). Tokens are looked up lower-cased; unknown tokens stay unset.
+# Java-util-logging names (severe/fine/config) are included for tomcat.
+DEFAULT_LEVELS: dict[str, str] = {
+    "trace": "TRACE",
+    "debug": "DEBUG", "fine": "DEBUG", "finer": "DEBUG2", "finest": "DEBUG3",
+    "info": "INFO", "note": "INFO",
+    "notice": "INFO2", "config": "INFO2",
+    "warn": "WARN", "warning": "WARN",
+    "err": "ERROR", "error": "ERROR", "severe": "ERROR",
+    "crit": "ERROR2", "critical": "ERROR2",
+    "alert": "ERROR3",
+    "emerg": "FATAL", "fatal": "FATAL",
+}
+
 # logs_config_linux.yaml:491-497 — redis single-symbol levels.
 REDIS_LEVELS: dict[str, str] = {
     "#": "WARN",   # warning: '#'

@@ -166,9 +166,10 @@ def neardup_pairs(
     from ray.data.aggregate import Count
 
     if num_partitions is None:
-        # Dataset.join spawns one aggregator actor per partition; keep well
-        # under the CPU count so two joins can't starve the cluster
-        num_partitions = max(2, int(ray.cluster_resources().get("CPU", 8)) // 4)
+        # Dataset.join spawns one aggregator actor per partition and BOTH
+        # joins of this DAG run concurrently — keep 2·partitions well under
+        # the CPU count or the aggregators starve the map tasks (deadlock)
+        num_partitions = max(1, int(ray.cluster_resources().get("CPU", 8)) // 8)
 
     bands = ds.map_batches(
         MinHasher, fn_constructor_kwargs={"id_col": id_col,

@@ -49,6 +49,7 @@ import pyarrow.compute as pc
 
 from ..functions.severity import (
     APACHE_ERROR_LEVELS,
+    DEFAULT_LEVELS,
     ETCD_LEVELS,
     JSON_LEVEL_MAP,
     MONGODB_LEVELS,
@@ -74,6 +75,24 @@ FAMILY_ATTR_KEYS: dict[str, list[str]] = {
     "json_level": [],                  # transform deletes Level/message/time
     "pii": [],
     "plain": [],
+    "cassandra": ["thread"],           # retain: logs_config_linux.yaml:111-114
+    "java_stack": [],                  # stack fragments (multiline :95-97)
+    "jetty9": [],                      # retain only log.file.path :226-228
+    "memcached": [],                   # no operators :268-274
+    "mysql_error": [],                 # retain only log.file.path :326-328
+    "mysql_query": [],                 # retain only log.file.path :355-357
+    "mysql_slow": [],                  # no operators :365-375
+    "nginx_error": [],                 # retain only log.file.path :410-412
+    "postgresql": [],                  # retain only log.file.path :430-432
+    "rabbitmq": [],                    # retain only log.file.path :454-456
+    "tomcat": ["thread", "function"],  # retain :557-560
+    "zookeeper": ["thread", "class"],  # retain :621-624
+    # NCSA common (jetty9-request :255-266 / tomcat access :592-604): no
+    # retain op → all capture groups kept, time consumed by the ts sub-parser
+    "ncsa_common": [
+        "host", "remote_logname", "user", "method", "path",
+        "protocol", "code", "size",
+    ],
 }
 
 FAMILIES = list(FAMILY_ATTR_KEYS)
@@ -111,21 +130,100 @@ RX = {
     # etcd capnslog (logs_config_linux.yaml:180-187)
     "etcd": r"^(?P<time>.+?) (?P<level>\w) \| (?P<log>.*)$",
     "pii": r"(?P<before>.*)\d\d\d\d-\d\d\d-\d\d\d\d(?P<after>.*)",
+    # logs_config_linux.yaml:99 (cassandra regex_parser)
+    "cassandra": (
+        r"^(?P<level>\w+) +\[(?P<thread>[\w:]+)\] (?P<time>.+) "
+        r"(?P<source_file>\S+):(?P<source_line>\d+) - (?P<log>[\s\S]*)$"),
+    # logs_config_linux.yaml:216 (jetty9 regex_parser)
+    "jetty9": (
+        r"^(?P<time>[\d-]{10} [\d:.]{12}):(?P<level>\w+):"
+        r"(?P<class>[\w.]+):(?P<thread>[\w:]+?): (?P<log>.*)$"),
+    # logs_config_linux.yaml:317 (mysql-error regex_parser)
+    "mysql_error": r"^(?P<time>.+?) \d+ \[(?P<level>\w+)\] (?P<log>[\s\S]*)$",
+    # logs_config_linux.yaml:348 (mysql-query parse_query_log)
+    "mysql_query": r"^(?P<time>\d{6} [\d:.]+)\s+(?P<log>[\s\S]*)$",
+    # logs_config_linux.yaml:394 (nginx-error regex_parser)
+    "nginx_error": (
+        r"^(?P<time>.+?) \[(?P<level>\w+)\] (?P<pid>\d+)#(?P<tid>\d+): "
+        r"(?P<log>.*)$"),
+    # logs_config_linux.yaml:421 (postgresql regex_parser)
+    "postgresql": r"^(?P<time>.+?) \[(?P<pid>\d+)\] (?P<log>.*)$",
+    # logs_config_linux.yaml:443 (rabbitmq regex_parser)
+    "rabbitmq": (
+        r"^(?P<time>.+?) \[(?P<level>\w+)\] <(?P<erlang_pid>[\d.]+)> "
+        r"(?P<log>[\s\S]*)$"),
+    # logs_config_linux.yaml:548 (tomcat regex_parser)
+    "tomcat": (
+        r"^(?P<time>.+?) (?P<level>\w+) \[(?P<thread>[\w:-]+)\] "
+        r"(?P<function>\S+) (?P<log>[\s\S]*)$"),
+    # logs_config_linux.yaml:612 (zookeeper regex_parser)
+    "zookeeper": (
+        r"^(?P<time>.+?) - (?P<level>\w+) +\[(?P<thread>[\w:]+?):"
+        r"(?P<class>\w+)@(?P<line>\d+|\?)\] - (?P<log>.*)$"),
+    # logs_config_linux.yaml:259 (jetty9-request NCSA common)
+    "ncsa_common": (
+        r'^(?P<host>.+) (?P<remote_logname>.+) (?P<user>.+) '
+        r'\[(?P<time>.+)\] "(?P<method>.+) (?P<path>.+) (?P<protocol>.+)" '
+        r'(?P<code>\d+) (?P<size>\d+)$'),
+}
+
+# data-driven parse plans for the round-2 families: (ts pandas format,
+# tz-aware, strip-from-time, severity table, lower severity token, body group)
+SIMPLE_FAMILY: dict[str, tuple] = {
+    "cassandra":  ("%Y-%m-%d %H:%M:%S", False, None, DEFAULT_LEVELS, True, "log"),
+    "jetty9":     ("%Y-%m-%d %H:%M:%S.%f", False, None, DEFAULT_LEVELS, True, "log"),
+    "mysql_error": ("%Y-%m-%d %H:%M:%S", False, None, DEFAULT_LEVELS, True, "log"),
+    "mysql_query": ("%y%m%d %H:%M:%S", False, None, None, False, "log"),
+    "nginx_error": ("%Y/%m/%d %H:%M:%S", False, None, APACHE_ERROR_LEVELS,
+                    False, "log"),
+    # layout '%Y-%m-%d %H:%M:%S.%L %Z' (:426) — the %Z zone name is stripped
+    # before the strptime kernel (corpus always stamps UTC)
+    "postgresql": ("%Y-%m-%d %H:%M:%S.%f", False, " UTC", None, False, "log"),
+    "rabbitmq":   ("%Y-%m-%d %H:%M:%S.%f", False, None, DEFAULT_LEVELS, True, "log"),
+    "tomcat":     ("%d-%b-%Y %H:%M:%S", False, None, DEFAULT_LEVELS, True, "log"),
+    "zookeeper":  ("%Y-%m-%d %H:%M:%S", False, None, DEFAULT_LEVELS, True, "log"),
+    "ncsa_common": ("%d/%b/%Y:%H:%M:%S %z", True, None, None, False, None),
 }
 
 # detection, in router order (first match wins) — stanza router exprs; the
-# JSON/bracket families are cheap prefix tests, the rest anchored RE2
+# JSON/bracket families are cheap prefix tests, the rest anchored RE2.
+# The per-family patterns are mutually exclusive by construction (each is
+# anchored on a distinct timestamp/level shape), so ordering among them only
+# matters for the shared-prefix groups noted inline.
 DETECT: list[tuple[str, str, str]] = [  # (family, kind, pattern)
     ("docker", "prefix", '{"log":'),
     ("json_level", "prefix", '{"Level":'),
     ("mongodb", "prefix", '{"t":'),
     ("apache_error", "prefix", "["),
+    ("memcached", "prefix", "<"),
+    ("java_stack", "regex", r"^(\tat |Caused by: )"),
+    ("mysql_slow", "regex", r"^(# Time: |# User@Host: |SELECT )"),
     ("etcd", "regex",
      r"^\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2} [A-Z] \| "),
+    ("jetty9", "regex",
+     r"^\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}\.\d{3}:[A-Z]+:"),
+    ("postgresql", "regex",
+     r"^\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}\.\d{3} UTC \[\d+\] "),
+    ("rabbitmq", "regex",
+     r"^\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}\.\d{3} \[[a-z]+\] <"),
+    ("mysql_error", "regex",
+     r"^\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2} \d+ \[\w+\] "),
+    ("zookeeper", "regex",
+     r"^\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2} - [A-Z]+ +\["),
+    ("mysql_query", "regex", r"^\d{6} \d{2}:\d{2}:\d{2}"),
+    ("nginx_error", "regex",
+     r"^\d{4}/\d{2}/\d{2} \d{2}:\d{2}:\d{2} \[[a-z0-9]+\] \d+#\d+: "),
+    ("tomcat", "regex",
+     r"^\d{2}-[A-Z][a-z]{2}-\d{4} \d{2}:\d{2}:\d{2} [A-Z]+ \["),
+    ("cassandra", "regex", r"^[A-Z]+ +\[[\w:]+\] \d"),
     # redis router expr order: handler first (logs_config_linux.yaml:480-485)
     ("redis_handler", "regex", r"^[0-9]+:[\w-]+ \([0-9]+\) "),
     ("redis_server", "regex", r"^[0-9]+:[A-Z] "),
+    # combined NCSA before common NCSA: combined requires the trailing
+    # "referer" "agent" pair that common lines lack (and vice versa: common
+    # requires end-of-line after size) — disjoint, order kept for clarity
     ("apache_access", "regex", RX["apache_access"]),
+    ("ncsa_common", "regex", RX["ncsa_common"]),
     ("syslog", "regex", r"^[A-Z][a-z]{2} [ \d]\d \d{2}:\d{2}:\d{2} \S+ "),
     # sanitization family: any line bearing a phone-shaped token
     # (examples/otel-logs-sanitization-splunk/otel-collector-config.yml:6)
@@ -208,7 +306,9 @@ class ParseStage:
             attr_vals[family] = out
 
         for fam_code, family in enumerate(names):
-            if family == "plain":
+            if family == "plain" or family not in self.rx:
+                # raw-passthrough families (memcached, mysql_slow, java_stack)
+                # have no operator chain: body = line, no ts/severity
                 continue
             mask = codes == fam_code
             idx = np.flatnonzero(mask)
@@ -278,6 +378,23 @@ class ParseStage:
                 # EXPR(before + "XXX-XXX-XXXX" + after)
                 put_body(mask, sub, pc.binary_join_element_wise(
                     f["before"], f["after"], "XXX-XXX-XXXX"))
+            elif family in SIMPLE_FAMILY:
+                ts_fmt, tz, strip, sev_table, sev_lower, body_grp = \
+                    SIMPLE_FAMILY[family]
+                tarr = f["time"]
+                if strip:
+                    tarr = pc.replace_substring(tarr, strip, "")
+                parsed = pd.to_datetime(
+                    _np(tarr), format=ts_fmt, errors="coerce", utc=tz)
+                if tz:
+                    parsed = parsed.tz_localize(None)
+                put_ts(idx, parsed)
+                if sev_table is not None:
+                    tok = pc.utf8_lower(f["level"]) if sev_lower else f["level"]
+                    put_sev(idx, tok, sev_table)
+                if body_grp is not None:
+                    put_body(mask, sub, f[body_grp])
+                attrs_of(family, f, idx)
 
         # deterministic tool-call span ids (FIXTURES.md §2): surrogate for the
         # collector's trace/span context on tool-call turns

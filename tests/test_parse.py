@@ -160,13 +160,21 @@ def test_detection_matches_generation_arithmetic():
     t = corpus.build_transcripts("sf0.001")
     df = ParseStage()(t).to_pandas()
     conv_seq = df.conv_id.str.slice(5).astype(np.int64)
-    fmt = (conv_seq * 1000003 + df.turn_idx * 7919) % 11
+    fmt = (conv_seq * 1000003 + df.turn_idx * 7919) % corpus.N_FORMATS
     names = {0: "apache_access", 1: "apache_error", 2: "syslog", 3: "docker",
              5: "plain", 6: "pii", 7: "json_level", 8: "docker",
-             9: "mongodb", 10: "etcd"}
-    exp = np.where(fmt == 4,
-                   np.where(df.turn_idx % 2 == 0, "redis_server", "redis_handler"),
-                   pd.Series(fmt).map(names))
+             9: "mongodb", 10: "etcd", 12: "jetty9", 13: "memcached",
+             14: "mysql_error", 15: "mysql_query", 16: "mysql_slow",
+             17: "nginx_error", 18: "postgresql", 19: "rabbitmq",
+             20: "tomcat", 21: "zookeeper", 22: "ncsa_common"}
+    exp = np.where(
+        fmt == 4,
+        np.where(df.turn_idx % 2 == 0, "redis_server", "redis_handler"),
+        np.where(
+            fmt == 11,
+            np.where((conv_seq + df.turn_idx) % 5 == 4, "java_stack",
+                     "cassandra"),
+            pd.Series(fmt).map(names)))
     assert (df.log_format.to_numpy() == exp).all()
 
 
