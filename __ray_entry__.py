@@ -433,6 +433,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow")
         return recombine_fragments(ds)
 
+    def q_multiline_frame(sf):
+        # mysql-slow: `# Time:`-anchored record framing, the family's ENTIRE
+        # semantics (no operators; logs_config_linux.yaml:365-375)
+        from splunk_otel_collector_ray.stages.recombine import multiline_frame
+
+        ds = _parsed(sf).map_batches(
+            lambda t: t.filter(pc.equal(t["log_format"], "mysql_slow")),
+            batch_format="pyarrow")
+        return multiline_frame(ds, r"^# Time: ", text_col="body")
+
+    def q_java_multiline(sf):
+        # cassandra stack traces: frame RAW lines at the reference's
+        # line_start_pattern BEFORE parsing (logs_config_linux.yaml:95-97)
+        from splunk_otel_collector_ray.stages.parse import ParseStage
+        from splunk_otel_collector_ray.stages.recombine import multiline_frame
+
+        wanted = pa.array(["cassandra", "java_stack"])
+        ds = _read_transcripts(sf).map_batches(
+            ParseStage.classify_fn(), batch_format="pyarrow").map_batches(
+            lambda t: t.filter(pc.is_in(t["log_format"], value_set=wanted)),
+            batch_format="pyarrow")
+        return multiline_frame(ds, r"^[A-Z]+\s+\[[\w:]+\]\s\d",
+                               text_col="text")
+
     def q_spans(sf):
         ds = _parsed(sf).map_batches(
             lambda t: t.filter(pc.not_equal(t["span_id"], "")),
@@ -746,6 +770,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "severity_transform": q_severity_transform,
         "truncate": q_truncate,
         "recombine": q_recombine,
+        "multiline_frame": q_multiline_frame,
+        "java_multiline": q_java_multiline,
         "spans": q_spans,
         "timestamp_offset": q_timestamp_offset,
         "filter_severity": q_filter_severity,
@@ -824,6 +850,27 @@ def oracle_sql() -> dict[str, str]:
             "SELECT conv_id, record_id, string_agg(body, '' ORDER BY turn_idx) "
             "AS body, COUNT(*) AS n_fragments, bool_or(is_last) AS is_complete "
             "FROM rid GROUP BY conv_id, record_id"),
+        "multiline_frame": C + (
+            ", sl AS (SELECT conv_id, turn_idx, body, CASE WHEN body LIKE "
+            "'# Time: %' THEN 1 ELSE 0 END AS is_start FROM parsed "
+            "WHERE log_format = 'mysql_slow'), "
+            "mrid AS (SELECT *, CAST(SUM(is_start) OVER (PARTITION BY conv_id "
+            "ORDER BY turn_idx ROWS UNBOUNDED PRECEDING) AS BIGINT) "
+            "AS record_id FROM sl) "
+            "SELECT conv_id, record_id, string_agg(body, chr(10) "
+            "ORDER BY turn_idx) AS body, COUNT(*) AS n_lines FROM mrid "
+            "GROUP BY conv_id, record_id"),
+        "java_multiline": C + (
+            r", jl AS (SELECT conv_id, turn_idx, text, CASE WHEN "
+            r"regexp_matches(text, '^[A-Z]+\s+\[[\w:]+\]\s[0-9]') THEN 1 "
+            "ELSE 0 END AS is_start FROM det WHERE log_format IN "
+            "('cassandra', 'java_stack')), "
+            "jrid AS (SELECT *, CAST(SUM(is_start) OVER (PARTITION BY conv_id "
+            "ORDER BY turn_idx ROWS UNBOUNDED PRECEDING) AS BIGINT) "
+            "AS record_id FROM jl) "
+            "SELECT conv_id, record_id, string_agg(text, chr(10) "
+            "ORDER BY turn_idx) AS body, COUNT(*) AS n_lines FROM jrid "
+            "GROUP BY conv_id, record_id"),
         "spans": C + (
             "SELECT conv_id, turn_idx, tool, printf('%016x', "
             "CAST(substr(conv_id, 6) AS BIGINT) * 100000 + turn_idx) AS span_id "

@@ -152,6 +152,17 @@ def _recombine(cfg):
         ds, body_col=cfg.get("combine_field", "body")))
 
 
+@register_stage("multiline")
+def _multiline(cfg):
+    """filelog `multiline.line_start_pattern` framing
+    (logs_config_linux.yaml:95-97)."""
+    from .stages.recombine import multiline_frame
+
+    return ("dataset", lambda ds: multiline_frame(
+        ds, cfg["line_start_pattern"],
+        text_col=cfg.get("text_col", "body")))
+
+
 @register_stage("tumbling_window")
 def _tumbling(cfg):
     from .stages.windows import tumbling_counts

@@ -446,6 +446,25 @@ class ParseStage:
 
         return parse_batch
 
+    @classmethod
+    def classify_fn(cls):
+        """Router classification ONLY (log_format column on the raw text) —
+        for stages that run BEFORE parsing, like multiline framing, which in
+        the reference frames raw lines before the operator chain sees them."""
+
+        def classify_batch(batch: pa.Table) -> pa.Table:
+            if cls._singleton is None:
+                cls._singleton = cls()
+            text = batch["text"]
+            if isinstance(text, pa.ChunkedArray):
+                text = text.combine_chunks()
+            codes, names = cls._singleton.classify(text)
+            return batch.append_column("log_format", pc.take(
+                pa.array(names, type=pa.string()),
+                pa.array(codes, type=pa.int8())))
+
+        return classify_batch
+
     @staticmethod
     def _build_map(
         codes: np.ndarray, fam_names: np.ndarray,

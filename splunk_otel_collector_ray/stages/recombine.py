@@ -86,6 +86,55 @@ def recombine_fragments(
     )
 
 
+def multiline_frame(
+    ds: "ray.data.Dataset",
+    line_start_pattern: str,
+    text_col: str = "body",
+    key: str = "conv_id",
+    order: str = "turn_idx",
+    num_buckets: int = N_STITCH_BUCKETS,
+) -> "ray.data.Dataset":
+    """filelog `multiline.line_start_pattern` framing as a DATASET operator
+    (logs_config_linux.yaml:95-97 cassandra, :368-369 mysql-slow, :313-315
+    tomcat): consecutive lines of one source are grouped into one record
+    starting at each line_start match; lines before the first match form a
+    leading record (record_id 0).
+
+    Same scale shape as recombine: the is_start flag is ONE vectorized RE2
+    pass in map_batches; conversations are hash-bucketed and each bucket is
+    framed in one pandas groupby pass (record_id = inclusive prefix sum of
+    is_start — shared with the DuckDB oracle's window-function construction).
+    Output: (conv_id, record_id, body = lines joined with newline, n_lines).
+    """
+
+    def tag(t: pa.Table) -> pa.Table:
+        is_start = pa.compute.match_substring_regex(
+            t[text_col], line_start_pattern)
+        h = pd.util.hash_array(
+            t[key].to_pandas().to_numpy(dtype=object)) % num_buckets
+        return (t.select([key, order, text_col])
+                .append_column("_start", is_start)
+                .append_column("_bucket", pa.array(h.astype(np.int32))))
+
+    def frame_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, order], kind="mergesort")
+        rid = g["_start"].astype(np.int64).groupby(g[key], sort=False).cumsum()
+        g = g.assign(record_id=rid.astype(np.int64))
+        out = (
+            g.groupby([key, "record_id"], sort=True)
+            .agg(body=(text_col, "\n".join), n_lines=(text_col, "size"))
+            .reset_index()
+            .rename(columns={key: "conv_id"})
+        )
+        return out[["conv_id", "record_id", "body", "n_lines"]]
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(frame_bucket, batch_format="pandas")
+    )
+
+
 def split_multiline(text: str, line_start_pattern: str) -> list[str]:
     """filelog `multiline` framing: split a blob into records beginning at
     each line_start_pattern match (logs_config_linux.yaml:95-97). Lines before

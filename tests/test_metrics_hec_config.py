@@ -98,6 +98,27 @@ def test_split_multiline():
     assert len(recs2) == 3 and recs2[0] == "garbage\n"
 
 
+def test_multiline_frame_dataset(ray_session):
+    import ray.data
+
+    from splunk_otel_collector_ray.stages.recombine import multiline_frame
+
+    t = pa.table({
+        "conv_id": ["a", "a", "a", "a", "b", "b"],
+        "turn_idx": pa.array([0, 1, 2, 3, 0, 1], type=pa.int32()),
+        "body": ["# Time: t1", "SELECT 1;", "# Time: t2", "SELECT 2;",
+                 "stray leading line", "# Time: t3"],
+    })
+    out = multiline_frame(ray.data.from_arrow(t), r"^# Time: ").to_pandas()
+    out = out.sort_values(["conv_id", "record_id"]).reset_index(drop=True)
+    assert out.body.tolist() == [
+        "# Time: t1\nSELECT 1;", "# Time: t2\nSELECT 2;",
+        "stray leading line", "# Time: t3"]
+    # leading lines before the first anchor form record 0
+    assert out.record_id.tolist() == [1, 2, 0, 1]
+    assert out.n_lines.tolist() == [2, 2, 1, 1]
+
+
 def test_stitch_frame_vectorized():
     g = pd.DataFrame({
         "conv_id": ["a", "a", "a", "b", "b"],
