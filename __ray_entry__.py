@@ -423,6 +423,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow")
         return ds.select_columns(["conv_id", "turn_idx", "severity_text"])
 
+    def q_ottl_statements(sf):
+        # OTTL statement list: conditional set, Substring set, conditional
+        # delete_key on the attributes map (otel-logs-severity-splunk
+        # otel-collector-config.yml:33-44 semantics, compiled + vectorized)
+        from splunk_otel_collector_ray.config import build_pipeline
+        from splunk_otel_collector_ray.functions.expr import map_get
+
+        ds = build_pipeline({  # config-built pipeline driving the statements
+            "source": {"transcripts": sf},
+            "stages": [
+                {"type": "parse"},
+                {"type": "transform", "statements": [
+                    'set(severity_text, "NOTICE") where severity_number == 10',
+                    'set(body, Substring(body, 0, 16))',
+                    'delete_key(attributes, "module") '
+                    'where severity_number >= 13',
+                ]},
+            ],
+        })
+
+        def proj(t: pa.Table) -> pa.Table:
+            mod = map_get(t, "attributes", "module").fillna("")
+            return pa.table({
+                "conv_id": t["conv_id"], "turn_idx": t["turn_idx"],
+                "severity_text": t["severity_text"], "body": t["body"],
+                "module": pa.array(mod, type=pa.string()),
+            })
+
+        return ds.map_batches(proj, batch_format="pyarrow")
+
     def q_truncate(sf):
         ds = _parsed(sf).map_batches(TruncateBody(10), batch_format="pyarrow")
         return ds.select_columns(["conv_id", "turn_idx", "body"])
@@ -768,6 +798,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "enrich": q_enrich,
         "sanitize": q_sanitize,
         "severity_transform": q_severity_transform,
+        "ottl_statements": q_ottl_statements,
         "truncate": q_truncate,
         "recombine": q_recombine,
         "multiline_frame": q_multiline_frame,
@@ -840,6 +871,13 @@ def oracle_sql() -> dict[str, str]:
             "WHERE log_format = 'json_level'"),
         "truncate": C + (
             "SELECT conv_id, turn_idx, substr(body, 1, 10) AS body FROM parsed"),
+        "ottl_statements": C + (
+            "SELECT conv_id, turn_idx, "
+            "CASE WHEN severity_number = 10 THEN 'NOTICE' ELSE severity_text "
+            "END AS severity_text, substr(body, 1, 16) AS body, "
+            "CASE WHEN log_format = 'apache_error' AND severity_number < 13 "
+            f"THEN regexp_extract(text, '{_RX_APACHE_ERR}', 2) ELSE '' END "
+            "AS module FROM parsed"),
         "recombine": C + (
             ", frag AS (SELECT conv_id, turn_idx, body, ends_with(body, chr(10)) "
             "AS is_last FROM parsed WHERE log_format = 'docker'), "

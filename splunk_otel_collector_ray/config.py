@@ -82,6 +82,16 @@ def _route(cfg):
         routes, default_sink=cfg.get("default_sink", "sink_default")))
 
 
+@register_stage("transform")
+def _transform(cfg):
+    """OTTL statement list (transform processor,
+    examples/otel-logs-severity-splunk/otel-collector-config.yml:33-44):
+    {"type": "transform", "statements": ["set(x, y) where cond", …]}."""
+    from .functions.ottl import OttlTransform
+
+    return ("map_batches", OttlTransform(cfg.get("statements", [])))
+
+
 @register_stage("truncate")
 def _truncate(cfg):
     from .stages.transform import TruncateBody

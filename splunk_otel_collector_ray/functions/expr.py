@@ -47,6 +47,29 @@ def _col(batch: pa.Table, name: str):
     return batch[name].to_pandas()
 
 
+def map_get(batch: pa.Table, col: str, key: str) -> pd.Series:
+    """Vectorized ``attributes["key"]`` lookup on a map<string,string> column
+    (Arrow map_lookup kernel; null where the key is absent)."""
+    import pyarrow.compute as pc
+
+    arr = batch[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    return pc.map_lookup(arr, pa.scalar(key), "last").to_pandas()
+
+
+def _operand(node) -> "Callable[[pa.Table], pd.Series]":
+    """Compile a readable operand: a column name, or attributes["key"]."""
+    if isinstance(node, ast.Name):
+        return lambda b, c=node.id: _col(b, c)
+    if (isinstance(node, ast.Subscript) and isinstance(node.value, ast.Name)
+            and isinstance(node.slice, ast.Constant)):
+        col, key = node.value.id, node.slice.value
+        return lambda b, c=col, k=key: map_get(b, c, k)
+    raise ValueError(
+        "left side must be a column name or attributes[\"key\"]")
+
+
 def compile_predicate(expr: str) -> MaskFn:
     """Compile an expression string to a vectorized batch→bool-mask fn."""
     tree = ast.parse(expr, mode="eval").body
@@ -67,28 +90,26 @@ def compile_predicate(expr: str) -> MaskFn:
         if isinstance(node, ast.Compare):
             if len(node.ops) != 1:
                 raise ValueError("chained comparisons not supported")
-            if not isinstance(node.left, ast.Name):
-                raise ValueError("left side must be a column name")
-            colname = node.left.id
+            get = _operand(node.left)
             op = node.ops[0]
             if isinstance(op, ast.In):
                 if not isinstance(node.comparators[0], (ast.Tuple, ast.List)):
                     raise ValueError("'in' needs a literal tuple/list")
                 vals = [ast.literal_eval(e) for e in node.comparators[0].elts]
-                return lambda b, c=colname, v=vals: _col(b, c).isin(v).to_numpy()
+                return lambda b, g=get, v=vals: g(b).isin(v).to_numpy()
             lit = ast.literal_eval(node.comparators[0])
             fn = _CMP.get(type(op))
             if fn is None:
                 raise ValueError(f"unsupported operator {type(op).__name__}")
-            return lambda b, c=colname, v=lit, fn=fn: np.asarray(
-                fn(_col(b, c), v))
+            return lambda b, g=get, v=lit, fn=fn: np.asarray(
+                fn(g(b), v)) & g(b).notna().to_numpy()
         if (isinstance(node, ast.Call) and isinstance(node.func, ast.Name)
                 and node.func.id == "matches"):
-            if (len(node.args) != 2 or not isinstance(node.args[0], ast.Name)):
+            if len(node.args) != 2:
                 raise ValueError("matches(col, 'regex') expected")
-            colname = node.args[0].id
+            get = _operand(node.args[0])
             rx = re.compile(ast.literal_eval(node.args[1]))
-            return lambda b, c=colname, rx=rx: _col(b, c).str.contains(
+            return lambda b, g=get, rx=rx: g(b).str.contains(
                 rx, regex=True, na=False).to_numpy()
         raise ValueError(
             f"unsupported expression node {type(node).__name__} "

@@ -1,0 +1,245 @@
+"""OTTL statement execution — the transform processor's statement language.
+
+The reference's `transform` processor runs ordered statement lists over log
+records (citations into /root/reference):
+
+- ``set(severity_text, "DEBUG") where attributes["Level"] == "DETAIL"`` and
+  ``delete_key(attributes, "Level")``
+  (examples/otel-logs-severity-splunk/otel-collector-config.yml:33-44)
+- ``set(body, Substring(body, 0, 10))``
+  (examples/otel-logs-truncate-splunk/otel-collector-config.yml:38-42)
+
+This module compiles those statement strings into VECTORIZED batch
+transforms: the ``where`` clause reuses functions.expr's safe predicate
+compiler (extended with ``attributes["key"]`` map lookups), values are
+evaluated with Arrow/numpy kernels, and attribute-map mutation (set /
+delete_key / keep_keys) rebuilds the map<string,string> column from its flat
+key/value arrays with numpy offset arithmetic — no per-row Python.
+
+Grammar:
+    set(<target>, <value>) [where <predicate>]
+    delete_key(attributes, "key") [where <predicate>]
+    keep_keys(attributes, ["k1", "k2"]) [where <predicate>]
+  <target> := column | attributes["key"]
+  <value>  := literal | column | attributes["key"]
+            | Substring(<value>, start, length) | Concat([<value>…], sep)
+"""
+
+from __future__ import annotations
+
+import ast
+from collections.abc import Callable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .expr import compile_predicate, map_get
+
+BatchFn = Callable[[pa.Table], pa.Table]
+
+
+# --------------------------------------------------------------------------
+# map<string,string> rebuild kernels (flat-array numpy, no row loop)
+# --------------------------------------------------------------------------
+
+def _map_parts(arr) -> tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    offsets = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    keys = arr.keys.to_numpy(zero_copy_only=False)
+    items = arr.items.to_numpy(zero_copy_only=False)
+    return offsets, keys, items, len(arr)
+
+
+def _rebuild(n: int, rows: np.ndarray, keys: np.ndarray, items: np.ndarray
+             ) -> pa.Array:
+    """(row id, key, value) triples in row order → map column."""
+    counts = np.bincount(rows, minlength=n)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    return pa.MapArray.from_arrays(
+        pa.array(offsets, type=pa.int32()),
+        pa.array(keys, type=pa.string()),
+        pa.array(items, type=pa.string()))
+
+
+def map_delete_key(arr, key: str, mask: np.ndarray | None = None) -> pa.Array:
+    """Drop ``key`` entries (in masked rows only when ``mask`` given)."""
+    offsets, keys, items, n = _map_parts(arr)
+    rows = np.repeat(np.arange(n), np.diff(offsets))
+    hit = keys == key
+    if mask is not None:
+        hit &= mask[rows]
+    keep = ~hit
+    return _rebuild(n, rows[keep], keys[keep], items[keep])
+
+
+def map_keep_keys(arr, wanted: list[str],
+                  mask: np.ndarray | None = None) -> pa.Array:
+    """Project the map to ``wanted`` keys (in masked rows only)."""
+    offsets, keys, items, n = _map_parts(arr)
+    rows = np.repeat(np.arange(n), np.diff(offsets))
+    keep = np.isin(keys, np.asarray(wanted, dtype=object))
+    if mask is not None:
+        keep |= ~mask[rows]
+    return _rebuild(n, rows[keep], keys[keep], items[keep])
+
+
+def map_set_key(arr, key: str, values: np.ndarray,
+                mask: np.ndarray | None = None) -> pa.Array:
+    """Upsert ``key`` = values[row] for masked rows (append-at-end order)."""
+    offsets, keys, items, n = _map_parts(arr)
+    if mask is None:
+        mask = np.ones(n, dtype=bool)
+    rows = np.repeat(np.arange(n), np.diff(offsets))
+    keep = ~((keys == key) & mask[rows])
+    k_rows, k_keys, k_items = rows[keep], keys[keep], items[keep]
+    a_rows = np.flatnonzero(mask)
+    new_rows = np.concatenate([k_rows, a_rows])
+    new_keys = np.concatenate([k_keys, np.full(len(a_rows), key, object)])
+    new_items = np.concatenate([k_items, values[a_rows].astype(object)])
+    order = np.argsort(new_rows, kind="stable")  # kept entries sort first
+    return _rebuild(n, new_rows[order], new_keys[order], new_items[order])
+
+
+# --------------------------------------------------------------------------
+# statement compiler
+# --------------------------------------------------------------------------
+
+def _value_fn(node) -> Callable[[pa.Table], "np.ndarray | object"]:
+    """Compile a value expression → per-row numpy array (or a scalar)."""
+    if isinstance(node, ast.Constant):
+        return lambda b, v=node.value: v
+    if isinstance(node, ast.Name):
+        return lambda b, c=node.id: b[c].to_pandas().to_numpy()
+    if (isinstance(node, ast.Subscript) and isinstance(node.value, ast.Name)
+            and isinstance(node.slice, ast.Constant)):
+        col, key = node.value.id, node.slice.value
+        return lambda b, c=col, k=key: map_get(b, c, k).to_numpy()
+    if isinstance(node, ast.Call) and isinstance(node.func, ast.Name):
+        if node.func.id == "Substring":
+            inner = _value_fn(node.args[0])
+            start = ast.literal_eval(node.args[1])
+            length = ast.literal_eval(node.args[2])
+
+            def sub(b, inner=inner, start=start, length=length):
+                v = inner(b)
+                arr = v if isinstance(v, pa.Array) else pa.array(
+                    v, type=pa.string())
+                return pc.utf8_slice_codeunits(
+                    arr, start, start + length).to_numpy(zero_copy_only=False)
+
+            return sub
+        if node.func.id == "Concat":
+            if not isinstance(node.args[0], ast.List):
+                raise ValueError("Concat([v…], sep) expected")
+            parts = [_value_fn(e) for e in node.args[0].elts]
+            sep = ast.literal_eval(node.args[1])
+
+            def cat(b, parts=parts, sep=sep):
+                arrs = []
+                for p in parts:
+                    v = p(b)
+                    arrs.append(pa.array(
+                        np.full(b.num_rows, v, dtype=object)
+                        if np.isscalar(v) else v, type=pa.string()))
+                return pc.binary_join_element_wise(
+                    *arrs, sep).to_numpy(zero_copy_only=False)
+
+            return cat
+    raise ValueError(f"unsupported value expression {ast.dump(node)}")
+
+
+def _set_column(batch: pa.Table, name: str, vals, mask) -> pa.Table:
+    if name in batch.column_names:
+        col = batch[name]
+        typ = col.type
+        cur = col.to_pandas().to_numpy()
+    else:  # OTTL set creates absent fields
+        typ = pa.string()
+        cur = np.full(batch.num_rows, None, dtype=object)
+    if np.isscalar(vals) or vals is None:
+        vals = np.full(batch.num_rows, vals)
+    out = np.where(mask, vals, cur) if mask is not None else vals
+    new = pa.array(out, type=typ)
+    if name in batch.column_names:
+        return batch.set_column(batch.column_names.index(name), name, new)
+    return batch.append_column(name, new)
+
+
+def compile_statement(stmt: str) -> BatchFn:
+    """One OTTL statement string → batch transform function."""
+    if " where " in stmt:
+        call_s, cond_s = stmt.split(" where ", 1)
+        pred = compile_predicate(cond_s)
+    else:
+        call_s, pred = stmt, None
+    node = ast.parse(call_s.strip(), mode="eval").body
+    if not (isinstance(node, ast.Call) and isinstance(node.func, ast.Name)):
+        raise ValueError(f"statement must be a call: {stmt!r}")
+    fname = node.func.id
+
+    if fname == "set":
+        target, value = node.args
+        vfn = _value_fn(value)
+        if isinstance(target, ast.Name):
+            tname = target.id
+
+            def run(b, tname=tname, vfn=vfn, pred=pred):
+                return _set_column(b, tname, vfn(b),
+                                   pred(b) if pred else None)
+
+            return run
+        if (isinstance(target, ast.Subscript)
+                and isinstance(target.value, ast.Name)
+                and isinstance(target.slice, ast.Constant)):
+            mcol, key = target.value.id, target.slice.value
+
+            def run(b, mcol=mcol, key=key, vfn=vfn, pred=pred):
+                v = vfn(b)
+                vals = (np.full(b.num_rows, v, dtype=object)
+                        if np.isscalar(v) else np.asarray(v, dtype=object))
+                new = map_set_key(b[mcol], key, vals,
+                                  pred(b) if pred else None)
+                return b.set_column(b.column_names.index(mcol), mcol, new)
+
+            return run
+        raise ValueError(f"unsupported set target in {stmt!r}")
+
+    if fname == "delete_key":
+        mcol = node.args[0].id
+        key = ast.literal_eval(node.args[1])
+
+        def run(b, mcol=mcol, key=key, pred=pred):
+            new = map_delete_key(b[mcol], key, pred(b) if pred else None)
+            return b.set_column(b.column_names.index(mcol), mcol, new)
+
+        return run
+
+    if fname == "keep_keys":
+        mcol = node.args[0].id
+        wanted = ast.literal_eval(node.args[1])
+
+        def run(b, mcol=mcol, wanted=wanted, pred=pred):
+            new = map_keep_keys(b[mcol], wanted, pred(b) if pred else None)
+            return b.set_column(b.column_names.index(mcol), mcol, new)
+
+        return run
+
+    raise ValueError(f"unknown statement function {fname!r}")
+
+
+class OttlTransform:
+    """map_batches stage: ordered OTTL statement list, compiled once
+    (per actor / per worker process via ParseStage-style fn caching)."""
+
+    def __init__(self, statements: list[str]) -> None:
+        self.statements = list(statements)
+        self.fns = [compile_statement(s) for s in statements]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        for fn in self.fns:
+            batch = fn(batch)
+        return batch

@@ -1,0 +1,84 @@
+"""OTTL statement execution (functions/ottl.py) — transform processor
+statement semantics pinned against the reference examples
+(examples/otel-logs-severity-splunk/otel-collector-config.yml:33-44,
+examples/otel-logs-truncate-splunk/otel-collector-config.yml:38-42)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from splunk_otel_collector_ray.functions.expr import compile_predicate, map_get
+from splunk_otel_collector_ray.functions.ottl import (
+    OttlTransform,
+    compile_statement,
+)
+
+
+def _batch():
+    attrs = pa.array(
+        [[("Level", "DETAIL"), ("k", "1")], [("Level", "LOG")],
+         [("Level", "SEVERE")], []],
+        type=pa.map_(pa.string(), pa.string()))
+    return pa.table({
+        "body": ["hello world wide web", "b", "c", "d"],
+        "severity_text": ["", "", "", "x"],
+        "severity_number": pa.array([0, 0, 0, 9], type=pa.int8()),
+        "attributes": attrs,
+    })
+
+
+def test_reference_severity_statement_list():
+    # the exact statement list of the severity example, verbatim
+    t = OttlTransform([
+        'set(severity_text, "DEBUG") where attributes["Level"] == "DETAIL"',
+        'set(severity_text, "INFO") where attributes["Level"] == "LOG"',
+        'set(severity_text, "WARN") where attributes["Level"] == "SEVERE"',
+        'delete_key(attributes, "Level")',
+    ])(_batch())
+    assert t["severity_text"].to_pylist() == ["DEBUG", "INFO", "WARN", "x"]
+    assert t["attributes"].to_pylist() == [[("k", "1")], [], [], []]
+
+
+def test_substring_set():
+    t = compile_statement("set(body, Substring(body, 0, 10))")(_batch())
+    assert t["body"].to_pylist() == ["hello worl", "b", "c", "d"]
+
+
+def test_set_attribute_upsert_and_append():
+    t = compile_statement(
+        'set(attributes["Level"], "X") where severity_number == 0')(_batch())
+    got = [dict(r) for r in t["attributes"].to_pylist()]
+    assert got[0] == {"k": "1", "Level": "X"}
+    assert got[1] == {"Level": "X"}
+    assert got[3] == {}  # unmasked row untouched (no append)
+
+
+def test_set_creates_absent_column_and_concat():
+    t = compile_statement(
+        'set(tag, Concat([severity_text, body], "-"))')(_batch())
+    assert t["tag"].to_pylist()[3] == "x-d"
+
+
+def test_keep_keys():
+    t = compile_statement('keep_keys(attributes, ["k"])')(_batch())
+    assert t["attributes"].to_pylist() == [[("k", "1")], [], [], []]
+
+
+def test_conditional_delete_key():
+    t = compile_statement(
+        'delete_key(attributes, "Level") where severity_number == 0'
+    )(_batch())
+    lv = map_get(t, "attributes", "Level")
+    assert lv.isna().all()
+
+
+def test_predicate_on_missing_map_key_is_false():
+    m = compile_predicate('attributes["Level"] != "LOG"')(_batch())
+    # null-propagating: absent key compares false even under !=
+    assert m.tolist() == [True, False, True, False]
+
+
+def test_bad_statements_rejected():
+    for bad in ["__import__('os')", "set(body)", "frobnicate(body, 1)"]:
+        with pytest.raises((ValueError, IndexError)):
+            compile_statement(bad)
