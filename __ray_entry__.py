@@ -655,6 +655,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         })
         return grouped_count(ds, ["sink"])
 
+    def q_yaml_pipeline(sf):
+        # collector-style YAML (receivers/processors/service) with ${env:}
+        # interpolation → build_pipeline → per-sink counts; oracle shared
+        # with config_pipeline (configio.py; configsource/source.go:45-81)
+        from splunk_otel_collector_ray.configio import build_pipeline_from_yaml
+
+        path = os.path.join(
+            "/tmp", f"graft_yaml_{os.path.basename(os.path.normpath(sf))}.yaml")
+        with open(path, "w") as f:
+            f.write(
+                "receivers:\n"
+                "  filelog/transcripts:\n"
+                f"    path: ${{env:GRAFT_YAML_SF:-{sf}}}\n"
+                "service:\n"
+                "  pipelines:\n"
+                "    logs:\n"
+                "      receivers: [filelog/transcripts]\n"
+                "      processors: [parse, enrich, route]\n")
+        return grouped_count(build_pipeline_from_yaml(path), ["sink"])
+
     def q_prometheus_parse(sf):
         ds = _prom_dataset()
         from splunk_otel_collector_ray.stages.metrics import (
@@ -827,6 +847,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dim_upsert": q_dim_upsert,
         "span_metrics": q_span_metrics,
         "config_pipeline": q_config_pipeline,
+        "yaml_pipeline": q_yaml_pipeline,
         "prometheus_parse": q_prometheus_parse,
         "prometheus_histogram": q_prometheus_histogram,
         "prometheus_errors": q_prometheus_errors,
@@ -991,6 +1012,8 @@ def oracle_sql() -> dict[str, str]:
             "0)) AS sum_duration FROM d "
             "WHERE role = 'tool' AND tool <> '' GROUP BY tool"),
         "config_pipeline": C + (
+            "SELECT sink, COUNT(*) AS n FROM routed GROUP BY sink"),
+        "yaml_pipeline": C + (
             "SELECT sink, COUNT(*) AS n FROM routed GROUP BY sink"),
         "groupbyattrs": C + (
             f"SELECT 'host-' || ({_BUCKET_SQL} % 8) AS \"host.name\", "

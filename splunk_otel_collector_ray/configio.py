@@ -1,0 +1,113 @@
+"""YAML config loading + config-source interpolation (confmap layer).
+
+The reference resolves collector YAML through a provider/configsource chain
+before building pipelines: ``${env:VAR}`` values come from the envvar config
+source, ``${include:path}`` splices file contents, and the service section
+wires named receivers → processors → exporters into pipelines
+(citations into /root/reference):
+
+- ConfigSource retrieve-by-selector contract: internal/configsource/source.go:45-81
+- env/include providers: internal/configsource/{envvar,include}configsource/
+- wiring into the command: cmd/otelcol/main.go:102-116
+- collector-style pipeline shape: cmd/otelcol/config/collector/agent_config.yaml:221-264
+
+This module gives the Ray engine that surface: ``load_yaml_pipeline`` reads a
+YAML file (either the native spec schema of config.build_pipeline, or a
+collector-style document with receivers/processors/exporters + service
+section), resolves ``${env:VAR}`` / ``${env:VAR:-default}`` / ``${file:path}``
+interpolations recursively, and hands the resolved spec to build_pipeline.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any
+
+_INTERP_RX = re.compile(r"\$\{(env|file):([^}:]+)(?::-([^}]*))?\}")
+
+
+def _resolve_str(s: str, env) -> str:
+    def repl(m: "re.Match[str]") -> str:
+        kind, selector, default = m.groups()
+        if kind == "env":
+            v = env.get(selector, default)
+            if v is None:
+                raise KeyError(
+                    f"environment variable {selector!r} is not set and the "
+                    "interpolation has no ':-default'")
+            return v
+        with open(selector) as f:  # ${file:path} — include configsource
+            return f.read().strip()
+
+    return _INTERP_RX.sub(repl, s)
+
+
+def interpolate(obj: Any, env=None) -> Any:
+    """Recursively resolve config-source references in a loaded YAML tree."""
+    if env is None:
+        env = os.environ
+    if isinstance(obj, str):
+        return _resolve_str(obj, env)
+    if isinstance(obj, dict):
+        return {k: interpolate(v, env) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [interpolate(v, env) for v in obj]
+    return obj
+
+
+def collector_to_spec(doc: dict) -> dict:
+    """Collector-style YAML → native build_pipeline spec.
+
+    A document with a ``service`` section is interpreted the collector way:
+    the (single) logs pipeline names its receiver / processors / exporter;
+    component configs live under the top-level ``receivers`` / ``processors``
+    / ``exporters`` maps; the registry type is the component name up to the
+    '/' (factory-key convention, internal/components/components.go:179-364).
+    Documents without ``service`` are treated as native specs already.
+    """
+    if "service" not in doc:
+        return doc
+    pipelines = doc["service"]["pipelines"]
+    if "logs" not in pipelines:
+        raise ValueError("collector-style config needs a 'logs' pipeline")
+    pipe = pipelines["logs"]
+
+    recv_name = pipe["receivers"][0]
+    recv_cfg = (doc.get("receivers") or {}).get(recv_name) or {}
+    if recv_name.split("/")[0] in ("filelog", "transcripts"):
+        source = {"transcripts": recv_cfg["path"]}
+    else:
+        source = {"parquet": recv_cfg["path"],
+                  "columns": recv_cfg.get("columns")}
+
+    stages = []
+    for pname in pipe.get("processors", []):
+        cfg = dict((doc.get("processors") or {}).get(pname) or {})
+        cfg["type"] = pname.split("/")[0]
+        stages.append(cfg)
+
+    spec: dict = {"source": source, "stages": stages}
+    exporters = pipe.get("exporters") or []
+    if exporters:
+        exp_cfg = (doc.get("exporters") or {}).get(exporters[0]) or {}
+        if exporters[0].split("/")[0] == "file" and "path" in exp_cfg:
+            spec["sink"] = {"parquet": exp_cfg["path"],
+                            "partition_cols": exp_cfg.get("partition_cols")}
+    return spec
+
+
+def load_yaml_pipeline(path: str, env=None) -> dict:
+    """YAML file → resolved native pipeline spec (interpolations applied)."""
+    import yaml
+
+    with open(path) as f:
+        doc = yaml.safe_load(f)
+    return collector_to_spec(interpolate(doc, env))
+
+
+def build_pipeline_from_yaml(path: str, env=None):
+    """YAML file → lazy Dataset via config.build_pipeline."""
+    from .config import build_pipeline
+
+    return build_pipeline(load_yaml_pipeline(path, env))

@@ -1,0 +1,94 @@
+"""YAML config loading + env/file interpolation (configio.py) — the confmap /
+configsource layer (internal/configsource/source.go:45-81)."""
+
+import os
+import textwrap
+
+import pytest
+
+from splunk_otel_collector_ray.configio import (
+    build_pipeline_from_yaml,
+    collector_to_spec,
+    interpolate,
+    load_yaml_pipeline,
+)
+
+
+def test_env_interpolation(monkeypatch):
+    monkeypatch.setenv("GRAFT_T_DIR", "/data/x")
+    obj = {"source": {"transcripts": "${env:GRAFT_T_DIR}"},
+           "nested": ["a-${env:GRAFT_T_DIR}-b", 7]}
+    out = interpolate(obj)
+    assert out["source"]["transcripts"] == "/data/x"
+    assert out["nested"] == ["a-/data/x-b", 7]
+
+
+def test_env_default_and_missing():
+    out = interpolate({"v": "${env:GRAFT_NOT_SET_123:-fallback}"}, env={})
+    assert out["v"] == "fallback"
+    with pytest.raises(KeyError):
+        interpolate({"v": "${env:GRAFT_NOT_SET_123}"}, env={})
+
+
+def test_file_interpolation(tmp_path):
+    p = tmp_path / "secret.txt"
+    p.write_text("s3cr3t\n")
+    assert interpolate({"v": f"${{file:{p}}}"})["v"] == "s3cr3t"
+
+
+def test_collector_style_conversion():
+    doc = {
+        "receivers": {"filelog/transcripts": {"path": "/root/testdata/sf0.001"}},
+        "processors": {"transform/log": {"statements": ["set(x, 1)"]},
+                       "filter_severity": {"min": 13}},
+        "exporters": {"file/out": {"path": "/tmp/out"}},
+        "service": {"pipelines": {"logs": {
+            "receivers": ["filelog/transcripts"],
+            "processors": ["transform/log", "filter_severity"],
+            "exporters": ["file/out"],
+        }}},
+    }
+    spec = collector_to_spec(doc)
+    assert spec["source"] == {"transcripts": "/root/testdata/sf0.001"}
+    assert [s["type"] for s in spec["stages"]] == ["transform",
+                                                   "filter_severity"]
+    assert spec["stages"][0]["statements"] == ["set(x, 1)"]
+    assert spec["sink"]["parquet"] == "/tmp/out"
+
+
+def test_yaml_builds_flagship_and_matches_config_pipeline(
+        ray_session, tmp_path, monkeypatch):
+    """A YAML-loaded pipeline must produce the same per-sink counts as the
+    dict-built config_pipeline (the round-1 oracle-checked query)."""
+    from splunk_otel_collector_ray.config import build_pipeline
+    from splunk_otel_collector_ray.pipelines.aggregate import grouped_count
+
+    monkeypatch.setenv("GRAFT_YAML_SF", "/root/testdata/sf0.001")
+    yml = tmp_path / "pipeline.yaml"
+    yml.write_text(textwrap.dedent("""
+        receivers:
+          filelog/transcripts:
+            path: ${env:GRAFT_YAML_SF}
+        service:
+          pipelines:
+            logs:
+              receivers: [filelog/transcripts]
+              processors: [parse, enrich, route]
+    """))
+    ds = build_pipeline_from_yaml(str(yml))
+    got = grouped_count(ds, ["sink"]).to_pandas().sort_values("sink")
+
+    ref = build_pipeline({
+        "source": {"transcripts": "/root/testdata/sf0.001"},
+        "stages": [{"type": "parse"}, {"type": "enrich"}, {"type": "route"}],
+    })
+    exp = grouped_count(ref, ["sink"]).to_pandas().sort_values("sink")
+    assert got.reset_index(drop=True).equals(exp.reset_index(drop=True))
+
+
+def test_native_spec_yaml_passthrough(tmp_path):
+    yml = tmp_path / "native.yaml"
+    yml.write_text("source:\n  transcripts: /x\nstages:\n- type: parse\n")
+    spec = load_yaml_pipeline(str(yml))
+    assert spec == {"source": {"transcripts": "/x"},
+                    "stages": [{"type": "parse"}]}
