@@ -645,6 +645,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                  count_alias="n_calls",
                                  sum_alias="sum_duration")
 
+    def q_span_metrics_salted(sf):
+        # same aggregate as span_metrics but through the SALTED two-pass
+        # plan (hot conversations split into turn-range chunks + boundary
+        # table); thresholds sized so the corpus's hot convs actually salt
+        from splunk_otel_collector_ray.partitioning import (
+            salted_span_durations,
+        )
+
+        spans = salted_span_durations(_read_transcripts(sf),
+                                      hot_threshold=300, chunk=256)
+        return grouped_count_sum(spans, ["tool"], "duration_s",
+                                 count_alias="n_calls",
+                                 sum_alias="sum_duration")
+
     def q_config_pipeline(sf):
         from splunk_otel_collector_ray.config import build_pipeline
 
@@ -846,6 +860,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hec_envelope": q_hec,
         "dim_upsert": q_dim_upsert,
         "span_metrics": q_span_metrics,
+        "span_metrics_salted": q_span_metrics_salted,
         "config_pipeline": q_config_pipeline,
         "yaml_pipeline": q_yaml_pipeline,
         "prometheus_parse": q_prometheus_parse,
@@ -1005,6 +1020,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, event_id, event_type, value FROM events QUALIFY "
             "row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1"),
         "span_metrics": C + (
+            ", d AS (SELECT conv_id, turn_idx, role, tool, ts, LEAD(ts) OVER "
+            "(PARTITION BY conv_id ORDER BY turn_idx) AS nxt FROM raw) "
+            "SELECT tool, COUNT(*) AS n_calls, "
+            "SUM(COALESCE((epoch_us(nxt) - epoch_us(ts)) / 1000000.0, "
+            "0)) AS sum_duration FROM d "
+            "WHERE role = 'tool' AND tool <> '' GROUP BY tool"),
+        "span_metrics_salted": C + (
             ", d AS (SELECT conv_id, turn_idx, role, tool, ts, LEAD(ts) OVER "
             "(PARTITION BY conv_id ORDER BY turn_idx) AS nxt FROM raw) "
             "SELECT tool, COUNT(*) AS n_calls, "

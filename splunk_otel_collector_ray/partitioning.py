@@ -51,6 +51,92 @@ def detect_hot_keys(ds: "ray.data.Dataset", key: str,
     return set(pdf.loc[pdf["n"] > threshold_rows, key])
 
 
+def salted_span_durations(
+    ds: "ray.data.Dataset",
+    hot_threshold: int = 10_000,
+    num_buckets: int = 64,
+    chunk: int = 8192,
+    salt: int = 8,
+) -> "ray.data.Dataset":
+    """span_durations with the two-pass salted plan WIRED (SURVEY §7.5):
+    conversations longer than ``hot_threshold`` turns are split into
+    turn-range chunks spread over ``salt`` buckets, so no single grouped task
+    ever holds a whole hot conversation.
+
+    The lead (next-turn ts) is order-dependent, so chunking needs a boundary
+    fix: each hot chunk's LAST turn takes its `next ts` from the FIRST turn
+    of the conversation's next non-empty chunk. That boundary table is built
+    with per-batch partials (≤ one row per hot chunk per batch — tiny),
+    reduced on the driver, and broadcast via ``ray.put``. Pass 1 =
+    detect_hot_keys (partial counts); pass 2 = salted bucketed compute.
+    Output is row-identical to stages.metrics.span_durations.
+    """
+    import ray
+
+    from .stages.metrics import span_durations
+
+    hot = detect_hot_keys(ds, "conv_id", hot_threshold)
+    if not hot:
+        return span_durations(ds)
+
+    cols = ds.select_columns(["conv_id", "turn_idx", "role", "tool", "ts"])
+
+    # boundary table: first (min-turn) ts of every (hot conv, chunk)
+    def boundary_partial(t: pa.Table) -> pa.Table:
+        df = t.select(["conv_id", "turn_idx", "ts"]).to_pandas()
+        df = df[df["conv_id"].isin(hot)]
+        if not len(df):
+            return pa.table({"conv_id": pa.array([], type=pa.string()),
+                             "chunk_id": pa.array([], type=pa.int64()),
+                             "turn_idx": pa.array([], type=pa.int32()),
+                             "ts": pa.array([], type=pa.timestamp("us"))})
+        df["chunk_id"] = (df["turn_idx"] // chunk).astype(np.int64)
+        keep = df.loc[df.groupby(["conv_id", "chunk_id"])["turn_idx"].idxmin()]
+        return pa.Table.from_pandas(keep, preserve_index=False)
+
+    bdf = cols.map_batches(boundary_partial, batch_format="pyarrow").to_pandas()
+    bdf = bdf.loc[bdf.groupby(["conv_id", "chunk_id"])["turn_idx"].idxmin()]
+    bdf = bdf.sort_values(["conv_id", "chunk_id"])
+    # next non-empty chunk's first ts, per conv
+    nxt_first = bdf.groupby("conv_id")["ts"].shift(-1)
+    boundary = {(c, k): v for c, k, v in zip(
+        bdf["conv_id"], bdf["chunk_id"], nxt_first) if not pd.isna(v)}
+    boundary_ref = ray.put((hot, boundary))
+
+    def tag(t: pa.Table) -> pa.Table:
+        keys = t["conv_id"].to_pandas().to_numpy(dtype=object)
+        sub = t["turn_idx"].to_pandas().to_numpy() // chunk
+        b = salted_bucket(keys, sub, hot, num_buckets, salt)
+        return t.append_column("_bucket", pa.array(b))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        hot_set, bnd = ray.get(boundary_ref)
+        is_hot = g["conv_id"].isin(hot_set).to_numpy()
+        chunk_id = np.where(is_hot, g["turn_idx"].to_numpy() // chunk, -1)
+        g = g.assign(_chunk=chunk_id)
+        g = g.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        nxt = g.groupby(["conv_id", "_chunk"], sort=False)["ts"].shift(-1)
+        # boundary fix: last row of each hot chunk takes the next chunk's
+        # first ts (None at the true end of the conversation)
+        last = nxt.isna().to_numpy() & (g["_chunk"].to_numpy() >= 0)
+        if last.any():
+            fix = [bnd.get((c, k)) for c, k in zip(
+                g.loc[last, "conv_id"], g.loc[last, "_chunk"])]
+            nxt = nxt.copy()
+            nxt[last] = pd.Series(fix, index=nxt.index[last],
+                                  dtype="datetime64[us]")
+        dur = (nxt - g["ts"]).dt.total_seconds().fillna(0.0)
+        out = g.assign(duration_s=dur)
+        out = out[(out["role"] == "tool") & (out["tool"] != "")]
+        return out[["conv_id", "turn_idx", "tool", "duration_s"]]
+
+    return (
+        cols.map_batches(tag, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
 def salted_bucket(keys: np.ndarray, sub_id: np.ndarray, hot: set,
                   num_buckets: int, salt: int = 8) -> np.ndarray:
     """Bucket assignment: ``hash(key) % B`` normally; hot keys spread over

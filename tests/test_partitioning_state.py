@@ -32,6 +32,56 @@ def test_hot_convs_query_matches_oracle(ray_session, sf_dir):
     assert got == exp
 
 
+def test_salted_span_durations_equals_unsalted_on_skewed_corpus(ray_session):
+    """One conversation owns 30k of ~36k turns: the salted two-pass plan must
+    (a) return row-identical results to the plain whole-conv bucketing and
+    (b) never put the whole hot conversation into one bucket."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from splunk_otel_collector_ray.partitioning import (
+        detect_hot_keys,
+        salted_bucket,
+        salted_span_durations,
+    )
+    from splunk_otel_collector_ray.stages.metrics import span_durations
+
+    n_hot, n_cold_convs, cold_len = 30_000, 20, 300
+    conv = (["conv-hot"] * n_hot
+            + [f"conv-c{i:03d}" for i in range(n_cold_convs)
+               for _ in range(cold_len)])
+    turn = list(range(n_hot)) + list(range(cold_len)) * n_cold_convs
+    n = len(conv)
+    rng = np.random.default_rng(5)
+    role = np.where(rng.integers(0, 3, n) == 0, "tool", "assistant")
+    tool = np.where(role == "tool", "bash", "")
+    ts = pd.to_datetime(1_700_000_000_000_000
+                        + np.arange(n, dtype=np.int64) * 1_000_000, unit="us")
+    t = pa.table({"conv_id": conv,
+                  "turn_idx": pa.array(np.array(turn, dtype=np.int32)),
+                  "role": role.astype(object), "tool": tool.astype(object),
+                  "ts": pa.array(ts, type=pa.timestamp("us"))})
+    ds = ray.data.from_arrow(t).repartition(8)
+
+    plain = span_durations(ds).to_pandas().sort_values(
+        ["conv_id", "turn_idx"]).reset_index(drop=True)
+    salted = salted_span_durations(
+        ds, hot_threshold=5000, chunk=4096).to_pandas().sort_values(
+        ["conv_id", "turn_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(plain, salted)
+
+    # bound check: the hot conv's rows spread over >1 bucket, and no bucket
+    # holds more than ~2 chunks of it (chunks collide only at stride `salt`)
+    hot = detect_hot_keys(ds, "conv_id", 5000)
+    assert hot == {"conv-hot"}
+    b = salted_bucket(np.array(["conv-hot"] * n_hot, dtype=object),
+                      np.arange(n_hot) // 4096, hot, num_buckets=64)
+    counts = np.bincount(b, minlength=64)
+    assert (counts > 0).sum() >= 4
+    assert counts.max() <= 2 * 4096
+
+
 def test_salted_bucket_spreads_hot_key():
     from splunk_otel_collector_ray.partitioning import salted_bucket
 
