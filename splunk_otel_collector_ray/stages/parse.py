@@ -235,6 +235,64 @@ def _np(arr) -> np.ndarray:
     return arr.to_numpy(zero_copy_only=False)
 
 
+_MONTH_NUM = {m: f"{i:02d}" for i, m in enumerate(
+    ["Jan", "Feb", "Mar", "Apr", "May", "Jun",
+     "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"], 1)}
+
+# layouts with %a/%b/%z, where pandas' strptime is ~30× slower than numeric
+# formats — parsed on a vectorized fast path (fixed-width slice + month map +
+# numeric strptime + numeric zone offset), with a per-row strptime fallback
+# for anything the slicing mis-reads (e.g. space-padded days)
+_FAST_LAYOUTS = {
+    "%d/%b/%Y:%H:%M:%S %z", "%a %b %d %H:%M:%S %Y",
+    "%d %b %Y %H:%M:%S.%f", "%d-%b-%Y %H:%M:%S",
+}
+
+
+def _fast_strptime(raw: np.ndarray, layout: str) -> pd.Series:
+    """Fast vectorized parse for the %b-month layouts; returns naive-UTC."""
+    s = pd.Series(raw, dtype=object).fillna("").astype(str)
+
+    def mon(a: int, b: int) -> pd.Series:
+        return s.str.slice(a, b).map(_MONTH_NUM)
+
+    off = None
+    if layout == "%d/%b/%Y:%H:%M:%S %z":
+        iso = (s.str.slice(7, 11) + "-" + mon(3, 6) + "-" + s.str.slice(0, 2)
+               + " " + s.str.slice(12, 20))
+        out = pd.to_datetime(iso, format="%Y-%m-%d %H:%M:%S", errors="coerce")
+        sign = np.where(s.str.slice(21, 22) == "-", -1, 1)
+        mins = (pd.to_numeric(s.str.slice(22, 24), errors="coerce") * 60
+                + pd.to_numeric(s.str.slice(24, 26), errors="coerce"))
+        off = pd.to_timedelta(sign * mins, unit="m")
+        out = out - off
+    elif layout == "%a %b %d %H:%M:%S %Y":
+        iso = (s.str.slice(20, 24) + "-" + mon(4, 7) + "-"
+               + s.str.slice(8, 10) + " " + s.str.slice(11, 19))
+        out = pd.to_datetime(iso, format="%Y-%m-%d %H:%M:%S", errors="coerce")
+    elif layout == "%d %b %Y %H:%M:%S.%f":
+        iso = (s.str.slice(7, 11) + "-" + mon(3, 6) + "-" + s.str.slice(0, 2)
+               + " " + s.str.slice(12))
+        out = pd.to_datetime(iso, format="%Y-%m-%d %H:%M:%S.%f",
+                             errors="coerce")
+    elif layout == "%d-%b-%Y %H:%M:%S":
+        iso = (s.str.slice(7, 11) + "-" + mon(3, 6) + "-" + s.str.slice(0, 2)
+               + " " + s.str.slice(12, 20))
+        out = pd.to_datetime(iso, format="%Y-%m-%d %H:%M:%S", errors="coerce")
+    else:  # pragma: no cover - guarded by _FAST_LAYOUTS
+        raise ValueError(layout)
+
+    bad = out.isna() & (s != "")
+    if bad.any():  # slicing mis-read (non-padded day etc.) → real strptime
+        slow = pd.to_datetime(s[bad], format=layout, errors="coerce",
+                              utc="%z" in layout)
+        if getattr(slow.dt, "tz", None) is not None:
+            slow = slow.dt.tz_convert("UTC").dt.tz_localize(None)
+        out = out.copy()
+        out[bad] = slow
+    return out
+
+
 class ParseStage:
     """Arrow-native parse stage for ``map_batches`` (RE2 kernels, no row loop)."""
 
@@ -246,17 +304,31 @@ class ParseStage:
         """First-match router → (int8 family codes, family name list).
 
         Codes (not object strings) keep the hot path allocation-free; code
-        len(names) == 'plain' fallback.
+        len(names) == 'plain' fallback. Short-circuit evaluation: each
+        detect pattern only scans rows no earlier pattern claimed (first
+        match wins anyway), which cuts the RE2 row-scans from
+        #families × n to roughly the sum of the shrinking remainders —
+        the win that keeps 23 families near the 11-family parse cost.
         """
-        masks, names = [], []
-        for name, kind, pat in self.detect:
-            if kind == "prefix":
-                m = pc.starts_with(text, pat)
-            else:
-                m = pc.match_substring_regex(text, pat)
-            masks.append(_np(m))
+        n = len(text)
+        codes = np.full(n, -1, dtype=np.int16)
+        names = []
+        unclaimed = np.ones(n, dtype=bool)
+        for i, (name, kind, pat) in enumerate(self.detect):
             names.append(name)
-        codes = np.select(masks, np.arange(len(names)), default=len(names))
+            idx = np.flatnonzero(unclaimed)
+            if not len(idx):
+                continue
+            sub = text if len(idx) == n else text.take(
+                pa.array(idx, type=pa.int64()))
+            if kind == "prefix":
+                m = pc.starts_with(sub, pat)
+            else:
+                m = pc.match_substring_regex(sub, pat)
+            hit = idx[_np(m)]
+            codes[hit] = i
+            unclaimed[hit] = False
+        codes[codes < 0] = len(names)
         return codes.astype(np.int8), [*names, "plain"]
 
     # -- the batch transform ----------------------------------------------
@@ -319,13 +391,12 @@ class ParseStage:
             f = {fld.name: st.field(fld.name) for fld in st.type}
 
             if family == "apache_access":
-                put_ts(idx, pd.to_datetime(
-                    _np(f["time"]), format="%d/%b/%Y:%H:%M:%S %z",
-                    errors="coerce", utc=True).tz_localize(None))
+                put_ts(idx, _fast_strptime(
+                    _np(f["time"]), "%d/%b/%Y:%H:%M:%S %z"))
                 attrs_of(family, f, idx)
             elif family == "apache_error":
-                put_ts(idx, pd.to_datetime(
-                    _np(f["time"]), format="%a %b %d %H:%M:%S %Y", errors="coerce"))
+                put_ts(idx, _fast_strptime(
+                    _np(f["time"]), "%a %b %d %H:%M:%S %Y"))
                 put_sev(idx, f["level"], APACHE_ERROR_LEVELS)
                 put_body(mask, sub, f["log"])
                 attrs_of(family, f, idx)
@@ -345,8 +416,8 @@ class ParseStage:
                 put_body(mask, sub, pc.replace_substring(f["log"], "\\n", "\n"))
                 attrs_of(family, f, idx)
             elif family == "redis_server":
-                put_ts(idx, pd.to_datetime(
-                    _np(f["time"]), format="%d %b %Y %H:%M:%S.%f", errors="coerce"))
+                put_ts(idx, _fast_strptime(
+                    _np(f["time"]), "%d %b %Y %H:%M:%S.%f"))
                 put_sev(idx, f["level"], REDIS_LEVELS)
                 put_body(mask, sub, f["log"])
                 attrs_of(family, f, idx)
@@ -384,10 +455,13 @@ class ParseStage:
                 tarr = f["time"]
                 if strip:
                     tarr = pc.replace_substring(tarr, strip, "")
-                parsed = pd.to_datetime(
-                    _np(tarr), format=ts_fmt, errors="coerce", utc=tz)
-                if tz:
-                    parsed = parsed.tz_localize(None)
+                if ts_fmt in _FAST_LAYOUTS:
+                    parsed = _fast_strptime(_np(tarr), ts_fmt)
+                else:
+                    parsed = pd.to_datetime(
+                        _np(tarr), format=ts_fmt, errors="coerce", utc=tz)
+                    if tz:
+                        parsed = parsed.tz_localize(None)
                 put_ts(idx, parsed)
                 if sev_table is not None:
                     tok = pc.utf8_lower(f["level"]) if sev_lower else f["level"]
