@@ -36,6 +36,7 @@ from splunk_otel_collector_ray.functions.severity import (
     SEVERITY_NUMBER,
 )
 from splunk_otel_collector_ray.stages.enrich import NAMESPACES, PROVIDERS
+from splunk_otel_collector_ray.stages.parse import FAMILY_ATTR_KEYS
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
@@ -520,6 +521,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         kept = tail_sample_conversations(ds, is_err)
         return kept.select_columns(["conv_id", "turn_idx"])
 
+    def q_tail_policies(sf):
+        # tail_sampling POLICY TABLE: numeric_attribute OR string_attribute
+        # OR latency OR probabilistic, per conversation (components.go:335)
+        from splunk_otel_collector_ray.stages.sample import (
+            LatencyPolicy,
+            NumericAttributePolicy,
+            ProbabilisticPolicy,
+            StringAttributePolicy,
+            tail_sample_policies,
+        )
+
+        kept = tail_sample_policies(_routed(sf), [
+            NumericAttributePolicy("severity_number", 17, 24),
+            StringAttributePolicy("tool", ("browser",)),
+            LatencyPolicy(1800, ts_col="observed_ts"),
+            ProbabilisticPolicy(10),
+        ])
+        return kept.select_columns(["conv_id", "turn_idx"])
+
     # ---- events (count/sum connectors, filters, windows, delta) ----------
 
     def q_events_count(sf):
@@ -720,6 +740,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return grouped_count(build_logs_dataset(sf), ["host.name"])
 
+    def q_groupbyattrs_regroup(sf):
+        # record-regrouping groupbyattrs: promote `program` (syslog) to
+        # resource scope, delete it from the record map; attrs_left proves
+        # the map compaction (oracle generated from FAMILY_ATTR_KEYS)
+        from splunk_otel_collector_ray.stages.attributes import group_by_attrs
+
+        ds = group_by_attrs(_parsed(sf), ["program"])
+
+        def proj(t: pa.Table) -> pa.Table:
+            arr = t["attributes"]
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            # map length = offset diffs (no list_value_length kernel for map)
+            off = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({
+                "conv_id": t["conv_id"], "turn_idx": t["turn_idx"],
+                "program": t["program"],
+                "attrs_left": pa.array(np.diff(off), type=pa.int64()),
+            })
+
+        return ds.map_batches(proj, batch_format="pyarrow")
+
     def q_conv_sampler(sf):
         # probabilistic sampler keyed on the conversation (trace-id hashing
         # analogue): whole conversations kept or dropped together
@@ -842,6 +884,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_severity": q_filter_severity,
         "sampler": q_sampler,
         "tail_sample": q_tail_sample,
+        "tail_policies": q_tail_policies,
         "events_count": q_events_count,
         "events_sum": q_events_sum,
         "events_filtered": q_events_filtered,
@@ -867,6 +910,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prometheus_histogram": q_prometheus_histogram,
         "prometheus_errors": q_prometheus_errors,
         "groupbyattrs": q_groupbyattrs,
+        "groupbyattrs_regroup": q_groupbyattrs_regroup,
         "conv_sampler": q_conv_sampler,
         "distinct_convs": q_distinct_convs,
         "topk_per_sink": q_topk_per_sink,
@@ -961,6 +1005,18 @@ def oracle_sql() -> dict[str, str]:
         "tail_sample": C + (
             "SELECT conv_id, turn_idx FROM routed WHERE conv_id IN "
             "(SELECT DISTINCT conv_id FROM routed WHERE severity_number >= 17)"),
+        "tail_policies": C + (
+            ", tflags AS (SELECT conv_id, "
+            "max(CASE WHEN severity_number BETWEEN 17 AND 24 THEN 1 ELSE 0 "
+            "END) AS f1, "
+            "max(CASE WHEN tool = 'browser' THEN 1 ELSE 0 END) AS f2, "
+            "CASE WHEN epoch(max(ts)) - epoch(min(ts)) >= 1800 THEN 1 ELSE 0 "
+            "END AS f3, "
+            "CASE WHEN (CAST(substr(conv_id, 6) AS BIGINT) * 2654435761) "
+            "% 100 < 10 THEN 1 ELSE 0 END AS f4 "
+            "FROM routed GROUP BY conv_id) "
+            "SELECT r.conv_id, r.turn_idx FROM routed r JOIN tflags f "
+            "ON r.conv_id = f.conv_id WHERE f.f1 + f.f2 + f.f3 + f.f4 > 0"),
         "events_count": (
             "SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type"),
         "events_sum": (
@@ -1040,6 +1096,15 @@ def oracle_sql() -> dict[str, str]:
         "groupbyattrs": C + (
             f"SELECT 'host-' || ({_BUCKET_SQL} % 8) AS \"host.name\", "
             "COUNT(*) AS n FROM raw GROUP BY 1"),
+        "groupbyattrs_regroup": C + (
+            "SELECT conv_id, turn_idx, "
+            "CASE WHEN log_format = 'syslog' THEN "
+            f"regexp_extract(text, '{_RX_SYSLOG}', 3) ELSE '' END AS program, "
+            "CAST(CASE log_format "
+            + " ".join(
+                f"WHEN '{fam}' THEN {len([k for k in ks if k != 'program'])}"
+                for fam, ks in FAMILY_ATTR_KEYS.items() if fam != "plain")
+            + " ELSE 0 END AS BIGINT) AS attrs_left FROM parsed"),
         "conv_sampler": C + (
             "SELECT conv_id, turn_idx FROM raw WHERE "
             "(CAST(substr(conv_id, 6) AS BIGINT) * 2654435761) % 100 < 20"),

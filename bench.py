@@ -115,7 +115,8 @@ def run_scaling() -> dict:
     scaling_sf = os.environ.get("GRAFT_SCALING_SF_DIR", "/root/testdata/sf1.6")
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=scaling_sf)
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_SF_DIR=scaling_sf, GRAFT_BENCH_INNER="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)], env=env,
             capture_output=True, text=True, check=True,
@@ -141,4 +142,12 @@ if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
-        print(json.dumps(run_bench()))
+        result = run_bench()
+        # the plain (driver-recorded) run carries the two-parallelism scaling
+        # evidence too, so BENCH_r{N}.json documents the ≥0.8 criterion;
+        # inner subprocess runs (GRAFT_BENCH_INNER) must not recurse, and
+        # GRAFT_SKIP_SCALING opts out for quick local iteration
+        if (not os.environ.get("GRAFT_BENCH_INNER")
+                and not os.environ.get("GRAFT_SKIP_SCALING")):
+            result["scaling"] = run_scaling()
+        print(json.dumps(result))

@@ -107,6 +107,38 @@ class AttributesStage:
         return df
 
 
+def group_by_attrs(ds, keys: list[str], map_col: str = "attributes"):
+    """`groupbyattrs` processor with real record-regrouping semantics
+    (/root/reference/internal/components/components.go:324): the listed
+    RECORD attributes move to RESOURCE scope and records sharing the new
+    resource identity compact under it.
+
+    Columnar expression: each key is promoted from the attributes map to a
+    real column (Arrow map_lookup, "" when absent) and deleted from the
+    record-scope map (flat-array rebuild, functions/ottl.py); the promoted
+    columns ARE the resource identity — any downstream groupby / partition /
+    write on them is the ResourceLogs compaction, with no row shuffle here.
+    """
+    import pyarrow.compute as _pc
+
+    from ..functions.expr import map_get
+    from ..functions.ottl import map_delete_key
+
+    def fn(batch: pa.Table) -> pa.Table:
+        for k in keys:
+            vals = map_get(batch, map_col, k).fillna("")
+            batch = batch.append_column(k, pa.array(vals, type=pa.string()))
+            arr = batch[map_col]
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            batch = batch.set_column(
+                batch.column_names.index(map_col), map_col,
+                map_delete_key(arr, k))
+        return batch
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def extra_dimensions_merge(batch: pa.Table, extra: dict[str, str]) -> pa.Table:
     """extraDimensions merge: static dims OVERRIDE the record's own values
     (output.go:256-259) — i.e. upsert of constant columns."""

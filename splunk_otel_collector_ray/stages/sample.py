@@ -18,6 +18,8 @@ a semi-join via broadcast, not a full-row shuffle (ray_guide: semi/anti join).
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -43,6 +45,117 @@ def probabilistic_sample(ds: "ray.data.Dataset", pct: int) -> "ray.data.Dataset"
         return batch.filter(pa.array(sample_mask(conv, turn, pct)))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+@dataclass
+class StringAttributePolicy:
+    """Sample if any turn's ``column`` is in ``values`` (string_attribute)."""
+
+    column: str
+    values: tuple
+
+    def flag(self, df: pd.DataFrame) -> pd.Series:
+        return df[self.column].isin(self.values)
+
+
+@dataclass
+class NumericAttributePolicy:
+    """Sample if any turn's ``column`` is within [min, max]
+    (numeric_attribute)."""
+
+    column: str
+    min_value: float
+    max_value: float
+
+    def flag(self, df: pd.DataFrame) -> pd.Series:
+        return df[self.column].astype("float64").between(
+            self.min_value, self.max_value)
+
+
+@dataclass
+class LatencyPolicy:
+    """Sample if the conversation spans ≥ threshold_s seconds (latency
+    policy; trace duration analogue). Needs per-conv (min ts, max ts) —
+    mergeable partials, no row shuffle."""
+
+    threshold_s: float
+    ts_col: str = "observed_ts"
+
+
+@dataclass
+class ProbabilisticPolicy:
+    """Sample ``pct`` % of conversations by deterministic id hash."""
+
+    pct: int
+
+
+class AlwaysPolicy:
+    """Unconditional sample (always_sample)."""
+
+
+def tail_sample_policies(
+    ds: "ray.data.Dataset", policies: list, key: str = "conv_id"
+) -> "ray.data.Dataset":
+    """tail_sampling with a composable POLICY TABLE (components.go:335; the
+    upstream processor's policy set) — decision = OR across policies, the
+    unit is the whole conversation (trace analogue).
+
+    Scale shape: every scanning policy reduces to mergeable per-conv
+    partials inside map_batches (any-match flags, min/max ts), so only one
+    tiny row per conversation per batch shuffles; the final keep-set is
+    broadcast back as a semi-join filter. (At extreme key cardinality swap
+    the broadcast for a keyed semi-join — same partial table.)
+    """
+    from ray.data.aggregate import Max, Min
+
+    flag_pols = [p for p in policies if hasattr(p, "flag")]
+    lat_pols = [p for p in policies if isinstance(p, LatencyPolicy)]
+    prob_pols = [p for p in policies if isinstance(p, ProbabilisticPolicy)]
+    always = any(isinstance(p, AlwaysPolicy) for p in policies)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        gk = df[key]
+        out = pd.DataFrame({key: pd.unique(gk)}).set_index(key)
+        for i, p in enumerate(flag_pols):
+            out[f"_f{i}"] = p.flag(df).groupby(gk, sort=False).max().astype(
+                np.int8)
+        for j, p in enumerate(lat_pols):
+            out[f"_lmin{j}"] = df[p.ts_col].groupby(gk, sort=False).min()
+            out[f"_lmax{j}"] = df[p.ts_col].groupby(gk, sort=False).max()
+        return pa.Table.from_pandas(out.reset_index(), preserve_index=False)
+
+    aggs = [Max(f"_f{i}", alias_name=f"_f{i}")
+            for i in range(len(flag_pols))]
+    for j in range(len(lat_pols)):
+        aggs += [Min(f"_lmin{j}", alias_name=f"_lmin{j}"),
+                 Max(f"_lmax{j}", alias_name=f"_lmax{j}")]
+    reduced = (ds.map_batches(partial, batch_format="pyarrow")
+               .groupby(key).aggregate(*aggs).to_pandas())
+
+    decision = np.zeros(len(reduced), dtype=bool)
+    if always:
+        decision |= True
+    for i in range(len(flag_pols)):
+        decision |= reduced[f"_f{i}"].to_numpy() > 0
+    for j, p in enumerate(lat_pols):
+        span = (reduced[f"_lmax{j}"] - reduced[f"_lmin{j}"]).dt.total_seconds()
+        decision |= span.to_numpy() >= p.threshold_s
+    for p in prob_pols:
+        seq = reduced[key].str.slice(5).astype(np.int64).to_numpy()
+        decision |= (seq * KNUTH) % 100 < p.pct
+    kept = set(reduced.loc[decision, key])
+    kept_ref = ray.put(kept)
+
+    class Filter:
+        def __init__(self) -> None:
+            self.kept = ray.get(kept_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mask = batch[key].to_pandas().isin(self.kept).to_numpy()
+            return batch.filter(pa.array(mask))
+
+    return ds.map_batches(Filter, batch_format="pyarrow", concurrency=(1, 8))
 
 
 def tail_sample_conversations(
