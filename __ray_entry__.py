@@ -561,12 +561,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             includes=[OverridableFilter(metric_names=["click"])],
         )
 
-        def fn(batch: pa.Table) -> pa.Table:
-            df = batch.to_pandas()
-            return pa.Table.from_pandas(
-                df[fs.keep_mask(df, name_col="event_type")], preserve_index=False)
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            return df[fs.keep_mask(df, name_col="event_type")]
 
-        ds = _table(sf, "events").map_batches(fn, batch_format="pyarrow")
+        ds = _table(sf, "events").map_batches(fn, batch_format="pandas")
         return grouped_count(ds, ["event_type"])
 
     def q_events_window(sf):

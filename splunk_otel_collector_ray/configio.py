@@ -97,17 +97,66 @@ def collector_to_spec(doc: dict) -> dict:
     return spec
 
 
-def load_yaml_pipeline(path: str, env=None) -> dict:
-    """YAML file → resolved native pipeline spec (interpolations applied)."""
+# --- confmap converters (programmatic config rewrites before build) --------
+# The reference runs a converter chain over the resolved confmap before the
+# service starts (internal/configconverter/, wired cmd/otelcol/main.go:102-110)
+# — e.g. overwrite_properties.go:37-41 applies --set key=value dot-paths and
+# disable_excessive_internal_metrics.go:81-85 prunes config subtrees.
+
+def overwrite_properties(props: dict[str, Any]):
+    """Converter factory: ``{"stages.0.n": 5, "source.transcripts": "/x"}``
+    dot-paths overwrite spec values (list indices are numeric segments) —
+    the --set flag semantics of overwrite_properties.go:37-41."""
+
+    def convert(spec: dict) -> dict:
+        import copy
+
+        spec = copy.deepcopy(spec)
+        for path, value in props.items():
+            parts = path.split(".")
+            node = spec
+            for p in parts[:-1]:
+                node = node[int(p)] if isinstance(node, list) else \
+                    node.setdefault(p, {})
+            last = parts[-1]
+            if isinstance(node, list):
+                node[int(last)] = value
+            else:
+                node[last] = value
+        return spec
+
+    return convert
+
+
+def remove_stages(stage_type: str):
+    """Converter factory: drop every stage of a type (the prune-subtree
+    shape of disable_excessive_internal_metrics.go:81-85)."""
+
+    def convert(spec: dict) -> dict:
+        spec = dict(spec)
+        spec["stages"] = [s for s in spec.get("stages", [])
+                          if s.get("type") != stage_type]
+        return spec
+
+    return convert
+
+
+def load_yaml_pipeline(path: str, env=None, converters=()) -> dict:
+    """YAML file → resolved native pipeline spec: interpolations applied,
+    collector-style documents converted, then the converter chain run in
+    order (main.go:102-110 wiring)."""
     import yaml
 
     with open(path) as f:
         doc = yaml.safe_load(f)
-    return collector_to_spec(interpolate(doc, env))
+    spec = collector_to_spec(interpolate(doc, env))
+    for conv in converters:
+        spec = conv(spec)
+    return spec
 
 
-def build_pipeline_from_yaml(path: str, env=None):
+def build_pipeline_from_yaml(path: str, env=None, converters=()):
     """YAML file → lazy Dataset via config.build_pipeline."""
     from .config import build_pipeline
 
-    return build_pipeline(load_yaml_pipeline(path, env))
+    return build_pipeline(load_yaml_pipeline(path, env, converters))

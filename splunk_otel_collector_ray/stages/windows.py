@@ -50,9 +50,10 @@ def sliding_counts(
 ) -> "ray.data.Dataset":
     """Per (keys…, window_start) count for overlapping windows.
 
-    Each event belongs to ``size/slide`` windows; the expansion is a numpy
-    repeat inside the partial stage, and only the per-batch partial rows
-    (≤ groups × k) reach the shuffle.
+    Each event belongs to ``size/slide`` windows; the k-fold copy happens on
+    the per-row key frame INSIDE the batch (memory bounded by k × batch
+    size) before an in-batch groupby, so only the per-batch partial rows
+    (≤ groups × k) ever reach the shuffle.
     """
     assert size_s % slide_s == 0, "size must be a multiple of slide"
     k = size_s // slide_s

@@ -86,6 +86,24 @@ def test_yaml_builds_flagship_and_matches_config_pipeline(
     assert got.reset_index(drop=True).equals(exp.reset_index(drop=True))
 
 
+def test_converter_chain(tmp_path):
+    from splunk_otel_collector_ray.configio import (
+        overwrite_properties,
+        remove_stages,
+    )
+
+    yml = tmp_path / "native.yaml"
+    yml.write_text(
+        "source:\n  transcripts: /x\n"
+        "stages:\n- type: parse\n- type: truncate\n  n: 10\n- type: route\n")
+    spec = load_yaml_pipeline(str(yml), converters=[
+        overwrite_properties({"stages.1.n": 5, "source.transcripts": "/y"}),
+        remove_stages("route"),
+    ])
+    assert spec["source"]["transcripts"] == "/y"
+    assert spec["stages"] == [{"type": "parse"}, {"type": "truncate", "n": 5}]
+
+
 def test_native_spec_yaml_passthrough(tmp_path):
     yml = tmp_path / "native.yaml"
     yml.write_text("source:\n  transcripts: /x\nstages:\n- type: parse\n")
