@@ -217,6 +217,32 @@ _SINK_SQL = (
 )
 
 
+def _langid_sql() -> str:
+    """DuckDB replica of stages/text_analysis.LangIdStage: per-language
+    stopword-hit counts (same alternations, generated from LANG_STOPWORDS),
+    argmax with first-language-wins ties, 'unk' when all zero."""
+    from splunk_otel_collector_ray.stages.text_analysis import LANG_STOPWORDS
+
+    langs = list(LANG_STOPWORDS)  # dict order == engine's argmax axis order
+    counts = ", ".join(
+        "CAST(length(regexp_extract_all(lower(text), '\\b(?:"
+        + "|".join(sorted(LANG_STOPWORDS[lang]))
+        + f")\\b')) AS BIGINT) AS c_{lang}"
+        for lang in langs)
+    # np.argmax keeps the FIRST max → lang i wins iff c_i >= c_j for all j>i
+    # and c_i > c_k for all k<i (strictly beaten by no earlier language)
+    arms = []
+    for i, lang in enumerate(langs):
+        conds = [f"c_{lang} > 0"]
+        conds += [f"c_{lang} > c_{langs[k]}" for k in range(i)]
+        conds += [f"c_{lang} >= c_{langs[j]}" for j in range(i + 1, len(langs))]
+        arms.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return (
+        f"WITH lc AS (SELECT doc_id, {counts} FROM documents) "
+        f"SELECT doc_id, CASE {' '.join(arms)} ELSE 'unk' END AS pred_lang "
+        "FROM lc")
+
+
 def _oracle_cte(tglob: str = ORACLE_TGLOB) -> str:
     """Shared CTE prefix replicating parse→route over the transcript corpus."""
     return (
@@ -1048,6 +1074,7 @@ def oracle_sql() -> dict[str, str]:
             f"CAST(length(regexp_extract_all(text, '{bpe}')) AS BIGINT) "
             "AS n_bpe_tokens, CAST(length(text) AS BIGINT) AS n_chars_actual "
             "FROM documents"),
+        "docs_langid": _langid_sql(),
         "docs_quality": (
             "SELECT doc_id, (length(text) - length(regexp_replace(text, "
             "'[A-Za-z]', '', 'g'))) / CAST(length(text) AS DOUBLE) AS "
