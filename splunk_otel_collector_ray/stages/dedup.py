@@ -29,21 +29,56 @@ from ray.data.aggregate import Count, Min
 MERSENNE = (1 << 61) - 1
 
 
-def _token_hashes(text: pd.Series, n: int = 5) -> list[np.ndarray]:
-    """Per-doc arrays of hashed character n-gram shingles (vectorized-ish:
-    one pass per doc over a numpy view; no Python-level char loops)."""
-    out = []
-    for s in text.fillna(""):
-        b = np.frombuffer(s.encode("utf-8", "ignore"), dtype=np.uint8)
-        if len(b) < n:
-            out.append(np.array([0], dtype=np.uint64))
-            continue
-        # rolling polynomial hash over byte n-grams, fully vectorized
-        win = np.lib.stride_tricks.sliding_window_view(b, n).astype(np.uint64)
-        coef = (np.uint64(257) ** np.arange(n, dtype=np.uint64)) % np.uint64(MERSENNE)
+def _flat_token_hashes(text: pd.Series, n: int = 5
+                       ) -> tuple[np.ndarray, np.ndarray]:
+    """Hashed character n-gram shingles for a WHOLE batch in one pass:
+    all docs concatenated into one byte buffer, one sliding-window
+    polynomial-hash sweep, windows crossing doc boundaries masked out,
+    per-doc sorted-unique via a single lexsort — no Python loop over docs
+    (the batch's main CPU sink at dedup scale). Docs shorter than ``n``
+    contribute the single sentinel hash 0 (matching the per-doc variant).
+
+    Returns (flat sorted-unique hashes, per-doc offsets of length D+1).
+    """
+    filled = text.fillna("")
+    enc = [s.encode("utf-8", "ignore") for s in filled]
+    D = len(enc)
+    if D == 0:
+        return np.array([], dtype=np.uint64), np.zeros(1, dtype=np.int64)
+    lens = np.fromiter((len(b) for b in enc), np.int64, D)
+    total = int(lens.sum())
+    if total >= n:
+        buf = np.frombuffer(b"".join(enc), dtype=np.uint8)
+        coef = (np.uint64(257) ** np.arange(n, dtype=np.uint64)) \
+            % np.uint64(MERSENNE)
+        win = np.lib.stride_tricks.sliding_window_view(buf, n).astype(np.uint64)
         h = (win * coef).sum(axis=1) % np.uint64(MERSENNE)
-        out.append(np.unique(h))
-    return out
+        byte_doc = np.repeat(np.arange(D), lens)
+        valid = byte_doc[:total - n + 1] == byte_doc[n - 1:]
+        wdoc = byte_doc[:total - n + 1][valid]
+        h = h[valid]
+    else:
+        wdoc = np.array([], dtype=np.int64)
+        h = np.array([], dtype=np.uint64)
+    shorts = np.flatnonzero(lens < n)
+    if len(shorts):
+        wdoc = np.concatenate([wdoc, shorts])
+        h = np.concatenate([h, np.zeros(len(shorts), dtype=np.uint64)])
+    order = np.lexsort((h, wdoc))
+    wdoc, h = wdoc[order], h[order]
+    keep = np.ones(len(h), dtype=bool)
+    keep[1:] = (wdoc[1:] != wdoc[:-1]) | (h[1:] != h[:-1])
+    wdoc, h = wdoc[keep], h[keep]
+    offsets = np.zeros(D + 1, dtype=np.int64)
+    np.cumsum(np.bincount(wdoc, minlength=D), out=offsets[1:])
+    return h, offsets
+
+
+def _token_hashes(text: pd.Series, n: int = 5) -> list[np.ndarray]:
+    """Per-doc sorted-unique shingle-hash arrays (views into the flat
+    batch-level arrays of _flat_token_hashes)."""
+    h, offsets = _flat_token_hashes(text, n)
+    return [h[offsets[i]:offsets[i + 1]] for i in range(len(offsets) - 1)]
 
 
 def add_content_hash(batch: pa.Table, col: str = "text",
@@ -133,13 +168,9 @@ def shingle_hash_rows(batch: pa.Table, id_col: str = "doc_id",
     ONCE per doc. Binary (not list) because it's the payload of the
     candidate-verification hash JOIN and Acero joins only carry fixed-width /
     binary non-key fields."""
-    hs = _token_hashes(batch[text_col].to_pandas(), shingle)
-    lens = np.fromiter((len(h) for h in hs), dtype=np.int64, count=len(hs))
-    offsets = np.zeros(len(hs) + 1, dtype=np.int64)
-    np.cumsum(lens, out=offsets[1:])
-    flat = (np.concatenate(hs) if hs else np.array([], dtype=np.uint64))
+    flat, offsets = _flat_token_hashes(batch[text_col].to_pandas(), shingle)
     hashes = pa.Array.from_buffers(
-        pa.large_binary(), len(hs),
+        pa.large_binary(), len(offsets) - 1,
         [None, pa.py_buffer((offsets * 8).tobytes()),
          pa.py_buffer(flat.astype("<u8").tobytes())])
     return pa.table({id_col: batch[id_col], "hashes": hashes})

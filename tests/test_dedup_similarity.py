@@ -6,6 +6,29 @@ import pyarrow as pa
 import pytest
 
 
+def test_flat_token_hashes_equals_per_doc_reference():
+    from splunk_otel_collector_ray.stages.dedup import MERSENNE, _token_hashes
+
+    docs = pd.Series(["hello world, hello", "tiny", "", "abcd",
+                      "the quick brown fox " * 3, None])
+    got = _token_hashes(docs, 5)
+
+    # naive per-doc recomputation (the pre-r2 implementation)
+    exp = []
+    for s in docs.fillna(""):
+        b = np.frombuffer(s.encode("utf-8", "ignore"), dtype=np.uint8)
+        if len(b) < 5:
+            exp.append(np.array([0], dtype=np.uint64))
+            continue
+        win = np.lib.stride_tricks.sliding_window_view(b, 5).astype(np.uint64)
+        coef = (np.uint64(257) ** np.arange(5, dtype=np.uint64)) \
+            % np.uint64(MERSENNE)
+        exp.append(np.unique((win * coef).sum(axis=1) % np.uint64(MERSENNE)))
+    assert len(got) == len(exp)
+    for g, e in zip(got, exp):
+        assert np.array_equal(g, e)
+
+
 def test_neardup_pairs_finds_planted_dups(ray_session):
     import ray.data
 
