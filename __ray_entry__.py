@@ -666,6 +666,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_emb_ann_topk(sf):
         return ann_topk(_table(sf, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=5)
 
+    def q_emb_neardup(sf):
+        # exact embedding-cosine near-dup pairs (dedup family, brief req)
+        from splunk_otel_collector_ray.stages.similarity import (
+            embedding_neardup_pairs,
+        )
+
+        return embedding_neardup_pairs(_table(sf, "embeddings"),
+                                       threshold=0.45)
+
+    def q_stratified_sample(sf):
+        # deterministic per-stratum k-sample (reservoir analogue)
+        from splunk_otel_collector_ray.stages.sample import stratified_sample
+
+        return stratified_sample(_table(sf, "events"), ["event_type"],
+                                 k=100, id_col="event_id")
+
     def q_hec(sf):
         from splunk_otel_collector_ray.pipelines.logs import build_logs_dataset
         from splunk_otel_collector_ray.stages.hec import HecProjection
@@ -923,6 +939,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_fingerprint": q_docs_fingerprint,
         "docs_minhash_groups": q_docs_minhash_groups,
         "emb_ann_topk": q_emb_ann_topk,
+        "emb_neardup": q_emb_neardup,
+        "stratified_sample": q_stratified_sample,
         "multimodal_features": q_multimodal_features,
         "hec_envelope": q_hec,
         "dim_upsert": q_dim_upsert,
@@ -1090,6 +1108,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT query_id, vec_id, sim FROM sims "
             "QUALIFY row_number() OVER (PARTITION BY query_id "
             "ORDER BY sim DESC, vec_id) <= 5"),
+        "emb_neardup": (
+            "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+            "FROM embeddings) "
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+            "list_cosine_similarity(a.v, b.v) AS sim "
+            "FROM e a JOIN e b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.v, b.v) >= 0.45"),
+        "stratified_sample": (
+            "SELECT event_type, event_id FROM events QUALIFY row_number() "
+            "OVER (PARTITION BY event_type ORDER BY "
+            "(event_id * 2654435761) % 2147483648, event_id) <= 100"),
         "hec_envelope": C + (
             "SELECT CAST(epoch_us(ts_parsed) AS DOUBLE)/1000000.0 AS time, "
             f"'host-' || ({_BUCKET_SQL} % 8) AS host, "

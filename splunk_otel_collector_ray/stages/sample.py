@@ -47,6 +47,28 @@ def probabilistic_sample(ds: "ray.data.Dataset", pct: int) -> "ray.data.Dataset"
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def stratified_sample(
+    ds: "ray.data.Dataset", keys: list[str], k: int, id_col: str,
+) -> "ray.data.Dataset":
+    """Deterministic per-stratum k-sample: the k rows with the smallest
+    ``hash(id)`` per group — the reservoir-sample analogue a training-data
+    pipeline needs, rerun-stable and oracle-checkable. Per-batch partial
+    top-k (grouped_topk) keeps the shuffle at ≤ k rows per group per batch.
+    """
+    from ..pipelines.aggregate import grouped_topk
+
+    def add_h(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pandas().to_numpy().astype(np.int64)
+        h = (ids * KNUTH) % (1 << 31)
+        return t.append_column("_h", pa.array(h))
+
+    out = grouped_topk(
+        ds.select_columns([*keys, id_col]).map_batches(
+            add_h, batch_format="pyarrow"),
+        keys, k, by=["_h", id_col], ascending=[True, True])
+    return out.drop_columns(["_h"])
+
+
 @dataclass
 class StringAttributePolicy:
     """Sample if any turn's ``column`` is in ``values`` (string_attribute)."""

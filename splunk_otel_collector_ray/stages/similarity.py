@@ -107,6 +107,58 @@ def ann_topk(
     return _final_topk(local, k)
 
 
+class PairFinder:
+    """Per-batch block-row of the all-pairs cosine matrix vs a broadcast
+    normalized matrix; emits only (id_a < id_b, sim ≥ threshold) pairs."""
+
+    def __init__(self, ref, threshold: float,
+                 vec_col: str = "embedding", id_col: str = "vec_id") -> None:
+        ids, m = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        self.all_ids, self.all_m = ids, m
+        self.threshold, self.vec_col, self.id_col = threshold, vec_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_pandas().to_numpy()
+        m = _as_matrix(batch[self.vec_col].to_pandas()).astype(np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = m @ self.all_m.T  # (nb, N)
+        hit = (ids[:, None] < self.all_ids[None, :]) & (sims >= self.threshold)
+        r, c = np.nonzero(hit)
+        return pa.table({
+            "id_a": pa.array(ids[r]),
+            "id_b": pa.array(self.all_ids[c]),
+            "sim": pa.array(sims[r, c]),
+        })
+
+
+def embedding_neardup_pairs(
+    ds: "ray.data.Dataset", threshold: float = 0.45,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """Exact embedding-cosine near-duplicate detection: every pair with
+    cosine ≥ threshold, id_a < id_b — the embedding member of the dedup
+    family (exact / MinHash / SimHash / embedding-cosine).
+
+    Shape: the normalized matrix is broadcast once (ray.put — the standard
+    small-side broadcast; embeddings are the compressed representation, two
+    orders smaller than the text corpus) and each batch computes one matmul
+    block-row, emitting only above-threshold pairs. At corpus scale, block
+    the all-pairs space with LSHBucketStage so each bucket pair is a bounded
+    matmul (lsh_topk already streams that shape, approximately).
+    """
+    full = ds.select_columns([id_col, vec_col]).to_pandas()
+    ids = full[id_col].to_numpy()
+    m = _as_matrix(full[vec_col]).astype(np.float64)
+    m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    ref = ray.put((ids, m))
+    out = ds.map_batches(
+        PairFinder, fn_constructor_kwargs={"ref": ref, "threshold": threshold,
+                                           "vec_col": vec_col,
+                                           "id_col": id_col},
+        batch_format="pyarrow", concurrency=(1, 8)).to_pandas()
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 class LSHBucketStage:
     """Scale path: random-hyperplane sign buckets as a column; co-locating on
     (bucket) turns ANN into per-bucket brute force. Hyperplanes broadcast."""
