@@ -520,6 +520,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow")
         return ds.select_columns(["conv_id", "turn_idx", "tool", "span_id"])
 
+    def q_span_rename(sf):
+        # span processor rename: name = tool::sink (from_attributes join);
+        # non-tool rows (empty tool) keep the default empty name
+        from splunk_otel_collector_ray.stages.metrics import span_rename
+
+        ds = _routed(sf).map_batches(
+            lambda t: span_rename(t, ["tool", "sink"]),
+            batch_format="pyarrow")
+        return ds.select_columns(["conv_id", "turn_idx", "span_name"])
+
     def q_timestamp_offset(sf):
         ds = _read_transcripts(sf).map_batches(
             TimestampOffset(3600), batch_format="pyarrow")
@@ -920,6 +930,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multiline_frame": q_multiline_frame,
         "java_multiline": q_java_multiline,
         "spans": q_spans,
+        "span_rename": q_span_rename,
         "timestamp_offset": q_timestamp_offset,
         "filter_severity": q_filter_severity,
         "sampler": q_sampler,
@@ -1035,6 +1046,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT conv_id, turn_idx, tool, printf('%016x', "
             "CAST(substr(conv_id, 6) AS BIGINT) * 100000 + turn_idx) AS span_id "
             "FROM raw WHERE role = 'tool' AND tool <> ''"),
+        "span_rename": C + (
+            "SELECT conv_id, turn_idx, CASE WHEN tool <> '' THEN "
+            "tool || '::' || sink ELSE '' END AS span_name FROM routed"),
         "timestamp_offset": C + (
             "SELECT conv_id, turn_idx, ts + INTERVAL 1 HOUR AS ts FROM raw"),
         "filter_severity": C + (

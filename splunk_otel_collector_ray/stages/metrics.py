@@ -270,6 +270,31 @@ def span_durations(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     )
 
 
+def span_rename(batch: pa.Table, from_attributes: list[str],
+                separator: str = "::", name_col: str = "span_name",
+                ) -> pa.Table:
+    """`span` processor rename (name.from_attributes + separator,
+    /root/reference/cmd/otelcol/config/collector/full_config_linux.yaml:465-470;
+    reg internal/components/components.go:334): the span name becomes the
+    listed attribute values joined by the separator; a span missing ANY of
+    the attributes keeps its existing name (upstream all-present guard).
+    Vectorized: one binary_join_element_wise + validity mask.
+    """
+    cols = [batch[a] for a in from_attributes]
+    joined = pc.binary_join_element_wise(*cols, separator)
+    ok = np.ones(batch.num_rows, dtype=bool)
+    for c in cols:
+        v = c.to_pandas()
+        ok &= v.notna().to_numpy() & (v != "").to_numpy()
+    old = (batch[name_col] if name_col in batch.column_names
+           else pa.array([""] * batch.num_rows, type=pa.string()))
+    new = pc.if_else(pa.array(ok), joined, old)
+    if name_col in batch.column_names:
+        return batch.set_column(
+            batch.column_names.index(name_col), name_col, new)
+    return batch.append_column(name_col, new)
+
+
 def dimension_upsert(
     ds: "ray.data.Dataset", key: str, order: str, values: list[str]
 ) -> "ray.data.Dataset":
