@@ -1058,11 +1058,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT conv_id, turn_idx FROM raw WHERE "
             "(CAST(substr(conv_id, 6) AS BIGINT) * 2654435761 + turn_idx * 97) "
             "% 100 < 25"),
+        # the slim projections are MATERIALIZED: `routed` appears twice in
+        # these queries and DuckDB would otherwise inline (and re-execute /
+        # blow memory on) the full regex-CASE pipeline per reference
         "tail_sample": C + (
-            "SELECT conv_id, turn_idx FROM routed WHERE conv_id IN "
-            "(SELECT DISTINCT conv_id FROM routed WHERE severity_number >= 17)"),
+            ", tsm AS MATERIALIZED (SELECT conv_id, turn_idx, "
+            "severity_number FROM routed) "
+            "SELECT conv_id, turn_idx FROM tsm WHERE conv_id IN "
+            "(SELECT DISTINCT conv_id FROM tsm WHERE severity_number >= 17)"),
         "tail_policies": C + (
-            ", tflags AS (SELECT conv_id, "
+            ", tpm AS MATERIALIZED (SELECT conv_id, turn_idx, "
+            "severity_number, tool, ts FROM routed), "
+            "tflags AS (SELECT conv_id, "
             "max(CASE WHEN severity_number BETWEEN 17 AND 24 THEN 1 ELSE 0 "
             "END) AS f1, "
             "max(CASE WHEN tool = 'browser' THEN 1 ELSE 0 END) AS f2, "
@@ -1070,8 +1077,8 @@ def oracle_sql() -> dict[str, str]:
             "END AS f3, "
             "CASE WHEN (CAST(substr(conv_id, 6) AS BIGINT) * 2654435761) "
             "% 100 < 10 THEN 1 ELSE 0 END AS f4 "
-            "FROM routed GROUP BY conv_id) "
-            "SELECT r.conv_id, r.turn_idx FROM routed r JOIN tflags f "
+            "FROM tpm GROUP BY conv_id) "
+            "SELECT r.conv_id, r.turn_idx FROM tpm r JOIN tflags f "
             "ON r.conv_id = f.conv_id WHERE f.f1 + f.f2 + f.f3 + f.f4 > 0"),
         "events_count": (
             "SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type"),

@@ -194,7 +194,6 @@ def neardup_pairs(
     collected at the end.
     """
     import ray
-    from ray.data.aggregate import Count
 
     if num_partitions is None:
         # Dataset.join spawns one aggregator actor per partition and BOTH
@@ -207,22 +206,69 @@ def neardup_pairs(
                                           "text_col": text_col, **kw},
         batch_format="pyarrow", concurrency=(1, 8))
 
-    def pairs_of(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g[id_col].unique())
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_a": ids[:0], "doc_b": ids[:0]})
-        a, b = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_a": ids[a], "doc_b": ids[b]})
+    # candidate pairs: NOT one map_groups task per (band, band_hash) — that's
+    # millions of tiny groups; instead hash LSH buckets into 64 partitions
+    # and enumerate each partition's multi-member buckets with size-class
+    # vectorized triu expansion (one numpy pass per distinct bucket size)
+    def add_pb(t: pa.Table) -> pa.Table:
+        h = (t["band_hash"].to_numpy(zero_copy_only=False)
+             + t["band"].to_numpy(zero_copy_only=False).astype(np.int64)
+             * 0x9E3779B9) % 64
+        return t.append_column("_pb", pa.array(h.astype(np.int32)))
+
+    def pairs_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["band", "band_hash", id_col]).sort_values(
+            ["band", "band_hash", id_col], kind="mergesort")
+        sz = g.groupby(["band", "band_hash"], sort=False)[id_col] \
+            .transform("size").to_numpy()
+        g = g[sz > 1]
+        empty = pd.DataFrame({"doc_a": g[id_col][:0], "doc_b": g[id_col][:0]})
+        if not len(g):
+            return empty
+        gid = g.groupby(["band", "band_hash"], sort=False).ngroup().to_numpy()
+        ids = g[id_col].to_numpy()
+        sizes = np.bincount(gid)
+        starts = np.zeros(len(sizes), dtype=np.int64)
+        np.cumsum(sizes[:-1], out=starts[1:])
+        out_a, out_b = [], []
+        for s in np.unique(sizes):
+            sel = np.flatnonzero(sizes == s)
+            rows = starts[sel][:, None] + np.arange(s)[None, :]
+            mat = ids[rows]  # (groups_of_size_s, s), ids ascending per group
+            i, j = np.triu_indices(int(s), k=1)
+            out_a.append(mat[:, i].ravel())
+            out_b.append(mat[:, j].ravel())
+        return pd.DataFrame({"doc_a": np.concatenate(out_a),
+                             "doc_b": np.concatenate(out_b)})
 
     cand = (
-        bands.groupby(["band", "band_hash"])
-        .map_groups(pairs_of, batch_format="pandas")
+        bands.map_batches(add_pb, batch_format="pyarrow")
+        .groupby("_pb")
+        .map_groups(pairs_of_bucket, batch_format="pandas")
     )
-    # distinct pairs (a pair can surface from several bands) — keyed distinct,
-    # not a driver-side drop_duplicates
+    # distinct pairs (a pair can surface from several bands): per-batch
+    # drop_duplicates shrink, then ONE bucketed exchange with a vectorized
+    # per-bucket drop_duplicates — Ray's composite-key hash aggregate is
+    # ~20× slower than this shape at 10^5 pairs
+    def local_dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["doc_a", "doc_b"])
+
+    def add_pk(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].to_numpy(zero_copy_only=False)
+        b = t["doc_b"].to_numpy(zero_copy_only=False)
+        if a.dtype == object:  # string ids
+            h = (pd.util.hash_array(a.astype(object))
+                 + pd.util.hash_array(b.astype(object))) % 64
+        else:
+            h = (a.astype(np.int64) * 0x9E3779B9 + b.astype(np.int64)) % 64
+        return t.append_column("_pk", pa.array(h.astype(np.int32)))
+
     pairs = (
-        cand.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="_nb"))
-        .select_columns(["doc_a", "doc_b"])
+        cand.map_batches(local_dedup, batch_format="pandas")
+        .map_batches(add_pk, batch_format="pyarrow")
+        .groupby("_pk")
+        .map_groups(local_dedup, batch_format="pandas")
+        .drop_columns(["_pk"])
     )
     hashes = ds.map_batches(
         shingle_hash_rows,
@@ -230,14 +276,20 @@ def neardup_pairs(
                    "shingle": kw.get("shingle", 5)},
         batch_format="pyarrow")
 
+    # aggregator actors get num_cpus=0: they mostly buffer + finalize, and
+    # reserving whole CPUs can starve/deadlock the concurrently running map
+    # tasks on small clusters (observed as a flaky hang at 4-8 CPUs)
+    agg_args = {"num_cpus": 0}
     joined = pairs.join(hashes, join_type="inner",
                         num_partitions=num_partitions,
                         on=("doc_a",), right_on=(id_col,),
-                        right_suffix="_a")
+                        right_suffix="_a",
+                        aggregator_ray_remote_args=agg_args)
     joined = (  # the join folds the right key column into the left key
         joined.rename_columns({"hashes": "hashes_a"})
         .join(hashes, join_type="inner", num_partitions=num_partitions,
-              on=("doc_b",), right_on=(id_col,), right_suffix="_b")
+              on=("doc_b",), right_on=(id_col,), right_suffix="_b",
+              aggregator_ray_remote_args=agg_args)
     )
 
     def verify(batch: pa.Table) -> pa.Table:
