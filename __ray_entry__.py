@@ -783,6 +783,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return prometheus_error_counters(_prom_dataset())
 
+    def q_statsd_parse(sf):
+        import ray.data
+        from splunk_otel_collector_ray.stages.metrics import parse_statsd_text
+
+        lines = []
+        for i in range(128):
+            lines.append([
+                f"api.hits.h{i % 8}:{i}|c|@0.5",
+                f"mem.used:{i * 1.5}|g",
+                f"db.query:{i % 50}|ms",
+                f"users.online:u{i % 10}|s|#env:prod,region:r{i % 3}",
+            ][i % 4])
+        ds = ray.data.from_arrow(pa.table({"text": pa.array(lines)}))
+        return ds.map_batches(parse_statsd_text, batch_format="pyarrow")
+
+    def q_graphite_parse(sf):
+        import ray.data
+        from splunk_otel_collector_ray.stages.metrics import (
+            parse_graphite_text,
+        )
+
+        lines = [f"servers.host{i % 4}.cpu{i % 2} {i * 0.25} "
+                 f"{1767225600 + i * 10}" for i in range(128)]
+        ds = ray.data.from_arrow(pa.table({"text": pa.array(lines)}))
+        return ds.map_batches(parse_graphite_text, batch_format="pyarrow")
+
     def q_groupbyattrs(sf):
         # groupbyattrs processor analogue: regroup under resource identity
         # (host.name) — components.go:324
@@ -962,6 +988,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prometheus_parse": q_prometheus_parse,
         "prometheus_histogram": q_prometheus_histogram,
         "prometheus_errors": q_prometheus_errors,
+        "statsd_parse": q_statsd_parse,
+        "graphite_parse": q_graphite_parse,
         "groupbyattrs": q_groupbyattrs,
         "groupbyattrs_regroup": q_groupbyattrs_regroup,
         "conv_sampler": q_conv_sampler,
@@ -1236,6 +1264,45 @@ def oracle_sql() -> dict[str, str]:
             f"IS NULL OR isnan(TRY_CAST(regexp_extract(line, '{_PROM_RX}', 4) "
             "AS DOUBLE)))) AS BIGINT) AS nan_samples "
             "FROM pl WHERE line NOT LIKE '#%' AND line <> ''"),
-        # docs_langid / docs_fingerprint / docs_minhash_groups /
-        # multimodal_features: no SQL equivalent → rows-only driver check
+        "statsd_parse": (
+            "WITH sb AS (SELECT i, CASE i % 4 "
+            "WHEN 0 THEN 'api.hits.h' || (i % 8) || ':' || i || '|c|@0.5' "
+            "WHEN 1 THEN 'mem.used:' || CAST(i * 1.5 AS VARCHAR) || '|g' "
+            "WHEN 2 THEN 'db.query:' || (i % 50) || '|ms' "
+            "ELSE 'users.online:u' || (i % 10) || "
+            "'|s|#env:prod,region:r' || (i % 3) END AS line "
+            "FROM (SELECT range AS i FROM range(128))), "
+            r"x AS (SELECT regexp_extract(line, '^([^:|]+):([^|]+)\|([a-z]+)"
+            r"(\|@([0-9.]+))?(\|#(.*))?$', 1) AS name, "
+            r"regexp_extract(line, '^([^:|]+):([^|]+)\|([a-z]+)(\|@([0-9.]+))?"
+            r"(\|#(.*))?$', 2) AS value_raw, "
+            r"regexp_extract(line, '^([^:|]+):([^|]+)\|([a-z]+)(\|@([0-9.]+))?"
+            r"(\|#(.*))?$', 3) AS t, "
+            r"regexp_extract(line, '^([^:|]+):([^|]+)\|([a-z]+)(\|@([0-9.]+))?"
+            r"(\|#(.*))?$', 5) AS rate_s, "
+            r"regexp_extract(line, '^([^:|]+):([^|]+)\|([a-z]+)(\|@([0-9.]+))?"
+            r"(\|#(.*))?$', 7) AS tags FROM sb "
+            r"WHERE regexp_matches(line, '^([^:|]+):([^|]+)\|([a-z]+)"
+            r"(\|@([0-9.]+))?(\|#(.*))?$')) "
+            "SELECT name, value_raw, TRY_CAST(value_raw AS DOUBLE) AS value, "
+            "CASE t WHEN 'c' THEN 'counter' WHEN 'g' THEN 'gauge' "
+            "WHEN 'ms' THEN 'timing' WHEN 's' THEN 'set' WHEN 'h' THEN "
+            "'histogram' ELSE 'unknown' END AS mtype, "
+            "COALESCE(TRY_CAST(rate_s AS DOUBLE), 1.0) AS rate, tags, "
+            "CASE WHEN t = 'c' THEN TRY_CAST(value_raw AS DOUBLE) / "
+            "COALESCE(TRY_CAST(rate_s AS DOUBLE), 1.0) ELSE "
+            "TRY_CAST(value_raw AS DOUBLE) END AS scaled_value FROM x"),
+        "graphite_parse": (
+            "WITH gb AS (SELECT 'servers.host' || (i % 4) || '.cpu' || "
+            "(i % 2) || ' ' || CAST(i * 0.25 AS VARCHAR) || ' ' || "
+            "(1767225600 + i * 10) AS line "
+            "FROM (SELECT range AS i FROM range(128))) "
+            r"SELECT regexp_extract(line, '^(\S+) (\S+) ([0-9]+)$', 1) "
+            "AS path, "
+            r"CAST(regexp_extract(line, '^(\S+) (\S+) ([0-9]+)$', 2) "
+            "AS DOUBLE) AS value, "
+            r"to_timestamp(CAST(regexp_extract(line, '^(\S+) (\S+) "
+            r"([0-9]+)$', 3) AS BIGINT)) AT TIME ZONE 'UTC' AS ts FROM gb"),
+        # docs_fingerprint / docs_minhash_groups / multimodal_features:
+        # no SQL equivalent → rows-only driver check
     }

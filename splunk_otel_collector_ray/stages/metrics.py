@@ -164,6 +164,74 @@ def prometheus_histograms(
     )
 
 
+# statsd line (+dogstatsd tags): name:value|type[|@rate][|#tags]
+_STATSD_RX = (r"^(?P<name>[^:|]+):(?P<value>[^|]+)\|(?P<t>[a-z]+)"
+              r"(?:\|@(?P<rate>[0-9.]+))?(?:\|#(?P<tags>.*))?$")
+_STATSD_TYPES = {"c": "counter", "g": "gauge", "ms": "timing",
+                 "s": "set", "h": "histogram"}
+
+
+def parse_statsd_text(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """statsd/dogstatsd line protocol → one row per sample, Arrow-native
+    (the statsd receiver of SURVEY §2.1, reg
+    /root/reference/internal/components/components.go:274).
+
+    One extract_regex pass; type codes map through a dictionary take;
+    counters are scaled by 1/sample-rate (statsd flush semantics); `s`
+    (set) samples carry their raw string value with NaN numeric value.
+    Malformed lines are dropped (receiver discards them).
+    """
+    text = batch[text_col]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    st = pc.extract_regex(text, _STATSD_RX)
+    valid = pc.is_valid(st).to_numpy(zero_copy_only=False)
+    name = st.field("name").to_pandas()[valid]
+    raw = st.field("value").to_pandas()[valid]
+    tcode = st.field("t").to_pandas()[valid]
+    rate = pd.to_numeric(st.field("rate").to_pandas()[valid],
+                         errors="coerce").fillna(1.0)
+    tags = st.field("tags").to_pandas()[valid].fillna("")
+    mtype = tcode.map(_STATSD_TYPES).fillna("unknown")
+    value = pd.to_numeric(raw, errors="coerce").astype(np.float64)
+    scaled = np.where(mtype.to_numpy() == "counter",
+                      value.to_numpy() / rate.to_numpy(), value.to_numpy())
+    return pa.table({
+        "name": pa.array(name.to_numpy(), type=pa.string()),
+        "value_raw": pa.array(raw.to_numpy(), type=pa.string()),
+        "value": pa.array(value.to_numpy(), type=pa.float64()),
+        "mtype": pa.array(mtype.to_numpy(), type=pa.string()),
+        "rate": pa.array(rate.to_numpy(), type=pa.float64()),
+        "tags": pa.array(tags.to_numpy(), type=pa.string()),
+        "scaled_value": pa.array(scaled, type=pa.float64()),
+    })
+
+
+_GRAPHITE_RX = r"^(?P<path>\S+) (?P<value>\S+) (?P<ts>[0-9]+)$"
+
+
+def parse_graphite_text(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """carbon/graphite plaintext protocol (`path value epoch`) → rows
+    (the carbon receiver of SURVEY §2.1, components.go:217). One
+    extract_regex pass; epoch seconds → timestamp[us]."""
+    text = batch[text_col]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    st = pc.extract_regex(text, _GRAPHITE_RX)
+    valid = pc.is_valid(st).to_numpy(zero_copy_only=False)
+    path = st.field("path").to_pandas()[valid]
+    value = pd.to_numeric(st.field("value").to_pandas()[valid],
+                          errors="coerce").astype(np.float64)
+    epoch = pd.to_numeric(st.field("ts").to_pandas()[valid],
+                          errors="coerce").astype(np.int64)
+    return pa.table({
+        "path": pa.array(path.to_numpy(), type=pa.string()),
+        "value": pa.array(value.to_numpy(), type=pa.float64()),
+        "ts": pa.array((epoch * 1_000_000).to_numpy(),
+                       type=pa.timestamp("us")),
+    })
+
+
 def prometheus_error_counters(
     ds: "ray.data.Dataset", text_col: str = "text"
 ) -> "ray.data.Dataset":
