@@ -809,6 +809,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = ray.data.from_arrow(pa.table({"text": pa.array(lines)}))
         return ds.map_batches(parse_graphite_text, batch_format="pyarrow")
 
+    def q_wavefront_parse(sf):
+        import ray.data
+        from splunk_otel_collector_ray.stages.metrics import (
+            parse_wavefront_text,
+        )
+
+        lines = []
+        for i in range(128):
+            ts_part = f" {1767225600 + i * 10}" if i % 2 == 0 else ""
+            tag_part = f" env=prod dc=dc{i % 3}" if i % 4 == 0 else ""
+            lines.append(f"cpu.load.h{i % 4} {i * 0.5}{ts_part} "
+                         f"source=host-{i % 8}{tag_part}")
+        ds = ray.data.from_arrow(pa.table({"text": pa.array(lines)}))
+        return ds.map_batches(parse_wavefront_text, batch_format="pyarrow")
+
     def q_groupbyattrs(sf):
         # groupbyattrs processor analogue: regroup under resource identity
         # (host.name) — components.go:324
@@ -990,6 +1005,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prometheus_errors": q_prometheus_errors,
         "statsd_parse": q_statsd_parse,
         "graphite_parse": q_graphite_parse,
+        "wavefront_parse": q_wavefront_parse,
         "groupbyattrs": q_groupbyattrs,
         "groupbyattrs_regroup": q_groupbyattrs_regroup,
         "conv_sampler": q_conv_sampler,
@@ -1303,6 +1319,26 @@ def oracle_sql() -> dict[str, str]:
             "AS DOUBLE) AS value, "
             r"to_timestamp(CAST(regexp_extract(line, '^(\S+) (\S+) "
             r"([0-9]+)$', 3) AS BIGINT)) AT TIME ZONE 'UTC' AS ts FROM gb"),
+        "wavefront_parse": (
+            "WITH wb AS (SELECT 'cpu.load.h' || (i % 4) || ' ' || "
+            "CAST(i * 0.5 AS VARCHAR) || CASE WHEN i % 2 = 0 THEN ' ' || "
+            "(1767225600 + i * 10) ELSE '' END || ' source=host-' || (i % 8) "
+            "|| CASE WHEN i % 4 = 0 THEN ' env=prod dc=dc' || (i % 3) "
+            "ELSE '' END AS line FROM (SELECT range AS i FROM range(128))) "
+            "SELECT "
+            "regexp_extract(line, '^([^ ]+) ([^ ]+)( ([0-9]{9,}))? "
+            "source=([^ ]+)( (.*))?$', 1) AS name, "
+            "CAST(regexp_extract(line, '^([^ ]+) ([^ ]+)( ([0-9]{9,}))? "
+            "source=([^ ]+)( (.*))?$', 2) AS DOUBLE) AS value, "
+            "CASE WHEN regexp_extract(line, '^([^ ]+) ([^ ]+)( ([0-9]{9,}))? "
+            "source=([^ ]+)( (.*))?$', 4) <> '' THEN "
+            "to_timestamp(CAST(regexp_extract(line, '^([^ ]+) ([^ ]+)"
+            "( ([0-9]{9,}))? source=([^ ]+)( (.*))?$', 4) AS BIGINT)) "
+            "AT TIME ZONE 'UTC' END AS ts, "
+            "regexp_extract(line, '^([^ ]+) ([^ ]+)( ([0-9]{9,}))? "
+            "source=([^ ]+)( (.*))?$', 5) AS source, "
+            "regexp_extract(line, '^([^ ]+) ([^ ]+)( ([0-9]{9,}))? "
+            "source=([^ ]+)( (.*))?$', 7) AS tags FROM wb"),
         # docs_fingerprint / docs_minhash_groups / multimodal_features:
         # no SQL equivalent → rows-only driver check
     }

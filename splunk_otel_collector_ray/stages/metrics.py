@@ -232,6 +232,36 @@ def parse_graphite_text(batch: pa.Table, text_col: str = "text") -> pa.Table:
     })
 
 
+# wavefront data format: metric value [epoch] source=<s> [k=v ...]
+_WAVEFRONT_RX = (r'^(?P<name>[^ ]+) (?P<value>[^ ]+)(?: (?P<ts>[0-9]{9,}))? '
+                 r'source=(?P<source>[^ ]+)(?: (?P<tags>.*))?$')
+
+
+def parse_wavefront_text(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """wavefront line protocol (`metric value [epoch] source=... tags…`) →
+    rows (the wavefront receiver of SURVEY §2.1, components.go:282). One
+    extract_regex pass; missing timestamp → null."""
+    text = batch[text_col]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    st = pc.extract_regex(text, _WAVEFRONT_RX)
+    valid = pc.is_valid(st).to_numpy(zero_copy_only=False)
+    name = st.field("name").to_pandas()[valid]
+    value = pd.to_numeric(st.field("value").to_pandas()[valid],
+                          errors="coerce").astype(np.float64)
+    epoch = pd.to_numeric(st.field("ts").to_pandas()[valid], errors="coerce")
+    ts = pd.to_datetime(epoch * 1e6, unit="us", errors="coerce")
+    source = st.field("source").to_pandas()[valid]
+    tags = st.field("tags").to_pandas()[valid].fillna("")
+    return pa.table({
+        "name": pa.array(name.to_numpy(), type=pa.string()),
+        "value": pa.array(value.to_numpy(), type=pa.float64()),
+        "ts": pa.array(ts.to_numpy(), type=pa.timestamp("us")),
+        "source": pa.array(source.to_numpy(), type=pa.string()),
+        "tags": pa.array(tags.to_numpy(), type=pa.string()),
+    })
+
+
 def prometheus_error_counters(
     ds: "ray.data.Dataset", text_col: str = "text"
 ) -> "ray.data.Dataset":
