@@ -117,22 +117,29 @@ def multiline_frame(
                 .append_column("_bucket", pa.array(h.astype(np.int32))))
 
     def frame_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([key, order], kind="mergesort")
-        rid = g["_start"].astype(np.int64).groupby(g[key], sort=False).cumsum()
-        g = g.assign(record_id=rid.astype(np.int64))
-        out = (
-            g.groupby([key, "record_id"], sort=True)
-            .agg(body=(text_col, "\n".join), n_lines=(text_col, "size"))
-            .reset_index()
-            .rename(columns={key: "conv_id"})
-        )
-        return out[["conv_id", "record_id", "body", "n_lines"]]
+        return _frame_lines(g, text_col, key, order)
 
     return (
         ds.map_batches(tag, batch_format="pyarrow")
         .groupby("_bucket")
         .map_groups(frame_bucket, batch_format="pandas")
     )
+
+
+def _frame_lines(g: pd.DataFrame, text_col: str, key: str, order: str
+                 ) -> pd.DataFrame:
+    """Vectorized framing of MANY conversations at once (one bucket);
+    ``_start`` is the precomputed line_start_pattern flag."""
+    g = g.sort_values([key, order], kind="mergesort")
+    rid = g["_start"].astype(np.int64).groupby(g[key], sort=False).cumsum()
+    g = g.assign(record_id=rid.astype(np.int64))
+    out = (
+        g.groupby([key, "record_id"], sort=True)
+        .agg(body=(text_col, "\n".join), n_lines=(text_col, "size"))
+        .reset_index()
+        .rename(columns={key: "conv_id"})
+    )
+    return out[["conv_id", "record_id", "body", "n_lines"]]
 
 
 def split_multiline(text: str, line_start_pattern: str) -> list[str]:

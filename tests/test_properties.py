@@ -51,6 +51,35 @@ def test_split_multiline_roundtrip(lines):
         assert r.startswith("REC ")
 
 
+@settings(max_examples=60, deadline=None)
+@given(st.lists(
+    st.tuples(st.booleans(), st.text(alphabet="xyz ", min_size=1, max_size=8)),
+    min_size=1, max_size=25),
+    st.integers(min_value=1, max_value=3))
+def test_multiline_frame_agrees_with_split_multiline(lines, n_convs):
+    """The dataset-level framing kernel must agree with the scalar
+    split_multiline on each conversation's joined text (same anchors,
+    records joined by newline reproduce the per-conv line stream)."""
+    import re
+
+    from splunk_otel_collector_ray.stages.recombine import _frame_lines
+
+    rows = []
+    for i, (start, body) in enumerate(lines):
+        rows.append((f"c{i % n_convs}", i,
+                     ("REC " if start else "cont ") + body))
+    g = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "body"])
+    g["_start"] = g["body"].str.match(r"REC ")
+    out = _frame_lines(g, "body", "conv_id", "turn_idx")
+    for conv, sub in g.groupby("conv_id"):
+        rec = out[out.conv_id == conv].sort_values("record_id")
+        text = "".join(line + "\n" for line in sub.sort_values("turn_idx").body)
+        expected = split_multiline(text, r"^REC ")
+        # a framed record is the split record minus its final newline
+        # (frame joins lines with \n; split keeps each line's terminator)
+        assert [r + "\n" for r in rec.body] == expected
+
+
 def test_severity_table_is_consistent():
     """Every canonical name maps into 1..24, granularity ordering holds."""
     for name, num in SEVERITY_NUMBER.items():
