@@ -78,6 +78,56 @@ def test_predicate_on_missing_map_key_is_false():
     assert m.tolist() == [True, False, True, False]
 
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_key = st.sampled_from(["a", "b", "c", "d"])
+_maps = st.lists(
+    st.lists(st.tuples(_key, st.text(alphabet="xy", max_size=3)),
+             max_size=4, unique_by=lambda kv: kv[0]),
+    min_size=1, max_size=12)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_maps, _key, st.data())
+def test_map_set_then_get_roundtrip(rows, key, data):
+    """Property: after map_set_key under a mask, map_get returns the new
+    value on masked rows and the original elsewhere; other keys untouched."""
+    import numpy as np
+
+    from splunk_otel_collector_ray.functions.ottl import map_set_key
+
+    arr = pa.array(rows, type=pa.map_(pa.string(), pa.string()))
+    mask = np.array(data.draw(st.lists(st.booleans(), min_size=len(rows),
+                                       max_size=len(rows))))
+    vals = np.array([f"v{i}" for i in range(len(rows))], dtype=object)
+    out = map_set_key(arr, key, vals, mask)
+    got = [dict(r) for r in out.to_pylist()]
+    for i, row in enumerate(rows):
+        orig = dict(row)
+        exp = dict(orig)
+        if mask[i]:
+            exp[key] = vals[i]
+        assert got[i] == exp, (i, orig, mask[i])
+
+
+@settings(max_examples=60, deadline=None)
+@given(_maps, _key, st.data())
+def test_map_delete_key_only_removes_target(rows, key, data):
+    import numpy as np
+
+    from splunk_otel_collector_ray.functions.ottl import map_delete_key
+
+    arr = pa.array(rows, type=pa.map_(pa.string(), pa.string()))
+    mask = np.array(data.draw(st.lists(st.booleans(), min_size=len(rows),
+                                       max_size=len(rows))))
+    out = map_delete_key(arr, key, mask)
+    got = [dict(r) for r in out.to_pylist()]
+    for i, row in enumerate(rows):
+        exp = {k: v for k, v in row if not (mask[i] and k == key)}
+        assert got[i] == exp
+
+
 def test_bad_statements_rejected():
     for bad in ["__import__('os')", "set(body)", "frobnicate(body, 1)"]:
         with pytest.raises((ValueError, IndexError)):
