@@ -141,6 +141,79 @@ def remove_stages(stage_type: str):
     return convert
 
 
+def service_specs(doc: dict) -> list[tuple[str, dict]]:
+    """Collector-style document → ORDERED list of (pipeline name, native
+    spec) for a multi-pipeline service.
+
+    The tier-chaining shape of real deployments (agent parse/enrich →
+    gateway route/export, agent_config.yaml:221-264 + gateway_config.yaml:
+    163-221; two chained collectors in examples/otel-logs-routing/
+    otel-collector-config2.yml): a pipeline whose receiver names another
+    pipeline's `file` exporter (same component name) consumes that
+    pipeline's staged output table — the batch surrogate of the OTLP
+    transport. Pipelines are returned in dependency order (producers before
+    consumers); independent pipelines keep document order.
+    """
+    pipelines = doc["service"]["pipelines"]
+    # exporter component → staging path (file exporters only)
+    exp_paths = {name: cfg.get("path")
+                 for name, cfg in (doc.get("exporters") or {}).items()
+                 if name.split("/")[0] == "file"}
+
+    deps: dict[str, set] = {}
+    for pname, pipe in pipelines.items():
+        recv = pipe["receivers"][0]
+        deps[pname] = {
+            other for other, op in pipelines.items() if other != pname
+            and recv in (op.get("exporters") or [])
+        }
+
+    ordered: list[str] = []
+    while len(ordered) < len(pipelines):
+        progressed = False
+        for pname in pipelines:
+            if pname in ordered:
+                continue
+            if deps[pname] <= set(ordered):
+                ordered.append(pname)
+                progressed = True
+        if not progressed:
+            raise ValueError(f"pipeline dependency cycle in {list(pipelines)}")
+
+    out = []
+    for pname in ordered:
+        pipe = pipelines[pname]
+        recv = pipe["receivers"][0]
+        sub = {
+            "receivers": doc.get("receivers") or {},
+            "processors": doc.get("processors") or {},
+            "exporters": doc.get("exporters") or {},
+            "service": {"pipelines": {"logs": dict(pipe)}},
+        }
+        if recv in exp_paths and recv not in sub["receivers"]:
+            # receiver IS another pipeline's file exporter → read its staging
+            sub["receivers"] = dict(sub["receivers"])
+            sub["receivers"][recv] = {"path": exp_paths[recv]}
+        out.append((pname, collector_to_spec(sub)))
+    return out
+
+
+def run_service_from_yaml(path: str, env=None) -> dict:
+    """Execute every pipeline of a collector-style YAML service in
+    dependency order (each through config.run_pipeline); returns
+    {pipeline name: sink result (row count or output dir)}."""
+    import yaml
+
+    from .config import run_pipeline
+
+    with open(path) as f:
+        doc = interpolate(yaml.safe_load(f), env)
+    results = {}
+    for pname, spec in service_specs(doc):
+        results[pname] = run_pipeline(spec)
+    return results
+
+
 def load_yaml_pipeline(path: str, env=None, converters=()) -> dict:
     """YAML file → resolved native pipeline spec: interpolations applied,
     collector-style documents converted, then the converter chain run in

@@ -104,6 +104,44 @@ def test_converter_chain(tmp_path):
     assert spec["stages"] == [{"type": "parse"}, {"type": "truncate", "n": 5}]
 
 
+def test_multi_pipeline_service_chain(ray_session, tmp_path):
+    """Agent→gateway service: the gateway pipeline's receiver names the
+    agent pipeline's file exporter, so it consumes the staged table; the
+    pipelines run in dependency order even when listed consumer-first."""
+    import shutil
+    import textwrap
+
+    import pyarrow.parquet as pq
+
+    from splunk_otel_collector_ray.configio import run_service_from_yaml
+
+    staging = tmp_path / "staging"
+    yml = tmp_path / "service.yaml"
+    yml.write_text(textwrap.dedent(f"""
+        receivers:
+          filelog/transcripts:
+            path: /root/testdata/sf0.001
+        exporters:
+          file/staging:
+            path: {staging}
+        service:
+          pipelines:
+            gateway:
+              receivers: [file/staging]
+              processors: [route]
+            agent:
+              receivers: [filelog/transcripts]
+              processors: [parse, enrich]
+              exporters: [file/staging]
+    """))
+    res = run_service_from_yaml(str(yml))
+    assert list(res) == ["agent", "gateway"]   # dependency order
+    assert res["gateway"] == 10_000            # every staged row routed
+    staged = pq.read_table(sorted(staging.glob("*.parquet"))[0])
+    assert "log_format" in staged.column_names  # agent tier parsed
+    shutil.rmtree(staging, ignore_errors=True)
+
+
 def test_native_spec_yaml_passthrough(tmp_path):
     yml = tmp_path / "native.yaml"
     yml.write_text("source:\n  transcripts: /x\nstages:\n- type: parse\n")
