@@ -759,6 +759,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "      processors: [parse, enrich, route]\n")
         return grouped_count(build_pipeline_from_yaml(path), ["sink"])
 
+    def q_service_pipeline(sf):
+        # multi-pipeline service: agent tier (parse+enrich → staged table)
+        # then gateway tier (route) — resolved from one collector-style
+        # service document (configio.service_specs); oracle shared with
+        # config_pipeline since the chain must preserve routing results
+        from splunk_otel_collector_ray.config import build_pipeline, run_pipeline
+        from splunk_otel_collector_ray.configio import service_specs
+
+        staging = os.path.join(
+            "/tmp", f"graft_service_{os.path.basename(os.path.normpath(sf))}")
+        doc = {
+            "receivers": {"filelog/transcripts": {"path": sf}},
+            "exporters": {"file/staging": {"path": staging}},
+            "service": {"pipelines": {
+                "gateway": {"receivers": ["file/staging"],
+                            "processors": ["route"]},
+                "agent": {"receivers": ["filelog/transcripts"],
+                          "processors": ["parse", "enrich"],
+                          "exporters": ["file/staging"]},
+            }},
+        }
+        specs = dict(service_specs(doc))
+        import shutil
+
+        shutil.rmtree(staging, ignore_errors=True)
+        run_pipeline(specs["agent"])
+        return grouped_count(build_pipeline(specs["gateway"]), ["sink"])
+
     def q_prometheus_parse(sf):
         ds = _prom_dataset()
         from splunk_otel_collector_ray.stages.metrics import (
@@ -1000,6 +1028,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_metrics_salted": q_span_metrics_salted,
         "config_pipeline": q_config_pipeline,
         "yaml_pipeline": q_yaml_pipeline,
+        "service_pipeline": q_service_pipeline,
         "prometheus_parse": q_prometheus_parse,
         "prometheus_histogram": q_prometheus_histogram,
         "prometheus_errors": q_prometheus_errors,
@@ -1211,6 +1240,8 @@ def oracle_sql() -> dict[str, str]:
         "config_pipeline": C + (
             "SELECT sink, COUNT(*) AS n FROM routed GROUP BY sink"),
         "yaml_pipeline": C + (
+            "SELECT sink, COUNT(*) AS n FROM routed GROUP BY sink"),
+        "service_pipeline": C + (
             "SELECT sink, COUNT(*) AS n FROM routed GROUP BY sink"),
         "groupbyattrs": C + (
             f"SELECT 'host-' || ({_BUCKET_SQL} % 8) AS \"host.name\", "
