@@ -133,8 +133,11 @@ def enrich_via_join(ds, dims: pd.DataFrame | None = None,
                                 type=pa.int64()))
 
     keyed = ds.map_batches(add_key, batch_format="pyarrow")
+    # aggregators at num_cpus=0: they buffer/finalize; whole-CPU requests
+    # can starve the concurrently running map tasks on small clusters
     return keyed.join(dims_ds, join_type="inner",
-                      num_partitions=num_partitions, on=("dim_key",))
+                      num_partitions=num_partitions, on=("dim_key",),
+                      aggregator_ray_remote_args={"num_cpus": 0})
 
 
 def make_enrich_fn(dims_ref):
