@@ -659,6 +659,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_docs_exact_dedup(sf):
         return dd.exact_dedup(_table(sf, "documents"), col="text", id_col="doc_id")
 
+    def q_docs_dedup_rows(sf):
+        # full-row exact dedup (first doc per distinct content survives)
+        ds = dd.exact_dedup_rows(_table(sf, "documents"))
+        return ds.select_columns(["doc_id", "lang", "source", "n_chars"])
+
     def q_docs_token_stats(sf):
         ds = _table(sf, "documents").map_batches(ta.token_stats, batch_format="pyarrow")
         return ds.select_columns(
@@ -1020,6 +1025,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_topk": q_events_topk,
         "lineitem_pricing": q_lineitem_pricing,
         "docs_exact_dedup": q_docs_exact_dedup,
+        "docs_dedup_rows": q_docs_dedup_rows,
         "docs_token_stats": q_docs_token_stats,
         "docs_quality": q_docs_quality,
         "docs_langid": q_docs_langid,
@@ -1187,6 +1193,10 @@ def oracle_sql() -> dict[str, str]:
         "docs_exact_dedup": (
             "SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dupes FROM documents "
             "GROUP BY text"),
+        "docs_dedup_rows": (
+            "SELECT doc_id, lang, source, n_chars FROM documents "
+            "QUALIFY row_number() OVER (PARTITION BY text "
+            "ORDER BY doc_id) = 1"),
         "docs_token_stats": (
             "SELECT doc_id, CAST(length(regexp_extract_all(trim(text), "
             r"'[^ \t\n]+')) AS BIGINT) AS n_ws_tokens, "

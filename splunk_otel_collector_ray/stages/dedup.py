@@ -108,6 +108,40 @@ def exact_dedup(ds: "ray.data.Dataset", col: str = "text",
     )
 
 
+def exact_dedup_rows(ds: "ray.data.Dataset", col: str = "text",
+                     id_col: str = "doc_id",
+                     num_buckets: int = 64) -> "ray.data.Dataset":
+    """Full-row exact dedup: keep each distinct content's first (min-id) ROW
+    — the form a training-data pipeline feeds downstream (exact_dedup keeps
+    only winner ids + counts).
+
+    Shape: vectorized content hash per batch, per-batch local first-per-hash
+    shrink, then ONE bucketed exchange (hash(content_hash) % B) with a
+    vectorized per-bucket reduction — no per-content-group tasks, and full
+    text moves at most once.
+    """
+
+    def local_first(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([id_col], kind="mergesort")
+        return df.drop_duplicates("content_hash", keep="first")
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        h = t["content_hash"].to_numpy(zero_copy_only=False) % num_buckets
+        return t.append_column("_hb", pa.array(h.astype(np.int32)))
+
+    def bucket_first(g: pd.DataFrame) -> pd.DataFrame:
+        return local_first(g).drop(columns=["_hb", "content_hash"])
+
+    return (
+        ds.map_batches(lambda t: add_content_hash(t, col),
+                       batch_format="pyarrow")
+        .map_batches(local_first, batch_format="pandas")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_hb")
+        .map_groups(bucket_first, batch_format="pandas")
+    )
+
+
 class MinHasher:
     """Actor-pool stage: text → MinHash signature → LSH band rows.
 
