@@ -160,15 +160,36 @@ class MinHasher:
         self.shingle, self.text_col, self.id_col = shingle, text_col, id_col
 
     def signature(self, hashes: np.ndarray) -> np.ndarray:
-        # (num_perm,) minima of (a*h + b) mod p — one matmul-shaped op per doc
+        # (num_perm,) minima of (a*h + b) mod p over one doc's hash set
         v = (hashes[None, :] * self.a[:, None] + self.b[:, None]) % np.uint64(MERSENNE)
         return v.min(axis=1)
+
+    def signatures(self, flat: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+        """All docs' signatures from the flat hash arrays in chunked
+        vectorized passes: one (num_perm × chunk) permutation product, then
+        a segment-min per doc via ``np.minimum.reduceat`` — no per-doc
+        Python loop; the chunk bound keeps the intermediate ≲ 32 MB."""
+        D = len(offsets) - 1
+        sigs = np.empty((D, self.num_perm), dtype=np.uint64)
+        chunk_hashes = 1 << 16
+        d0 = 0
+        while d0 < D:
+            d1 = d0 + 1  # always take ≥1 doc, then fill up to the bound
+            while d1 < D and offsets[d1 + 1] - offsets[d0] < chunk_hashes:
+                d1 += 1
+            seg = flat[offsets[d0]:offsets[d1]]
+            v = (seg[None, :] * self.a[:, None] + self.b[:, None]) \
+                % np.uint64(MERSENNE)
+            local = (offsets[d0:d1] - offsets[d0]).astype(np.int64)
+            sigs[d0:d1] = np.minimum.reduceat(v, local, axis=1).T
+            d0 = d1
+        return sigs
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         text = batch[self.text_col].to_pandas()
         ids = batch[self.id_col].to_pandas().to_numpy()
-        sigs = np.stack(
-            [self.signature(h) for h in _token_hashes(text, self.shingle)])
+        flat, offsets = _flat_token_hashes(text, self.shingle)
+        sigs = self.signatures(flat, offsets)
         # fold each band's rows into one bucket hash
         band_hash = np.zeros((len(ids), self.bands), dtype=np.uint64)
         for bi in range(self.bands):

@@ -29,6 +29,22 @@ def test_flat_token_hashes_equals_per_doc_reference():
         assert np.array_equal(g, e)
 
 
+def test_minhash_signatures_equal_per_doc_path():
+    from splunk_otel_collector_ray.stages.dedup import (
+        MinHasher,
+        _flat_token_hashes,
+        _token_hashes,
+    )
+
+    docs = pd.Series(["the quick brown fox " * 4, "tiny", "",
+                      "another document with words " * 6])
+    mh = MinHasher()
+    flat, offsets = _flat_token_hashes(docs, mh.shingle)
+    got = mh.signatures(flat, offsets)
+    exp = np.stack([mh.signature(h) for h in _token_hashes(docs, mh.shingle)])
+    assert np.array_equal(got, exp)
+
+
 def test_neardup_pairs_finds_planted_dups(ray_session):
     import ray.data
 
