@@ -364,12 +364,27 @@ def neardup_pairs(
 
 
 def simhash64(text: pd.Series, shingle: int = 4) -> np.ndarray:
-    """64-bit SimHash per doc (token-hash sign aggregate)."""
-    out = np.zeros(len(text), dtype=np.uint64)
-    for i, h in enumerate(_token_hashes(text, shingle)):
-        bits = (h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
-        v = np.where(bits.astype(bool), 1, -1).sum(axis=0)
-        out[i] = np.packbits((v > 0).astype(np.uint8)[::-1]).view(">u8")[0]
+    """64-bit SimHash per doc (token-hash sign aggregate) — chunked
+    vectorized: per-bit ±1 expansion over the flat hash arrays with a
+    per-doc segment sum (np.add.reduceat), no per-doc Python loop."""
+    flat, offsets = _flat_token_hashes(text, shingle)
+    D = len(offsets) - 1
+    out = np.zeros(D, dtype=np.uint64)
+    shifts = np.arange(64, dtype=np.uint64)[None, :]
+    chunk_hashes = 1 << 16
+    d0 = 0
+    while d0 < D:
+        d1 = d0 + 1
+        while d1 < D and offsets[d1 + 1] - offsets[d0] < chunk_hashes:
+            d1 += 1
+        seg = flat[offsets[d0]:offsets[d1]]
+        bits = ((seg[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+        v = 2 * bits - 1
+        local = (offsets[d0:d1] - offsets[d0]).astype(np.int64)
+        sums = np.add.reduceat(v, local, axis=0)  # (docs_in_chunk, 64)
+        pos = (sums > 0).astype(np.uint8)
+        out[d0:d1] = np.packbits(pos[:, ::-1], axis=1).view(">u8").ravel()
+        d0 = d1
     return out
 
 
