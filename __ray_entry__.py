@@ -685,6 +685,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_docs_minhash_groups(sf):
         return dd.minhash_duplicate_groups(_table(sf, "documents"))
 
+    def q_docs_simhash(sf):
+        # 64-bit SimHash per doc (rows-only: bit-level hash, no SQL twin)
+        def fn(t: pa.Table) -> pa.Table:
+            h = dd.simhash64(t["text"].to_pandas())
+            return pa.table({
+                "doc_id": t["doc_id"],
+                "simhash": pa.array(h.astype(np.int64), type=pa.int64()),
+            })
+
+        return _table(sf, "documents").map_batches(fn, batch_format="pyarrow")
+
     def q_emb_ann_topk(sf):
         return ann_topk(_table(sf, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=5)
 
@@ -1031,6 +1042,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_langid": q_docs_langid,
         "docs_fingerprint": q_docs_fingerprint,
         "docs_minhash_groups": q_docs_minhash_groups,
+        "docs_simhash": q_docs_simhash,
         "emb_ann_topk": q_emb_ann_topk,
         "emb_neardup": q_emb_neardup,
         "stratified_sample": q_stratified_sample,
