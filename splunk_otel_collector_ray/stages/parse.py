@@ -477,13 +477,17 @@ class ParseStage:
         has_span = _np(pc.and_(pc.equal(role, "tool"), pc.not_equal(tool, "")))
         span_id = np.full(n, "", dtype=object)
         if has_span.any():
+            import binascii
+
             sidx = np.flatnonzero(has_span)
             conv_sub = pc.cast(pc.utf8_slice_codeunits(
                 batch.column("conv_id").take(pa.array(sidx)), 5, 32), pa.int64())
             turn_sub = _np(batch.column("turn_idx").take(pa.array(sidx))).astype(
                 np.int64)
             raw = _np(conv_sub) * 100_000 + turn_sub
-            span_id[sidx] = [format(v, "016x") for v in raw]
+            # vectorized 016x: big-endian u64 bytes → one hexlify → S16 view
+            hexes = binascii.hexlify(raw.astype(">u8").tobytes())
+            span_id[sidx] = np.frombuffer(hexes, dtype="S16").astype("U16")
 
         fam_names = np.asarray(names, dtype=object)
         attributes = self._build_map(codes, fam_names, attr_vals, n)
