@@ -492,9 +492,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return ds.select_columns(["conv_id", "turn_idx", "body"])
 
     def q_recombine(sf):
-        ds = _parsed(sf).map_batches(
-            lambda t: t.filter(pc.equal(t["log_format"], "docker")),
-            batch_format="pyarrow")
+        # prune BEFORE parsing: docker is detected by the first router
+        # prefix test, so prefiltering raw text on the same prefix is
+        # semantics-identical and skips parsing the other 22 families
+        from splunk_otel_collector_ray.stages.parse import ParseStage
+
+        ds = _read_transcripts(sf).map_batches(
+            lambda t: t.filter(pc.starts_with(t["text"], '{"log":')),
+            batch_format="pyarrow").map_batches(
+            ParseStage.as_fn(), batch_format="pyarrow")
         return recombine_fragments(ds)
 
     def q_multiline_frame(sf):

@@ -89,9 +89,9 @@ def run_bench() -> dict:
 
     t0 = time.time()
     frag = read_transcripts(SF_DIR).map_batches(
-        ParseStage.as_fn(), batch_format="pyarrow").map_batches(
-        lambda t: t.filter(pc.equal(t["log_format"], "docker")),
-        batch_format="pyarrow")
+        lambda t: t.filter(pc.starts_with(t["text"], '{"log":')),
+        batch_format="pyarrow").map_batches(
+        ParseStage.as_fn(), batch_format="pyarrow")
     recombine_fragments(frag).count()
     queries["recombine"] = round(time.time() - t0, 3)
 
