@@ -445,16 +445,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
              "cloud.provider", "host.name"])
 
     def q_sanitize(sf):
-        ds = _parsed(sf)
-        ds = ds.map_batches(
+        # prune first (any phone-shaped token), parse the small subset, then
+        # keep only rows the ROUTER classifies pii (an earlier rule may own
+        # a phone-bearing line, so the post-filter stays)
+        from splunk_otel_collector_ray.stages.parse import ParseStage
+
+        ds = _read_transcripts(sf).map_batches(
+            lambda t: t.filter(pc.match_substring_regex(
+                t["text"], r"\d{4}-\d{3}-\d{4}")),
+            batch_format="pyarrow").map_batches(
+            ParseStage.as_fn(), batch_format="pyarrow").map_batches(
             lambda t: t.filter(pc.equal(t["log_format"], "pii")),
             batch_format="pyarrow")
         return ds.select_columns(["conv_id", "turn_idx", "body"])
 
     def q_severity_transform(sf):
-        ds = _parsed(sf).map_batches(
-            lambda t: t.filter(pc.equal(t["log_format"], "json_level")),
-            batch_format="pyarrow")
+        # prune on the json_level router prefix before parsing (no earlier
+        # rule can claim a '{"Level":' line, so the subset is exact)
+        from splunk_otel_collector_ray.stages.parse import ParseStage
+
+        ds = _read_transcripts(sf).map_batches(
+            lambda t: t.filter(pc.starts_with(t["text"], '{"Level":')),
+            batch_format="pyarrow").map_batches(
+            ParseStage.as_fn(), batch_format="pyarrow")
         return ds.select_columns(["conv_id", "turn_idx", "severity_text"])
 
     def q_ottl_statements(sf):
