@@ -338,6 +338,8 @@ class ParseStage:
         text = batch.column("text")
         if isinstance(text, pa.ChunkedArray):
             text = text.combine_chunks()
+        if text.null_count:  # null body → empty line (classifies as plain)
+            text = pc.fill_null(text, "")
         ts_in_np = _np(batch.column("ts")).astype("datetime64[us]")
         codes, names = self.classify(text)
 
@@ -388,7 +390,7 @@ class ParseStage:
                 continue
             sub = text.take(pa.array(idx, type=pa.int64()))
             st = pc.extract_regex(sub, self.rx[family])
-            f = {fld.name: st.field(fld.name) for fld in st.type}
+            f = self._fields(st)
 
             if family == "apache_access":
                 put_ts(idx, _fast_strptime(
@@ -536,12 +538,30 @@ class ParseStage:
             text = batch["text"]
             if isinstance(text, pa.ChunkedArray):
                 text = text.combine_chunks()
+            if text.null_count:
+                text = pc.fill_null(text, "")
             codes, names = cls._singleton.classify(text)
             return batch.append_column("log_format", pc.take(
                 pa.array(names, type=pa.string()),
                 pa.array(codes, type=pa.int8())))
 
         return classify_batch
+
+    @staticmethod
+    def _fields(st: pa.StructArray) -> dict[str, pa.Array]:
+        """extract_regex fields with parse-failure rows as NULLs.
+
+        StructArray.field() does NOT propagate the struct-level validity —
+        a non-matching row's children read as empty strings, which would
+        silently clobber `body` with "" instead of keeping the raw line
+        (stanza on_error=send keeps the record). Mask them back to null so
+        every downstream coalesce/strptime fallback fires."""
+        valid = pc.is_valid(st)
+        if pc.all(valid, min_count=0).as_py():
+            return {fld.name: st.field(fld.name) for fld in st.type}
+        nulls = pa.nulls(len(st), pa.string())
+        return {fld.name: pc.if_else(valid, st.field(fld.name), nulls)
+                for fld in st.type}
 
     @staticmethod
     def _build_map(

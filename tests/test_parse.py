@@ -178,6 +178,23 @@ def test_detection_matches_generation_arithmetic():
     assert (df.log_format.to_numpy() == exp).all()
 
 
+def test_null_empty_and_garbage_text_fall_through_to_plain():
+    df = _parse_lines(["", "total garbage \x01\x02", '{"log":"incomplete'])
+    # empty + control-char garbage → plain passthrough, no severity, no crash
+    assert df.log_format.tolist() == ["plain", "plain", "docker"]
+    assert (df.severity_number[:2] == 0).all()
+    # docker prefix matched but the record fails the full regex → raw body
+    assert df.body.iloc[2] == '{"log":"incomplete'
+    t = pa.table({
+        "conv_id": ["conv-00000001"], "turn_idx": pa.array([0], type=pa.int32()),
+        "role": ["user"], "tool": [""],
+        "text": pa.array([None], type=pa.string()),
+        "ts": pa.array([pd.Timestamp("2026-01-01")], type=pa.timestamp("us")),
+    })
+    out = ParseStage()(t).to_pandas()
+    assert out.log_format.iloc[0] == "plain" and out.body.iloc[0] == ""
+
+
 def test_span_ids_only_for_tool_calls():
     t = corpus.build_transcripts("sf0.001")
     df = ParseStage()(t).to_pandas()
