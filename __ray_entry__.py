@@ -500,6 +500,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return ds.map_batches(proj, batch_format="pyarrow")
 
+    def q_attributes_actions(sf):
+        # attributes processor action list, oracle-checked end to end:
+        # insert constant, regex extract → new attrs, sha256 hash action
+        # (full_config_linux.yaml:438-464 semantics)
+        from splunk_otel_collector_ray.stages.attributes import (
+            Action,
+            AttributesStage,
+        )
+
+        stage = AttributesStage([
+            Action("insert", "env", value="prod"),
+            Action("extract", "body",
+                   pattern=r"^(?P<verb>[a-z]+) (?P<obj>[a-z]+)"),
+            Action("hash", "conv_id", algo="sha256"),
+        ])
+        ds = _parsed(sf).map_batches(stage, batch_format="pyarrow")
+
+        def proj(t: pa.Table) -> pa.Table:
+            verb = t["verb"].to_pandas().fillna("")
+            obj = t["obj"].to_pandas().fillna("")
+            return pa.table({
+                "conv_id": t["conv_id"], "turn_idx": t["turn_idx"],
+                "env": t["env"],
+                "verb": pa.array(verb, type=pa.string()),
+                "obj": pa.array(obj, type=pa.string()),
+            })
+
+        return ds.map_batches(proj, batch_format="pyarrow")
+
     def q_truncate(sf):
         ds = _parsed(sf).map_batches(TruncateBody(10), batch_format="pyarrow")
         return ds.select_columns(["conv_id", "turn_idx", "body"])
@@ -1036,6 +1065,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sanitize": q_sanitize,
         "severity_transform": q_severity_transform,
         "ottl_statements": q_ottl_statements,
+        "attributes_actions": q_attributes_actions,
         "truncate": q_truncate,
         "recombine": q_recombine,
         "multiline_frame": q_multiline_frame,
@@ -1121,6 +1151,11 @@ def oracle_sql() -> dict[str, str]:
             "WHERE log_format = 'json_level'"),
         "truncate": C + (
             "SELECT conv_id, turn_idx, substr(body, 1, 10) AS body FROM parsed"),
+        "attributes_actions": C + (
+            "SELECT sha256(conv_id) AS conv_id, turn_idx, 'prod' AS env, "
+            "regexp_extract(body, '^([a-z]+) ([a-z]+)', 1) AS verb, "
+            "regexp_extract(body, '^([a-z]+) ([a-z]+)', 2) AS obj "
+            "FROM parsed"),
         "ottl_statements": C + (
             "SELECT conv_id, turn_idx, "
             "CASE WHEN severity_number = 10 THEN 'NOTICE' ELSE severity_text "

@@ -31,6 +31,7 @@ class Action:
     key: str
     value: str | None = None    # for insert/update/upsert
     pattern: str | None = None  # for extract
+    algo: str = "sha1"          # for hash (any hashlib algorithm name)
 
 
 @dataclass
@@ -98,8 +99,9 @@ class AttributesStage:
                     df[col] = g[col]
             elif a.action == "hash":
                 if a.key in df.columns:
+                    h = getattr(hashlib, a.algo)
                     df[a.key] = [
-                        hashlib.sha1(v.encode()).hexdigest() if isinstance(v, str) else v
+                        h(v.encode()).hexdigest() if isinstance(v, str) else v
                         for v in df[a.key]
                     ]
             else:
