@@ -697,6 +697,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["value", "event_id"], descending=[True, False]).limit(10)
         return ds.select_columns(["event_id", "event_type", "value"])
 
+    def q_metric_rename(sf):
+        # smartagent metricNameTransformations: ordered regex→replacement
+        # rename chain with backrefs (monitor.go:103-116), grouped after
+        from splunk_otel_collector_ray.stages.metrics import MetricRenameChain
+
+        chain = MetricRenameChain([(r"^(click|view)$", r"ui.\1"),
+                                   (r"\.", r"_")])
+        ds = _table(sf, "events").map_batches(
+            lambda t: chain(t, col="event_type"), batch_format="pyarrow")
+        return grouped_count(ds, ["event_type"])
+
     def q_lineitem_pricing(sf):
         return grouped_count_sum(
             _table(sf, "lineitem"), ["l_returnflag", "l_linestatus"],
@@ -1083,6 +1094,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": q_events_window,
         "events_delta": q_events_delta,
         "events_topk": q_events_topk,
+        "metric_rename": q_metric_rename,
         "lineitem_pricing": q_lineitem_pricing,
         "docs_exact_dedup": q_docs_exact_dedup,
         "docs_dedup_rows": q_docs_dedup_rows,
@@ -1252,6 +1264,10 @@ def oracle_sql() -> dict[str, str]:
         "events_topk": (
             "SELECT event_id, event_type, value FROM events "
             "ORDER BY value DESC, event_id LIMIT 10"),
+        "metric_rename": (
+            r"SELECT regexp_replace(regexp_replace(event_type, "
+            r"'^(click|view)$', 'ui.\1'), '\.', '_', 'g') AS event_type, "
+            "COUNT(*) AS n FROM events GROUP BY 1"),
         "lineitem_pricing": (
             "SELECT l_returnflag, l_linestatus, COUNT(*) AS n, "
             "SUM(l_quantity) AS sum_qty FROM lineitem "
