@@ -658,6 +658,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = _table(sf, "events").map_batches(fn, batch_format="pandas")
         return grouped_count(ds, ["event_type"])
 
+    def q_events_filtered_dims(sf):
+        # overridable filter: metric-NAME filter AND dimension filter must
+        # both match for exclusion (overridable.go:47-61)
+        from splunk_otel_collector_ray.stages.filters import (
+            FilterSet,
+            OverridableFilter,
+        )
+
+        fs = FilterSet(excludes=[OverridableFilter(
+            metric_names=["c*"], dimensions={"region": ["r0"]})])
+
+        def add_region(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["region"] = "r" + (df.user_id % 3).astype(str)
+            return df
+
+        ds = _table(sf, "events").map_batches(
+            add_region, batch_format="pandas").map_batches(
+            lambda df: df[fs.keep_mask(df, name_col="event_type")],
+            batch_format="pandas")
+        return grouped_count(ds, ["event_type", "region"])
+
     def q_events_window(sf):
         def add_window(t: pa.Table) -> pa.Table:
             w = pc.floor_temporal(t["ts"], unit="hour")
@@ -1091,6 +1113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_count": q_events_count,
         "events_sum": q_events_sum,
         "events_filtered": q_events_filtered,
+        "events_filtered_dims": q_events_filtered_dims,
         "events_window": q_events_window,
         "events_delta": q_events_delta,
         "events_topk": q_events_topk,
@@ -1253,6 +1276,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, COUNT(*) AS n FROM events WHERE NOT ("
             "(event_type LIKE 'c%' OR regexp_matches(event_type, '^v.*w$')) "
             "AND event_type <> 'click') GROUP BY event_type"),
+        "events_filtered_dims": (
+            "WITH ev AS (SELECT event_type, 'r' || (user_id % 3) AS region "
+            "FROM events) SELECT event_type, region, COUNT(*) AS n FROM ev "
+            "WHERE NOT (event_type LIKE 'c%' AND region = 'r0') "
+            "GROUP BY 1, 2"),
         "events_window": (
             "SELECT event_type, date_trunc('hour', ts) AS window_start, "
             "COUNT(*) AS n, SUM(value) AS sum_value FROM events "
