@@ -1314,6 +1314,16 @@ def oracle_sql() -> dict[str, str]:
             "AS n_bpe_tokens, CAST(length(text) AS BIGINT) AS n_chars_actual "
             "FROM documents"),
         "docs_langid": _langid_sql(),
+        # Horner reduce over character codes == int.from_bytes % (2^61-1)
+        # (valid because the documents corpus is pure ASCII — code point ==
+        # utf-8 byte; verified octet_length(encode(text)) == length(text))
+        "docs_fingerprint": (
+            "SELECT doc_id, CAST(list_reduce("
+            "list_prepend(CAST(0 AS HUGEINT), "
+            "list_transform(range(1, length(text) + 1), "
+            "i -> CAST(ascii(text[i]) AS HUGEINT))), "
+            "(acc, x) -> (acc * 256 + x) % 2305843009213693951) AS BIGINT) "
+            "AS fingerprint FROM documents"),
         "docs_quality": (
             "SELECT doc_id, (length(text) - length(regexp_replace(text, "
             "'[A-Za-z]', '', 'g'))) / CAST(length(text) AS DOUBLE) AS "
