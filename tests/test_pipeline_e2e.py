@@ -6,7 +6,32 @@ import os
 import shutil
 
 import pandas as pd
+import pyarrow as pa
 import pytest
+
+
+def test_sinkwriter_retry_idempotent_and_empty_batch(tmp_path):
+    from splunk_otel_collector_ray.stages.export import SinkWriter
+
+    batch = pa.table({
+        "conv_id": ["c1", "c1", "c2"],
+        "turn_idx": pa.array([0, 1, 0], type=pa.int32()),
+        "sink": ["sink_a", "sink_b", "sink_a"],
+        "severity_text": ["", "ERROR", ""],
+        "tool": ["", "", "bash"],
+    })
+    w = SinkWriter(str(tmp_path))
+    c1 = w(batch)
+    files1 = sorted(glob.glob(f"{tmp_path}/**/*.parquet", recursive=True))
+    c2 = w(batch)  # a Ray task retry re-executes the same batch
+    files2 = sorted(glob.glob(f"{tmp_path}/**/*.parquet", recursive=True))
+    assert files1 == files2          # deterministic names → same files
+    assert c1.equals(c2)             # identical partial counts
+    # zero-row batch (possible after upstream filters): no files, no counts
+    ce = w(batch.slice(0, 0))
+    assert ce.num_rows == 0
+    assert sorted(glob.glob(f"{tmp_path}/**/*.parquet",
+                            recursive=True)) == files1
 
 
 def test_entry_smoke(ray_session):
