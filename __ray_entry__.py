@@ -730,6 +730,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda t: chain(t, col="event_type"), batch_format="pyarrow")
         return grouped_count(ds, ["event_type"])
 
+    def q_telegraf_emit(sf):
+        # telegraf emitter: exclude + nameMap override + rename chain +
+        # addTags merge + omitTags (baseemitter.go:34-160)
+        from splunk_otel_collector_ray.stages.metrics import TelegrafEmitter
+
+        em = TelegrafEmitter(
+            exclude=("purchase",),
+            name_map={"click": "ui.click"},
+            name_transforms=[(r"^view$", "ui.view")],
+            add_tags={"plugin": "events"},
+            omit_tags=("props",),
+        )
+        ds = _table(sf, "events").map_batches(
+            lambda t: em(t, name_col="event_type"), batch_format="pyarrow")
+        return grouped_count(ds, ["event_type", "plugin"])
+
     def q_lineitem_pricing(sf):
         return grouped_count_sum(
             _table(sf, "lineitem"), ["l_returnflag", "l_linestatus"],
@@ -1118,6 +1134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_delta": q_events_delta,
         "events_topk": q_events_topk,
         "metric_rename": q_metric_rename,
+        "telegraf_emit": q_telegraf_emit,
         "lineitem_pricing": q_lineitem_pricing,
         "docs_exact_dedup": q_docs_exact_dedup,
         "docs_dedup_rows": q_docs_dedup_rows,
@@ -1296,6 +1313,11 @@ def oracle_sql() -> dict[str, str]:
             r"SELECT regexp_replace(regexp_replace(event_type, "
             r"'^(click|view)$', 'ui.\1'), '\.', '_', 'g') AS event_type, "
             "COUNT(*) AS n FROM events GROUP BY 1"),
+        "telegraf_emit": (
+            "SELECT CASE event_type WHEN 'click' THEN 'ui.click' "
+            "WHEN 'view' THEN 'ui.view' ELSE event_type END AS event_type, "
+            "'events' AS plugin, COUNT(*) AS n FROM events "
+            "WHERE event_type <> 'purchase' GROUP BY 1, 2"),
         "lineitem_pricing": (
             "SELECT l_returnflag, l_linestatus, COUNT(*) AS n, "
             "SUM(l_quantity) AS sum_qty FROM lineitem "

@@ -311,6 +311,43 @@ def histogram_bucket_deltas(cum_counts: np.ndarray) -> np.ndarray:
 
 
 @dataclass
+class TelegrafEmitter:
+    """telegraf emitter semantics as one vectorized stage
+    (/root/reference/internal/signalfx-agent/pkg/monitors/telegraf/common/
+    emitter/baseemitter/baseemitter.go:34-160): drop excluded metric names
+    (ExcludeDatum/IsExcluded :111-127), rename through the nameMap override
+    (:55-57), apply the ordered metric-name transformation chain, merge
+    addTags onto every point (AddTag overrides, :70-85), and drop omitted
+    tag columns (OmitTag :131-140)."""
+
+    exclude: tuple = ()
+    name_map: dict | None = None
+    name_transforms: list | None = None   # ordered (pattern, repl) pairs
+    add_tags: dict | None = None
+    omit_tags: tuple = ()
+
+    def __call__(self, batch: pa.Table, name_col: str = "name") -> pa.Table:
+        if self.exclude:
+            keep = pc.invert(pc.is_in(
+                batch[name_col], value_set=pa.array(list(self.exclude))))
+            batch = batch.filter(keep)
+        s = batch[name_col].to_pandas()
+        if self.name_map:
+            s = s.map(lambda v: self.name_map.get(v, v))
+        for pat, repl in (self.name_transforms or []):
+            s = s.str.replace(pat, repl, regex=True)
+        batch = batch.set_column(batch.column_names.index(name_col), name_col,
+                                 pa.array(s, type=pa.string()))
+        for k, v in (self.add_tags or {}).items():
+            if k in batch.column_names:  # AddTag overrides existing tags
+                batch = batch.drop_columns([k])
+            batch = batch.append_column(
+                k, pa.array([v] * batch.num_rows, type=pa.string()))
+        drop = [t for t in self.omit_tags if t in batch.column_names]
+        return batch.drop_columns(drop) if drop else batch
+
+
+@dataclass
 class MetricRenameChain:
     """Ordered regex→replacement renames with backrefs (monitor.go:103-116)."""
 
