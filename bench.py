@@ -53,10 +53,12 @@ def run_bench() -> dict:
     queries: dict[str, float] = {}
 
     # headline: full flagship (export per-sink parquet + aggregate);
-    # best of 2 passes to damp run-to-run scheduler/IO variance
+    # best-of-N to damp run-to-run scheduler/IO variance (observed swings
+    # up to ~40% when a prior process's writeback or CPU load bleeds in)
     out_dir = f"/tmp/bench_out_{NCPU}"
     headline = float("inf")
-    for _ in range(int(os.environ.get("GRAFT_BENCH_REPEAT", "2"))):
+    default_repeat = "3" if SF_DIR.endswith("sf0.1") else "2"
+    for _ in range(int(os.environ.get("GRAFT_BENCH_REPEAT", default_repeat))):
         shutil.rmtree(out_dir, ignore_errors=True)
         os.sync()  # flush prior runs' dirty pages so writeback throttling
         #            from an earlier (sub)process doesn't bleed into this run
