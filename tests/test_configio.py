@@ -142,6 +142,48 @@ def test_multi_pipeline_service_chain(ray_session, tmp_path):
     shutil.rmtree(staging, ignore_errors=True)
 
 
+def test_kitchen_sink_yaml_equals_dict_built(ray_session, tmp_path):
+    """A YAML pipeline chaining parse → OTTL statements → severity filter →
+    route → sample must equal the identical dict-built pipeline."""
+    import textwrap
+
+    from splunk_otel_collector_ray.config import build_pipeline
+    from splunk_otel_collector_ray.pipelines.aggregate import grouped_count
+
+    stages = [
+        {"type": "parse"},
+        {"type": "transform", "statements": [
+            'set(severity_text, "NOTICE") where severity_number == 10']},
+        {"type": "filter_severity", "min": 9},
+        {"type": "route"},
+        {"type": "sample", "pct": 50},
+    ]
+    yml = tmp_path / "sink.yaml"
+    yml.write_text(textwrap.dedent("""
+        source:
+          transcripts: /root/testdata/sf0.001
+        stages:
+        - type: parse
+        - type: transform
+          statements:
+          - set(severity_text, "NOTICE") where severity_number == 10
+        - type: filter_severity
+          min: 9
+        - type: route
+        - type: sample
+          pct: 50
+    """))
+    got = grouped_count(build_pipeline_from_yaml(str(yml)),
+                        ["sink", "severity_text"]).to_pandas()
+    exp = grouped_count(build_pipeline(
+        {"source": {"transcripts": "/root/testdata/sf0.001"},
+         "stages": stages}), ["sink", "severity_text"]).to_pandas()
+    key = ["sink", "severity_text"]
+    assert got.sort_values(key).reset_index(drop=True).equals(
+        exp.sort_values(key).reset_index(drop=True))
+    assert (got.severity_text != "INFO2").all()  # statement rewrote INFO2
+
+
 def test_native_spec_yaml_passthrough(tmp_path):
     yml = tmp_path / "native.yaml"
     yml.write_text("source:\n  transcripts: /x\nstages:\n- type: parse\n")
