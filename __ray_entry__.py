@@ -379,8 +379,8 @@ def _prom_sql_cte() -> str:
         "AS bname FROM psamp), "
         "prom AS (SELECT b.src_row, b.name, b.labels, b.value, "
         "COALESCE(tb.t, tn.t, 'untyped') AS type, "
-        "regexp_extract(b.labels, 'le=\"([^\"]*)\"', 1) AS le, "
-        "regexp_extract(b.labels, 'quantile=\"([^\"]*)\"', 1) AS quantile "
+        "regexp_extract(b.labels, '(?:^|,)le=\"([^\"]*)\"', 1) AS le, "
+        "regexp_extract(b.labels, '(?:^|,)quantile=\"([^\"]*)\"', 1) AS quantile "
         "FROM pbase b "
         "LEFT JOIN ptypes tb ON tb.src_row = b.src_row AND tb.tname = b.bname "
         "LEFT JOIN ptypes tn ON tn.src_row = b.src_row AND tn.tname = b.name) "
@@ -731,14 +731,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return grouped_count(ds, ["event_type"])
 
     def q_telegraf_emit(sf):
-        # telegraf emitter: exclude + nameMap override + rename chain +
-        # addTags merge + omitTags (baseemitter.go:34-160)
+        # telegraf emitter: nameMap override short-circuits the transform
+        # chain ("click"→"ui.click" keeps its dot), exclusion applies to the
+        # FINAL name ("view"→"ui.view"→"ui_view" is excluded post-transform),
+        # addTags merge + omitTags (baseemitter.go:159-183,281-287)
         from splunk_otel_collector_ray.stages.metrics import TelegrafEmitter
 
         em = TelegrafEmitter(
-            exclude=("purchase",),
+            exclude=("ui_view",),
             name_map={"click": "ui.click"},
-            name_transforms=[(r"^view$", "ui.view")],
+            name_transforms=[(r"^view$", "ui.view"), (r"\.", "_")],
             add_tags={"plugin": "events"},
             omit_tags=("props",),
         )
@@ -1314,10 +1316,14 @@ def oracle_sql() -> dict[str, str]:
             r"'^(click|view)$', 'ui.\1'), '\.', '_', 'g') AS event_type, "
             "COUNT(*) AS n FROM events GROUP BY 1"),
         "telegraf_emit": (
-            "SELECT CASE event_type WHEN 'click' THEN 'ui.click' "
-            "WHEN 'view' THEN 'ui.view' ELSE event_type END AS event_type, "
-            "'events' AS plugin, COUNT(*) AS n FROM events "
-            "WHERE event_type <> 'purchase' GROUP BY 1, 2"),
+            # nameMap hit short-circuits the transform chain; exclusion is
+            # checked on the FINAL name (baseemitter.go:159-183,281-287)
+            "WITH renamed AS (SELECT CASE WHEN event_type = 'click' "
+            "THEN 'ui.click' ELSE regexp_replace(regexp_replace(event_type, "
+            r"'^view$', 'ui.view'), '\.', '_', 'g') END AS event_type "
+            "FROM events) "
+            "SELECT event_type, 'events' AS plugin, COUNT(*) AS n "
+            "FROM renamed WHERE event_type <> 'ui_view' GROUP BY 1, 2"),
         "lineitem_pricing": (
             "SELECT l_returnflag, l_linestatus, COUNT(*) AS n, "
             "SUM(l_quantity) AS sum_qty FROM lineitem "

@@ -228,6 +228,13 @@ def run_pipeline(spec: dict[str, Any]) -> Any:
     ds = build_pipeline(spec)
     sink = spec.get("sink", {"count": True})
     if "parquet" in sink:
+        # clear the staging dir first: Ray write_parquet appends uniquely
+        # named files, so a rerun into a stale dir would double-count in any
+        # consumer pipeline (ADVICE r2). Resumable export with skip-completed
+        # semantics lives in pipelines.logs (manifest-gated), not here.
+        import shutil
+
+        shutil.rmtree(sink["parquet"], ignore_errors=True)
         ds.write_parquet(sink["parquet"],
                          partition_cols=sink.get("partition_cols"))
         return sink["parquet"]

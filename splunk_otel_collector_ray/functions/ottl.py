@@ -44,53 +44,64 @@ BatchFn = Callable[[pa.Table], pa.Table]
 # map<string,string> rebuild kernels (flat-array numpy, no row loop)
 # --------------------------------------------------------------------------
 
-def _map_parts(arr) -> tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+def _map_parts(arr) -> tuple[np.ndarray, np.ndarray, np.ndarray, int,
+                             np.ndarray]:
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     offsets = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
     keys = arr.keys.to_numpy(zero_copy_only=False)
     items = arr.items.to_numpy(zero_copy_only=False)
-    return offsets, keys, items, len(arr)
+    nulls = pc.is_null(arr).to_numpy(zero_copy_only=False)
+    return offsets, keys, items, len(arr), nulls
 
 
-def _rebuild(n: int, rows: np.ndarray, keys: np.ndarray, items: np.ndarray
-             ) -> pa.Array:
-    """(row id, key, value) triples in row order → map column."""
+def _rebuild(n: int, rows: np.ndarray, keys: np.ndarray, items: np.ndarray,
+             nulls: np.ndarray | None = None) -> pa.Array:
+    """(row id, key, value) triples in row order → map column; ``nulls``
+    marks rows whose map stays NULL (validity is reapplied via null offsets
+    — ADVICE r2: null maps must not be rebuilt as empty non-null maps)."""
     counts = np.bincount(rows, minlength=n)
     offsets = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(counts, out=offsets[1:])
+    if nulls is not None and nulls.any():
+        off = pa.array(offsets, type=pa.int32(),
+                       mask=np.concatenate([nulls, [False]]))
+    else:
+        off = pa.array(offsets, type=pa.int32())
     return pa.MapArray.from_arrays(
-        pa.array(offsets, type=pa.int32()),
+        off,
         pa.array(keys, type=pa.string()),
         pa.array(items, type=pa.string()))
 
 
 def map_delete_key(arr, key: str, mask: np.ndarray | None = None) -> pa.Array:
     """Drop ``key`` entries (in masked rows only when ``mask`` given)."""
-    offsets, keys, items, n = _map_parts(arr)
+    offsets, keys, items, n, nulls = _map_parts(arr)
     rows = np.repeat(np.arange(n), np.diff(offsets))
     hit = keys == key
     if mask is not None:
         hit &= mask[rows]
     keep = ~hit
-    return _rebuild(n, rows[keep], keys[keep], items[keep])
+    return _rebuild(n, rows[keep], keys[keep], items[keep], nulls)
 
 
 def map_keep_keys(arr, wanted: list[str],
                   mask: np.ndarray | None = None) -> pa.Array:
     """Project the map to ``wanted`` keys (in masked rows only)."""
-    offsets, keys, items, n = _map_parts(arr)
+    offsets, keys, items, n, nulls = _map_parts(arr)
     rows = np.repeat(np.arange(n), np.diff(offsets))
     keep = np.isin(keys, np.asarray(wanted, dtype=object))
     if mask is not None:
         keep |= ~mask[rows]
-    return _rebuild(n, rows[keep], keys[keep], items[keep])
+    return _rebuild(n, rows[keep], keys[keep], items[keep], nulls)
 
 
 def map_set_key(arr, key: str, values: np.ndarray,
                 mask: np.ndarray | None = None) -> pa.Array:
-    """Upsert ``key`` = values[row] for masked rows (append-at-end order)."""
-    offsets, keys, items, n = _map_parts(arr)
+    """Upsert ``key`` = values[row] for masked rows (append-at-end order).
+    A set on a null-map row CREATES the map (row becomes non-null); null
+    rows outside the mask stay null."""
+    offsets, keys, items, n, nulls = _map_parts(arr)
     if mask is None:
         mask = np.ones(n, dtype=bool)
     rows = np.repeat(np.arange(n), np.diff(offsets))
@@ -101,7 +112,8 @@ def map_set_key(arr, key: str, values: np.ndarray,
     new_keys = np.concatenate([k_keys, np.full(len(a_rows), key, object)])
     new_items = np.concatenate([k_items, values[a_rows].astype(object)])
     order = np.argsort(new_rows, kind="stable")  # kept entries sort first
-    return _rebuild(n, new_rows[order], new_keys[order], new_items[order])
+    return _rebuild(n, new_rows[order], new_keys[order], new_items[order],
+                    nulls & ~mask)
 
 
 # --------------------------------------------------------------------------
@@ -169,13 +181,33 @@ def _set_column(batch: pa.Table, name: str, vals, mask) -> pa.Table:
     return batch.append_column(name, new)
 
 
+def _split_where(stmt: str) -> tuple[str, str | None]:
+    """Split a statement on its `` where `` clause separator, ignoring any
+    `` where `` that sits inside a string literal (ADVICE r2: a statement
+    like ``set(body, "a where b")`` must not be mis-parsed). One linear scan
+    tracking quote state with backslash escapes."""
+    quote: str | None = None
+    i, n = 0, len(stmt)
+    while i < n:
+        c = stmt[i]
+        if quote is not None:
+            if c == "\\":
+                i += 2
+                continue
+            if c == quote:
+                quote = None
+        elif c in "\"'":
+            quote = c
+        elif c == " " and stmt.startswith(" where ", i):
+            return stmt[:i], stmt[i + len(" where "):]
+        i += 1
+    return stmt, None
+
+
 def compile_statement(stmt: str) -> BatchFn:
     """One OTTL statement string → batch transform function."""
-    if " where " in stmt:
-        call_s, cond_s = stmt.split(" where ", 1)
-        pred = compile_predicate(cond_s)
-    else:
-        call_s, pred = stmt, None
+    call_s, cond_s = _split_where(stmt)
+    pred = compile_predicate(cond_s) if cond_s is not None else None
     node = ast.parse(call_s.strip(), mode="eval").body
     if not (isinstance(node, ast.Call) and isinstance(node.func, ast.Name)):
         raise ValueError(f"statement must be a call: {stmt!r}")

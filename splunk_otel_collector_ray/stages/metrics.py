@@ -107,8 +107,10 @@ def parse_prometheus_text(batch: pa.Table, text_col: str = "text",
                   left_on=["src_row", "name"], right_on=["src_row", "tname"])
     df["type"] = m1["t"].fillna(m2["t"]).fillna("untyped").to_numpy()
     lab = pa.array(df["labels"], type=pa.string())
-    le = pc.extract_regex(lab, r'le="(?P<le>[^"]*)"')
-    qu = pc.extract_regex(lab, r'quantile="(?P<q>[^"]*)"')
+    # anchored to a label boundary so a longer key ending in "le" (e.g.
+    # sample="x") can't be misread as a histogram bound (ADVICE r2)
+    le = pc.extract_regex(lab, r'(?:^|,)le="(?P<le>[^"]*)"')
+    qu = pc.extract_regex(lab, r'(?:^|,)quantile="(?P<q>[^"]*)"')
     return pa.table({
         "src_row": pa.array(df["src_row"].to_numpy(), type=pa.int64()),
         "name": pa.array(df["name"], type=pa.string()),
@@ -327,17 +329,28 @@ class TelegrafEmitter:
     omit_tags: tuple = ()
 
     def __call__(self, batch: pa.Table, name_col: str = "name") -> pa.Table:
+        # GetMetricName runs FIRST (baseemitter.go:159-183): a nameMap hit
+        # short-circuits — transformations are NOT applied to the override;
+        # only then is the FINAL name checked against the exclude set
+        # (AddMetric field loop :281-287). ADVICE r2 ordering fix.
+        s = batch[name_col].to_pandas()
+        if self.name_map:
+            mapped = s.map(self.name_map)  # dict map: miss → NaN
+            hit = mapped.notna()
+        else:
+            mapped = pd.Series(index=s.index, dtype=object)
+            hit = pd.Series(False, index=s.index)
+        rest = s[~hit]
+        for pat, repl in (self.name_transforms or []):
+            rest = rest.str.replace(pat, repl, regex=True)
+        final = mapped.where(hit, s)
+        final[~hit] = rest
+        batch = batch.set_column(batch.column_names.index(name_col), name_col,
+                                 pa.array(final, type=pa.string()))
         if self.exclude:
             keep = pc.invert(pc.is_in(
                 batch[name_col], value_set=pa.array(list(self.exclude))))
             batch = batch.filter(keep)
-        s = batch[name_col].to_pandas()
-        if self.name_map:
-            s = s.map(lambda v: self.name_map.get(v, v))
-        for pat, repl in (self.name_transforms or []):
-            s = s.str.replace(pat, repl, regex=True)
-        batch = batch.set_column(batch.column_names.index(name_col), name_col,
-                                 pa.array(s, type=pa.string()))
         for k, v in (self.add_tags or {}).items():
             if k in batch.column_names:  # AddTag overrides existing tags
                 batch = batch.drop_columns([k])

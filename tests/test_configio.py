@@ -139,6 +139,10 @@ def test_multi_pipeline_service_chain(ray_session, tmp_path):
     assert res["gateway"] == 10_000            # every staged row routed
     staged = pq.read_table(sorted(staging.glob("*.parquet"))[0])
     assert "log_format" in staged.column_names  # agent tier parsed
+    # rerunning the same service must NOT double-count: the parquet sink
+    # clears its staging dir before the producer writes (ADVICE r2)
+    res2 = run_service_from_yaml(str(yml))
+    assert res2["gateway"] == 10_000
     shutil.rmtree(staging, ignore_errors=True)
 
 

@@ -208,3 +208,28 @@ def test_config_dataset_combinator_stages(ray_session):
     df = ds.to_pandas()
     assert {"sink", "window_start", "n"} <= set(df.columns)
     assert df.n.sum() == 10_000
+
+
+def test_telegraf_emitter_ordering():
+    """baseemitter.go:159-183,281-287 order of operations: GetMetricName
+    first (a nameMap hit short-circuits the transform chain), THEN exclusion
+    checked against the FINAL name (ADVICE r2)."""
+    import pyarrow as pa
+
+    from splunk_otel_collector_ray.stages.metrics import TelegrafEmitter
+
+    em = TelegrafEmitter(
+        exclude=("ui_view",),
+        name_map={"click": "ui.click"},
+        name_transforms=[(r"^view$", "ui.view"), (r"\.", "_")],
+        add_tags={"plugin": "events"},
+        omit_tags=("props",),
+    )
+    t = pa.table({"name": ["click", "view", "purchase"],
+                  "props": ["a", "b", "c"]})
+    out = em(t)
+    # click: nameMap override NOT re-transformed (dot survives);
+    # view: transformed to ui.view -> ui_view -> excluded on final name
+    assert out["name"].to_pylist() == ["ui.click", "purchase"]
+    assert "props" not in out.column_names
+    assert out["plugin"].to_pylist() == ["events", "events"]

@@ -132,3 +132,42 @@ def test_bad_statements_rejected():
     for bad in ["__import__('os')", "set(body)", "frobnicate(body, 1)"]:
         with pytest.raises((ValueError, IndexError)):
             compile_statement(bad)
+
+
+def test_where_inside_string_literal_not_split():
+    # ADVICE r2: a literal containing " where " must not be parsed as a clause
+    fn = compile_statement('set(body, "a where b")')
+    out = fn(_batch())
+    assert out["body"].to_pylist() == ["a where b"] * 4
+    # a real clause after such a literal still works
+    fn2 = compile_statement(
+        'set(body, "x where y") where severity_number == 9')
+    out2 = fn2(_batch())
+    assert out2["body"].to_pylist() == ["hello world wide web", "b", "c",
+                                        "x where y"]
+
+
+def test_null_map_validity_preserved():
+    # ADVICE r2: rows whose attributes map is NULL stay NULL through
+    # delete_key / keep_keys; set() creates the map only on masked rows
+    from splunk_otel_collector_ray.functions.ottl import (
+        map_delete_key,
+        map_keep_keys,
+        map_set_key,
+    )
+
+    arr = pa.array([[("a", "1")], None, [("a", "2"), ("b", "3")], None],
+                   type=pa.map_(pa.string(), pa.string()))
+    for out in (map_delete_key(arr, "a"), map_keep_keys(arr, ["b"])):
+        assert out.is_valid().to_pylist() == [True, False, True, False]
+    vals = np.array(["v0", "v1", "v2", "v3"], dtype=object)
+    mask = np.array([False, True, False, False])
+    out = map_set_key(arr, "n", vals, mask)
+    assert out.is_valid().to_pylist() == [True, True, True, False]
+    assert dict(out.to_pylist()[1]) == {"n": "v1"}
+    # statement-level: delete_key over a batch with a null map row
+    t = pa.table({"attributes": arr,
+                  "severity_number": pa.array([1, 2, 3, 4], type=pa.int8())})
+    got = compile_statement('delete_key(attributes, "a")')(t)
+    assert got["attributes"].is_valid().to_pylist() == [True, False, True,
+                                                        False]
