@@ -115,8 +115,49 @@ class AlwaysPolicy:
     """Unconditional sample (always_sample)."""
 
 
+def semi_join_keys(
+    ds: "ray.data.Dataset", kept_keys: "ray.data.Dataset", key: str,
+    max_broadcast_keys: int = 1_000_000,
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """Keep stream rows whose ``key`` appears in ``kept_keys`` (a
+    single-column Dataset of DISTINCT keys).
+
+    Two shapes behind a cardinality threshold (r2 VERDICT fix — the kept
+    set must not become a multi-GB driver-side Python set at 10^8
+    conversations):
+    - small kept-set: collect once, broadcast via ray.put, isin filter in
+      map_batches (no row shuffle — the cheap common case);
+    - past the threshold: keyed SEMI-JOIN — ``Dataset.join`` of the stream
+      against the key table (inner join on the key adds no payload columns),
+      zero-CPU aggregators + partitions capped well under the CPU count per
+      the repo join rule. The stream shuffles once by key; the driver never
+      holds the keys.
+    """
+    kept_keys = kept_keys.materialize()  # object store, NOT the driver
+    if kept_keys.count() <= max_broadcast_keys:
+        kept_ref = ray.put(set(kept_keys.to_pandas()[key]))
+
+        class Filter:
+            def __init__(self) -> None:
+                self.kept = ray.get(kept_ref)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                mask = batch[key].to_pandas().isin(self.kept).to_numpy()
+                return batch.filter(pa.array(mask))
+
+        return ds.map_batches(Filter, batch_format="pyarrow",
+                              concurrency=(1, 8))
+    if num_partitions is None:
+        num_partitions = max(1, int(ray.cluster_resources().get("CPU", 8)) // 8)
+    return ds.join(kept_keys, join_type="inner",
+                   num_partitions=num_partitions, on=(key,),
+                   aggregator_ray_remote_args={"num_cpus": 0})
+
+
 def tail_sample_policies(
-    ds: "ray.data.Dataset", policies: list, key: str = "conv_id"
+    ds: "ray.data.Dataset", policies: list, key: str = "conv_id",
+    max_broadcast_keys: int = 1_000_000,
 ) -> "ray.data.Dataset":
     """tail_sampling with a composable POLICY TABLE (components.go:335; the
     upstream processor's policy set) — decision = OR across policies, the
@@ -124,9 +165,11 @@ def tail_sample_policies(
 
     Scale shape: every scanning policy reduces to mergeable per-conv
     partials inside map_batches (any-match flags, min/max ts), so only one
-    tiny row per conversation per batch shuffles; the final keep-set is
-    broadcast back as a semi-join filter. (At extreme key cardinality swap
-    the broadcast for a keyed semi-join — same partial table.)
+    tiny row per conversation per batch shuffles; the per-conv DECISION is
+    itself computed distributed (map_batches over the aggregate — it is
+    per-row) and the kept keys apply via ``semi_join_keys`` — broadcast
+    under the cardinality threshold, keyed semi-join past it. No
+    driver-side key set on the join path.
     """
     from ray.data.aggregate import Max, Min
 
@@ -153,60 +196,52 @@ def tail_sample_policies(
         aggs += [Min(f"_lmin{j}", alias_name=f"_lmin{j}"),
                  Max(f"_lmax{j}", alias_name=f"_lmax{j}")]
     reduced = (ds.map_batches(partial, batch_format="pyarrow")
-               .groupby(key).aggregate(*aggs).to_pandas())
+               .groupby(key).aggregate(*aggs))
 
-    decision = np.zeros(len(reduced), dtype=bool)
-    if always:
-        decision |= True
-    for i in range(len(flag_pols)):
-        decision |= reduced[f"_f{i}"].to_numpy() > 0
-    for j, p in enumerate(lat_pols):
-        span = (reduced[f"_lmax{j}"] - reduced[f"_lmin{j}"]).dt.total_seconds()
-        decision |= span.to_numpy() >= p.threshold_s
-    for p in prob_pols:
-        seq = reduced[key].str.slice(5).astype(np.int64).to_numpy()
-        decision |= (seq * KNUTH) % 100 < p.pct
-    kept = set(reduced.loc[decision, key])
-    kept_ref = ray.put(kept)
+    def decide(batch: pa.Table) -> pa.Table:
+        g = batch.to_pandas()
+        decision = np.zeros(len(g), dtype=bool)
+        if always:
+            decision |= True
+        for i in range(len(flag_pols)):
+            decision |= g[f"_f{i}"].to_numpy() > 0
+        for j, p in enumerate(lat_pols):
+            span = (g[f"_lmax{j}"] - g[f"_lmin{j}"]).dt.total_seconds()
+            decision |= span.to_numpy() >= p.threshold_s
+        for p in prob_pols:
+            seq = g[key].str.slice(5).astype(np.int64).to_numpy()
+            decision |= (seq * KNUTH) % 100 < p.pct
+        return pa.table({key: pa.array(g.loc[decision, key],
+                                       type=pa.string())})
 
-    class Filter:
-        def __init__(self) -> None:
-            self.kept = ray.get(kept_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            mask = batch[key].to_pandas().isin(self.kept).to_numpy()
-            return batch.filter(pa.array(mask))
-
-    return ds.map_batches(Filter, batch_format="pyarrow", concurrency=(1, 8))
+    kept_keys = reduced.map_batches(decide, batch_format="pyarrow")
+    return semi_join_keys(ds, kept_keys, key,
+                          max_broadcast_keys=max_broadcast_keys)
 
 
 def tail_sample_conversations(
-    ds: "ray.data.Dataset", flag_fn, key: str = "conv_id"
+    ds: "ray.data.Dataset", flag_fn, key: str = "conv_id",
+    max_broadcast_keys: int = 1_000_000,
 ) -> "ray.data.Dataset":
     """Keep every turn of conversations where ``flag_fn(batch) -> bool mask``
     matches at least one turn. Two passes over the (lazy) dataset:
 
-    1. per-batch partial: distinct keys with a match (tiny) → driver set
-    2. broadcast the kept-key set; filter with an isin mask (no row shuffle)
+    1. per-batch partial: distinct matching keys per batch (tiny) → one
+       grouped dedup (keys stay a Dataset, never a driver set)
+    2. ``semi_join_keys``: broadcast isin under the cardinality threshold,
+       keyed semi-join past it (r2 VERDICT fix)
     """
+    from ray.data.aggregate import Count
 
     def partial(batch: pa.Table) -> pa.Table:
         m = np.asarray(flag_fn(batch))
         keys = pd.unique(batch[key].to_pandas()[m])
         return pa.table({key: pa.array(keys, type=pa.string())})
 
-    kept = set(
+    kept_keys = (
         ds.map_batches(partial, batch_format="pyarrow")
-        .unique(key)  # dedup partials; result is small (one row per kept conv)
+        .groupby(key).aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
     )
-    kept_ref = ray.put(kept)
-
-    class Filter:
-        def __init__(self) -> None:
-            self.kept = ray.get(kept_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            mask = batch[key].to_pandas().isin(self.kept).to_numpy()
-            return batch.filter(pa.array(mask))
-
-    return ds.map_batches(Filter, batch_format="pyarrow", concurrency=(1, 8))
+    return semi_join_keys(ds, kept_keys, key,
+                          max_broadcast_keys=max_broadcast_keys)

@@ -172,3 +172,34 @@ def test_attributes_include_guard():
     out = st(t).to_pandas()
     assert out.tag.tolist() == ["T", None]
     assert out.v.tolist() == ["a", "b"]  # non-matching rows untouched
+
+
+def test_tail_sample_semi_join_path_equals_broadcast(ray_session):
+    """r2 VERDICT fix: forcing the keyed semi-join path
+    (max_broadcast_keys=0 — no driver-side key set by construction) yields
+    exactly the broadcast path's rows for both tail samplers."""
+    from splunk_otel_collector_ray.pipelines.logs import read_transcripts
+    from splunk_otel_collector_ray.stages.sample import (
+        StringAttributePolicy,
+        tail_sample_conversations,
+        tail_sample_policies,
+    )
+
+    ds = read_transcripts("/root/testdata/sf0.001")
+
+    def is_tool(batch):
+        return batch["role"].to_pandas().eq("tool").to_numpy()
+
+    def canon(d):
+        return (d.to_pandas().sort_values(["conv_id", "turn_idx"])
+                .reset_index(drop=True))
+
+    a = canon(tail_sample_conversations(ds, is_tool))
+    b = canon(tail_sample_conversations(ds, is_tool, max_broadcast_keys=0))
+    assert a[["conv_id", "turn_idx"]].equals(b[["conv_id", "turn_idx"]])
+
+    pols = [StringAttributePolicy(column="role", values=("tool",))]
+    c = canon(tail_sample_policies(ds, pols))
+    d = canon(tail_sample_policies(ds, pols, max_broadcast_keys=0))
+    assert c[["conv_id", "turn_idx"]].equals(d[["conv_id", "turn_idx"]])
+    assert set(a["conv_id"]) == set(c["conv_id"])
