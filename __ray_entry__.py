@@ -555,6 +555,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow")
         return multiline_frame(ds, r"^# Time: ", text_col="body")
 
+    def q_multiline_end(sf):
+        # end-anchored framing (stanza line_end_pattern): mysql-slow records
+        # CLOSE at the `;`-terminated SQL line; record_id = exclusive prefix
+        # sum of is_end (the recombine construction)
+        from splunk_otel_collector_ray.stages.recombine import multiline_frame
+
+        ds = _parsed(sf).map_batches(
+            lambda t: t.filter(pc.equal(t["log_format"], "mysql_slow")),
+            batch_format="pyarrow")
+        return multiline_frame(ds, line_end_pattern=r";$", text_col="body")
+
     def q_java_multiline(sf):
         # cassandra stack traces: frame RAW lines at the reference's
         # line_start_pattern BEFORE parsing (logs_config_linux.yaml:95-97)
@@ -1133,6 +1144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "truncate": q_truncate,
         "recombine": q_recombine,
         "multiline_frame": q_multiline_frame,
+        "multiline_end": q_multiline_end,
         "java_multiline": q_java_multiline,
         "spans": q_spans,
         "span_rename": q_span_rename,
@@ -1250,6 +1262,16 @@ def oracle_sql() -> dict[str, str]:
             "AS record_id FROM sl) "
             "SELECT conv_id, record_id, string_agg(body, chr(10) "
             "ORDER BY turn_idx) AS body, COUNT(*) AS n_lines FROM mrid "
+            "GROUP BY conv_id, record_id"),
+        "multiline_end": C + (
+            ", el AS (SELECT conv_id, turn_idx, body, CASE WHEN body LIKE "
+            "'%;' THEN 1 ELSE 0 END AS is_end FROM parsed "
+            "WHERE log_format = 'mysql_slow'), "
+            "erid AS (SELECT *, CAST(COALESCE(SUM(is_end) OVER ("
+            "PARTITION BY conv_id ORDER BY turn_idx ROWS BETWEEN UNBOUNDED "
+            "PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS record_id FROM el) "
+            "SELECT conv_id, record_id, string_agg(body, chr(10) "
+            "ORDER BY turn_idx) AS body, COUNT(*) AS n_lines FROM erid "
             "GROUP BY conv_id, record_id"),
         "java_multiline": C + (
             r", jl AS (SELECT conv_id, turn_idx, text, CASE WHEN "

@@ -164,13 +164,14 @@ def _recombine(cfg):
 
 @register_stage("multiline")
 def _multiline(cfg):
-    """filelog `multiline.line_start_pattern` framing
-    (logs_config_linux.yaml:95-97)."""
+    """filelog `multiline` framing — line_start_pattern OR line_end_pattern
+    (logs_config_linux.yaml:95-97; stanza split config)."""
     from .stages.recombine import multiline_frame
 
     return ("dataset", lambda ds: multiline_frame(
-        ds, cfg["line_start_pattern"],
-        text_col=cfg.get("text_col", "body")))
+        ds, cfg.get("line_start_pattern"),
+        text_col=cfg.get("text_col", "body"),
+        line_end_pattern=cfg.get("line_end_pattern")))
 
 
 @register_stage("tumbling_window")

@@ -88,36 +88,52 @@ def recombine_fragments(
 
 def multiline_frame(
     ds: "ray.data.Dataset",
-    line_start_pattern: str,
+    line_start_pattern: str | None = None,
     text_col: str = "body",
     key: str = "conv_id",
     order: str = "turn_idx",
     num_buckets: int = N_STITCH_BUCKETS,
+    line_end_pattern: str | None = None,
 ) -> "ray.data.Dataset":
-    """filelog `multiline.line_start_pattern` framing as a DATASET operator
-    (logs_config_linux.yaml:95-97 cassandra, :368-369 mysql-slow, :313-315
-    tomcat): consecutive lines of one source are grouped into one record
-    starting at each line_start match; lines before the first match form a
-    leading record (record_id 0).
+    """filelog `multiline` framing as a DATASET operator
+    (logs_config_linux.yaml:95-97 cassandra, :368-369 mysql-slow; the
+    stanza split config takes exactly one of line_start_pattern /
+    line_end_pattern):
 
-    Same scale shape as recombine: the is_start flag is ONE vectorized RE2
-    pass in map_batches; conversations are hash-bucketed and each bucket is
-    framed in one pandas groupby pass (record_id = inclusive prefix sum of
-    is_start — shared with the DuckDB oracle's window-function construction).
+    - ``line_start_pattern``: a record STARTS at each match; lines before
+      the first match form a leading record (record_id 0). record_id =
+      INCLUSIVE prefix sum of is_start.
+    - ``line_end_pattern``: a record ENDS at (and includes) each match;
+      trailing lines after the last match form an open final record.
+      record_id = EXCLUSIVE prefix sum of is_end (count of PRIOR ends) —
+      the same construction recombine uses for is_last_entry.
+    - the never-match idiom (`^THIS_PATTERN_WILL_NEVER_MATCH_ANYTHING$`,
+      splunk_logs_config_linux.yaml:89-90): with either parameter, zero
+      matches collapse each source to ONE record — the whole-blob framing
+      the reference configures that way.
+
+    Same scale shape as recombine: the flag is ONE vectorized RE2 pass in
+    map_batches; conversations are hash-bucketed and each bucket is framed
+    in one pandas groupby pass (shared with the DuckDB oracle's
+    window-function construction).
     Output: (conv_id, record_id, body = lines joined with newline, n_lines).
     """
+    if (line_start_pattern is None) == (line_end_pattern is None):
+        raise ValueError("exactly one of line_start_pattern / "
+                         "line_end_pattern must be given")
+    pattern = line_start_pattern or line_end_pattern
+    exclusive = line_end_pattern is not None
 
     def tag(t: pa.Table) -> pa.Table:
-        is_start = pa.compute.match_substring_regex(
-            t[text_col], line_start_pattern)
+        flag = pa.compute.match_substring_regex(t[text_col], pattern)
         h = pd.util.hash_array(
             t[key].to_pandas().to_numpy(dtype=object)) % num_buckets
         return (t.select([key, order, text_col])
-                .append_column("_start", is_start)
+                .append_column("_flag", flag)
                 .append_column("_bucket", pa.array(h.astype(np.int32))))
 
     def frame_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        return _frame_lines(g, text_col, key, order)
+        return _frame_lines(g, text_col, key, order, exclusive)
 
     return (
         ds.map_batches(tag, batch_format="pyarrow")
@@ -126,12 +142,17 @@ def multiline_frame(
     )
 
 
-def _frame_lines(g: pd.DataFrame, text_col: str, key: str, order: str
-                 ) -> pd.DataFrame:
+def _frame_lines(g: pd.DataFrame, text_col: str, key: str, order: str,
+                 exclusive: bool = False) -> pd.DataFrame:
     """Vectorized framing of MANY conversations at once (one bucket);
-    ``_start`` is the precomputed line_start_pattern flag."""
+    ``_flag`` is the precomputed line_start/line_end match. record_id is
+    the inclusive (start-anchored) or exclusive (end-anchored) per-source
+    prefix sum of the flag."""
     g = g.sort_values([key, order], kind="mergesort")
-    rid = g["_start"].astype(np.int64).groupby(g[key], sort=False).cumsum()
+    f = g["_flag"].astype(np.int64)
+    rid = f.groupby(g[key], sort=False).cumsum()
+    if exclusive:
+        rid = rid - f
     g = g.assign(record_id=rid.astype(np.int64))
     out = (
         g.groupby([key, "record_id"], sort=True)
@@ -142,13 +163,27 @@ def _frame_lines(g: pd.DataFrame, text_col: str, key: str, order: str
     return out[["conv_id", "record_id", "body", "n_lines"]]
 
 
-def split_multiline(text: str, line_start_pattern: str) -> list[str]:
-    """filelog `multiline` framing: split a blob into records beginning at
-    each line_start_pattern match (logs_config_linux.yaml:95-97). Lines before
-    the first match form one leading record."""
-    rx = re.compile(line_start_pattern, re.MULTILINE)
-    starts = [m.start() for m in rx.finditer(text)]
-    if not starts:
-        return [text] if text else []
-    bounds = ([0] if starts[0] != 0 else []) + starts + [len(text)]
+def split_multiline(text: str, line_start_pattern: str | None = None,
+                    line_end_pattern: str | None = None) -> list[str]:
+    """filelog `multiline` framing over one blob: split into records
+    beginning at each line_start match (lines before the first match form a
+    leading record), or ending AFTER each line_end match's line. Exactly one
+    pattern; zero matches (the never-match idiom) keep the blob whole."""
+    if (line_start_pattern is None) == (line_end_pattern is None):
+        raise ValueError("exactly one of line_start_pattern / "
+                         "line_end_pattern must be given")
+    if line_start_pattern is not None:
+        rx = re.compile(line_start_pattern, re.MULTILINE)
+        starts = [m.start() for m in rx.finditer(text)]
+        if not starts:
+            return [text] if text else []
+        bounds = ([0] if starts[0] != 0 else []) + starts + [len(text)]
+        return [text[a:b] for a, b in zip(bounds[:-1], bounds[1:])
+                if text[a:b]]
+    rx = re.compile(line_end_pattern, re.MULTILINE)
+    cuts = []
+    for m in rx.finditer(text):
+        nl = text.find("\n", m.end())
+        cuts.append(len(text) if nl < 0 else nl + 1)
+    bounds = [0] + sorted(set(cuts)) + [len(text)]
     return [text[a:b] for a, b in zip(bounds[:-1], bounds[1:]) if text[a:b]]

@@ -233,3 +233,45 @@ def test_telegraf_emitter_ordering():
     assert out["name"].to_pylist() == ["ui.click", "purchase"]
     assert "props" not in out.column_names
     assert out["plugin"].to_pylist() == ["events", "events"]
+
+
+def test_split_multiline_end_pattern_and_never_match():
+    """stanza line_end_pattern semantics: a record closes AFTER the matching
+    line; the never-match idiom keeps the blob whole (ADVICE/VERDICT r2)."""
+    from splunk_otel_collector_ray.stages.recombine import split_multiline
+
+    blob = "a\nend;\nb\nc\nend;\ntrailing"
+    assert split_multiline(blob, line_end_pattern=r";$") == [
+        "a\nend;\n", "b\nc\nend;\n", "trailing"]
+    never = "^THIS_PATTERN_WILL_NEVER_MATCH_ANYTHING$"
+    assert split_multiline(blob, line_end_pattern=never) == [blob]
+    assert split_multiline(blob, line_start_pattern=never) == [blob]
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        split_multiline(blob)
+    with _pytest.raises(ValueError):
+        split_multiline(blob, line_start_pattern="a", line_end_pattern="b")
+
+
+def test_multiline_frame_end_pattern_dataset(ray_session):
+    """End-anchored dataset framing: record_id = exclusive prefix sum of
+    is_end; trailing open record kept; never-match → one record per conv."""
+    import ray.data
+
+    from splunk_otel_collector_ray.stages.recombine import multiline_frame
+
+    t = pa.table({
+        "conv_id": ["c1"] * 5 + ["c2"] * 2,
+        "turn_idx": [0, 1, 2, 3, 4, 0, 1],
+        "body": ["x", "done;", "y", "done;", "tail", "p", "q"],
+    })
+    out = multiline_frame(ray.data.from_arrow(t), line_end_pattern=r";$",
+                          text_col="body").to_pandas()
+    out = out.sort_values(["conv_id", "record_id"]).reset_index(drop=True)
+    assert out["body"].tolist() == ["x\ndone;", "y\ndone;", "tail", "p\nq"]
+    assert out["record_id"].tolist() == [0, 1, 2, 0]
+    never = multiline_frame(
+        ray.data.from_arrow(t),
+        line_end_pattern="^THIS_PATTERN_WILL_NEVER_MATCH_ANYTHING$",
+        text_col="body").to_pandas()
+    assert len(never) == 2 and set(never["record_id"]) == {0}
