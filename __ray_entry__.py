@@ -529,6 +529,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return ds.map_batches(proj, batch_format="pyarrow")
 
+    def q_attributes_include(sf):
+        # include-GUARDED action list (full_config_linux.yaml:438-443 match
+        # guard): actions touch only rows whose severity_text matches the
+        # strict/glob filter; a guarded delete nulls, not drops (r3 oracle
+        # for the guard path, previously test-only)
+        from splunk_otel_collector_ray.stages.attributes import (
+            Action,
+            AttributesStage,
+        )
+
+        stage = AttributesStage(
+            actions=[
+                Action("upsert", "env", value="prod"),
+                Action("delete", "tool"),
+                Action("extract", "body",
+                       pattern=r"^(?P<verb>[a-z]+) (?P<obj>[a-z]+)"),
+            ],
+            include={"severity_text": ["ERROR", "WARN*"]})
+        ds = _parsed(sf).map_batches(stage, batch_format="pyarrow")
+
+        def proj(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "conv_id": t["conv_id"], "turn_idx": t["turn_idx"],
+                "severity_text": t["severity_text"],
+                "env": pc.coalesce(t["env"], ""),
+                "tool": pc.coalesce(t["tool"], ""),
+                "verb": pc.coalesce(t["verb"], ""),
+                "obj": pc.coalesce(t["obj"], ""),
+            })
+
+        return ds.map_batches(proj, batch_format="pyarrow")
+
     def q_truncate(sf):
         ds = _parsed(sf).map_batches(TruncateBody(10), batch_format="pyarrow")
         return ds.select_columns(["conv_id", "turn_idx", "body"])
@@ -1141,6 +1173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "severity_transform": q_severity_transform,
         "ottl_statements": q_ottl_statements,
         "attributes_actions": q_attributes_actions,
+        "attributes_include": q_attributes_include,
         "truncate": q_truncate,
         "recombine": q_recombine,
         "multiline_frame": q_multiline_frame,
@@ -1236,6 +1269,18 @@ def oracle_sql() -> dict[str, str]:
             "regexp_extract(body, '^([a-z]+) ([a-z]+)', 1) AS verb, "
             "regexp_extract(body, '^([a-z]+) ([a-z]+)', 2) AS obj "
             "FROM parsed"),
+        "attributes_include": C + (
+            "SELECT conv_id, turn_idx, severity_text, "
+            "CASE WHEN severity_text = 'ERROR' OR severity_text LIKE 'WARN%' "
+            "THEN 'prod' ELSE '' END AS env, "
+            "CASE WHEN severity_text = 'ERROR' OR severity_text LIKE 'WARN%' "
+            "THEN '' ELSE tool END AS tool, "
+            "CASE WHEN severity_text = 'ERROR' OR severity_text LIKE 'WARN%' "
+            "THEN regexp_extract(body, '^([a-z]+) ([a-z]+)', 1) ELSE '' END "
+            "AS verb, "
+            "CASE WHEN severity_text = 'ERROR' OR severity_text LIKE 'WARN%' "
+            "THEN regexp_extract(body, '^([a-z]+) ([a-z]+)', 2) ELSE '' END "
+            "AS obj FROM parsed"),
         "ottl_statements": C + (
             "SELECT conv_id, turn_idx, "
             "CASE WHEN severity_number = 10 THEN 'NOTICE' ELSE severity_text "
