@@ -529,6 +529,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return ds.map_batches(proj, batch_format="pyarrow")
 
+    def q_discovery_status(sf):
+        # discovery receiver Match-rule evaluation as one queryable stage:
+        # (strict|regexp|expr) table, first-match-wins, emit-once per
+        # (endpoint, receiver, status, pattern) — earliest turn wins
+        # (discoveryreceiver/config.go:66-83, evaluator.go:60-115)
+        from splunk_otel_collector_ray.stages.discovery import (
+            MatchRule,
+            discovery_status,
+        )
+
+        rules = [
+            MatchRule(status="failed", message="errors seen",
+                      regexp="(?i)error"),
+            MatchRule(status="partial", message="warnings seen",
+                      regexp="(?i)warn"),
+            MatchRule(status="successful", message="tool ran",
+                      expr="role == 'tool'"),
+        ]
+        return discovery_status(_parsed(sf), rules,
+                                receiver_id="transcripts")
+
     def q_attributes_include(sf):
         # include-GUARDED action list (full_config_linux.yaml:438-443 match
         # guard): actions touch only rows whose severity_text matches the
@@ -1174,6 +1195,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ottl_statements": q_ottl_statements,
         "attributes_actions": q_attributes_actions,
         "attributes_include": q_attributes_include,
+        "discovery_status": q_discovery_status,
         "truncate": q_truncate,
         "recombine": q_recombine,
         "multiline_frame": q_multiline_frame,
@@ -1281,6 +1303,23 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN severity_text = 'ERROR' OR severity_text LIKE 'WARN%' "
             "THEN regexp_extract(body, '^([a-z]+) ([a-z]+)', 2) ELSE '' END "
             "AS obj FROM parsed"),
+        "discovery_status": C + (
+            ", dmatch AS (SELECT conv_id AS endpoint, "
+            "'transcripts' AS receiver, turn_idx, "
+            "CASE WHEN regexp_matches(body, '(?i)error') THEN 'failed' "
+            "WHEN regexp_matches(body, '(?i)warn') THEN 'partial' "
+            "WHEN role = 'tool' THEN 'successful' END AS status, "
+            "CASE WHEN regexp_matches(body, '(?i)error') THEN '(?i)error' "
+            "WHEN regexp_matches(body, '(?i)warn') THEN '(?i)warn' "
+            "WHEN role = 'tool' THEN 'role == ''tool''' END AS pattern, "
+            "CASE WHEN regexp_matches(body, '(?i)error') THEN 'errors seen' "
+            "WHEN regexp_matches(body, '(?i)warn') THEN 'warnings seen' "
+            "WHEN role = 'tool' THEN 'tool ran' END AS message "
+            "FROM parsed) "
+            "SELECT endpoint, receiver, status, pattern, message, turn_idx "
+            "FROM (SELECT *, row_number() OVER (PARTITION BY endpoint, "
+            "receiver, status, pattern ORDER BY turn_idx) AS rn FROM dmatch "
+            "WHERE status IS NOT NULL) WHERE rn = 1"),
         "ottl_statements": C + (
             "SELECT conv_id, turn_idx, "
             "CASE WHEN severity_number = 10 THEN 'NOTICE' ELSE severity_text "

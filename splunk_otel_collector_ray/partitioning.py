@@ -31,6 +31,21 @@ import ray.data
 from ray.data.aggregate import Sum
 
 
+def default_num_buckets(min_buckets: int = 64) -> int:
+    """Cluster-derived bucket count for hash-bucketed grouped ops (r2
+    VERDICT item 9): 4 grouped tasks per CPU in the cluster, floored at 64
+    so single-node runs keep their proven shape. On a 256-node cluster this
+    scales the grouped-map parallelism automatically instead of pinning it
+    at the single-node constant."""
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 16))
+    except Exception:  # no session yet (pure planning context)
+        cpus = 16
+    return max(min_buckets, 4 * cpus)
+
+
 def key_counts(ds: "ray.data.Dataset", key: str) -> "ray.data.Dataset":
     """Per-key row counts via per-batch partials (shuffles ≤ one row per key
     per batch — skew-safe)."""

@@ -58,3 +58,43 @@ def test_missing_dimension_never_matches():
     f = OverridableFilter(metric_names=["x"], dimensions={"nope": ["v"]})
     df = pd.DataFrame({"name": ["x"]})
     assert f.matches(df).tolist() == [False]
+
+
+def test_discovery_match_rules_first_match_and_emit_once(ray_session):
+    """discoveryreceiver evaluator semantics: (strict|regexp|expr) table,
+    first-match-wins, emit-once per (endpoint, receiver, status, pattern)
+    with the earliest record winning (config.go:66-83, evaluator.go:60-115)."""
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from splunk_otel_collector_ray.stages.discovery import (
+        MatchRule,
+        discovery_status,
+    )
+
+    t = pa.table({
+        "conv_id": ["e1", "e1", "e1", "e2", "e2"],
+        "turn_idx": [0, 1, 2, 0, 1],
+        "body": ["ready", "error: boom", "error: again", "warn x", "ready"],
+        "role": ["tool", "assistant", "assistant", "user", "tool"],
+    })
+    rules = [
+        MatchRule(status="failed", message="err", regexp="error"),
+        MatchRule(status="partial", message="wrn", strict="warn x"),
+        MatchRule(status="successful", message="ok", expr="role == 'tool'"),
+    ]
+    out = (discovery_status(ray.data.from_arrow(t), rules,
+                            receiver_id="r1")
+           .to_pandas().sort_values(["endpoint", "status"])
+           .reset_index(drop=True))
+    # e1: successful@0 (expr), failed@1 (first error only — emit-once)
+    # e2: partial@0 (strict), successful@1
+    assert out[["endpoint", "status", "turn_idx"]].values.tolist() == [
+        ["e1", "failed", 1], ["e1", "successful", 0],
+        ["e2", "partial", 0], ["e2", "successful", 1]]
+    assert set(out["receiver"]) == {"r1"}
+    with pytest.raises(ValueError):
+        MatchRule(status="x")  # no match field
+    with pytest.raises(ValueError):
+        MatchRule(status="x", strict="a", regexp="b")  # two match fields
