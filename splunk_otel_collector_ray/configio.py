@@ -22,23 +22,68 @@ from __future__ import annotations
 
 import os
 import re
+from collections.abc import Callable
 from typing import Any
 
-_INTERP_RX = re.compile(r"\$\{(env|file):([^}:]+)(?::-([^}]*))?\}")
+_INTERP_RX = re.compile(r"\$\{(\w+):([^}:]+)(?::-([^}]*))?\}")
+
+# --- pluggable config-source registry (r2 VERDICT item 7) -------------------
+# The reference's ConfigSource surface is a factory registry keyed by source
+# type with a Retrieve(selector, params) contract (source.go:49-81); besides
+# env/include it ships vault/etcd2/zookeeper/splunksecret backends. A
+# provider here is ``fn(selector, env) -> str | None``; returning None falls
+# back to the interpolation's ':-default' (missing default = error).
+
+ConfigSourceFn = Callable[[str, Any], "str | None"]
+_CONFIG_SOURCES: dict[str, ConfigSourceFn] = {}
+
+
+def register_config_source(name: str, fn: ConfigSourceFn | None = None):
+    """Register a named config-source provider (decorator or direct call).
+    Custom backends (a vault/zookeeper analogue, an in-memory test source)
+    plug in here and become ``${name:selector}`` interpolations."""
+
+    def add(f: ConfigSourceFn) -> ConfigSourceFn:
+        _CONFIG_SOURCES[name] = f
+        return f
+
+    return add(fn) if fn is not None else add
+
+
+def unregister_config_source(name: str) -> None:
+    _CONFIG_SOURCES.pop(name, None)
+
+
+@register_config_source("env")
+def _env_source(selector: str, env) -> "str | None":
+    """envvarconfigsource: process environment lookup."""
+    return env.get(selector)
+
+
+@register_config_source("file")
+def _file_source(selector: str, env) -> "str | None":
+    """includeconfigsource: splice file contents."""
+    if not os.path.exists(selector):
+        return None
+    with open(selector) as f:
+        return f.read().strip()
 
 
 def _resolve_str(s: str, env) -> str:
     def repl(m: "re.Match[str]") -> str:
         kind, selector, default = m.groups()
-        if kind == "env":
-            v = env.get(selector, default)
-            if v is None:
-                raise KeyError(
-                    f"environment variable {selector!r} is not set and the "
-                    "interpolation has no ':-default'")
-            return v
-        with open(selector) as f:  # ${file:path} — include configsource
-            return f.read().strip()
+        if kind not in _CONFIG_SOURCES:
+            raise KeyError(
+                f"unknown config source {kind!r}; registered: "
+                f"{sorted(_CONFIG_SOURCES)}")
+        v = _CONFIG_SOURCES[kind](selector, env)
+        if v is None:
+            v = default
+        if v is None:
+            raise KeyError(
+                f"config source {kind}:{selector} resolved nothing and the "
+                "interpolation has no ':-default'")
+        return v
 
     return _INTERP_RX.sub(repl, s)
 
@@ -141,6 +186,60 @@ def remove_stages(stage_type: str):
     return convert
 
 
+def dry_run(sink: list):
+    """Converter factory: the --dry-run echo (configconverter/dry_run.go
+    NewDryRun/Convert — accrue the resolved config, run it through the
+    chain, emit the effective YAML without starting the service). Appends
+    the spec AS SEEN AT ITS POSITION IN THE CHAIN to ``sink`` (deep copy)
+    and passes it through unchanged; place it last to capture the fully
+    converted spec."""
+
+    def convert(spec: dict) -> dict:
+        import copy
+
+        sink.append(copy.deepcopy(spec))
+        return spec
+
+    return convert
+
+
+def dry_run_yaml(path: str, env=None, converters=()) -> str:
+    """--dry-run surface: resolve + convert the YAML pipeline and return
+    the effective spec as a YAML string WITHOUT building any Dataset
+    (dry_run.go Convert's yaml.Marshal + exit)."""
+    import yaml
+
+    return yaml.safe_dump(load_yaml_pipeline(path, env, converters),
+                          sort_keys=True)
+
+
+def migrate_telemetry_resource_attributes(doc: dict) -> dict:
+    """Document converter (runs on the collector-style document BEFORE
+    pipeline extraction, the confmap.Converter position): rewrite legacy
+    flat keys under ``service.telemetry.resource`` into the declarative
+    ``attributes: [{name, value}, …]`` list form, preserving the known
+    v0.30 fields (migrate_telemetry_resource_attributes.go:25-110)."""
+    valid = {"attributes", "attributes_list", "detectors", "schema_url"}
+    resource = (((doc.get("service") or {}).get("telemetry") or {})
+                .get("resource"))
+    if not isinstance(resource, dict):
+        return doc
+    attrs = resource.get("attributes")
+    if isinstance(attrs, list):  # already declarative
+        return doc
+    legacy = [k for k in resource if k not in valid]
+    if not legacy:
+        return doc
+    out = {k: v for k, v in resource.items() if k in valid}
+    out["attributes"] = [{"name": k, "value": resource[k]}
+                         for k in sorted(legacy)]
+    import copy
+
+    doc = copy.deepcopy(doc)
+    doc["service"]["telemetry"]["resource"] = out
+    return doc
+
+
 def service_specs(doc: dict) -> list[tuple[str, dict]]:
     """Collector-style document → ORDERED list of (pipeline name, native
     spec) for a multi-pipeline service.
@@ -214,15 +313,21 @@ def run_service_from_yaml(path: str, env=None) -> dict:
     return results
 
 
-def load_yaml_pipeline(path: str, env=None, converters=()) -> dict:
+def load_yaml_pipeline(path: str, env=None, converters=(),
+                       doc_converters=()) -> dict:
     """YAML file → resolved native pipeline spec: interpolations applied,
-    collector-style documents converted, then the converter chain run in
-    order (main.go:102-110 wiring)."""
+    DOCUMENT converters run on the collector-style confmap (the
+    configconverter position, e.g. migrate_telemetry_resource_attributes),
+    the document converted to a native spec, then the SPEC converter chain
+    run in order (main.go:102-110 wiring)."""
     import yaml
 
     with open(path) as f:
         doc = yaml.safe_load(f)
-    spec = collector_to_spec(interpolate(doc, env))
+    doc = interpolate(doc, env)
+    for conv in doc_converters:
+        doc = conv(doc)
+    spec = collector_to_spec(doc)
     for conv in converters:
         spec = conv(spec)
     return spec

@@ -110,7 +110,7 @@ def exact_dedup(ds: "ray.data.Dataset", col: str = "text",
 
 def exact_dedup_rows(ds: "ray.data.Dataset", col: str = "text",
                      id_col: str = "doc_id",
-                     num_buckets: int = 64) -> "ray.data.Dataset":
+                     num_buckets: int | None = None) -> "ray.data.Dataset":
     """Full-row exact dedup: keep each distinct content's first (min-id) ROW
     — the form a training-data pipeline feeds downstream (exact_dedup keeps
     only winner ids + counts).
@@ -118,8 +118,12 @@ def exact_dedup_rows(ds: "ray.data.Dataset", col: str = "text",
     Shape: vectorized content hash per batch, per-batch local first-per-hash
     shrink, then ONE bucketed exchange (hash(content_hash) % B) with a
     vectorized per-bucket reduction — no per-content-group tasks, and full
-    text moves at most once.
+    text moves at most once. B is cluster-derived by default.
     """
+    if num_buckets is None:
+        from ..partitioning import default_num_buckets
+
+        num_buckets = default_num_buckets()
 
     def local_first(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values([id_col], kind="mergesort")
@@ -233,7 +237,7 @@ def shingle_hash_rows(batch: pa.Table, id_col: str = "doc_id",
 
 def candidate_pairs_from_bands(
     bands: "ray.data.Dataset", id_col: str = "doc_id",
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
 ) -> "ray.data.Dataset":
     """(id, band, band_hash) rows → distinct candidate id pairs
     (doc_a < doc_b) from same-bucket LSH groups — the shared candidate
@@ -247,6 +251,10 @@ def candidate_pairs_from_bands(
     per-batch drop_duplicates shrink then ONE bucketed exchange — Ray's
     composite-key hash aggregate is ~20× slower at 10^5 pairs.
     """
+    if num_buckets is None:
+        from ..partitioning import default_num_buckets
+
+        num_buckets = default_num_buckets()
 
     def add_pb(t: pa.Table) -> pa.Table:
         h = (t["band_hash"].to_numpy(zero_copy_only=False)

@@ -143,8 +143,12 @@ def prometheus_histograms(
                     pc.match_substring_regex(t["name"], "_bucket$"))
         return t.filter(m)
 
+    from ..partitioning import default_num_buckets
+
+    nb = default_num_buckets()
+
     def add_bucket(t: pa.Table) -> pa.Table:
-        h = t["src_row"].to_numpy(zero_copy_only=False) % 64
+        h = t["src_row"].to_numpy(zero_copy_only=False) % nb
         return t.append_column("_bucket", pa.array(h.astype(np.int32)))
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -392,14 +396,17 @@ def span_durations(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     (components.go:347): duration of a tool turn = gap to the next turn in
     the same conversation (0 for a conversation's last turn).
 
-    Scale shape: conversations are bucketed (hash % 64) and each bucket's
-    lead/shift runs as ONE vectorized pandas pass — same pattern as
-    recombine; a conversation never spans buckets.
+    Scale shape: conversations are bucketed (hash % B, B cluster-derived)
+    and each bucket's lead/shift runs as ONE vectorized pandas pass — same
+    pattern as recombine; a conversation never spans buckets.
     """
+    from ..partitioning import default_num_buckets
+
+    nb = default_num_buckets()
 
     def add_bucket(t: pa.Table) -> pa.Table:
         h = pd.util.hash_array(
-            t["conv_id"].to_pandas().to_numpy(dtype=object)) % 64
+            t["conv_id"].to_pandas().to_numpy(dtype=object)) % nb
         return t.append_column("_bucket", pa.array(h.astype(np.int32)))
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -452,6 +459,9 @@ def dimension_upsert(
     Scale shape: per-batch partial last-row (vectorized idxmax) shrinks each
     block to ≤ one row per key before the keyed shuffle.
     """
+    from ..partitioning import default_num_buckets
+
+    nb = default_num_buckets()
 
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.select([key, order, *values]).to_pandas()
@@ -463,14 +473,14 @@ def dimension_upsert(
         h = (pd.util.hash_array(kv.astype(object))
              if kv.dtype == object else kv.astype(np.int64) % (1 << 62))
         return t.append_column("_bucket",
-                               pa.array((h % 64).astype(np.int32)))
+                               pa.array((h % nb).astype(np.int32)))
 
     def final_bucket(g: pd.DataFrame) -> pd.DataFrame:
         keep = g.loc[g.groupby(key, sort=False)[order].idxmax()]
         return keep.drop(columns=["_bucket"])
 
     # per-batch partials shrink to ≤1 row/key/batch; the final reduce runs
-    # per hash bucket (64 vectorized pandas passes, not one task per key)
+    # per hash bucket (B vectorized pandas passes, not one task per key)
     return (
         ds.map_batches(partial, batch_format="pyarrow")
         .map_batches(add_bucket, batch_format="pyarrow")

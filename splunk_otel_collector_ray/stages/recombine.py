@@ -39,7 +39,10 @@ import pyarrow as pa
 
 import ray.data
 
-N_STITCH_BUCKETS = 64
+def _stitch_buckets() -> int:
+    from ..partitioning import default_num_buckets
+
+    return default_num_buckets()
 
 
 def _stitch_frame(g: pd.DataFrame, body_col: str, key: str, order: str
@@ -65,10 +68,12 @@ def recombine_fragments(
     body_col: str = "body",
     key: str = "conv_id",
     order: str = "turn_idx",
-    num_buckets: int = N_STITCH_BUCKETS,
+    num_buckets: int | None = None,
 ) -> "ray.data.Dataset":
     """Stitch fragment rows into records: one output row per record with
     columns (conv_id, record_id, body, n_fragments, is_complete)."""
+    if num_buckets is None:
+        num_buckets = _stitch_buckets()
 
     def add_bucket(t: pa.Table) -> pa.Table:
         h = pd.util.hash_array(
@@ -92,7 +97,7 @@ def multiline_frame(
     text_col: str = "body",
     key: str = "conv_id",
     order: str = "turn_idx",
-    num_buckets: int = N_STITCH_BUCKETS,
+    num_buckets: int | None = None,
     line_end_pattern: str | None = None,
 ) -> "ray.data.Dataset":
     """filelog `multiline` framing as a DATASET operator
@@ -121,6 +126,8 @@ def multiline_frame(
     if (line_start_pattern is None) == (line_end_pattern is None):
         raise ValueError("exactly one of line_start_pattern / "
                          "line_end_pattern must be given")
+    if num_buckets is None:
+        num_buckets = _stitch_buckets()
     pattern = line_start_pattern or line_end_pattern
     exclusive = line_end_pattern is not None
 

@@ -82,13 +82,19 @@ def sliding_counts(
 
 def session_windows(
     ds: "ray.data.Dataset", key: str, ts_col: str = "ts",
-    gap_s: int = 600, order_col: str | None = None, num_buckets: int = 64,
+    gap_s: int = 600, order_col: str | None = None,
+    num_buckets: int | None = None,
 ) -> "ray.data.Dataset":
     """Gap-based sessions per key: (key, session_id, session_start, n).
 
     New session when > gap since the key's previous event; per-key streams
-    are co-located via hash buckets and processed in one vectorized pass.
+    are co-located via hash buckets (cluster-derived count) and processed
+    in one vectorized pass.
     """
+    if num_buckets is None:
+        from ..partitioning import default_num_buckets
+
+        num_buckets = default_num_buckets()
 
     def add_bucket(t: pa.Table) -> pa.Table:
         kv = t[key].to_pandas().to_numpy()

@@ -69,7 +69,7 @@ def test_multiline_frame_agrees_with_split_multiline(lines, n_convs):
         rows.append((f"c{i % n_convs}", i,
                      ("REC " if start else "cont ") + body))
     g = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "body"])
-    g["_start"] = g["body"].str.match(r"REC ")
+    g["_flag"] = g["body"].str.match(r"REC ")
     out = _frame_lines(g, "body", "conv_id", "turn_idx")
     for conv, sub in g.groupby("conv_id"):
         rec = out[out.conv_id == conv].sort_values("record_id")
