@@ -104,7 +104,8 @@ def compile_predicate(expr: str) -> MaskFn:
             return lambda b, g=get, v=lit, fn=fn: np.asarray(
                 fn(g(b), v)) & g(b).notna().to_numpy()
         if (isinstance(node, ast.Call) and isinstance(node.func, ast.Name)
-                and node.func.id == "matches"):
+                and node.func.id in ("matches", "IsMatch")):
+            # IsMatch = upstream OTTL's condition-function name; same kernel
             if len(node.args) != 2:
                 raise ValueError("matches(col, 'regex') expected")
             get = _operand(node.args[0])

@@ -20,9 +20,13 @@ Grammar:
     set(<target>, <value>) [where <predicate>]
     delete_key(attributes, "key") [where <predicate>]
     keep_keys(attributes, ["k1", "k2"]) [where <predicate>]
+    replace_pattern(<target>, "regex", "replacement") [where <predicate>]
   <target> := column | attributes["key"]
   <value>  := literal | column | attributes["key"]
             | Substring(<value>, start, length) | Concat([<value>…], sep)
+  predicates may use IsMatch(col, "regex") — the upstream OTTL condition
+  function (alias of functions.expr's matches()); replacement backrefs use
+  RE2 ``\\1`` syntax (the kernel is pyarrow replace_substring_regex).
 """
 
 from __future__ import annotations
@@ -259,6 +263,46 @@ def compile_statement(stmt: str) -> BatchFn:
             return b.set_column(b.column_names.index(mcol), mcol, new)
 
         return run
+
+    if fname == "replace_pattern":
+        # upstream OTTL editor replace_pattern(target, regex, replacement):
+        # regex-global-replace in place; a missing/null target is untouched
+        target = node.args[0]
+        pattern = ast.literal_eval(node.args[1])
+        repl = ast.literal_eval(node.args[2])
+        if isinstance(target, ast.Name):
+            tname = target.id
+
+            def run(b, tname=tname, pattern=pattern, repl=repl, pred=pred):
+                col = b[tname]
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                new = pc.replace_substring_regex(col, pattern=pattern,
+                                                 replacement=repl)
+                if pred is not None:
+                    new = pc.if_else(pa.array(pred(b)), new, col)
+                return b.set_column(b.column_names.index(tname), tname, new)
+
+            return run
+        if (isinstance(target, ast.Subscript)
+                and isinstance(target.value, ast.Name)
+                and isinstance(target.slice, ast.Constant)):
+            mcol, key = target.value.id, target.slice.value
+
+            def run(b, mcol=mcol, key=key, pattern=pattern, repl=repl,
+                    pred=pred):
+                vals = map_get(b, mcol, key)
+                present = vals.notna().to_numpy()
+                mask = present if pred is None else present & pred(b)
+                newv = vals.str.replace(pattern, repl, regex=True)
+                new = map_set_key(
+                    (b[mcol].combine_chunks()
+                     if isinstance(b[mcol], pa.ChunkedArray) else b[mcol]),
+                    key, newv.to_numpy(dtype=object), mask)
+                return b.set_column(b.column_names.index(mcol), mcol, new)
+
+            return run
+        raise ValueError(f"unsupported replace_pattern target in {stmt!r}")
 
     raise ValueError(f"unknown statement function {fname!r}")
 

@@ -33,12 +33,34 @@ DEFAULT_INDEX_MAP = {
 
 @dataclass
 class HecProjection:
-    """map_batches stage: routed+enriched records → HEC envelope columns."""
+    """map_batches stage: routed+enriched records → HEC envelope columns.
+
+    Gating flags (cmd/otelcol/config/collector/agent_config.yaml:175-186,
+    logs_config_linux.yaml:682-692): ``profiling_data_enabled: false``
+    drops profiling records, ``log_data_enabled: false`` drops everything
+    else — the paired-exporter pattern where splunk_hec carries logs and
+    splunk_hec/profiling carries only profiling data. A record is
+    profiling data when its ``com.splunk.sourcetype`` equals
+    ``profiling_sourcetype`` (the upstream otel.profiling scope constant).
+    """
 
     index_map: dict[str, str] = field(default_factory=lambda: dict(DEFAULT_INDEX_MAP))
     default_index: str = "main"
+    log_data_enabled: bool = True
+    profiling_data_enabled: bool = True
+    profiling_sourcetype: str = "otel.profiling"
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if not (self.log_data_enabled and self.profiling_data_enabled):
+            is_prof = pc.equal(batch["com.splunk.sourcetype"],
+                               self.profiling_sourcetype)
+            if not self.profiling_data_enabled:
+                keep = pc.invert(is_prof)
+            else:
+                keep = is_prof
+            if not self.log_data_enabled and not self.profiling_data_enabled:
+                keep = pa.array([False] * batch.num_rows)
+            batch = batch.filter(keep)
         # epoch seconds with fractional part (HEC `time` field semantics)
         t_us = pc.cast(batch["ts"], pa.int64())
         time_s = pc.divide(pc.cast(t_us, pa.float64()), 1_000_000.0)

@@ -275,3 +275,32 @@ def test_multiline_frame_end_pattern_dataset(ray_session):
         line_end_pattern="^THIS_PATTERN_WILL_NEVER_MATCH_ANYTHING$",
         text_col="body").to_pandas()
     assert len(never) == 2 and set(never["record_id"]) == {0}
+
+
+def test_hec_gating_flags():
+    """splunk_hec gating (agent_config.yaml:175-186): profiling_data_enabled
+    =false drops profiling records; log_data_enabled=false keeps ONLY them
+    — the paired logs/profiling exporter pattern."""
+    import pyarrow as pa
+
+    from splunk_otel_collector_ray.stages.hec import HecProjection
+
+    t = pa.table({
+        "ts": pa.array([1_000_000, 2_000_000], type=pa.timestamp("us")),
+        "host.name": ["h1", "h2"],
+        "com.splunk.source": ["otel", "otel"],
+        "com.splunk.sourcetype": ["otel", "otel.profiling"],
+        "sink": ["sink_tools", "sink_errors"],
+        "body": ["a", "b"],
+        "conv_id": ["c1", "c2"],
+        "turn_idx": [0, 1],
+    })
+    logs = HecProjection(profiling_data_enabled=False)(t)
+    assert logs["event"].to_pylist() == ["a"]
+    prof = HecProjection(log_data_enabled=False)(t)
+    assert prof["event"].to_pylist() == ["b"]
+    both = HecProjection()(t)
+    assert both.num_rows == 2
+    none = HecProjection(log_data_enabled=False,
+                         profiling_data_enabled=False)(t)
+    assert none.num_rows == 0
