@@ -208,6 +208,11 @@ def build_pipeline(spec: dict[str, Any]) -> "ray.data.Dataset":
         ds = read_transcripts(src["transcripts"])
     elif "parquet" in src:
         ds = ray.data.read_parquet(src["parquet"], columns=src.get("columns"))
+    elif "dataset" in src:
+        # forward-connector splice: an upstream pipeline's lazy Dataset IS
+        # the source (configio.run_service_from_yaml splice=True) — the
+        # in-process transport, no staging round-trip
+        ds = src["dataset"]
     else:
         raise ValueError(f"unknown source {src!r}")
     for scfg in spec.get("stages", []):

@@ -297,19 +297,48 @@ def service_specs(doc: dict) -> list[tuple[str, dict]]:
     return out
 
 
-def run_service_from_yaml(path: str, env=None) -> dict:
+def run_service_from_yaml(path: str, env=None, splice: bool = False) -> dict:
     """Execute every pipeline of a collector-style YAML service in
     dependency order (each through config.run_pipeline); returns
-    {pipeline name: sink result (row count or output dir)}."""
+    {pipeline name: sink result (row count or output dir)}.
+
+    ``splice=True`` is the TRUE forward-connector transport
+    (examples/otel-logs-routing two-collector chain collapsed in-process):
+    a producer whose file exporter exists only as transport to another
+    pipeline hands its LAZY Dataset straight to the consumer — no staging
+    write, no disk round-trip, one fused streaming DAG per chain. The
+    producer's entry in the result dict is the string "spliced". Default
+    (False) keeps the staged-table shape, the batch surrogate of a real
+    two-tier deployment where tiers run on different hosts.
+    """
     import yaml
 
-    from .config import run_pipeline
+    from .config import build_pipeline, run_pipeline
 
     with open(path) as f:
         doc = interpolate(yaml.safe_load(f), env)
-    results = {}
-    for pname, spec in service_specs(doc):
-        results[pname] = run_pipeline(spec)
+    spec_list = service_specs(doc)
+    results: dict = {}
+    if not splice:
+        for pname, spec in spec_list:
+            results[pname] = run_pipeline(spec)
+        return results
+
+    consumed_paths = {s["source"].get("parquet") for _, s in spec_list}
+    consumed_paths.discard(None)
+    staged: dict[str, Any] = {}  # transport path → producer's lazy Dataset
+    for pname, spec in spec_list:
+        src = spec["source"]
+        if src.get("parquet") in staged:
+            spec = dict(spec)
+            spec["source"] = {"dataset": staged[src["parquet"]]}
+        sink = spec.get("sink") or {}
+        if sink.get("parquet") in consumed_paths:
+            staged[sink["parquet"]] = build_pipeline(
+                {k: v for k, v in spec.items() if k != "sink"})
+            results[pname] = "spliced"
+        else:
+            results[pname] = run_pipeline(spec)
     return results
 
 

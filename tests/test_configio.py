@@ -144,6 +144,11 @@ def test_multi_pipeline_service_chain(ray_session, tmp_path):
     res2 = run_service_from_yaml(str(yml))
     assert res2["gateway"] == 10_000
     shutil.rmtree(staging, ignore_errors=True)
+    # splice mode: the forward-connector transport hands the producer's
+    # lazy Dataset straight to the consumer — same counts, no staging dir
+    res3 = run_service_from_yaml(str(yml), splice=True)
+    assert res3 == {"agent": "spliced", "gateway": 10_000}
+    assert not staging.exists()
 
 
 def test_kitchen_sink_yaml_equals_dict_built(ray_session, tmp_path):
