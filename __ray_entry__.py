@@ -911,6 +911,66 @@ def queries() -> dict[str, Callable[[str], Any]]:
             HecProjection(), batch_format="pyarrow")
         return ds
 
+    def q_span_latency_buckets(sf):
+        # spanmetrics explicit-bucket duration histogram (components.go:347)
+        from splunk_otel_collector_ray.stages.metrics import (
+            span_duration_histogram,
+        )
+
+        return span_duration_histogram(_read_transcripts(sf))
+
+    def q_docs_top_tokens(sf):
+        # corpus token top-k (the classic wordcount-at-scale op a training
+        # pipeline runs for vocab/frequency stats): per-batch partial token
+        # counts → grouped sum → top 50 by (n desc, token)
+        from ray.data.aggregate import Sum
+
+        def tokens(t: pa.Table) -> pa.Table:
+            arr = t["text"]
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            flat = pc.list_flatten(
+                pc.split_pattern_regex(arr, pattern="[ \\t\\n\\f\\r\\v]+"))
+            flat = flat.filter(pc.not_equal(flat, ""))
+            g = pa.table({"token": flat}).group_by(["token"]).aggregate(
+                [([], "count_all")])
+            return g.rename_columns(["token", "n"])
+
+        counts = (_table(sf, "documents").map_batches(
+            tokens, batch_format="pyarrow")
+            .groupby("token").aggregate(Sum("n", alias_name="n")))
+        df = counts.to_pandas()
+        return (df.sort_values(["n", "token"], ascending=[False, True])
+                .head(50).reset_index(drop=True))
+
+    def q_statsd_timers(sf):
+        # statsd timer flush aggregates per metric name (count/lower/upper/
+        # sum/mean — the receiver's timing rollup)
+        import ray.data
+        from ray.data.aggregate import Count, Max, Min, Sum
+        from splunk_otel_collector_ray.stages.metrics import parse_statsd_text
+
+        lines = []
+        for i in range(128):
+            lines.append([
+                f"api.hits.h{i % 8}:{i}|c|@0.5",
+                f"mem.used:{i * 1.5}|g",
+                f"db.query:{i % 50}|ms",
+                f"users.online:u{i % 10}|s|#env:prod,region:r{i % 3}",
+            ][i % 4])
+        ds = ray.data.from_arrow(pa.table({"text": pa.array(lines)}))
+        parsed = ds.map_batches(parse_statsd_text, batch_format="pyarrow")
+        timers = parsed.map_batches(
+            lambda t: t.filter(pc.equal(t["mtype"], "timing")),
+            batch_format="pyarrow")
+        agg = timers.groupby("name").aggregate(
+            Count(alias_name="n"), Min("value", alias_name="lower"),
+            Max("value", alias_name="upper"), Sum("value", alias_name="sum_ms"))
+        df = agg.to_pandas()
+        # identical doubles divided identically on both sides (raw IEEE)
+        df["mean_ms"] = df["sum_ms"] / df["n"]
+        return df
+
     def q_hec_gated(sf):
         # HEC gating flags (agent_config.yaml:175-186): tool turns are
         # marked as profiling data, and the logs exporter has
@@ -1267,6 +1327,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_features": q_multimodal_features,
         "hec_envelope": q_hec,
         "hec_gated": q_hec_gated,
+        "span_latency_buckets": q_span_latency_buckets,
+        "docs_top_tokens": q_docs_top_tokens,
+        "statsd_timers": q_statsd_timers,
         "dim_upsert": q_dim_upsert,
         "span_metrics": q_span_metrics,
         "span_metrics_salted": q_span_metrics_salted,
@@ -1545,6 +1608,38 @@ def oracle_sql() -> dict[str, str]:
             "CASE sink WHEN 'sink_tools' THEN 'tools' WHEN 'sink_errors' THEN "
             "'errors' WHEN 'sink_assistant' THEN 'assistant' ELSE 'main' END "
             "AS index, body AS event, conv_id, turn_idx FROM routed"),
+        "span_latency_buckets": C + (
+            ", d AS (SELECT conv_id, turn_idx, role, tool, ts, LEAD(ts) OVER "
+            "(PARTITION BY conv_id ORDER BY turn_idx) AS nxt FROM raw), "
+            "s AS (SELECT tool, COALESCE((epoch_us(nxt) - epoch_us(ts)) / "
+            "1000000.0, 0) AS dur FROM d WHERE role = 'tool' AND tool <> '') "
+            "SELECT tool, CASE WHEN dur <= 1.0 THEN '1.0' "
+            "WHEN dur <= 5.0 THEN '5.0' WHEN dur <= 15.0 THEN '15.0' "
+            "WHEN dur <= 60.0 THEN '60.0' WHEN dur <= 300.0 THEN '300.0' "
+            "ELSE '+Inf' END AS le, COUNT(*) AS n FROM s GROUP BY 1, 2"),
+        "docs_top_tokens": (
+            r"WITH tok AS (SELECT unnest(regexp_split_to_array(text, "
+            r"'[ \t\n\f\r\v]+')) AS token FROM documents), "
+            "f AS (SELECT token, COUNT(*) AS n FROM tok WHERE token <> '' "
+            "GROUP BY token) SELECT token, n FROM f "
+            "ORDER BY n DESC, token LIMIT 50"),
+        "statsd_timers": (
+            "WITH sb AS (SELECT i, CASE i % 4 "
+            "WHEN 0 THEN 'api.hits.h' || (i % 8) || ':' || i || '|c|@0.5' "
+            "WHEN 1 THEN 'mem.used:' || CAST(i * 1.5 AS VARCHAR) || '|g' "
+            "WHEN 2 THEN 'db.query:' || (i % 50) || '|ms' "
+            "ELSE 'users.online:u' || (i % 10) || "
+            "'|s|#env:prod,region:r' || (i % 3) END AS line "
+            "FROM (SELECT range AS i FROM range(128))), "
+            r"x AS (SELECT regexp_extract(line, '^([^:|]+):([^|]+)\|"
+            r"([a-z]+)(\|@([0-9.]+))?(\|#(.*))?$', 1) AS name, "
+            r"TRY_CAST(regexp_extract(line, '^([^:|]+):([^|]+)\|([a-z]+)"
+            r"(\|@([0-9.]+))?(\|#(.*))?$', 2) AS DOUBLE) AS v, "
+            r"regexp_extract(line, '^([^:|]+):([^|]+)\|([a-z]+)"
+            r"(\|@([0-9.]+))?(\|#(.*))?$', 3) AS t FROM sb) "
+            "SELECT name, COUNT(*) AS n, MIN(v) AS lower, MAX(v) AS upper, "
+            "SUM(v) AS sum_ms, SUM(v)/COUNT(*) AS mean_ms FROM x "
+            "WHERE t = 'ms' GROUP BY name"),
         "hec_gated": C + (
             "SELECT CAST(epoch_us(ts_parsed) AS DOUBLE)/1000000.0 AS time, "
             f"'host-' || ({_BUCKET_SQL} % 8) AS host, "

@@ -425,6 +425,35 @@ def span_durations(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     )
 
 
+def span_duration_histogram(
+    ds: "ray.data.Dataset",
+    bounds: tuple = (1.0, 5.0, 15.0, 60.0, 300.0),
+) -> "ray.data.Dataset":
+    """spanmetrics explicit-bucket duration histogram (the connector's
+    histogram output next to the count/sum of `span_durations`;
+    components.go:347): per-tool counts per ``le`` bucket, `+Inf` catch-all.
+
+    Vectorized: one np.searchsorted per batch assigns buckets; only
+    (tool, le, count) partials shuffle (grouped_count two-phase).
+    """
+    from ..pipelines.aggregate import grouped_count
+
+    b = np.asarray(bounds, dtype=np.float64)
+    labels = np.array([str(x) for x in b] + ["+Inf"], dtype=object)
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        d = t["duration_s"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(b, d, side="left")  # d <= bound → that bucket
+        return pa.table({
+            "tool": t["tool"],
+            "le": pa.array(labels[idx], type=pa.string()),
+        })
+
+    spans = span_durations(ds)
+    return grouped_count(
+        spans.map_batches(bucketize, batch_format="pyarrow"), ["tool", "le"])
+
+
 def span_rename(batch: pa.Table, from_attributes: list[str],
                 separator: str = "::", name_col: str = "span_name",
                 ) -> pa.Table:

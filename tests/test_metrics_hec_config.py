@@ -304,3 +304,32 @@ def test_hec_gating_flags():
     none = HecProjection(log_data_enabled=False,
                          profiling_data_enabled=False)(t)
     assert none.num_rows == 0
+
+
+def test_span_duration_histogram_buckets(ray_session):
+    """Explicit-bucket histogram: d <= bound lands in that bucket; above
+    the last bound lands in +Inf (spanmetrics histogram semantics)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from splunk_otel_collector_ray.stages.metrics import (
+        span_duration_histogram,
+    )
+
+    ts0 = pd.Timestamp("2025-01-01")
+    rows = []
+    # conv c1: tool turns with gaps 1s (boundary), 4s, 400s, final (0)
+    gaps = [1, 4, 400, None]
+    t = ts0
+    for i, g in enumerate(gaps):
+        rows.append(("c1", i, "tool", "search", t))
+        t = t + pd.Timedelta(seconds=g if g else 1)
+    df = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "tool",
+                                     "ts"])
+    out = span_duration_histogram(
+        ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False)))
+    got = out.to_pandas().set_index("le")["n"].to_dict()
+    # gaps: 1.0 → bucket "1.0" (boundary inclusive), 4 → "5.0",
+    # 400 → "+Inf", last turn duration 0 → "1.0"
+    assert got == {"1.0": 2, "5.0": 1, "+Inf": 1}
