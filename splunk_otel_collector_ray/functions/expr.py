@@ -112,8 +112,28 @@ def compile_predicate(expr: str) -> MaskFn:
             rx = re.compile(ast.literal_eval(node.args[1]))
             return lambda b, g=get, rx=rx: g(b).str.contains(
                 rx, regex=True, na=False).to_numpy()
+        if (isinstance(node, ast.Call) and isinstance(node.func, ast.Name)
+                and node.func.id in ("startsWith", "endsWith", "contains")):
+            # the stanza EXPR string helpers (recombine is_last_entry uses
+            # `endsWith`, examples/recombine/otel-collector-config.yml:18)
+            if len(node.args) != 2:
+                raise ValueError(f"{node.func.id}(col, 'literal') expected")
+            get = _operand(node.args[0])
+            lit = ast.literal_eval(node.args[1])
+            kernel = {"startsWith": "startswith", "endsWith": "endswith",
+                      "contains": "contains"}[node.func.id]
+
+            def f(b, g=get, lit=lit, kernel=kernel):
+                s = g(b).str
+                if kernel == "contains":
+                    return s.contains(lit, regex=False,
+                                      na=False).to_numpy()
+                return getattr(s, kernel)(lit).fillna(False).to_numpy()
+
+            return f
         raise ValueError(
             f"unsupported expression node {type(node).__name__} "
-            "(allowed: comparisons, in, matches(), and/or/not)")
+            "(allowed: comparisons, in, matches()/IsMatch(), "
+            "startsWith/endsWith/contains, and/or/not)")
 
     return build(tree)

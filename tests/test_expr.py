@@ -68,3 +68,23 @@ def test_config_defined_route_table(ray_session):
     exp = grouped_count(builtin, ["sink"]).to_pandas().sort_values(
         "sink").reset_index(drop=True)
     assert got.equals(exp)
+
+
+def test_string_helper_functions():
+    """stanza EXPR string helpers: startsWith / endsWith / contains
+    (recombine is_last_entry endsWith, examples/recombine config:18)."""
+    import pyarrow as pa
+
+    from splunk_otel_collector_ray.functions.expr import compile_predicate
+
+    t = pa.table({"body": ["GET /api", "done\n", None, "abcGETdef"]})
+    assert compile_predicate('startsWith(body, "GET ")')(t).tolist() == \
+        [True, False, False, False]
+    assert compile_predicate('endsWith(body, "\\n")')(t).tolist() == \
+        [False, True, False, False]
+    assert compile_predicate('contains(body, "GET")')(t).tolist() == \
+        [True, False, False, True]
+    # composes with boolean ops
+    assert compile_predicate(
+        'contains(body, "GET") and not startsWith(body, "abc")')(t).tolist() \
+        == [True, False, False, False]
