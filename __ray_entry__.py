@@ -1276,6 +1276,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              batch_size=16, concurrency=(1, 2))
         return out.select_columns(["item_id", "mime", "width", "height"])
 
+    def q_multimodal_resize(sf):
+        # image-resize slot (deterministic stand-in, real decode stubbed):
+        # actor pool, small batches for the binary payloads (rows-only)
+        import ray.data
+        from splunk_otel_collector_ray.stages.multimodal import (
+            ResizeStage,
+            make_fake_items,
+        )
+
+        ds = ray.data.from_arrow(make_fake_items(64))
+        out = ds.map_batches(
+            ResizeStage, fn_constructor_kwargs={"target_width": 32,
+                                                "target_height": 32},
+            batch_format="pyarrow", batch_size=16, concurrency=(1, 2))
+
+        def meta(t: pa.Table) -> pa.Table:
+            ln = pc.binary_length(t["payload"])
+            return pa.table({"item_id": t["item_id"], "width": t["width"],
+                             "height": t["height"],
+                             "payload_bytes": pc.cast(ln, pa.int64())})
+
+        return out.map_batches(meta, batch_format="pyarrow")
+
+    def q_multimodal_frames(sf):
+        # video frame-sampling slot: row-expanding flat map, every 4th
+        # fixed-size frame becomes its own row (rows-only)
+        import ray.data
+        from splunk_otel_collector_ray.stages.multimodal import (
+            FrameSampleStage,
+            make_fake_items,
+        )
+
+        ds = ray.data.from_arrow(make_fake_items(64))
+        out = ds.map_batches(
+            FrameSampleStage, fn_constructor_kwargs={"frame_bytes": 256,
+                                                     "stride": 4},
+            batch_format="pyarrow", batch_size=16, concurrency=(1, 2))
+        return out.select_columns(["item_id", "frame_idx"])
+
     return {
         "parse_records": q_parse_records,
         "parse_ts": q_parse_ts,
@@ -1325,6 +1364,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_neardup_lsh": q_emb_neardup_lsh,
         "stratified_sample": q_stratified_sample,
         "multimodal_features": q_multimodal_features,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_frames": q_multimodal_frames,
         "hec_envelope": q_hec,
         "hec_gated": q_hec_gated,
         "span_latency_buckets": q_span_latency_buckets,

@@ -50,10 +50,26 @@ def decode_image(payload: bytes) -> np.ndarray:
         "FeatureExtractStage uses the deterministic stub features instead")
 
 
+def _payload_parts(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """large_binary payload column → (byte starts, byte ends) per row plus
+    the flat data buffer as uint8 (zero-copy)."""
+    arr = batch["payload"]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    # binary arrays expose no .offsets accessor — read the raw buffers
+    # (validity, int64 offsets, data) honoring any slice offset
+    off_all = np.frombuffer(arr.buffers()[1], dtype=np.int64)
+    off = off_all[arr.offset:arr.offset + len(arr) + 1]
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    return off, data
+
+
 class FeatureExtractStage:
     """Actor-pool decode/feature stage. __init__ = model/codec load (stubbed);
-    __call__ = per-batch feature extraction (deterministic fake: 8 moments of
-    the payload bytes — stands in for an image/audio embedding)."""
+    __call__ = per-batch feature extraction (deterministic fake: 8 chunk
+    means of the payload bytes — stands in for an image/audio embedding).
+    Vectorized since r3: one cumsum over the flat byte buffer +
+    np.array_split-equivalent boundaries, no per-payload Python loop."""
 
     FEAT_DIM = 8
 
@@ -61,10 +77,97 @@ class FeatureExtractStage:
         self.ready = True  # real impl: load codec + model weights here
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        feats = np.zeros((batch.num_rows, self.FEAT_DIM), dtype=np.float32)
-        for i, buf in enumerate(batch["payload"].to_pandas()):
-            b = np.frombuffer(buf, dtype=np.uint8).astype(np.float32)
-            chunks = np.array_split(b, self.FEAT_DIM)
-            feats[i] = [c.mean() if len(c) else 0.0 for c in chunks]
+        k = self.FEAT_DIM
+        off, data = _payload_parts(batch)
+        starts, ends = off[:-1], off[1:]
+        lens = ends - starts
+        # np.array_split boundary rule: first (len % k) chunks get an extra
+        # byte — boundary j = j*(len//k) + min(j, len%k)
+        j = np.arange(k + 1)[None, :]
+        div, mod = (lens // k)[:, None], (lens % k)[:, None]
+        bounds = starts[:, None] + j * div + np.minimum(j, mod)
+        cs = np.concatenate([[0.0], np.cumsum(data, dtype=np.float64)])
+        sums = cs[bounds[:, 1:]] - cs[bounds[:, :-1]]
+        counts = np.diff(bounds, axis=1)
+        feats = np.divide(sums, counts, out=np.zeros_like(sums),
+                          where=counts > 0).astype(np.float32)
+        flat = pa.array(feats.ravel(), type=pa.float32())
         return batch.drop_columns(["payload"]).append_column(
-            "features", pa.array(list(feats), type=pa.list_(pa.float32())))
+            "features", pa.FixedSizeListArray.from_arrays(flat, k).cast(
+                pa.list_(pa.float32())))
+
+
+class ResizeStage:
+    """Actor-pool resize stage — the image-resize slot of the multimodal
+    pipeline. REAL decode+resample needs PIL/libvips (absent here); the
+    deterministic stand-in keeps the plumbing honest: the payload is
+    subsampled to round(len·scale) bytes where scale = target_area /
+    source_area (bounded to [1, len]), and width/height metadata become the
+    target dims. Stride-based byte subsample — no Python loop."""
+
+    def __init__(self, target_width: int = 64, target_height: int = 64
+                 ) -> None:
+        self.tw, self.th = int(target_width), int(target_height)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        off, data = _payload_parts(batch)
+        starts, ends = off[:-1], off[1:]
+        lens = (ends - starts).astype(np.float64)
+        w = batch["width"].to_numpy(zero_copy_only=False).astype(np.float64)
+        h = batch["height"].to_numpy(zero_copy_only=False).astype(np.float64)
+        scale = (self.tw * self.th) / np.maximum(w * h, 1.0)
+        new_lens = np.clip(np.rint(lens * scale), 1, lens).astype(np.int64)
+        new_lens[lens == 0] = 0
+        # gather indices: row r contributes new_lens[r] evenly-strided bytes
+        rows = np.repeat(np.arange(len(lens)), new_lens)
+        pos = np.arange(new_lens.sum()) - np.repeat(
+            np.concatenate([[0], np.cumsum(new_lens)[:-1]]), new_lens)
+        idx = starts[rows] + (pos * np.maximum(
+            lens[rows], 1) // np.maximum(new_lens[rows], 1)).astype(np.int64)
+        new_off = np.concatenate([[0], np.cumsum(new_lens)])
+        payload = pa.Array.from_buffers(
+            pa.large_binary(), len(new_lens),
+            [None, pa.py_buffer(new_off.astype("<i8").tobytes()),
+             pa.py_buffer(data[idx].tobytes())])
+        out = batch.drop_columns(["payload", "width", "height"])
+        n = batch.num_rows
+        return (out.append_column("payload", payload)
+                .append_column("width", pa.array(
+                    np.full(n, self.tw, np.int32)))
+                .append_column("height", pa.array(
+                    np.full(n, self.th, np.int32))))
+
+
+class FrameSampleStage:
+    """Video frame-sampling slot: payloads are treated as a concatenation of
+    fixed-size frames (real containers need a demuxer — absent here); every
+    ``stride``-th frame becomes its OWN output row (item_id, frame_idx,
+    frame payload) — the row-expanding flat-map shape a real video pipeline
+    uses, with small batches so expanded blocks stay bounded."""
+
+    def __init__(self, frame_bytes: int = 256, stride: int = 4) -> None:
+        self.frame_bytes, self.stride = int(frame_bytes), int(stride)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        fb, st = self.frame_bytes, self.stride
+        off, data = _payload_parts(batch)
+        starts = off[:-1]
+        n_frames = (off[1:] - starts) // fb
+        n_sampled = (n_frames + st - 1) // st
+        rows = np.repeat(np.arange(batch.num_rows), n_sampled)
+        pos = np.arange(n_sampled.sum()) - np.repeat(
+            np.concatenate([[0], np.cumsum(n_sampled)[:-1]]), n_sampled)
+        frame_idx = pos * st
+        byte0 = starts[rows] + frame_idx * fb
+        gather = byte0[:, None] + np.arange(fb)[None, :]
+        new_off = np.arange(len(rows) + 1, dtype=np.int64) * fb
+        payload = pa.Array.from_buffers(
+            pa.large_binary(), len(rows),
+            [None, pa.py_buffer(new_off.astype("<i8").tobytes()),
+             pa.py_buffer(data[gather.ravel()].tobytes())])
+        ids = batch["item_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "item_id": pa.array(ids[rows]),
+            "frame_idx": pa.array(frame_idx.astype(np.int32)),
+            "frame": payload,
+        })

@@ -203,3 +203,59 @@ def test_tail_sample_semi_join_path_equals_broadcast(ray_session):
     d = canon(tail_sample_policies(ds, pols, max_broadcast_keys=0))
     assert c[["conv_id", "turn_idx"]].equals(d[["conv_id", "turn_idx"]])
     assert set(a["conv_id"]) == set(c["conv_id"])
+
+
+def test_multimodal_feature_vectorized_equals_reference():
+    """The r3 vectorized chunk-mean kernel must equal the per-payload
+    np.array_split reference byte for byte."""
+    import numpy as np
+
+    from splunk_otel_collector_ray.stages.multimodal import (
+        FeatureExtractStage,
+        make_fake_items,
+    )
+
+    items = make_fake_items(32)
+    out = FeatureExtractStage()(items).to_pandas()
+    for i, buf in enumerate(items["payload"].to_pylist()):
+        b = np.frombuffer(buf, dtype=np.uint8).astype(np.float32)
+        ref = [c.mean() if len(c) else 0.0
+               for c in np.array_split(b, FeatureExtractStage.FEAT_DIM)]
+        assert np.allclose(out.features[i], ref, rtol=1e-6)
+
+
+def test_multimodal_resize_and_frame_sample():
+    """Resize: payload subsampled to the target-area scale, metadata set to
+    target dims. Frame-sample: every stride-th fixed-size frame becomes its
+    own row with the right bytes."""
+    import numpy as np
+    import pyarrow as pa
+
+    from splunk_otel_collector_ray.stages.multimodal import (
+        FrameSampleStage,
+        ResizeStage,
+        make_fake_items,
+    )
+
+    items = make_fake_items(16)
+    resized = ResizeStage(target_width=8, target_height=8)(items)
+    assert set(resized["width"].to_pylist()) == {8}
+    assert set(resized["height"].to_pylist()) == {8}
+    for orig, new, w, h in zip(items["payload"].to_pylist(),
+                               resized["payload"].to_pylist(),
+                               items["width"].to_pylist(),
+                               items["height"].to_pylist()):
+        scale = 64 / max(w * h, 1)
+        exp = int(np.clip(round(len(orig) * scale), 1, len(orig)))
+        assert len(new) == exp
+        assert bytes(new[:1]) == bytes(orig[:1])  # stride starts at byte 0
+
+    # frame sampling: 4 frames of 4 bytes, stride 2 → frames 0 and 2
+    t = pa.table({
+        "item_id": pa.array([7], type=pa.int64()),
+        "payload": pa.array([bytes(range(16))], type=pa.large_binary()),
+    })
+    frames = FrameSampleStage(frame_bytes=4, stride=2)(t)
+    assert frames["frame_idx"].to_pylist() == [0, 2]
+    assert [bytes(b) for b in frames["frame"].to_pylist()] == [
+        bytes([0, 1, 2, 3]), bytes([8, 9, 10, 11])]
