@@ -1124,8 +1124,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             parse_graphite_text,
         )
 
-        lines = [f"servers.host{i % 4}.cpu{i % 2} {i * 0.25} "
-                 f"{1767225600 + i * 10}" for i in range(128)]
+        lines = [f"servers.host{i % 4}.cpu{i % 2}"
+                 + (f";dc=dc{i % 3};role=web" if i % 3 == 0 else "")
+                 + f" {i * 0.25} {1767225600 + i * 10}" for i in range(128)]
         ds = ray.data.from_arrow(pa.table({"text": pa.array(lines)}))
         return ds.map_batches(parse_graphite_text, batch_format="pyarrow")
 
@@ -1810,15 +1811,19 @@ def oracle_sql() -> dict[str, str]:
             "TRY_CAST(value_raw AS DOUBLE) END AS scaled_value FROM x"),
         "graphite_parse": (
             "WITH gb AS (SELECT 'servers.host' || (i % 4) || '.cpu' || "
-            "(i % 2) || ' ' || CAST(i * 0.25 AS VARCHAR) || ' ' || "
-            "(1767225600 + i * 10) AS line "
+            "(i % 2) || CASE WHEN i % 3 = 0 THEN ';dc=dc' || (i % 3) || "
+            "';role=web' ELSE '' END || ' ' || CAST(i * 0.25 AS VARCHAR) "
+            "|| ' ' || (1767225600 + i * 10) AS line "
             "FROM (SELECT range AS i FROM range(128))) "
-            r"SELECT regexp_extract(line, '^(\S+) (\S+) ([0-9]+)$', 1) "
-            "AS path, "
-            r"CAST(regexp_extract(line, '^(\S+) (\S+) ([0-9]+)$', 2) "
-            "AS DOUBLE) AS value, "
-            r"to_timestamp(CAST(regexp_extract(line, '^(\S+) (\S+) "
-            r"([0-9]+)$', 3) AS BIGINT)) AT TIME ZONE 'UTC' AS ts FROM gb"),
+            r"SELECT regexp_extract(line, '^([^; ]+)(;([^ ]*))? (\S+) "
+            r"([0-9]+)$', 1) AS path, "
+            r"regexp_extract(line, '^([^; ]+)(;([^ ]*))? (\S+) ([0-9]+)$', 3) "
+            "AS tags, "
+            r"CAST(regexp_extract(line, '^([^; ]+)(;([^ ]*))? (\S+) "
+            r"([0-9]+)$', 4) AS DOUBLE) AS value, "
+            r"to_timestamp(CAST(regexp_extract(line, '^([^; ]+)(;([^ ]*))? "
+            r"(\S+) ([0-9]+)$', 5) AS BIGINT)) AT TIME ZONE 'UTC' AS ts "
+            "FROM gb"),
         "wavefront_parse": (
             "WITH wb AS (SELECT 'cpu.load.h' || (i % 4) || ' ' || "
             "CAST(i * 0.5 AS VARCHAR) || CASE WHEN i % 2 = 0 THEN ' ' || "

@@ -213,25 +213,29 @@ def parse_statsd_text(batch: pa.Table, text_col: str = "text") -> pa.Table:
     })
 
 
-_GRAPHITE_RX = r"^(?P<path>\S+) (?P<value>\S+) (?P<ts>[0-9]+)$"
+_GRAPHITE_RX = (r"^(?P<path>[^; ]+)(?:;(?P<tags>[^ ]*))?"
+                r" (?P<value>\S+) (?P<ts>[0-9]+)$")
 
 
 def parse_graphite_text(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """carbon/graphite plaintext protocol (`path value epoch`) → rows
-    (the carbon receiver of SURVEY §2.1, components.go:217). One
-    extract_regex pass; epoch seconds → timestamp[us]."""
+    """carbon/graphite plaintext protocol (`path[;tag=v…] value epoch`) →
+    rows (the carbon receiver of SURVEY §2.1, components.go:217; plaintext
+    tag extension). One extract_regex pass; epoch seconds → timestamp[us];
+    the `;`-separated tag string rides as a column ("" when absent)."""
     text = batch[text_col]
     if isinstance(text, pa.ChunkedArray):
         text = text.combine_chunks()
     st = pc.extract_regex(text, _GRAPHITE_RX)
     valid = pc.is_valid(st).to_numpy(zero_copy_only=False)
     path = st.field("path").to_pandas()[valid]
+    tags = st.field("tags").to_pandas()[valid].fillna("")
     value = pd.to_numeric(st.field("value").to_pandas()[valid],
                           errors="coerce").astype(np.float64)
     epoch = pd.to_numeric(st.field("ts").to_pandas()[valid],
                           errors="coerce").astype(np.int64)
     return pa.table({
         "path": pa.array(path.to_numpy(), type=pa.string()),
+        "tags": pa.array(tags.to_numpy(), type=pa.string()),
         "value": pa.array(value.to_numpy(), type=pa.float64()),
         "ts": pa.array((epoch * 1_000_000).to_numpy(),
                        type=pa.timestamp("us")),

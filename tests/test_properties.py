@@ -113,3 +113,55 @@ def test_string_filter_negation_is_complement(item):
     pos = StringFilter([item]).matches(vals)
     neg = StringFilter(["!" + item]).matches(vals)
     assert (pos ^ neg).all()  # negation is the exact complement per row
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.lists(st.sampled_from(
+    ["set(body, ", '"a where b"', '"x"', ")", " where ", "severity_number",
+     " == 9", "'it where is'"]), min_size=1, max_size=6))
+def test_split_where_never_splits_inside_literals(parts):
+    """_split_where must only split on a ' where ' OUTSIDE quotes — for any
+    assembled string, the reported clause position is outside literals."""
+    from splunk_otel_collector_ray.functions.ottl import _split_where
+
+    s = "".join(parts)
+    call_s, cond_s = _split_where(s)
+    if cond_s is None:
+        assert call_s == s
+        return
+    assert call_s + " where " + cond_s == s
+    # the split point must be at quote-depth zero: count unescaped quotes
+    # of each kind before the split — both must be even
+    for q in ('"', "'"):
+        n = 0
+        i = 0
+        while i < len(call_s):
+            if call_s[i] == "\\":
+                i += 2
+                continue
+            if call_s[i] == q:
+                n += 1
+            i += 1
+        assert n % 2 == 0
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=30), min_size=1,
+                max_size=60))
+def test_multiline_end_framing_roundtrip(gaps):
+    """End-anchored framing: joining the framed records with newlines
+    reproduces the line stream, and every record except possibly the last
+    ends with an end-match."""
+    import re
+
+    from splunk_otel_collector_ray.stages.recombine import _frame_lines
+
+    lines = [("end;" if g % 3 == 0 else f"line{g}") for g in gaps]
+    g = pd.DataFrame({"conv_id": "c", "turn_idx": range(len(lines)),
+                      "body": lines})
+    g["_flag"] = g["body"].str.contains(r";$", regex=True)
+    out = _frame_lines(g, "body", "conv_id", "turn_idx", exclusive=True)
+    out = out.sort_values("record_id")
+    assert "\n".join(out.body) == "\n".join(lines)
+    for rec in out.body.tolist()[:-1]:
+        assert re.search(r";$", rec.split("\n")[-1])
