@@ -191,3 +191,29 @@ def test_replace_pattern_statement_and_ismatch():
            for r in out3["attributes"].to_pylist()]
     assert got[0]["Level"] == "TRACE" and got[1]["Level"] == "LOG"
     assert got[3] == {}  # empty map row untouched
+
+
+def test_transform_metrics_example_statement_chain():
+    """The reference's transform_metrics example statements, verbatim shapes
+    (examples/transform_metrics/otel-collector-config.yml:18-30): Concat of
+    a column + map value into a map key gated by IsMatch, then rename +
+    delete_key gated by IsMatch."""
+    t = pa.table({
+        "name": ["system.cpu.time", "system.cpu.time", "system.mem"],
+        "attributes": pa.array(
+            [[("cpu", "cpu0")], [("cpu", "cpu1")], [("state", "x")]],
+            type=pa.map_(pa.string(), pa.string())),
+    })
+    tr = OttlTransform([
+        'set(attributes["myname"], Concat([name, attributes["cpu"]], ".")) '
+        'where IsMatch(name, "^system.cpu.time")',
+        'set(name, attributes["myname"]) '
+        'where IsMatch(name, "^system.cpu.time")',
+        'delete_key(attributes, "cpu") where IsMatch(name, "^system.cpu")',
+    ])
+    out = tr(t)
+    assert out["name"].to_pylist() == [
+        "system.cpu.time.cpu0", "system.cpu.time.cpu1", "system.mem"]
+    attrs = [dict(r) for r in out["attributes"].to_pylist()]
+    assert attrs[0] == {"myname": "system.cpu.time.cpu0"}
+    assert attrs[2] == {"state": "x"}
