@@ -69,6 +69,39 @@ def _file_source(selector: str, env) -> "str | None":
         return f.read().strip()
 
 
+def make_store_source(backend) -> ConfigSourceFn:
+    """Factory for a document-store-backed config source — the offline
+    analogue of the vault / zookeeper / etcd2 backends (vault
+    source.go:83-118: secret read at a configured path, selector = key
+    inside it; zookeeper source.go:48-65: selector = node path).
+
+    ``backend`` is a YAML/JSON file path (re-read per resolve, like the
+    pollable upstream sources) or a plain dict; the selector is a
+    '.'-separated path into the document. Register under any scheme::
+
+        register_config_source("vault", make_store_source("/run/secret.yaml"))
+        # → ${vault:data.token} resolves doc["data"]["token"]
+    """
+
+    def provider(selector: str, env) -> "str | None":
+        doc = backend
+        if isinstance(backend, str):
+            if not os.path.exists(backend):
+                return None
+            import yaml
+
+            with open(backend) as f:
+                doc = yaml.safe_load(f)
+        node = doc
+        for part in selector.split("."):
+            if not isinstance(node, dict) or part not in node:
+                return None
+            node = node[part]
+        return None if isinstance(node, (dict, list)) else str(node)
+
+    return provider
+
+
 def _resolve_str(s: str, env) -> str:
     def repl(m: "re.Match[str]") -> str:
         kind, selector, default = m.groups()

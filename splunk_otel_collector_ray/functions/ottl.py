@@ -100,6 +100,21 @@ def map_keep_keys(arr, wanted: list[str],
     return _rebuild(n, rows[keep], keys[keep], items[keep], nulls)
 
 
+def map_truncate_all(arr, limit: int,
+                     mask: np.ndarray | None = None) -> pa.Array:
+    """Truncate every map VALUE to ``limit`` code units (the upstream OTTL
+    ``truncate_all(attributes, limit)`` editor) — flat-array, no row loop."""
+    offsets, keys, items, n, nulls = _map_parts(arr)
+    rows = np.repeat(np.arange(n), np.diff(offsets))
+    cut = pc.utf8_slice_codeunits(
+        pa.array(items, type=pa.string()), 0, limit).to_numpy(
+        zero_copy_only=False)
+    if mask is not None:
+        keep_orig = ~mask[rows]
+        cut[keep_orig] = items[keep_orig]
+    return _rebuild(n, rows, keys, cut, nulls)
+
+
 def map_set_key(arr, key: str, values: np.ndarray,
                 mask: np.ndarray | None = None) -> pa.Array:
     """Upsert ``key`` = values[row] for masked rows (append-at-end order).
@@ -260,6 +275,19 @@ def compile_statement(stmt: str) -> BatchFn:
 
         def run(b, mcol=mcol, wanted=wanted, pred=pred):
             new = map_keep_keys(b[mcol], wanted, pred(b) if pred else None)
+            return b.set_column(b.column_names.index(mcol), mcol, new)
+
+        return run
+
+    if fname == "truncate_all":
+        mcol = node.args[0].id
+        limit = ast.literal_eval(node.args[1])
+
+        def run(b, mcol=mcol, limit=limit, pred=pred):
+            arr = b[mcol]
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            new = map_truncate_all(arr, limit, pred(b) if pred else None)
             return b.set_column(b.column_names.index(mcol), mcol, new)
 
         return run

@@ -282,3 +282,33 @@ def test_dry_run_and_telemetry_migration(tmp_path):
     assert res["schema_url"] == "https://example/schema"
     # idempotent: already-declarative form passes through untouched
     assert migrate_telemetry_resource_attributes(migrated) == migrated
+
+
+def test_store_backed_config_source(tmp_path):
+    """make_store_source: the offline vault/zookeeper analogue — selector
+    is a dotted path into a YAML document backend (file, re-read per
+    resolve, or dict)."""
+    from splunk_otel_collector_ray.configio import (
+        interpolate,
+        make_store_source,
+        register_config_source,
+        unregister_config_source,
+    )
+
+    f = tmp_path / "secret.yaml"
+    f.write_text("data:\n  token: s3cr3t\n  port: 8088\nflat: v\n")
+    register_config_source("vault", make_store_source(str(f)))
+    try:
+        out = interpolate({"a": "${vault:data.token}",
+                           "b": "${vault:data.port}",
+                           "c": "${vault:flat}",
+                           "d": "${vault:data.missing:-dflt}"}, {})
+        assert out == {"a": "s3cr3t", "b": "8088", "c": "v", "d": "dflt"}
+        # dict backend + non-leaf selector resolves nothing
+        register_config_source("zk", make_store_source({"x": {"y": 1}}))
+        assert interpolate({"v": "${zk:x.y}"}, {})["v"] == "1"
+        with pytest.raises(KeyError, match="resolved nothing"):
+            interpolate({"v": "${zk:x}"}, {})  # maps aren't scalar values
+    finally:
+        unregister_config_source("vault")
+        unregister_config_source("zk")

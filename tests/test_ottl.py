@@ -217,3 +217,23 @@ def test_transform_metrics_example_statement_chain():
     attrs = [dict(r) for r in out["attributes"].to_pylist()]
     assert attrs[0] == {"myname": "system.cpu.time.cpu0"}
     assert attrs[2] == {"state": "x"}
+
+
+def test_truncate_all_statement():
+    """Upstream OTTL truncate_all(attributes, limit): every map value cut
+    to limit; null maps stay null; where-guard leaves other rows whole."""
+    t = pa.table({
+        "attributes": pa.array(
+            [[("a", "0123456789"), ("b", "xy")], None, [("c", "abcdef")]],
+            type=pa.map_(pa.string(), pa.string())),
+        "severity_number": pa.array([1, 2, 3], type=pa.int8()),
+    })
+    out = compile_statement("truncate_all(attributes, 4)")(t)
+    got = [None if r is None else dict(r)
+           for r in out["attributes"].to_pylist()]
+    assert got == [{"a": "0123", "b": "xy"}, None, {"c": "abcd"}]
+    out2 = compile_statement(
+        "truncate_all(attributes, 4) where severity_number == 1")(t)
+    got2 = [None if r is None else dict(r)
+            for r in out2["attributes"].to_pylist()]
+    assert got2 == [{"a": "0123", "b": "xy"}, None, {"c": "abcdef"}]
