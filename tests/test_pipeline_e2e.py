@@ -205,3 +205,32 @@ def test_two_tier_matches_single_tier(ray_session, sf_dir, tmp_path):
     double = run_two_tier(sf_dir, str(tmp_path / "double"))
     assert double["sink_counts"] == single["sink_counts"]
     assert double["rows"] == single["rows"]
+
+
+def test_transient_task_failure_retries_exactly_once(ray_session, tmp_path):
+    """Retry/backoff analogue of the exporter sending_queue: a map stage
+    that fails transiently (first attempt per flag file) completes under
+    retry_exceptions and produces exactly the unfailed row set — no loss,
+    no duplication."""
+    import os
+
+    import pyarrow as pa
+    import ray.data
+
+    flag = str(tmp_path / "failed_once")
+
+    def flaky(batch: pa.Table) -> pa.Table:
+        if not os.path.exists(flag):
+            with open(flag, "w") as f:
+                f.write("x")
+            raise RuntimeError("transient export failure (injected)")
+        return batch
+
+    from splunk_otel_collector_ray.pipelines.logs import read_transcripts
+
+    ds = read_transcripts("/root/testdata/sf0.001").map_batches(
+        flaky, batch_format="pyarrow",
+        retry_exceptions=True, max_retries=3)
+    df = ds.groupby("role").count().to_pandas()
+    assert os.path.exists(flag)              # the failure really fired
+    assert int(df["count()"].sum()) == 10_000  # every row exactly once
