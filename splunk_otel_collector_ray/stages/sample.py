@@ -178,7 +178,17 @@ def tail_sample_policies(
     prob_pols = [p for p in policies if isinstance(p, ProbabilisticPolicy)]
     always = any(isinstance(p, AlwaysPolicy) for p in policies)
 
+    # only the columns the policies actually read convert to pandas — the
+    # partial runs over the FULL stream (a policy without a declared
+    # .column forces the whole batch through)
+    need = [key] + [p.column for p in flag_pols
+                    if getattr(p, "column", None)] \
+        + [p.ts_col for p in lat_pols]
+    prune = all(getattr(p, "column", None) for p in flag_pols)
+
     def partial(batch: pa.Table) -> pa.Table:
+        if prune:
+            batch = batch.select(list(dict.fromkeys(need)))
         df = batch.to_pandas()
         gk = df[key]
         out = pd.DataFrame({key: pd.unique(gk)}).set_index(key)
