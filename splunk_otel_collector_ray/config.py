@@ -236,12 +236,31 @@ def run_pipeline(spec: dict[str, Any]) -> Any:
     if "parquet" in sink:
         # clear the staging dir first: Ray write_parquet appends uniquely
         # named files, so a rerun into a stale dir would double-count in any
-        # consumer pipeline (ADVICE r2). Resumable export with skip-completed
-        # semantics lives in pipelines.logs (manifest-gated), not here.
-        import shutil
-
-        shutil.rmtree(sink["parquet"], ignore_errors=True)
+        # consumer pipeline (ADVICE r2). Guarded: refuse to delete a dir
+        # holding anything but parquet output (a mistyped path must not
+        # recursively destroy user data). Resumable export with
+        # skip-completed semantics lives in pipelines.logs (manifest-gated).
+        _clear_parquet_staging(sink["parquet"])
         ds.write_parquet(sink["parquet"],
                          partition_cols=sink.get("partition_cols"))
         return sink["parquet"]
     return ds.count()
+
+
+def _clear_parquet_staging(path: str) -> None:
+    """Remove a parquet staging dir ONLY if every file in it looks like
+    parquet output (*.parquet / *.crc / dotfiles / partition subdirs)."""
+    import os
+    import shutil
+
+    if not os.path.isdir(path):
+        return
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not (f.endswith((".parquet", ".crc", ".json"))
+                    or f.startswith((".", "_"))):
+                raise ValueError(
+                    f"refusing to clear sink dir {path!r}: it contains a "
+                    f"non-parquet file {os.path.join(root, f)!r} — point the "
+                    "sink at a dedicated staging directory")
+    shutil.rmtree(path, ignore_errors=True)

@@ -357,8 +357,11 @@ def run_service_from_yaml(path: str, env=None, splice: bool = False) -> dict:
             results[pname] = run_pipeline(spec)
         return results
 
-    consumed_paths = {s["source"].get("parquet") for _, s in spec_list}
-    consumed_paths.discard(None)
+    consumer_counts: dict[str, int] = {}
+    for _, s in spec_list:
+        p = s["source"].get("parquet")
+        if p is not None:
+            consumer_counts[p] = consumer_counts.get(p, 0) + 1
     staged: dict[str, Any] = {}  # transport path → producer's lazy Dataset
     for pname, spec in spec_list:
         src = spec["source"]
@@ -366,9 +369,14 @@ def run_service_from_yaml(path: str, env=None, splice: bool = False) -> dict:
             spec = dict(spec)
             spec["source"] = {"dataset": staged[src["parquet"]]}
         sink = spec.get("sink") or {}
-        if sink.get("parquet") in consumed_paths:
-            staged[sink["parquet"]] = build_pipeline(
+        if sink.get("parquet") in consumer_counts:
+            ds = build_pipeline(
                 {k: v for k, v in spec.items() if k != "sink"})
+            if consumer_counts[sink["parquet"]] > 1:
+                # >1 consumer would re-execute the producer's whole lazy
+                # DAG per consumer — pin the blocks once instead
+                ds = ds.materialize()
+            staged[sink["parquet"]] = ds
             results[pname] = "spliced"
         else:
             results[pname] = run_pipeline(spec)

@@ -128,7 +128,9 @@ def compile_predicate(expr: str) -> MaskFn:
                 if kernel == "contains":
                     return s.contains(lit, regex=False,
                                       na=False).to_numpy()
-                return getattr(s, kernel)(lit).fillna(False).to_numpy()
+                # na=False (not fillna) keeps the mask bool-dtyped — an
+                # object-dtype mask breaks `not ...` via numpy ~ on ints
+                return getattr(s, kernel)(lit, na=False).to_numpy()
 
             return f
         raise ValueError(

@@ -54,27 +54,35 @@ class MatchRule:
 def evaluate_matches(batch: pa.Table, rules: list[MatchRule],
                      pattern_col: str) -> np.ndarray:
     """Per-record index of the FIRST matching rule (-1 = no match).
-    Short-circuit: each rule's matcher only scans still-unclaimed rows."""
+    Short-circuit: each rule's matcher only scans still-unclaimed rows
+    (the ParseStage classify shape — rows claimed by an earlier rule are
+    never rescanned by later regexes)."""
     n = batch.num_rows
     idx = np.full(n, -1, dtype=np.int64)
     unclaimed = np.ones(n, dtype=bool)
     col = batch[pattern_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
     for i, r in enumerate(rules):
-        if not unclaimed.any():
+        rows = np.flatnonzero(unclaimed)
+        if not len(rows):
             break
+        take = pa.array(rows, type=pa.int64())
         if r.strict is not None:
-            m = pc.fill_null(pc.equal(col, r.strict), False)
+            m = pc.fill_null(pc.equal(col.take(take), r.strict), False)
             m = m.to_numpy(zero_copy_only=False).astype(bool)
         elif r.regexp is not None:
-            m = pc.fill_null(pc.match_substring_regex(col, r.regexp), False)
+            m = pc.fill_null(
+                pc.match_substring_regex(col.take(take), r.regexp), False)
             m = m.to_numpy(zero_copy_only=False).astype(bool)
         else:
             from ..functions.expr import compile_predicate
 
-            m = np.asarray(compile_predicate(r.expr)(batch), dtype=bool)
-        hit = m & unclaimed
+            m = np.asarray(
+                compile_predicate(r.expr)(batch.take(take)), dtype=bool)
+        hit = rows[m]
         idx[hit] = i
-        unclaimed &= ~hit
+        unclaimed[hit] = False
     return idx
 
 

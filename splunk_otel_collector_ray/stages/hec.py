@@ -52,8 +52,11 @@ class HecProjection:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if not (self.log_data_enabled and self.profiling_data_enabled):
-            is_prof = pc.equal(batch["com.splunk.sourcetype"],
-                               self.profiling_sourcetype)
+            # null sourcetype = log data, not profiling — coalesce so the
+            # record can't vanish from BOTH paired exporters
+            is_prof = pc.fill_null(
+                pc.equal(batch["com.splunk.sourcetype"],
+                         self.profiling_sourcetype), False)
             if not self.profiling_data_enabled:
                 keep = pc.invert(is_prof)
             else:

@@ -56,6 +56,10 @@ def _payload_parts(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     arr = batch["payload"]
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    if pa.types.is_binary(arr.type):
+        # parquet round-trips BYTE_ARRAY back as binary (int32 offsets) —
+        # cast so the int64 offset read below is always correct
+        arr = arr.cast(pa.large_binary())
     # binary arrays expose no .offsets accessor — read the raw buffers
     # (validity, int64 offsets, data) honoring any slice offset
     off_all = np.frombuffer(arr.buffers()[1], dtype=np.int64)

@@ -114,6 +114,16 @@ def _block_pair_sims(ta: pa.Table, tb: pa.Table, same: bool,
     object-store blocks, one bounded matmul, only (id_a < id_b,
     sim ≥ threshold) hits returned. Block rows are disjoint across the
     dataset so each unordered pair is computed in exactly one task."""
+    if ta.num_rows == 0 or tb.num_rows == 0:
+        # empty tile (repartition(num_blocks) > N rows produces blocks with
+        # an EMPTY schema — don't touch columns); zero-row results are
+        # filtered before concat, so the placeholder type never conflicts
+        typ = (ta[id_col].type if id_col in ta.column_names
+               else tb[id_col].type if id_col in tb.column_names
+               else pa.int64())
+        return pa.table({"id_a": pa.array([], type=typ),
+                         "id_b": pa.array([], type=typ),
+                         "sim": pa.array([], type=pa.float64())})
     ia = ta[id_col].to_numpy(zero_copy_only=False)
     ib = tb[id_col].to_numpy(zero_copy_only=False)
     ma = _as_matrix(ta["_unit"].to_pandas())

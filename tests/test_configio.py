@@ -312,3 +312,20 @@ def test_store_backed_config_source(tmp_path):
     finally:
         unregister_config_source("vault")
         unregister_config_source("zk")
+
+
+def test_run_pipeline_refuses_to_clear_non_parquet_dir(ray_session, tmp_path):
+    """review fix: the staging-clear guard must refuse a sink dir holding
+    non-parquet files instead of recursively deleting user data."""
+    from splunk_otel_collector_ray.config import run_pipeline
+
+    sink = tmp_path / "user_data"
+    sink.mkdir()
+    (sink / "important.txt").write_text("do not delete")
+    with pytest.raises(ValueError, match="refusing to clear"):
+        run_pipeline({
+            "source": {"transcripts": "/root/testdata/sf0.001"},
+            "stages": [{"type": "parse"}],
+            "sink": {"parquet": str(sink)},
+        })
+    assert (sink / "important.txt").read_text() == "do not delete"

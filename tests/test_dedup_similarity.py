@@ -203,3 +203,21 @@ def test_embedding_neardup_lsh_precision_and_recall(ray_session, sf_dir):
                     how="left", indicator=True)
     assert (mer["_merge"] == "both").all()          # precision == 1
     assert len(got) >= 0.8 * len(ref)               # recall bound
+
+
+def test_embedding_neardup_more_blocks_than_rows(ray_session):
+    """review fix: empty tiles from repartition(num_blocks > N) must be
+    skipped, not crash np.stack."""
+    import ray.data
+
+    from splunk_otel_collector_ray.stages.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    t = pa.table({
+        "vec_id": pa.array([0, 1], type=pa.int64()),
+        "embedding": [[1.0, 0.0], [0.9, 0.1]],
+    })
+    out = embedding_neardup_pairs(ray.data.from_arrow(t), threshold=0.9,
+                                  num_blocks=4)
+    assert out[["id_a", "id_b"]].values.tolist() == [[0, 1]]

@@ -88,3 +88,17 @@ def test_string_helper_functions():
     assert compile_predicate(
         'contains(body, "GET") and not startsWith(body, "abc")')(t).tolist() \
         == [True, False, False, False]
+
+
+def test_negated_string_helpers_with_nulls_stay_boolean():
+    """review fix: na=False (not fillna on an object series) — `not
+    startsWith(...)` must return the complement, not all-truthy ints."""
+    import pyarrow as pa
+
+    from splunk_otel_collector_ray.functions.expr import compile_predicate
+
+    t = pa.table({"body": ["abc", None, "xyz"]})
+    m = compile_predicate('not startsWith(body, "abc")')(t)
+    assert m.dtype == bool and m.tolist() == [False, True, True]
+    m2 = compile_predicate('not endsWith(body, "z")')(t)
+    assert m2.dtype == bool and m2.tolist() == [True, True, False]

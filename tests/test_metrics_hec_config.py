@@ -333,3 +333,25 @@ def test_span_duration_histogram_buckets(ray_session):
     # gaps: 1.0 → bucket "1.0" (boundary inclusive), 4 → "5.0",
     # 400 → "+Inf", last turn duration 0 → "1.0"
     assert got == {"1.0": 2, "5.0": 1, "+Inf": 1}
+
+
+def test_hec_gating_null_sourcetype_is_log_data():
+    """review fix: a null sourcetype record is LOG data — it must survive
+    the logs exporter (profiling disabled) and be dropped by the
+    profiling-only exporter, never vanish from both."""
+    import pyarrow as pa
+
+    from splunk_otel_collector_ray.stages.hec import HecProjection
+
+    t = pa.table({
+        "ts": pa.array([1_000_000], type=pa.timestamp("us")),
+        "host.name": ["h1"],
+        "com.splunk.source": ["otel"],
+        "com.splunk.sourcetype": pa.array([None], type=pa.string()),
+        "sink": ["sink_tools"],
+        "body": ["a"],
+        "conv_id": ["c1"],
+        "turn_idx": [0],
+    })
+    assert HecProjection(profiling_data_enabled=False)(t).num_rows == 1
+    assert HecProjection(log_data_enabled=False)(t).num_rows == 0

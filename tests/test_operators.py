@@ -259,3 +259,23 @@ def test_multimodal_resize_and_frame_sample():
     assert frames["frame_idx"].to_pylist() == [0, 2]
     assert [bytes(b) for b in frames["frame"].to_pylist()] == [
         bytes([0, 1, 2, 3]), bytes([8, 9, 10, 11])]
+
+
+def test_multimodal_handles_plain_binary_payloads():
+    """review fix: parquet round-trips BYTE_ARRAY back as binary (int32
+    offsets) — the buffer reader must not misread them as int64."""
+    import pyarrow as pa
+
+    from splunk_otel_collector_ray.stages.multimodal import (
+        FeatureExtractStage,
+        make_fake_items,
+    )
+
+    items = make_fake_items(7)  # odd count exercised the crash path
+    narrow = items.set_column(
+        items.column_names.index("payload"), "payload",
+        items["payload"].cast(pa.binary()))
+    a = FeatureExtractStage()(items).to_pandas()
+    b = FeatureExtractStage()(narrow).to_pandas()
+    for fa, fb in zip(a.features, b.features):
+        assert list(fa) == list(fb)
