@@ -911,6 +911,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             HecProjection(), batch_format="pyarrow")
         return ds
 
+    def q_metrics_generate(sf):
+        # metricsgeneration `calculate`: generated metric = metric1/metric2
+        # per group (components.go:328 — the memory.utilization shape)
+        from splunk_otel_collector_ray.stages.metrics import calculate_metric
+
+        return calculate_metric(
+            _table(sf, "events"), keys=["user_id"], name_col="event_type",
+            value_col="value", numerator="purchase", denominator="view",
+            out_name="purchase_per_view")
+
     def q_span_latency_buckets(sf):
         # spanmetrics explicit-bucket duration histogram (components.go:347)
         from splunk_otel_collector_ray.stages.metrics import (
@@ -1369,6 +1379,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_frames": q_multimodal_frames,
         "hec_envelope": q_hec,
         "hec_gated": q_hec_gated,
+        "metrics_generate": q_metrics_generate,
         "span_latency_buckets": q_span_latency_buckets,
         "docs_top_tokens": q_docs_top_tokens,
         "statsd_timers": q_statsd_timers,
@@ -1650,6 +1661,14 @@ def oracle_sql() -> dict[str, str]:
             "CASE sink WHEN 'sink_tools' THEN 'tools' WHEN 'sink_errors' THEN "
             "'errors' WHEN 'sink_assistant' THEN 'assistant' ELSE 'main' END "
             "AS index, body AS event, conv_id, turn_idx FROM routed"),
+        "metrics_generate": (
+            "WITH s AS (SELECT user_id, "
+            "SUM(CASE WHEN event_type = 'purchase' THEN value END) AS num, "
+            "SUM(CASE WHEN event_type = 'view' THEN value END) AS den "
+            "FROM events GROUP BY user_id) "
+            "SELECT user_id, 'purchase_per_view' AS event_type, "
+            "num / den AS value FROM s "
+            "WHERE num IS NOT NULL AND den IS NOT NULL"),
         "span_latency_buckets": C + (
             ", d AS (SELECT conv_id, turn_idx, role, tool, ts, LEAD(ts) OVER "
             "(PARTITION BY conv_id ORDER BY turn_idx) AS nxt FROM raw), "

@@ -429,6 +429,65 @@ def span_durations(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     )
 
 
+def calculate_metric(
+    ds: "ray.data.Dataset", keys: list[str], name_col: str,
+    value_col: str, numerator: str, denominator: str, out_name: str,
+) -> "ray.data.Dataset":
+    """`metricsgeneration` calculate semantics: a GENERATED metric =
+    metric1 / metric2 per group (the memory.utilization = used/total shape;
+    reg components.go:328). Two-phase: per-batch partial sums of each input
+    metric (tiny rows shuffle), one grouped reduce, ratio emitted as the
+    new metric's value — null when the denominator group is absent/zero.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t[name_col],
+                     value_set=pa.array([numerator, denominator]))
+        t = t.filter(m)
+        df = t.select([*keys, name_col, value_col]).to_pandas()
+        g = (df.groupby([*keys, name_col], sort=False)[value_col]
+             .sum().reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    reduced = (ds.map_batches(partial, batch_format="pyarrow")
+               .groupby([*keys, name_col])
+               .aggregate(Sum(value_col, alias_name="_sum")))
+
+    from ..partitioning import default_num_buckets
+
+    nb = default_num_buckets()
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        h = np.zeros(t.num_rows, dtype=np.uint64)
+        for k in keys:
+            h = h * np.uint64(0x9E3779B9) + pd.util.hash_array(
+                t[k].to_pandas().to_numpy(dtype=object))
+        return t.append_column("_bucket",
+                               pa.array((h % nb).astype(np.int32)))
+
+    def ratio_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        wide = df.pivot_table(index=keys, columns=name_col, values="_sum",
+                              aggfunc="sum").reset_index()
+        empty = pd.DataFrame({**{k: df[k][:0] for k in keys},
+                              name_col: pd.Series([], dtype=object),
+                              "value": pd.Series([], dtype=np.float64)})
+        if numerator not in wide.columns or denominator not in wide.columns:
+            return empty
+        out = wide[keys].copy()
+        out[name_col] = out_name
+        out["value"] = (wide[numerator].to_numpy(dtype=np.float64)
+                        / wide[denominator].to_numpy(dtype=np.float64))
+        return out.dropna(subset=["value"])
+
+    # both metrics of a group co-locate via one bucketed exchange of the
+    # tiny reduced rows (never repartition(1) — group cardinality can be
+    # 10^8 at corpus scale); one vectorized pivot per bucket
+    return (reduced.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(ratio_bucket, batch_format="pandas"))
+
+
 def span_duration_histogram(
     ds: "ray.data.Dataset",
     bounds: tuple = (1.0, 5.0, 15.0, 60.0, 300.0),
