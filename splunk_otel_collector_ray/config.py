@@ -205,7 +205,9 @@ def build_pipeline(spec: dict[str, Any]) -> "ray.data.Dataset":
     if "transcripts" in src:
         from .pipelines.logs import read_transcripts
 
-        ds = read_transcripts(src["transcripts"])
+        ds = read_transcripts(src["transcripts"],
+                              include=src.get("include"),
+                              exclude=src.get("exclude"))
     elif "parquet" in src:
         ds = ray.data.read_parquet(src["parquet"], columns=src.get("columns"))
     elif "dataset" in src:

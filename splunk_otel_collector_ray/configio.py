@@ -155,6 +155,9 @@ def collector_to_spec(doc: dict) -> dict:
     recv_cfg = (doc.get("receivers") or {}).get(recv_name) or {}
     if recv_name.split("/")[0] in ("filelog", "transcripts"):
         source = {"transcripts": recv_cfg["path"]}
+        for k in ("include", "exclude"):  # filelog file-glob lists
+            if recv_cfg.get(k):
+                source[k] = list(recv_cfg[k])
     else:
         source = {"parquet": recv_cfg["path"],
                   "columns": recv_cfg.get("columns")}

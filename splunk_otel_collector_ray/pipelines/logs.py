@@ -39,9 +39,38 @@ INPUT_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
 PARSE_BATCH = 32_768
 
 
-def read_transcripts(sf_dir: str, parallelism: int | None = None) -> "ray.data.Dataset":
-    """Read the transcript corpus for a testdata dir (generating if absent)."""
+def read_transcripts(sf_dir: str, parallelism: int | None = None,
+                     include: "list[str] | None" = None,
+                     exclude: "list[str] | None" = None,
+                     ) -> "ray.data.Dataset":
+    """Read the transcript corpus for a testdata dir (generating if absent).
+
+    ``include`` / ``exclude`` are filelog-style file glob lists
+    (fnmatch on the basename; the receiver's include/exclude config,
+    /root/reference/cmd/otelcol/config/collector/logs_config_linux.yaml:
+    filelog `include:` arrays + `exclude:`): only matching part files are
+    read — file pruning happens BEFORE the read, so excluded bytes never
+    leave storage.
+    """
+    import fnmatch
+    import os
+
     path = ensure_transcripts(sf_dir)
+    if include or exclude:
+        names = sorted(os.listdir(path))
+        keep = []
+        for n in names:
+            if not n.endswith(".parquet"):
+                continue
+            if include and not any(fnmatch.fnmatch(n, g) for g in include):
+                continue
+            if exclude and any(fnmatch.fnmatch(n, g) for g in exclude):
+                continue
+            keep.append(os.path.join(path, n))
+        if not keep:
+            raise ValueError(
+                f"include/exclude selected no files under {path!r}")
+        return ray.data.read_parquet(keep, columns=INPUT_COLUMNS)
     return ray.data.read_parquet(path, columns=INPUT_COLUMNS)
 
 

@@ -329,3 +329,33 @@ def test_run_pipeline_refuses_to_clear_non_parquet_dir(ray_session, tmp_path):
             "sink": {"parquet": str(sink)},
         })
     assert (sink / "important.txt").read_text() == "do not delete"
+
+
+def test_filelog_include_exclude_globs(ray_session, tmp_path):
+    """filelog include/exclude file-glob lists prune part files BEFORE the
+    read (logs_config_linux.yaml filelog include/exclude arrays)."""
+    import textwrap
+
+    from splunk_otel_collector_ray.pipelines.logs import read_transcripts
+
+    full = read_transcripts("/root/testdata/sf0.1").count()
+    only0 = read_transcripts("/root/testdata/sf0.1",
+                             include=["part-000.parquet"]).count()
+    rest = read_transcripts("/root/testdata/sf0.1",
+                            exclude=["part-000.parquet"]).count()
+    assert 0 < only0 < full and only0 + rest == full
+    with pytest.raises(ValueError, match="selected no files"):
+        read_transcripts("/root/testdata/sf0.1", include=["nope-*.parquet"])
+    # through the YAML surface
+    yml = tmp_path / "inc.yaml"
+    yml.write_text(textwrap.dedent("""
+        receivers:
+          filelog/transcripts:
+            path: /root/testdata/sf0.1
+            include: ["part-000.parquet"]
+        service:
+          pipelines:
+            logs:
+              receivers: [filelog/transcripts]
+    """))
+    assert build_pipeline_from_yaml(str(yml)).count() == only0
