@@ -33,17 +33,18 @@ from ray.data.aggregate import Sum
 
 def default_num_buckets(min_buckets: int = 64) -> int:
     """Cluster-derived bucket count for hash-bucketed grouped ops (r2
-    VERDICT item 9): 4 grouped tasks per CPU in the cluster, floored at 64
-    so single-node runs keep their proven shape. On a 256-node cluster this
-    scales the grouped-map parallelism automatically instead of pinning it
-    at the single-node constant."""
+    VERDICT item 9): 2 grouped tasks per CPU in the cluster, floored at 64
+    — at 32 single-node CPUs this keeps the proven 64-bucket shape
+    (measured: 128 buckets cost 5-10% in tiny-group overhead at sf0.1),
+    while a 256-node/8k-CPU cluster gets 16k buckets automatically instead
+    of the single-node constant."""
     import ray
 
     try:
         cpus = int(ray.cluster_resources().get("CPU", 16))
     except Exception:  # no session yet (pure planning context)
         cpus = 16
-    return max(min_buckets, 4 * cpus)
+    return max(min_buckets, 2 * cpus)
 
 
 def key_counts(ds: "ray.data.Dataset", key: str) -> "ray.data.Dataset":
