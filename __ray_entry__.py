@@ -790,6 +790,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
             add_bucket, batch_format="pyarrow").groupby("_bucket").map_groups(
             per_bucket, batch_format="pandas")
 
+    def q_events_rate(sf):
+        # per-series RATE (delta value / delta seconds) — the derivative
+        # metricsgeneration/cumulativetodelta companion; same bucketed
+        # vectorized lag shape as events_delta; 0 when no predecessor or
+        # non-increasing ts (coalesced identically on both sides)
+        def add_bucket(t: pa.Table) -> pa.Table:
+            u = t["user_id"].to_pandas().to_numpy() % 64
+            return t.append_column("_bucket", pa.array(u.astype(np.int32)))
+
+        def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+            grp = g.groupby("user_id", sort=False)
+            delta = g["value"] - grp["value"].shift(1)
+            dt = (g["ts"] - grp["ts"].shift(1)).dt.total_seconds()
+            rate = np.where(dt.to_numpy() > 0,
+                            delta.to_numpy() / dt.to_numpy(), np.nan)
+            out = g[["event_id"]].copy()
+            out["rate"] = np.nan_to_num(rate, nan=0.0)
+            return out
+
+        return _table(sf, "events").map_batches(
+            add_bucket, batch_format="pyarrow").groupby("_bucket").map_groups(
+            per_bucket, batch_format="pandas")
+
     def q_events_topk(sf):
         ds = _table(sf, "events").sort(
             ["value", "event_id"], descending=[True, False]).limit(10)
@@ -1358,6 +1382,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_filtered_dims": q_events_filtered_dims,
         "events_window": q_events_window,
         "events_delta": q_events_delta,
+        "events_rate": q_events_rate,
         "events_topk": q_events_topk,
         "metric_rename": q_metric_rename,
         "telegraf_emit": q_telegraf_emit,
@@ -1584,6 +1609,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, COALESCE(value - LAG(value) OVER "
             "(PARTITION BY user_id ORDER BY ts, event_id), 0) AS delta "
             "FROM events"),
+        "events_rate": (
+            "WITH l AS (SELECT event_id, value - LAG(value) OVER w AS delta, "
+            "epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS dt_us FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
+            "SELECT event_id, COALESCE(CASE WHEN dt_us > 0 THEN "
+            "delta / (dt_us / 1000000.0) END, 0) AS rate FROM l"),
         "events_topk": (
             "SELECT event_id, event_type, value FROM events "
             "ORDER BY value DESC, event_id LIMIT 10"),
