@@ -209,7 +209,16 @@ def build_pipeline(spec: dict[str, Any]) -> "ray.data.Dataset":
                               include=src.get("include"),
                               exclude=src.get("exclude"))
     elif "parquet" in src:
-        ds = ray.data.read_parquet(src["parquet"], columns=src.get("columns"))
+        # prune at the READ: columns + an optional pushed-down row filter
+        # (row-group pruning happens in the scan, filtered bytes never
+        # leave storage)
+        flt = None
+        if src.get("filter"):
+            from .functions.expr import compile_arrow_filter
+
+            flt = compile_arrow_filter(src["filter"])
+        ds = ray.data.read_parquet(src["parquet"], columns=src.get("columns"),
+                                   filter=flt)
     elif "dataset" in src:
         # forward-connector splice: an upstream pipeline's lazy Dataset IS
         # the source (configio.run_service_from_yaml splice=True) — the

@@ -70,6 +70,46 @@ def _operand(node) -> "Callable[[pa.Table], pd.Series]":
         "left side must be a column name or attributes[\"key\"]")
 
 
+def compile_arrow_filter(expr: str):
+    """Compile a (sub)set of the predicate grammar to a pyarrow dataset
+    Expression for parquet READ pushdown (row-group pruning — the
+    'prune at the read' rule): comparisons against literals, ``in``,
+    and/or/not over plain column names. Raises ValueError on anything the
+    scan layer can't evaluate (matches()/map lookups stay engine-side)."""
+    import pyarrow.dataset as pds
+
+    tree = ast.parse(expr, mode="eval").body
+
+    def build(node):
+        if isinstance(node, ast.BoolOp):
+            parts = [build(v) for v in node.values]
+            out = parts[0]
+            for p in parts[1:]:
+                out = (out & p) if isinstance(node.op, ast.And) else (out | p)
+            return out
+        if isinstance(node, ast.UnaryOp) and isinstance(node.op, ast.Not):
+            return ~build(node.operand)
+        if isinstance(node, ast.Compare):
+            if len(node.ops) != 1 or not isinstance(node.left, ast.Name):
+                raise ValueError("pushdown filters support only "
+                                 "`column <op> literal` comparisons")
+            f = pds.field(node.left.id)
+            op = node.ops[0]
+            if isinstance(op, ast.In):
+                vals = [ast.literal_eval(e) for e in node.comparators[0].elts]
+                return f.isin(vals)
+            lit = ast.literal_eval(node.comparators[0])
+            return {
+                ast.Eq: lambda: f == lit, ast.NotEq: lambda: f != lit,
+                ast.Gt: lambda: f > lit, ast.GtE: lambda: f >= lit,
+                ast.Lt: lambda: f < lit, ast.LtE: lambda: f <= lit,
+            }[type(op)]()
+        raise ValueError(
+            f"unsupported pushdown expression node {type(node).__name__}")
+
+    return build(tree)
+
+
 def compile_predicate(expr: str) -> MaskFn:
     """Compile an expression string to a vectorized batch→bool-mask fn."""
     tree = ast.parse(expr, mode="eval").body

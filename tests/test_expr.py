@@ -102,3 +102,28 @@ def test_negated_string_helpers_with_nulls_stay_boolean():
     assert m.dtype == bool and m.tolist() == [False, True, True]
     m2 = compile_predicate('not endsWith(body, "z")')(t)
     assert m2.dtype == bool and m2.tolist() == [True, True, False]
+
+
+def test_arrow_filter_pushdown(ray_session):
+    """compile_arrow_filter: read-level row filters equal post-read masks
+    (the prune-at-the-read rule); unsupported nodes are rejected."""
+    import pytest
+    import ray.data
+
+    from splunk_otel_collector_ray.config import build_pipeline
+    from splunk_otel_collector_ray.functions.expr import compile_arrow_filter
+
+    pushed = build_pipeline({
+        "source": {"parquet": "/root/testdata/sf0.01/events.parquet",
+                   "filter": "event_type == 'purchase' and value >= 50"},
+        "stages": [],
+    }).to_pandas()
+    full = ray.data.read_parquet(
+        "/root/testdata/sf0.01/events.parquet").to_pandas()
+    ref = full[(full.event_type == "purchase") & (full.value >= 50)]
+    assert len(pushed) == len(ref) > 0
+    assert sorted(pushed.event_id) == sorted(ref.event_id)
+    # in-list + negation forms compile; engine-side-only forms are rejected
+    compile_arrow_filter("event_type in ('a', 'b') or not (value < 3)")
+    with pytest.raises((ValueError, KeyError)):
+        compile_arrow_filter("matches(event_type, '^a')")
