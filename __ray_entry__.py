@@ -935,6 +935,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             HecProjection(), batch_format="pyarrow")
         return ds
 
+    def q_turn_text(sf):
+        # the north rule's literal invariant, as its own oracle row:
+        # per-turn TEXT equality under stable (conv_id, turn_idx) ordering
+        # through the engine's read path (column-pruned, glob-read corpus)
+        return _read_transcripts(sf).select_columns(
+            ["conv_id", "turn_idx", "text"])
+
     def q_metrics_generate(sf):
         # metricsgeneration `calculate`: generated metric = metric1/metric2
         # per group (components.go:328 — the memory.utilization shape)
@@ -1404,6 +1411,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_frames": q_multimodal_frames,
         "hec_envelope": q_hec,
         "hec_gated": q_hec_gated,
+        "turn_text": q_turn_text,
         "metrics_generate": q_metrics_generate,
         "span_latency_buckets": q_span_latency_buckets,
         "docs_top_tokens": q_docs_top_tokens,
@@ -1692,6 +1700,7 @@ def oracle_sql() -> dict[str, str]:
             "CASE sink WHEN 'sink_tools' THEN 'tools' WHEN 'sink_errors' THEN "
             "'errors' WHEN 'sink_assistant' THEN 'assistant' ELSE 'main' END "
             "AS index, body AS event, conv_id, turn_idx FROM routed"),
+        "turn_text": C + "SELECT conv_id, turn_idx, text FROM raw",
         "metrics_generate": (
             "WITH s AS (SELECT user_id, "
             "SUM(CASE WHEN event_type = 'purchase' THEN value END) AS num, "
