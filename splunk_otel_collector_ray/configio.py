@@ -161,6 +161,8 @@ def collector_to_spec(doc: dict) -> dict:
     else:
         source = {"parquet": recv_cfg["path"],
                   "columns": recv_cfg.get("columns")}
+        if recv_cfg.get("filter"):  # predicate pushdown reaches the read
+            source["filter"] = recv_cfg["filter"]
 
     stages = []
     for pname in pipe.get("processors", []):

@@ -471,14 +471,20 @@ def calculate_metric(
                               aggfunc="sum").reset_index()
         empty = pd.DataFrame({**{k: df[k][:0] for k in keys},
                               name_col: pd.Series([], dtype=object),
-                              "value": pd.Series([], dtype=np.float64)})
+                              value_col: pd.Series([], dtype=np.float64)})
         if numerator not in wide.columns or denominator not in wide.columns:
             return empty
+        num = wide[numerator].to_numpy(dtype=np.float64)
+        den = wide[denominator].to_numpy(dtype=np.float64)
         out = wide[keys].copy()
         out[name_col] = out_name
-        out["value"] = (wide[numerator].to_numpy(dtype=np.float64)
-                        / wide[denominator].to_numpy(dtype=np.float64))
-        return out.dropna(subset=["value"])
+        # SQL division semantics (the oracle's): x/0 is NULL (NaN here —
+        # both sides surface as NaN in pandas), never inf; groups missing
+        # either input metric are dropped (num/den IS NOT NULL)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out[value_col] = np.where(den != 0, num / den, np.nan)
+        present = ~np.isnan(num) & ~np.isnan(den)
+        return out[present]
 
     # both metrics of a group co-locate via one bucketed exchange of the
     # tiny reduced rows (never repartition(1) — group cardinality can be

@@ -56,6 +56,29 @@ def test_collector_style_conversion():
     assert spec["sink"]["parquet"] == "/tmp/out"
 
 
+def test_collector_parquet_receiver_filter_pushdown(ray_session):
+    """A collector-style parquet receiver's ``filter`` reaches the read as
+    a pushed-down row predicate (prune-at-the-read; row groups that fail
+    the predicate never leave storage)."""
+    from splunk_otel_collector_ray.config import build_pipeline
+
+    doc = {
+        "receivers": {"parquet/events": {
+            "path": "/root/testdata/sf0.001/events.parquet",
+            "columns": ["event_type", "value"],
+            "filter": "event_type == 'error'",
+        }},
+        "service": {"pipelines": {"logs": {
+            "receivers": ["parquet/events"], "processors": [],
+        }}},
+    }
+    spec = collector_to_spec(doc)
+    assert spec["source"]["filter"] == "event_type == 'error'"
+    t = build_pipeline(spec).limit(10_000).to_pandas()
+    assert set(t.columns) == {"event_type", "value"}
+    assert len(t) > 0 and (t["event_type"] == "error").all()
+
+
 def test_yaml_builds_flagship_and_matches_config_pipeline(
         ray_session, tmp_path, monkeypatch):
     """A YAML-loaded pipeline must produce the same per-sink counts as the
