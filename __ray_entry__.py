@@ -885,7 +885,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return dd.minhash_duplicate_groups(_table(sf, "documents"))
 
     def q_docs_simhash(sf):
-        # 64-bit SimHash per doc (rows-only: bit-level hash, no SQL twin)
+        # 64-bit SimHash per doc; oracle-compared via _simhash_sql's
+        # HUGEINT replay of the polynomial shingle hash + sign sums
         def fn(t: pa.Table) -> pa.Table:
             h = dd.simhash64(t["text"].to_pandas())
             return pa.table({
@@ -1448,6 +1449,72 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _shingle_sql(n: int) -> str:
+    """SQL twin of dedup._flat_token_hashes: DISTINCT per-doc polynomial
+    character-shingle hashes sum(byte[j] * 257^j). Valid because the
+    documents corpus is pure ASCII (code point == utf-8 byte) and for
+    n <= 5 the polynomial sum < 2^61-1, so no modulo is needed. Docs
+    shorter than ``n`` carry the single sentinel hash 0."""
+    terms = " + ".join(
+        "ascii(substr(text, i, 1))::HUGEINT" if j == 0 else
+        f"ascii(substr(text, i+{j}, 1))::HUGEINT * {257 ** j}"
+        for j in range(n))
+    return (
+        f"sh AS MATERIALIZED (SELECT DISTINCT doc_id, {terms} AS h "
+        f"FROM documents, unnest(range(1, greatest(length(text) - {n - 1}, "
+        f"0) + 1)) t(i) WHERE coalesce(length(text), 0) >= {n} "
+        "UNION SELECT doc_id, 0::HUGEINT AS h FROM documents "
+        f"WHERE coalesce(length(text), 0) < {n})")
+
+
+_M64 = "18446744073709551616"  # 2^64: numpy uint64 wraparound in HUGEINT SQL
+
+
+def _minhash_groups_sql() -> str:
+    """SQL twin of dedup.minhash_duplicate_groups: the 64 seeded (a, b)
+    permutation constants are read from the SAME MinHasher the engine
+    runs, the per-band fold replays the engine's FNV-1a word fold with
+    explicit mod-2^64 wraparound, and int64 reinterpretation mirrors the
+    engine's astype(np.int64)."""
+    from splunk_otel_collector_ray.stages import dedup as dd
+
+    mh = dd.MinHasher()
+    perm_rows = ", ".join(
+        f"({p}, {int(a)}::HUGEINT, {int(b)}::HUGEINT)"
+        for p, (a, b) in enumerate(zip(mh.a, mh.b)))
+    fold = "14695981039346656037::HUGEINT"
+    for k in range(mh.rows_per_band):
+        fold = (f"xor({fold}, max(CASE WHEN p % {mh.rows_per_band} = {k} "
+                f"THEN s END)) * 1099511628211 % {_M64}")
+    return (
+        f"WITH {_shingle_sql(mh.shingle)}, "
+        f"perms(p, a, b) AS (VALUES {perm_rows}), "
+        "sigs AS MATERIALIZED (SELECT doc_id, p, "
+        f"min(((a * h % {_M64}) + b) % {_M64} % {dd.MERSENNE}) AS s "
+        "FROM sh CROSS JOIN perms GROUP BY 1, 2), "
+        "folded AS (SELECT doc_id, "
+        f"CAST(p // {mh.rows_per_band} AS INTEGER) AS band, {fold} AS u "
+        "FROM sigs GROUP BY doc_id, band) "
+        f"SELECT band, CAST(CASE WHEN u >= {1 << 63} THEN u - {_M64} "
+        "ELSE u END AS BIGINT) AS band_hash, min(doc_id) AS min_id, "
+        'count(*) AS "size" FROM folded GROUP BY 1, 2 HAVING count(*) > 1')
+
+
+def _simhash_sql() -> str:
+    """SQL twin of dedup.simhash64 (shingle=4): per-bit ±1 sign sums over
+    the distinct shingle-hash set, bit set iff the sum is strictly
+    positive, then two's-complement reinterpretation to int64."""
+    return (
+        f"WITH {_shingle_sql(4)}, "
+        "bits AS (SELECT doc_id, b, "
+        "sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s "
+        "FROM sh, unnest(range(0, 64)) t(b) GROUP BY 1, 2), "
+        "agg AS (SELECT doc_id, sum(CASE WHEN s > 0 THEN 1::HUGEINT << b "
+        "ELSE 0::HUGEINT END) AS u FROM bits GROUP BY 1) "
+        f"SELECT doc_id, CAST(CASE WHEN u >= {1 << 63} THEN u - {_M64} "
+        "ELSE u END AS BIGINT) AS simhash FROM agg")
+
+
 def oracle_sql() -> dict[str, str]:
     C = _oracle_cte()
     # explicit ASCII classes, byte-identical to stages/text_analysis._TOKEN_RX
@@ -1671,6 +1738,8 @@ def oracle_sql() -> dict[str, str]:
             "i -> CAST(ascii(text[i]) AS HUGEINT))), "
             "(acc, x) -> (acc * 256 + x) % 2305843009213693951) AS BIGINT) "
             "AS fingerprint FROM documents"),
+        "docs_simhash": _simhash_sql(),
+        "docs_minhash_groups": _minhash_groups_sql(),
         "docs_quality": (
             "SELECT doc_id, (length(text) - length(regexp_replace(text, "
             "'[A-Za-z]', '', 'g'))) / CAST(length(text) AS DOUBLE) AS "

@@ -27,6 +27,8 @@ import ray.data
 from ray.data.aggregate import Count, Min
 
 MERSENNE = (1 << 61) - 1
+FNV_BASIS = np.uint64(14695981039346656037)
+FNV_PRIME = np.uint64(1099511628211)
 
 
 def _flat_token_hashes(text: pd.Series, n: int = 5
@@ -194,13 +196,18 @@ class MinHasher:
         ids = batch[self.id_col].to_pandas().to_numpy()
         flat, offsets = _flat_token_hashes(text, self.shingle)
         sigs = self.signatures(flat, offsets)
-        # fold each band's rows into one bucket hash
+        # fold each band's rows into one bucket hash: FNV-1a over the 64-bit
+        # signature words (uint64 wraparound) — two docs share a bucket iff
+        # their band signature tuples match (fold collisions only merge
+        # buckets, which can only ADD candidates). Chosen over an opaque
+        # struct hash so the oracle twin can replay it in HUGEINT SQL.
         band_hash = np.zeros((len(ids), self.bands), dtype=np.uint64)
         for bi in range(self.bands):
             seg = sigs[:, bi * self.rows_per_band:(bi + 1) * self.rows_per_band]
-            band_hash[:, bi] = pd.util.hash_array(
-                np.ascontiguousarray(seg).view([("", seg.dtype)] * seg.shape[1]).ravel()
-            ).astype(np.uint64)
+            fold = np.full(len(ids), FNV_BASIS, dtype=np.uint64)
+            for k in range(seg.shape[1]):
+                fold = (fold ^ seg[:, k]) * FNV_PRIME
+            band_hash[:, bi] = fold
         n, b = len(ids), self.bands
         return pa.table({
             self.id_col: pa.array(np.repeat(ids, b)),
