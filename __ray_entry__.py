@@ -1287,6 +1287,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return neardup_pairs(_table(sf, "documents"), jaccard_threshold=0.8)
 
+    def q_docs_dup_clusters(sf):
+        # connected components over the verified near-dup pair graph:
+        # every doc labeled with the min doc id of its duplicate cluster
+        # (oracle: recursive-CTE transitive closure of the same pairs)
+        from splunk_otel_collector_ray.stages.dedup import duplicate_clusters
+
+        return duplicate_clusters(_table(sf, "documents"),
+                                  jaccard_threshold=0.8)
+
     def q_ann_lsh(sf):
         # LSH-bucketed ANN (multi-probe) — the scale path next to the
         # brute-force baseline of emb_ann_topk (rows-only; approximate)
@@ -1442,6 +1451,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": q_events_sliding,
         "hot_convs": q_hot_convs,
         "neardup_pairs": q_neardup_pairs,
+        "docs_dup_clusters": q_docs_dup_clusters,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "events_stats": q_events_stats,
@@ -1468,6 +1478,32 @@ def _shingle_sql(n: int) -> str:
 
 
 _M64 = "18446744073709551616"  # 2^64: numpy uint64 wraparound in HUGEINT SQL
+
+# Exact 5-gram Jaccard over the full pair space (SQL twin of
+# dedup.neardup_pairs at threshold 0.8 — LSH recall is deterministically
+# 100% on this corpus, see q_neardup_pairs): per-doc DISTINCT shingles, an
+# inverted-index self-join counts the intersection, sizes give the union;
+# docs shorter than the shingle width carry the single sentinel shingle ''
+# (the engine's sentinel-hash-0 rule). Raw-IEEE threshold compare on
+# identically-computed integer ratios on both sides.
+_NEARDUP_CTES = (
+    "np_sh AS MATERIALIZED ("
+    "SELECT DISTINCT doc_id, substr(text, i, 5) AS s "
+    "FROM documents, unnest(range(1, greatest(length(text)-4,0)+1))"
+    " t(i) WHERE length(text) >= 5 "
+    "UNION SELECT doc_id, '' AS s FROM documents "
+    "WHERE coalesce(length(text), 0) < 5), "
+    "np_sz AS MATERIALIZED ("
+    "SELECT doc_id, count(*) AS c FROM np_sh GROUP BY doc_id), "
+    "np_inter AS MATERIALIZED (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+    "count(*) AS i FROM np_sh a JOIN np_sh b "
+    "ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+    # np_pairs is referenced twice by the closure query — MATERIALIZED or
+    # DuckDB inlines and re-runs the whole inverted-index join per reference
+    "np_pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM np_inter "
+    "JOIN np_sz sa ON sa.doc_id = doc_a "
+    "JOIN np_sz sb ON sb.doc_id = doc_b "
+    "WHERE CAST(i AS DOUBLE) / (sa.c + sb.c - i) >= 0.8)")
 
 
 def _minhash_groups_sql() -> str:
@@ -1763,27 +1799,21 @@ def oracle_sql() -> dict[str, str]:
             "FROM e a JOIN e b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.v, b.v) >= 0.45"),
         "neardup_pairs": (
-            # exact 5-gram Jaccard over the full pair space: per-doc
-            # DISTINCT shingles, inverted-index self-join counts the
-            # intersection, sizes give the union; docs shorter than the
-            # shingle width carry the single sentinel shingle '' (the
-            # engine's sentinel-hash-0 rule). Raw-IEEE threshold compare
-            # on identically-computed integer ratios on both sides.
-            "WITH sh AS MATERIALIZED ("
-            "SELECT DISTINCT doc_id, substr(text, i, 5) AS s "
-            "FROM documents, unnest(range(1, greatest(length(text)-4,0)+1))"
-            " t(i) WHERE length(text) >= 5 "
-            "UNION SELECT doc_id, '' AS s FROM documents "
-            "WHERE coalesce(length(text), 0) < 5), "
-            "sz AS MATERIALIZED ("
-            "SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id), "
-            "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
-            "count(*) AS i FROM sh a JOIN sh b "
-            "ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) "
-            "SELECT doc_a, doc_b FROM inter "
-            "JOIN sz sa ON sa.doc_id = doc_a "
-            "JOIN sz sb ON sb.doc_id = doc_b "
-            "WHERE CAST(i AS DOUBLE) / (sa.c + sb.c - i) >= 0.8"),
+            f"WITH {_NEARDUP_CTES} SELECT doc_a, doc_b FROM np_pairs"),
+        "docs_dup_clusters": (
+            # transitive closure of the exact near-dup pair graph:
+            # reach(x, y) enumerates every doc reachable from x, the
+            # component label is the min over {x} ∪ reachable, and docs
+            # with no duplicate fall through to their own id
+            f"WITH RECURSIVE {_NEARDUP_CTES}, "
+            "edges AS (SELECT doc_a AS a, doc_b AS b FROM np_pairs "
+            "UNION ALL SELECT doc_b, doc_a FROM np_pairs), "
+            "reach(x, y) AS (SELECT a, b FROM edges "
+            "UNION SELECT r.x, e.b FROM reach r JOIN edges e ON r.y = e.a), "
+            "comp AS (SELECT x AS doc_id, least(x, min(y)) AS cluster_id "
+            "FROM reach GROUP BY x) "
+            "SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id "
+            "FROM documents d LEFT JOIN comp c USING (doc_id)"),
         "stratified_sample": (
             "SELECT event_type, event_id FROM events QUALIFY row_number() "
             "OVER (PARTITION BY event_type ORDER BY "

@@ -388,7 +388,59 @@ def neardup_pairs(
         return batch.select(["doc_a", "doc_b"]).filter(pa.array(keep))
 
     out = joined.map_batches(verify, batch_format="pyarrow").to_pandas()
+    if out.empty:  # an empty Dataset collects with no columns at all
+        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                             "doc_b": pd.Series([], dtype="int64")})
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def duplicate_clusters(
+    ds: "ray.data.Dataset", jaccard_threshold: float = 0.5,
+    id_col: str = "doc_id", text_col: str = "text", **kw
+) -> "ray.data.Dataset":
+    """Connected components over the verified near-dup pair graph:
+    (doc_id, cluster_id) for EVERY doc, cluster_id = min doc id of its
+    duplicate component (singletons map to themselves) — the canonical
+    keep-one-per-cluster step of a training-data dedup pipeline.
+
+    Scale shape: the pair graph is the output of the fully distributed
+    neardup_pairs DAG and is orders of magnitude smaller than the doc set
+    (bounded by verified duplicates), so the component labeling runs as
+    path-compressed union-find on the pairs alone; the resulting map —
+    only docs that HAVE a duplicate — is broadcast via ray.put once and
+    applied to the doc stream per batch. No doc text moves, and the wide
+    work (LSH bucketing, hash joins, verify) stays in the pair DAG.
+    """
+    import ray
+
+    pairs = neardup_pairs(ds, jaccard_threshold, id_col, text_col, **kw)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp: dict[int, int] = {x: find(x) for x in parent}
+    comp_ref = ray.put(comp)
+
+    def label(batch: pa.Table) -> pa.Table:
+        m = ray.get(comp_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        cluster = np.fromiter((m.get(int(i), int(i)) for i in ids),
+                              np.int64, len(ids))
+        return pa.table({id_col: batch[id_col],
+                         "cluster_id": pa.array(cluster)})
+
+    return ds.select_columns([id_col]).map_batches(
+        label, batch_format="pyarrow")
 
 
 def simhash64(text: pd.Series, shingle: int = 4) -> np.ndarray:

@@ -61,6 +61,39 @@ def test_neardup_pairs_finds_planted_dups(ray_session):
     assert list(map(tuple, out.to_numpy())) == [(1, 2)]
 
 
+def test_duplicate_clusters_transitive_chain(ray_session):
+    """A chain a~b, b~c (a never directly paired with c) must collapse into
+    ONE cluster labeled by the min doc id; unrelated docs stay singletons."""
+    import ray.data
+
+    from splunk_otel_collector_ray.stages.dedup import duplicate_clusters
+
+    base = "the quick brown fox jumps over the lazy dog and runs away " * 8
+    mid = base.replace("lazy", "sleepy").replace("quick", "rapid")
+    far = mid.replace("brown", "black").replace("dog", "cat")
+    docs = pa.table({
+        "doc_id": pa.array([10, 20, 30, 40], type=pa.int64()),
+        "text": [base, mid, far,
+                 "a completely different document about ray data engines " * 8],
+    })
+    out = (duplicate_clusters(ray.data.from_arrow(docs),
+                              jaccard_threshold=0.5)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    got = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert got[10] == got[20] == got[30] == 10  # chain merges, min-id label
+    assert got[40] == 40
+
+    # sanity: the chain really is a chain at this threshold
+    from splunk_otel_collector_ray.stages.dedup import ngram_jaccard
+    assert ngram_jaccard(base, far) < 0.5 <= min(
+        ngram_jaccard(base, mid), ngram_jaccard(mid, far))
+
+    # all-singleton input: the empty pair graph must not crash the labeler
+    solo = duplicate_clusters(
+        ray.data.from_arrow(docs), jaccard_threshold=0.99).to_pandas()
+    assert (solo["cluster_id"] == solo["doc_id"]).all()
+
+
 def test_neardup_pairs_on_documents_table(ray_session, sf_dir):
     import ray.data
 
