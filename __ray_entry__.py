@@ -872,6 +872,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = _table(sf, "documents").map_batches(ta.quality_scores, batch_format="pyarrow")
         return ds.select_columns(["doc_id", "alpha_ratio", "punct_ratio"])
 
+    def q_docs_repetition(sf):
+        # Gopher-style within-doc repetition signals: duplicate-line
+        # fraction + top word-bigram fraction (boilerplate/template spam)
+        return _table(sf, "documents").map_batches(
+            ta.repetition_stats, batch_format="pyarrow")
+
     def q_docs_langid(sf):
         ds = _table(sf, "documents").map_batches(
             ta.LangIdStage, batch_format="pyarrow", concurrency=(1, 4))
@@ -1412,6 +1418,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dedup_rows": q_docs_dedup_rows,
         "docs_token_stats": q_docs_token_stats,
         "docs_quality": q_docs_quality,
+        "docs_repetition": q_docs_repetition,
         "docs_langid": q_docs_langid,
         "docs_fingerprint": q_docs_fingerprint,
         "docs_minhash_groups": q_docs_minhash_groups,
@@ -1774,6 +1781,26 @@ def oracle_sql() -> dict[str, str]:
             "i -> CAST(ascii(text[i]) AS HUGEINT))), "
             "(acc, x) -> (acc * 256 + x) % 2305843009213693951) AS BIGINT) "
             "AS fingerprint FROM documents"),
+        "docs_repetition": (
+            # lines via chr(10) split, words via the same explicit ASCII
+            # whitespace class as _WS_TOKEN_RX; ratios are raw IEEE
+            # divisions of identical integers on both sides
+            "WITH l AS MATERIALIZED (SELECT doc_id, "
+            "string_split(coalesce(text, ''), chr(10)) AS ls, "
+            r"regexp_extract_all(coalesce(text, ''), '[^ \t\n]+') AS ws "
+            "FROM documents), "
+            "lines AS (SELECT doc_id, len(ls) AS n_lines, "
+            "len(list_distinct(ls)) AS n_distinct FROM l), "
+            "big AS (SELECT doc_id, u.b FROM l, unnest(list_transform("
+            "range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) u(b) "
+            "WHERE len(ws) >= 2), "
+            "cnt AS (SELECT doc_id, b, count(*) AS c FROM big GROUP BY 1, 2), "
+            "topb AS (SELECT doc_id, max(c) AS top, sum(c) AS nb "
+            "FROM cnt GROUP BY 1) "
+            "SELECT li.doc_id, CASE WHEN n_lines > 0 THEN "
+            "CAST(n_lines - n_distinct AS DOUBLE) / n_lines ELSE 0.0 END "
+            "AS dup_line_frac, coalesce(CAST(top AS DOUBLE) / nb, 0.0) "
+            "AS top_bigram_frac FROM lines li LEFT JOIN topb USING (doc_id)"),
         "docs_simhash": _simhash_sql(),
         "docs_minhash_groups": _minhash_groups_sql(),
         "docs_quality": (

@@ -98,6 +98,64 @@ def quality_scores(batch: pa.Table, text_col: str = "text") -> pa.Table:
     )
 
 
+def repetition_stats(batch: pa.Table, text_col: str = "text",
+                     id_col: str = "doc_id") -> pa.Table:
+    """Gopher-style repetition quality signals per document:
+
+    - ``dup_line_frac``  — fraction of lines that are repeats of an
+      earlier line ((n_lines - n_distinct_lines) / n_lines)
+    - ``top_bigram_frac`` — occurrences of the most frequent word bigram
+      over total bigrams (0.0 when the doc has fewer than two words)
+
+    High values flag boilerplate / template spam that exact and near-dup
+    passes miss (repetition WITHIN a document). Vectorized explode +
+    grouped reductions — no per-document Python loop; ratios are raw IEEE
+    divisions of identical integers on both engine and oracle sides.
+    Words are ASCII-whitespace-delimited runs (explicit class, matching
+    the RE2/DuckDB twin)."""
+    s = batch[text_col].to_pandas().fillna("")
+    n = len(s)
+    s.index = pd.RangeIndex(n)
+
+    lines = s.str.split("\n").explode()
+    doc = lines.index.to_numpy()
+    total = np.bincount(doc, minlength=n).astype(np.float64)
+    distinct = (pd.DataFrame({"d": doc, "l": lines.to_numpy()})
+                .drop_duplicates().groupby("d").size()
+                .reindex(range(n), fill_value=0).to_numpy()
+                .astype(np.float64))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        dup_line_frac = np.where(total > 0, (total - distinct) / total, 0.0)
+
+    words = s.str.findall(_WS_TOKEN_RX).explode().dropna()
+    wdoc = words.index.to_numpy()
+    nxt_same = np.empty(len(wdoc), dtype=bool)
+    if len(wdoc):
+        nxt_same[:-1] = wdoc[1:] == wdoc[:-1]
+        nxt_same[-1] = False
+    w = words.to_numpy()
+    bigrams = pd.DataFrame({
+        "d": wdoc[nxt_same],
+        "b": pd.Series(w[:-1], copy=False).str.cat(
+            pd.Series(np.roll(w, -1)[:-1], copy=False), sep=" "
+        ).to_numpy()[nxt_same[:-1]] if len(w) > 1 else
+        np.array([], dtype=object),
+    })
+    n_bigrams = np.bincount(bigrams["d"], minlength=n).astype(np.float64) \
+        if len(bigrams) else np.zeros(n)
+    top = (bigrams.groupby(["d", "b"]).size().groupby("d").max()
+           .reindex(range(n), fill_value=0).to_numpy().astype(np.float64)) \
+        if len(bigrams) else np.zeros(n)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        top_bigram_frac = np.where(n_bigrams > 0, top / n_bigrams, 0.0)
+
+    return pa.table({
+        id_col: batch[id_col],
+        "dup_line_frac": pa.array(dup_line_frac),
+        "top_bigram_frac": pa.array(top_bigram_frac),
+    })
+
+
 def fingerprint(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Base-256 polynomial fingerprint (utf-8 bytes as a bigint, mod 2^61-1).
 

@@ -132,6 +132,21 @@ def test_token_stats_and_quality():
     assert q.quality[0] > q.quality[2]
 
 
+def test_repetition_stats():
+    from splunk_otel_collector_ray.stages.text_analysis import repetition_stats
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "text": ["a b a b a b",        # top bigram "a b" 3 of 5
+                 "x\ny\nx\ny",         # 2 of 4 lines are repeats
+                 "",                   # no words, single empty line
+                 "one"],               # single word → no bigrams
+    })
+    out = repetition_stats(t).to_pandas()
+    assert out.dup_line_frac.tolist() == [0.0, 0.5, 0.0, 0.0]
+    assert out.top_bigram_frac.tolist() == [3 / 5, 2 / 3, 0.0, 0.0]
+
+
 def test_langid():
     t = pa.table({"text": [
         "the cat and the dog sat in a corner of the room",
