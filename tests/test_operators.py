@@ -147,6 +147,31 @@ def test_repetition_stats():
     assert out.top_bigram_frac.tolist() == [3 / 5, 2 / 3, 0.0, 0.0]
 
 
+def test_clean_stage_each_filter_fires():
+    from splunk_otel_collector_ray.stages.text_analysis import CleanStage
+
+    # distinct longish words keep alpha_ratio >= 0.82 and bigrams unique;
+    # the leading stopwords pin language ID to English
+    good = ("the quickest branches should whisper strange melodies "
+            "and it remains that gardens flourish beneath crimson "
+            "evenings for wandering travellers discover ancient pathways "
+            "carrying luminous treasures homeward tonight")
+    t = pa.table({
+        "doc_id": pa.array(list(range(6)), type=pa.int64()),
+        "text": [
+            good,                              # 0: survives
+            "too short",                       # 1: token floor
+            good.replace("e", "#"),            # 2: alpha/punct ratios
+            "der Hund und die Katze sind nicht in der Wohnung und "
+            "der Mann ist zu den anderen von der Gruppe gegangen",  # 3: lang
+            ("spam ham " * 20).strip(),        # 4: top-bigram cap
+            "\n".join([good[:40]] * 10),       # 5: dup-line cap
+        ],
+    })
+    out = CleanStage()(t).to_pandas()
+    assert out.doc_id.tolist() == [0]
+
+
 def test_langid():
     t = pa.table({"text": [
         "the cat and the dog sat in a corner of the room",
