@@ -878,6 +878,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _table(sf, "documents").map_batches(
             ta.repetition_stats, batch_format="pyarrow")
 
+    def q_filelog_parse(sf):
+        # filelog receiver analogue: the corpus's single-line texts staged
+        # as a raw .log file, read back via glob discovery + read_text with
+        # log.file.name stamping, parsed by the SAME ParseStage chain —
+        # proving the raw-text source feeds the pipeline identically to
+        # the parquet path (oracle: parse CTE over the matching rows)
+        from splunk_otel_collector_ray.sources.filelog import read_log_lines
+        from splunk_otel_collector_ray.stages.parse import ParseStage
+
+        path = corpus.ensure_filelog(sf)
+        ds = read_log_lines([path + "/*.log"])
+        ds = ds.map_batches(ParseStage.as_fn(), batch_format="pyarrow")
+        return ds.select_columns(
+            ["log.file.name", "log_format", "body",
+             "severity_text", "severity_number"])
+
     def q_docs_clean(sf):
         # composite cleaning gate: token bounds + quality ratios +
         # repetition caps + language allowlist in one fused actor-pool
@@ -1427,6 +1443,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_quality": q_docs_quality,
         "docs_repetition": q_docs_repetition,
         "docs_clean": q_docs_clean,
+        "filelog_parse": q_filelog_parse,
         "docs_langid": q_docs_langid,
         "docs_fingerprint": q_docs_fingerprint,
         "docs_minhash_groups": q_docs_minhash_groups,
@@ -1607,6 +1624,15 @@ def oracle_sql() -> dict[str, str]:
             f"AS \"k8s.pod.name\", {_NS_SQL} AS \"k8s.namespace.name\", "
             f"{_PROV_SQL} AS \"cloud.provider\", "
             f"'host-' || ({_BUCKET_SQL} % 8) AS \"host.name\" FROM raw"),
+        "filelog_parse": C + (
+            # the staged filelog file carries exactly the corpus's
+            # single-line non-empty texts (corpus.ensure_filelog), all
+            # under one file name; multiset row compare (harness sorts)
+            "SELECT 'app.log' AS \"log.file.name\", log_format, body, "
+            "severity_text, severity_number FROM parsed "
+            "WHERE text IS NOT NULL AND text <> '' "
+            "AND text NOT LIKE '%' || chr(10) || '%' "
+            "AND text NOT LIKE '%' || chr(13) || '%'"),
         "sanitize": C + (
             "SELECT conv_id, turn_idx, body FROM parsed WHERE log_format = 'pii'"),
         "severity_transform": C + (

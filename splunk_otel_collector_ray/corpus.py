@@ -472,3 +472,38 @@ def ensure_transcripts(sf_dir_or_name: str, force: bool = False) -> str:
         import shutil
         shutil.rmtree(tmpdir, ignore_errors=True)
     return path
+
+
+def ensure_filelog(sf_dir_or_name: str, force: bool = False) -> str:
+    """Stage the single-line subset of the transcript corpus as raw text
+    log files (the filelog receiver's input format); return the dir.
+
+    Only texts without embedded newlines are staged — a line reader would
+    re-frame multi-line stanzas (java stacks, mysql-slow), and that path
+    is exercised by the multiline_frame operators instead. Atomic and
+    versioned like the transcript fixture: rebuilt whenever
+    CORPUS_VERSION changes.
+    """
+    tdir = ensure_transcripts(sf_dir_or_name)
+    path = os.path.join(FIXTURE_ROOT, sf_name(sf_dir_or_name), "filelog")
+    if os.path.isdir(path) and _version_ok(path) and not force:
+        return path
+    if os.path.isdir(path):
+        import shutil
+        shutil.rmtree(path, ignore_errors=True)
+    s = pq.read_table(tdir, columns=["text"]).column("text").to_pandas()
+    keep = s.notna() & (s != "") & ~s.str.contains("[\n\r]", regex=True)
+    lines = s[keep]
+    tmpdir = tempfile.mkdtemp(dir=os.path.dirname(path),
+                              prefix=".filelog.tmp")
+    with open(os.path.join(tmpdir, "app.log"), "w", encoding="utf-8") as f:
+        f.write("\n".join(lines))
+        f.write("\n")
+    with open(os.path.join(tmpdir, ".version"), "w") as f:
+        f.write(CORPUS_VERSION)
+    try:
+        os.replace(tmpdir, path)
+    except OSError:  # lost the race to a concurrent writer — theirs is fine
+        import shutil
+        shutil.rmtree(tmpdir, ignore_errors=True)
+    return path

@@ -473,12 +473,17 @@ class ParseStage:
                 attrs_of(family, f, idx)
 
         # deterministic tool-call span ids (FIXTURES.md §2): surrogate for the
-        # collector's trace/span context on tool-call turns
-        role = batch.column("role")
-        tool = batch.column("tool")
-        has_span = _np(pc.and_(pc.equal(role, "tool"), pc.not_equal(tool, "")))
+        # collector's trace/span context on tool-call turns; raw line sources
+        # (sources/filelog) carry no transcript columns → no spans
         span_id = np.full(n, "", dtype=object)
-        if has_span.any():
+        has_transcript_cols = {"role", "tool", "conv_id",
+                               "turn_idx"} <= set(batch.column_names)
+        if has_transcript_cols:
+            role = batch.column("role")
+            tool = batch.column("tool")
+            has_span = _np(pc.and_(pc.equal(role, "tool"),
+                                   pc.not_equal(tool, "")))
+        if has_transcript_cols and has_span.any():
             import binascii
 
             sidx = np.flatnonzero(has_span)

@@ -319,3 +319,25 @@ def test_multimodal_handles_plain_binary_payloads():
     b = FeatureExtractStage()(narrow).to_pandas()
     for fa, fb in zip(a.features, b.features):
         assert list(fa) == list(fb)
+
+
+def test_filelog_source(ray_session, tmp_path):
+    from splunk_otel_collector_ray.sources.filelog import (
+        discover_files,
+        read_log_lines,
+    )
+
+    (tmp_path / "a.log").write_text("alpha line\nbeta line\n")
+    (tmp_path / "b.log").write_text("gamma line\n")
+    (tmp_path / "skip.tmp").write_text("nope\n")
+    inc = [str(tmp_path / "*")]
+    assert [f.rsplit("/", 1)[1] for f in discover_files(inc, ["*.tmp"])] \
+        == ["a.log", "b.log"]
+
+    out = read_log_lines(inc, exclude=["*.tmp"]).to_pandas()
+    assert sorted(out["text"]) == ["alpha line", "beta line", "gamma line"]
+    assert set(out["log.file.name"]) == {"a.log", "b.log"}
+    assert (out["ts"] == pd.Timestamp("1970-01-01")).all()
+
+    with pytest.raises(ValueError):
+        read_log_lines([str(tmp_path / "missing-*.log")])
