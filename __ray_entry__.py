@@ -894,6 +894,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["log.file.name", "log_format", "body",
              "severity_text", "severity_number"])
 
+    def q_hec_ingest(sf):
+        # splunk_hec receiver analogue: the corpus staged as HEC event
+        # JSONL (time/host/source/sourcetype/index/event/fields), read via
+        # ray.data.read_json and decoded vectorized — event→body,
+        # fractional-second time→ts, custom fields splatted to attributes
+        # (internal/receiver/splunkhecreceiver request→plog mapping).
+        # Oracle: the same projection straight off the transcript parquet.
+        from splunk_otel_collector_ray.sources.hec import read_hec_events
+
+        path = corpus.ensure_hec_jsonl(sf)
+        ds = read_hec_events(path)
+        return ds.select_columns(
+            ["ts", "host", "source", "sourcetype", "index", "body",
+             "conv_id", "turn_idx", "tool"])
+
     def q_docs_clean(sf):
         # composite cleaning gate: token bounds + quality ratios +
         # repetition caps + language allowlist in one fused actor-pool
@@ -1444,6 +1459,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_repetition": q_docs_repetition,
         "docs_clean": q_docs_clean,
         "filelog_parse": q_filelog_parse,
+        "hec_ingest": q_hec_ingest,
         "docs_langid": q_docs_langid,
         "docs_fingerprint": q_docs_fingerprint,
         "docs_minhash_groups": q_docs_minhash_groups,
@@ -1633,6 +1649,14 @@ def oracle_sql() -> dict[str, str]:
             "WHERE text IS NOT NULL AND text <> '' "
             "AND text NOT LIKE '%' || chr(10) || '%' "
             "AND text NOT LIKE '%' || chr(13) || '%'"),
+        "hec_ingest": C + (
+            # HEC JSONL staging round-trips every turn exactly (time is the
+            # shortest-repr double of epoch-µs/1e6; round(t·1e6) recovers
+            # integer µs — see sources/hec.py), so the oracle is the raw
+            # projection with HEC envelope names
+            "SELECT ts, conv_id AS host, role AS source, "
+            "'httpevent' AS sourcetype, 'main' AS \"index\", text AS body, "
+            "conv_id, turn_idx, tool FROM raw"),
         "sanitize": C + (
             "SELECT conv_id, turn_idx, body FROM parsed WHERE log_format = 'pii'"),
         "severity_transform": C + (

@@ -507,3 +507,48 @@ def ensure_filelog(sf_dir_or_name: str, force: bool = False) -> str:
         import shutil
         shutil.rmtree(tmpdir, ignore_errors=True)
     return path
+
+
+def ensure_hec_jsonl(sf_dir_or_name: str, force: bool = False) -> str:
+    """Stage the transcripts as HEC event JSONL (the splunk_hec receiver's
+    wire format): one ``{"time", "host", "source", "sourcetype", "index",
+    "event", "fields"}`` object per turn, ``time`` as fractional epoch
+    seconds (Python repr → shortest exact double round-trip) and the
+    transcript identity carried in ``fields`` as a receiver would splat
+    custom fields into attributes. Fixture generation (one-off, versioned
+    cache) — the per-row json.dumps loop is not a pipeline hot path.
+    """
+    import json
+
+    tdir = ensure_transcripts(sf_dir_or_name)
+    path = os.path.join(FIXTURE_ROOT, sf_name(sf_dir_or_name), "hec")
+    if os.path.isdir(path) and _version_ok(path) and not force:
+        return path
+    if os.path.isdir(path):
+        import shutil
+        shutil.rmtree(path, ignore_errors=True)
+    df = pq.read_table(
+        tdir, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    ).to_pandas()
+    time_s = df["ts"].astype("int64") / 1e6  # exact double of epoch µs / 1e6
+    tmpdir = tempfile.mkdtemp(dir=os.path.dirname(path), prefix=".hec.tmp")
+    with open(os.path.join(tmpdir, "events.jsonl"), "w",
+              encoding="utf-8") as f:
+        for t, conv, turn, role, text, tool in zip(
+                time_s, df["conv_id"], df["turn_idx"], df["role"],
+                df["text"], df["tool"]):
+            f.write(json.dumps({
+                "time": t, "host": conv, "source": role,
+                "sourcetype": "httpevent", "index": "main", "event": text,
+                "fields": {"conv_id": conv, "turn_idx": int(turn),
+                           "tool": tool},
+            }, ensure_ascii=False))
+            f.write("\n")
+    with open(os.path.join(tmpdir, ".version"), "w") as f:
+        f.write(CORPUS_VERSION)
+    try:
+        os.replace(tmpdir, path)
+    except OSError:  # lost the race to a concurrent writer — theirs is fine
+        import shutil
+        shutil.rmtree(tmpdir, ignore_errors=True)
+    return path

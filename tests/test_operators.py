@@ -341,3 +341,32 @@ def test_filelog_source(ray_session, tmp_path):
 
     with pytest.raises(ValueError):
         read_log_lines([str(tmp_path / "missing-*.log")])
+
+
+def test_hec_source(ray_session, tmp_path):
+    """splunk_hec receiver analogue: event JSONL → log-record columns with
+    exact fractional-second time round-trip and fields splatted to attrs."""
+    import json
+
+    from splunk_otel_collector_ray.sources.hec import read_hec_events
+
+    events = [
+        {"time": 1700000000.123456, "host": "h1", "source": "app",
+         "sourcetype": "httpevent", "index": "main", "event": "hello",
+         "fields": {"conv_id": "c1", "turn_idx": 0, "tool": ""}},
+        {"time": 1700000001.5, "host": "h2", "source": "sys",
+         "sourcetype": "httpevent", "index": "main", "event": "wörld",
+         "fields": {"conv_id": "c2", "turn_idx": 3, "tool": "bash"}},
+    ]
+    p = tmp_path / "events.jsonl"
+    p.write_text("\n".join(json.dumps(e, ensure_ascii=False) for e in events)
+                 + "\n", encoding="utf-8")
+    out = read_hec_events(str(p)).to_pandas().sort_values("host")
+    assert list(out["body"]) == ["hello", "wörld"]
+    assert list(out["ts"]) == [
+        pd.Timestamp("2023-11-14 22:13:20.123456"),
+        pd.Timestamp("2023-11-14 22:13:21.500000"),
+    ]
+    assert list(out["conv_id"]) == ["c1", "c2"]
+    assert list(out["turn_idx"]) == [0, 3]
+    assert list(out["tool"]) == ["", "bash"]
