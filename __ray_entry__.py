@@ -894,6 +894,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["log.file.name", "log_format", "body",
              "severity_text", "severity_number"])
 
+    def q_docs_decontaminate(sf):
+        # benchmark decontamination: eval split = doc_id % 25 == 0; flag
+        # training docs sharing any 8-token word n-gram with it (GPT-3/
+        # PaLM-style n-gram overlap guard). Eval gram-hash set collected
+        # distributed, broadcast via ray.put; per-batch np.isin membership.
+        import ray
+
+        ds = _table(sf, "documents")
+        ref = ray.put(ta.build_eval_ngram_hashes(ds))
+        return ds.map_batches(
+            ta.DecontaminateStage, fn_constructor_args=(ref,),
+            batch_format="pyarrow", concurrency=(1, 4))
+
+    def q_docs_chunks(sf):
+        # training-sample prep: 200-char windows, stride 150 (50 overlap)
+        return _table(sf, "documents").map_batches(
+            ta.chunk_documents, batch_format="pyarrow")
+
+    def q_docs_model_score(sf):
+        # batched linear quality model (broadcast constant weights)
+        return _table(sf, "documents").map_batches(
+            ta.model_score, batch_format="pyarrow")
+
+    def q_boilerplate_turns(sf):
+        # C4-style boilerplate removal over the transcript stream: drop
+        # turns whose exact text repeats across >= 3 distinct
+        # conversations (mysql-slow headers etc.); detect pass shuffles
+        # only (hash, conv_id) pairs, removal is a broadcast isin filter
+        ds = _read_transcripts(sf)
+        return dd.remove_boilerplate(
+            ds, col="text", key_col="conv_id", min_keys=3,
+            keep_cols=["conv_id", "turn_idx"])
+
     def q_hec_ingest(sf):
         # splunk_hec receiver analogue: the corpus staged as HEC event
         # JSONL (time/host/source/sourcetype/index/event/fields), read via
@@ -1460,6 +1493,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_clean": q_docs_clean,
         "filelog_parse": q_filelog_parse,
         "hec_ingest": q_hec_ingest,
+        "docs_decontaminate": q_docs_decontaminate,
+        "docs_chunks": q_docs_chunks,
+        "docs_model_score": q_docs_model_score,
+        "boilerplate_turns": q_boilerplate_turns,
         "docs_langid": q_docs_langid,
         "docs_fingerprint": q_docs_fingerprint,
         "docs_minhash_groups": q_docs_minhash_groups,
@@ -1649,6 +1686,10 @@ def oracle_sql() -> dict[str, str]:
             "WHERE text IS NOT NULL AND text <> '' "
             "AND text NOT LIKE '%' || chr(10) || '%' "
             "AND text NOT LIKE '%' || chr(13) || '%'"),
+        "boilerplate_turns": C + (
+            "SELECT conv_id, turn_idx FROM raw WHERE text NOT IN ("
+            "SELECT text FROM raw GROUP BY text "
+            "HAVING count(DISTINCT conv_id) >= 3)"),
         "hec_ingest": C + (
             # HEC JSONL staging round-trips every turn exactly (time is the
             # shortest-repr double of epoch-µs/1e6; round(t·1e6) recovers
@@ -1887,6 +1928,41 @@ def oracle_sql() -> dict[str, str]:
             "AND alpha_ratio >= 0.82 AND punct_ratio <= 0.1 "
             "AND dup_line_frac <= 0.3 AND top_bigram_frac <= 0.06 "
             "AND pred_lang IN ('en')"),
+        "docs_decontaminate": (
+            # word 8-grams via the same ASCII whitespace token class; the
+            # engine compares 64-bit gram hashes, the oracle gram strings —
+            # equal up to hash collisions (~1e-11 at corpus gram counts)
+            "WITH toks AS MATERIALIZED (SELECT doc_id, "
+            r"regexp_extract_all(text, '[^ \t\n]+') AS t FROM documents), "
+            "grams AS MATERIALIZED (SELECT doc_id, "
+            "array_to_string(t[i:i+7], ' ') AS g FROM ("
+            "SELECT doc_id, t, unnest(range(1, greatest(length(t)-6, 1))) "
+            "AS i FROM toks)), "
+            "eg AS (SELECT DISTINCT g FROM grams WHERE doc_id % 25 = 0), "
+            "hits AS (SELECT DISTINCT doc_id FROM grams "
+            "WHERE doc_id % 25 <> 0 AND g IN (SELECT g FROM eg)) "
+            "SELECT doc_id, doc_id IN (SELECT doc_id FROM hits) "
+            "AS contaminated FROM documents WHERE doc_id % 25 <> 0"),
+        "docs_chunks": (
+            "WITH d AS (SELECT doc_id, text, "
+            "CAST(ceil(length(text) / 150.0) AS BIGINT) AS nc "
+            "FROM documents), "
+            "c AS (SELECT doc_id, text, unnest(range(0, nc)) AS chunk_idx "
+            "FROM d) "
+            "SELECT doc_id, chunk_idx, "
+            "substr(text, CAST(chunk_idx * 150 + 1 AS INT), 200) AS chunk "
+            "FROM c"),
+        "docs_model_score": (
+            # identical left-associative IEEE expression as model_score —
+            # the logit is bit-identical, so keep cannot diverge at the
+            # boundary
+            "SELECT doc_id, -2.0 + 4.0 * ((length(text) - "
+            "length(regexp_replace(text, '[A-Za-z]', '', 'g'))) / "
+            "CAST(length(text) AS DOUBLE)) - 6.0 * ("
+            r"length(regexp_extract_all(text, '[^0-9A-Za-z_ \t\n\f\r\v]')) "
+            "/ CAST(length(text) AS DOUBLE)) + 0.01 * "
+            r"length(regexp_extract_all(text, '[^ \t\n]+')) AS logit, "
+            "logit > 0.0 AS keep FROM documents"),
         "docs_simhash": _simhash_sql(),
         "docs_minhash_groups": _minhash_groups_sql(),
         "docs_quality": (

@@ -148,6 +148,79 @@ def exact_dedup_rows(ds: "ray.data.Dataset", col: str = "text",
     )
 
 
+def frequent_content_hashes(ds: "ray.data.Dataset", col: str = "text",
+                            key_col: str = "conv_id", min_keys: int = 3,
+                            num_buckets: int | None = None) -> np.ndarray:
+    """Content hashes of values appearing in ≥ ``min_keys`` DISTINCT keys —
+    the C4-style boilerplate detector (a line/turn repeated across many
+    pages/conversations is template noise, not signal).
+
+    Shape: vectorized content hash per batch → per-batch ``(hash, key)``
+    dedup shrink (only distinct pairs leave the batch) → ONE bucketed
+    exchange on ``hash % B`` → per-bucket vectorized nunique → threshold.
+    The result is the values that repeat across ≥ min_keys keys: bounded
+    and tiny by construction (threshold caps cardinality), so it is safe
+    to collect and broadcast for the removal pass.
+    """
+    if num_buckets is None:
+        from ..partitioning import default_num_buckets
+
+        num_buckets = default_num_buckets()
+
+    def pair_shrink(t: pa.Table) -> pa.Table:
+        t = add_content_hash(t, col)
+        df = pd.DataFrame({
+            "content_hash": t["content_hash"].to_numpy(zero_copy_only=False),
+            "k": t[key_col].to_pandas(),
+        }).drop_duplicates()
+        hb = (df["content_hash"].to_numpy() % num_buckets).astype(np.int32)
+        return pa.table({"content_hash": df["content_hash"].to_numpy(),
+                         "k": df["k"].to_numpy(dtype=object),
+                         "_hb": hb})
+
+    def bucket_count(g: pd.DataFrame) -> pd.DataFrame:
+        n = g.drop_duplicates(["content_hash", "k"]) \
+             .groupby("content_hash").size()
+        keep = n[n >= min_keys]
+        return pd.DataFrame({"content_hash": keep.index.to_numpy()})
+
+    freq = (
+        ds.map_batches(pair_shrink, batch_format="pyarrow")
+        .groupby("_hb")
+        .map_groups(bucket_count, batch_format="pandas")
+        .to_pandas()
+    )
+    return np.sort(freq["content_hash"].to_numpy().astype(np.int64))
+
+
+def remove_boilerplate(ds: "ray.data.Dataset", col: str = "text",
+                       key_col: str = "conv_id", min_keys: int = 3,
+                       keep_cols: "list[str] | None" = None
+                       ) -> "ray.data.Dataset":
+    """Drop rows whose content repeats across ≥ ``min_keys`` distinct keys.
+
+    Two passes over the stream: detect (``frequent_content_hashes``, tiny
+    result) then filter with the sorted hash set broadcast once via
+    ``ray.put`` and an ``np.isin`` per batch — content never shuffles.
+    """
+    import ray
+
+    freq_ref = ray.put(frequent_content_hashes(ds, col, key_col, min_keys))
+
+    class Filter:
+        def __init__(self) -> None:
+            self.freq = ray.get(freq_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            t = add_content_hash(t, col)
+            h = t["content_hash"].to_numpy(zero_copy_only=False)
+            out = t.filter(pa.array(~np.isin(h, self.freq)))
+            return out.drop_columns(["content_hash"])
+
+    out = ds.map_batches(Filter, batch_format="pyarrow", concurrency=(1, 8))
+    return out.select_columns(keep_cols) if keep_cols else out
+
+
 class MinHasher:
     """Actor-pool stage: text → MinHash signature → LSH band rows.
 

@@ -205,6 +205,158 @@ class CleanStage:
         return out.filter(pa.array(keep))
 
 
+def _token_ngram_hashes(s: pd.Series, n: int = 8
+                        ) -> tuple[np.ndarray, np.ndarray]:
+    """Hashes of word ``n``-grams for a WHOLE batch in one pass.
+
+    Tokens are ASCII-whitespace-delimited runs (``_WS_TOKEN_RX``, the same
+    class the SQL twin uses). One explode + one C-level token-hash pass +
+    ``n`` shifted vector ops for the rolling polynomial — no per-document
+    Python loop. Windows crossing document boundaries are masked out.
+
+    Returns ``(gram_hashes uint64, doc_index int64)`` over all valid grams.
+    """
+    filled = s.fillna("")
+    filled.index = pd.RangeIndex(len(filled))
+    empty = (np.array([], dtype=np.uint64), np.array([], dtype=np.int64))
+    if not len(filled):
+        return empty
+    toks = filled.str.findall(_WS_TOKEN_RX).explode().dropna()
+    T = len(toks)
+    if T < n:
+        return empty
+    doc = toks.index.to_numpy().astype(np.int64)
+    th = pd.util.hash_array(toks.to_numpy(dtype=object)).astype(np.uint64)
+    P = np.uint64(1099511628211)
+    acc = np.zeros(T - n + 1, dtype=np.uint64)
+    for k in range(n):  # n vector ops, wrapping uint64 arithmetic
+        acc = acc * P + th[k:T - n + 1 + k]
+    valid = doc[:T - n + 1] == doc[n - 1:]
+    return acc[valid], doc[:T - n + 1][valid]
+
+
+def build_eval_ngram_hashes(ds: "ray.data.Dataset", eval_mod: int = 25,
+                            n: int = 8, text_col: str = "text",
+                            id_col: str = "doc_id") -> np.ndarray:
+    """Collect the benchmark (eval) split's word n-gram hash set.
+
+    The eval split is ``doc_id % eval_mod == 0`` — the stand-in for a held
+    -out benchmark suite. Gram hashing runs distributed (map_batches, one
+    int64 hash column leaves each batch); the driver-side union is bounded
+    by BENCHMARK size, which is small by construction (benchmarks are
+    thousands of docs even when the training corpus is 100 TB), so this is
+    the broadcast-small-side pattern, not a full-corpus collect.
+    """
+    def per_batch(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        sub = t.filter(pa.array(ids % eval_mod == 0))
+        h, _ = _token_ngram_hashes(sub[text_col].to_pandas(), n)
+        return pa.table({"h": np.unique(h).astype(np.int64)})
+
+    parts = ds.map_batches(per_batch, batch_format="pyarrow").to_pandas()
+    return np.unique(parts["h"].to_numpy().astype(np.uint64))
+
+
+class DecontaminateStage:
+    """Benchmark decontamination: flag training docs sharing any word
+    ``n``-gram with the eval split — the standard guard against test-set
+    leakage in LLM training corpora (n-gram-overlap decontamination à la
+    GPT-3/PaLM appendix methodology).
+
+    The eval gram-hash set is built once (``build_eval_ngram_hashes``),
+    broadcast via ``ray.put``, and sorted once per actor in ``__init__``;
+    each batch then computes its gram hashes vectorized and membership via
+    one ``np.isin`` against the sorted set. Emits ``(doc_id,
+    contaminated)`` for every TRAINING doc (eval docs are dropped).
+    """
+
+    def __init__(self, eval_hashes, eval_mod: int = 25, n: int = 8,
+                 text_col: str = "text", id_col: str = "doc_id") -> None:
+        if not isinstance(eval_hashes, np.ndarray):
+            import ray
+
+            eval_hashes = ray.get(eval_hashes)
+        self.eval_h = np.sort(eval_hashes.astype(np.uint64))
+        self.eval_mod, self.n = eval_mod, n
+        self.text_col, self.id_col = text_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        sub = batch.filter(pa.array(ids % self.eval_mod != 0))
+        h, doc = _token_ngram_hashes(sub[self.text_col].to_pandas(), self.n)
+        hit = np.zeros(sub.num_rows, dtype=bool)
+        if len(h):
+            contaminated = doc[np.isin(h, self.eval_h)]
+            hit[np.unique(contaminated)] = True
+        return pa.table({self.id_col: sub[self.id_col],
+                         "contaminated": pa.array(hit)})
+
+
+def chunk_documents(batch: pa.Table, size: int = 200, stride: int = 150,
+                    text_col: str = "text", id_col: str = "doc_id"
+                    ) -> pa.Table:
+    """Split each document into fixed character windows with overlap — the
+    training-sample prep step (context-window packing precursor). Chunk
+    ``k`` covers ``[k·stride, k·stride + size)``; a doc of length L yields
+    ``ceil(L / stride)`` chunks (0 for empty text).
+
+    Vectorized per CHUNK INDEX: one ``str.slice`` pass per k (≤
+    ceil(max_len/stride) passes per batch), never a per-document loop.
+    Counts are code points on both engine (pandas str) and oracle
+    (DuckDB substr) sides, so non-ASCII text cannot diverge.
+    """
+    s = batch[text_col].to_pandas().fillna("")
+    s.index = pd.RangeIndex(len(s))
+    lens = s.str.len().to_numpy(np.int64)
+    nc = -(-lens // stride)  # ceil div; empty text → 0 chunks
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    out_ids, out_k, out_chunks = [], [], []
+    for k in range(int(nc.max()) if len(nc) else 0):
+        m = nc > k
+        out_ids.append(ids[m])
+        out_k.append(np.full(int(m.sum()), k, dtype=np.int64))
+        out_chunks.append(s[m].str.slice(k * stride, k * stride + size))
+    if not out_ids:
+        return pa.table({id_col: pa.array([], batch[id_col].type),
+                         "chunk_idx": pa.array([], pa.int64()),
+                         "chunk": pa.array([], pa.string())})
+    return pa.table({
+        id_col: np.concatenate(out_ids),
+        "chunk_idx": np.concatenate(out_k),
+        "chunk": pa.array(pd.concat(out_chunks).to_numpy(dtype=object),
+                          type=pa.string()),
+    })
+
+
+def model_score(batch: pa.Table, text_col: str = "text",
+                id_col: str = "doc_id") -> pa.Table:
+    """Broadcast-weight linear quality model (logistic-regression-style
+    batched scoring): ``logit = w·features`` over the module's quality
+    signals, ``keep = logit > 0``. The batched-model-inference shape — the
+    "weights" here are fixed constants so the oracle can replay them, but
+    the stage is exactly what a learned quality classifier looks like in
+    this engine (state in the closure/actor, vectorized matmul per batch).
+
+    Every term is a product/sum of identical IEEE doubles evaluated in the
+    same left-associative order as the SQL twin, so the emitted logit is
+    bit-identical — no independent rounding on either side.
+    """
+    s = batch[text_col].to_pandas().fillna("")
+    length = s.str.len().astype(np.float64).to_numpy()
+    n_alpha = s.str.count(r"[A-Za-z]").astype(np.float64).to_numpy()
+    n_punct = s.str.count(_PUNCT_RX).astype(np.float64).to_numpy()
+    n_ws = s.str.count(_WS_TOKEN_RX).astype(np.float64).to_numpy()
+    with np.errstate(divide="ignore", invalid="ignore"):
+        alpha_ratio = np.where(length > 0, n_alpha / length, 0.0)
+        punct_ratio = np.where(length > 0, n_punct / length, 0.0)
+    logit = -2.0 + 4.0 * alpha_ratio - 6.0 * punct_ratio + 0.01 * n_ws
+    return pa.table({
+        id_col: batch[id_col],
+        "logit": pa.array(logit),
+        "keep": pa.array(logit > 0.0),
+    })
+
+
 def fingerprint(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Base-256 polynomial fingerprint (utf-8 bytes as a bigint, mod 2^61-1).
 

@@ -370,3 +370,67 @@ def test_hec_source(ray_session, tmp_path):
     assert list(out["conv_id"]) == ["c1", "c2"]
     assert list(out["turn_idx"]) == [0, 3]
     assert list(out["tool"]) == ["", "bash"]
+
+
+def test_chunk_documents():
+    from splunk_otel_collector_ray.stages.text_analysis import chunk_documents
+
+    t = pa.table({"doc_id": [1, 2, 3],
+                  "text": ["a" * 10, "", "x" * 401]})
+    out = chunk_documents(t, size=200, stride=150).to_pandas()
+    # doc1: 1 chunk; doc2 empty: 0; doc3 len 401: ceil(401/150)=3 chunks
+    assert list(out[out.doc_id == 1].chunk) == ["a" * 10]
+    assert (out.doc_id == 2).sum() == 0
+    c3 = out[out.doc_id == 3].sort_values("chunk_idx")
+    assert list(c3.chunk_idx) == [0, 1, 2]
+    assert [len(c) for c in c3.chunk] == [200, 200, 101]
+    # overlap: chunk k starts at k*150, so chars 150..200 repeat
+    assert c3.chunk.iloc[0][150:] == c3.chunk.iloc[1][:50]
+
+
+def test_decontaminate_ngram_overlap():
+    from splunk_otel_collector_ray.stages.text_analysis import (
+        DecontaminateStage,
+        _token_ngram_hashes,
+    )
+
+    eval_text = "one two three four five six seven eight nine ten"
+    leak = "X Y " + " ".join(eval_text.split()[:8]) + " Z"   # shares an 8-gram
+    clean = "totally different words with no overlap at all here my friend"
+    ev_h, _ = _token_ngram_hashes(pd.Series([eval_text]), 8)
+    t = pa.table({"doc_id": [0, 1, 2], "text": [eval_text, leak, clean]})
+    out = DecontaminateStage(ev_h, eval_mod=25)(t).to_pandas()
+    assert list(out.doc_id) == [1, 2]          # eval doc 0 dropped
+    assert list(out.contaminated) == [True, False]
+
+
+def test_model_score_boundary():
+    from splunk_otel_collector_ray.stages.text_analysis import model_score
+
+    t = pa.table({"doc_id": [0, 1],
+                  "text": ["good clean alpha words here",
+                           "!!! ??? ### $$$ %%% ^^^"]})
+    out = model_score(t).to_pandas()
+    assert bool(out.keep[0]) and not bool(out.keep[1])
+    assert (out.keep == (out.logit > 0)).all()
+
+
+def test_remove_boilerplate(ray_session):
+    import ray
+
+    from splunk_otel_collector_ray.stages.dedup import remove_boilerplate
+
+    rows = []
+    for conv in range(5):
+        rows.append({"conv_id": f"c{conv}", "turn_idx": 0,
+                     "text": "shared boilerplate header"})
+        rows.append({"conv_id": f"c{conv}", "turn_idx": 1,
+                     "text": f"unique content {conv}"})
+    # a text repeated within ONE conversation only — must survive
+    rows.append({"conv_id": "c0", "turn_idx": 2, "text": "solo repeat"})
+    rows.append({"conv_id": "c0", "turn_idx": 3, "text": "solo repeat"})
+    ds = ray.data.from_items(rows)
+    out = remove_boilerplate(ds, min_keys=3).to_pandas()
+    assert "shared boilerplate header" not in set(out.text)
+    assert (out.text == "solo repeat").sum() == 2
+    assert len(out) == 7
