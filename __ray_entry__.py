@@ -894,6 +894,54 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["log.file.name", "log_format", "body",
              "severity_text", "severity_number"])
 
+    def q_hec_roundtrip(sf):
+        # splunk_hec EXPORTER + receiver round trip: transcripts → HEC
+        # envelope JSONL via distributed write_json → read back and
+        # decoded — proving the exporter wire format is µs-exact and
+        # byte-faithful (oracle: same raw projection as hec_ingest)
+        from splunk_otel_collector_ray.corpus import sf_name
+        from splunk_otel_collector_ray.sources.hec import (
+            read_hec_events,
+            write_hec_events,
+        )
+
+        out = f"/tmp/graft_stage/hec_export_{sf_name(sf)}"
+        cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        import ray.data
+
+        src = ray.data.read_parquet(corpus.ensure_transcripts(sf),
+                                    columns=cols)
+        write_hec_events(src, out)
+        return read_hec_events(out).select_columns(
+            ["ts", "host", "source", "sourcetype", "index", "body",
+             "conv_id", "turn_idx", "tool"])
+
+    def q_events_asof(sf):
+        # distributed as-of join: each click matched to the LATEST error
+        # at-or-before it for the same user — the batch form of the
+        # reference's time-window correlation (state/correlation.py).
+        # One bucketed exchange + vectorized merge_asof per bucket.
+        from splunk_otel_collector_ray.stages.asof import asof_join
+
+        ev = _table(sf, "events")
+        clicks = ev.filter(expr="event_type == 'click'").select_columns(
+            ["event_id", "user_id", "ts"])
+        errors = ev.filter(expr="event_type == 'error'").select_columns(
+            ["event_id", "user_id", "ts"]).map_batches(
+                lambda t: t.rename_columns(["err_id", "user_id", "ts"]),
+                batch_format="pyarrow")
+        res = asof_join(clicks, errors, by="user_id", on="ts",
+                        left_cols=["event_id"], right_cols=["err_id"])
+
+        def finish(t: pa.Table) -> pa.Table:
+            err = t["err_id"].to_pandas().fillna(-1).astype(np.int64)
+            return pa.table({
+                "event_id": t["event_id"], "user_id": t["user_id"],
+                "ts": t["ts"], "err_id": pa.array(err.to_numpy()),
+            })
+
+        return res.map_batches(finish, batch_format="pyarrow")
+
     def q_docs_decontaminate(sf):
         # benchmark decontamination: eval split = doc_id % 25 == 0; flag
         # training docs sharing any 8-token word n-gram with it (GPT-3/
@@ -1493,6 +1541,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_clean": q_docs_clean,
         "filelog_parse": q_filelog_parse,
         "hec_ingest": q_hec_ingest,
+        "hec_roundtrip": q_hec_roundtrip,
+        "events_asof": q_events_asof,
         "docs_decontaminate": q_docs_decontaminate,
         "docs_chunks": q_docs_chunks,
         "docs_model_score": q_docs_model_score,
@@ -1695,6 +1745,12 @@ def oracle_sql() -> dict[str, str]:
             # shortest-repr double of epoch-µs/1e6; round(t·1e6) recovers
             # integer µs — see sources/hec.py), so the oracle is the raw
             # projection with HEC envelope names
+            "SELECT ts, conv_id AS host, role AS source, "
+            "'httpevent' AS sourcetype, 'main' AS \"index\", text AS body, "
+            "conv_id, turn_idx, tool FROM raw"),
+        "hec_roundtrip": C + (
+            # exporter→receiver round trip is exact, so the oracle is the
+            # same raw projection as hec_ingest
             "SELECT ts, conv_id AS host, role AS source, "
             "'httpevent' AS sourcetype, 'main' AS \"index\", text AS body, "
             "conv_id, turn_idx, tool FROM raw"),
@@ -1928,6 +1984,15 @@ def oracle_sql() -> dict[str, str]:
             "AND alpha_ratio >= 0.82 AND punct_ratio <= 0.1 "
             "AND dup_line_frac <= 0.3 AND top_bigram_frac <= 0.06 "
             "AND pred_lang IN ('en')"),
+        "events_asof": (
+            "WITH c AS (SELECT event_id, user_id, ts FROM events "
+            "WHERE event_type = 'click'), "
+            "e AS (SELECT event_id AS err_id, user_id, ts FROM events "
+            "WHERE event_type = 'error') "
+            "SELECT c.event_id, c.user_id, c.ts, "
+            "coalesce(e.err_id, -1) AS err_id "
+            "FROM c ASOF LEFT JOIN e "
+            "ON c.user_id = e.user_id AND e.ts <= c.ts"),
         "docs_decontaminate": (
             # word 8-grams via the same ASCII whitespace token class; the
             # engine compares 64-bit gram hashes, the oracle gram strings —

@@ -1,0 +1,93 @@
+"""Distributed as-of join — a correlation primitive Ray Data lacks.
+
+The reference correlates telemetry streams by time windows (e.g. the
+correlation TTL store, state/correlation.py; trace/log association in
+internal/exporter/signalfxexporter correlation client); the general batch
+form of that is the as-of join: each left row matches the LATEST right row
+with the same key and ``right.on <= left.on``.
+
+Shape (the engine's standard grouped-op plan, CLAUDE.md): tag each side,
+project both to one common schema, union, ONE bucketed exchange on
+``hash(by) % B``, then a single vectorized ``pandas.merge_asof`` per
+bucket — no per-key tasks, both streams move exactly once. The
+partitioning assumption: a single key's rows fit one bucket's worth of
+memory (keys are hash-spread; B is cluster-derived).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _project(side: "ray.data.Dataset", tag: int,
+             schema_types: "dict[str, pa.DataType]") -> "ray.data.Dataset":
+    def fn(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = {}
+        for c, typ in schema_types.items():
+            cols[c] = t[c] if c in t.column_names else pa.nulls(n, type=typ)
+        cols["_side"] = pa.array(np.full(n, tag, dtype=np.int8))
+        return pa.table(cols)
+
+    return side.map_batches(fn, batch_format="pyarrow")
+
+
+def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
+              by: str, on: str, left_cols: list[str],
+              right_cols: list[str], num_buckets: int | None = None,
+              direction: str = "backward") -> "ray.data.Dataset":
+    """As-of join ``left`` to ``right`` on ``by`` + time column ``on``.
+
+    ``left_cols`` / ``right_cols`` are the payload columns each side
+    contributes (disjoint names; ``by``/``on`` are implicit). Unmatched
+    left rows keep null right payloads (left-outer as-of semantics, like
+    DuckDB's ``ASOF LEFT JOIN``). Ties on ``on`` are inclusive
+    (``right.on <= left.on`` for backward).
+    """
+    if num_buckets is None:
+        from ..partitioning import default_num_buckets
+
+        num_buckets = default_num_buckets()
+
+    lsch, rsch = left.schema(), right.schema()
+    types = dict(zip(lsch.names, lsch.types))
+    types.update(dict(zip(rsch.names, rsch.types)))
+    schema_types = {c: types[c]
+                    for c in [by, on] + list(left_cols) + list(right_cols)}
+    both = _project(left, 0, schema_types).union(
+        _project(right, 1, schema_types))
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        k = t[by].to_numpy(zero_copy_only=False)
+        if k.dtype.kind in "iu":
+            hb = (k.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                  >> np.uint64(40)).astype(np.int64) % num_buckets
+        else:
+            hb = pd.util.hash_array(np.asarray(k, dtype=object)) % num_buckets
+        return t.append_column("_hb", pa.array(hb.astype(np.int32)))
+
+    int_left = {c for c in left_cols
+                if pa.types.is_integer(schema_types[c])}
+
+    def bucket_asof(g: pd.DataFrame) -> pd.DataFrame:
+        lf = g[g["_side"] == 0].sort_values(on, kind="mergesort")
+        rt = g[g["_side"] == 1].sort_values(on, kind="mergesort")
+        out = pd.merge_asof(
+            lf[[by, on] + list(left_cols)],
+            rt[[by, on] + list(right_cols)].rename(columns={on: on + "_r"}),
+            left_on=on, right_on=on + "_r", by=by, direction=direction)
+        # the union stage nulls left payloads on right-side rows, which
+        # promotes int columns to float64 in pandas; left rows are never
+        # null there, so restore the declared integer dtype
+        for c in int_left:
+            if out[c].notna().all():
+                out[c] = out[c].astype(np.int64)
+        return out
+
+    return (
+        both.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_hb")
+        .map_groups(bucket_asof, batch_format="pandas")
+    )

@@ -434,3 +434,53 @@ def test_remove_boilerplate(ray_session):
     assert "shared boilerplate header" not in set(out.text)
     assert (out.text == "solo repeat").sum() == 2
     assert len(out) == 7
+
+
+def test_asof_join(ray_session):
+    import ray
+
+    from splunk_otel_collector_ray.stages.asof import asof_join
+
+    left = ray.data.from_items([
+        {"k": 1, "t": 10, "lid": 100},
+        {"k": 1, "t": 20, "lid": 101},
+        {"k": 2, "t": 15, "lid": 102},   # no right rows for k=2
+        {"k": 1, "t": 5, "lid": 103},    # before any right row
+    ])
+    right = ray.data.from_items([
+        {"k": 1, "t": 10, "rid": 900},   # tie: inclusive match for t=10
+        {"k": 1, "t": 18, "rid": 901},
+    ])
+    out = asof_join(left, right, by="k", on="t", left_cols=["lid"],
+                    right_cols=["rid"], num_buckets=4).to_pandas()
+    got = {int(r.lid): (None if pd.isna(r.rid) else int(r.rid))
+           for r in out.itertuples()}
+    assert got == {100: 900, 101: 901, 102: None, 103: None}
+    assert out.lid.dtype == np.int64   # left payload dtype restored
+
+
+def test_hec_export_roundtrip(ray_session, tmp_path):
+    import ray
+
+    from splunk_otel_collector_ray.sources.hec import (
+        read_hec_events,
+        write_hec_events,
+    )
+
+    ts = pd.to_datetime(["2026-01-01 00:00:01.000001",
+                         "2026-01-01 12:34:56.789012"])
+    src = ray.data.from_arrow(pa.table({
+        "conv_id": ["c1", "c2"], "turn_idx": pa.array([0, 7], pa.int32()),
+        "role": ["user", "tool"], "text": ["héllo / world", "x"],
+        "tool": ["", "bash"],
+        "ts": pa.array(ts, type=pa.timestamp("us")),
+    }))
+    out_dir = str(tmp_path / "hec")
+    write_hec_events(src, out_dir)
+    back = read_hec_events(out_dir).to_pandas().sort_values("conv_id")
+    assert list(back.ts) == list(ts)            # µs-exact through JSON
+    assert list(back.body) == ["héllo / world", "x"]
+    assert list(back.turn_idx) == [0, 7]
+    # re-run must not double-count (staging dir cleared)
+    write_hec_events(src, out_dir)
+    assert read_hec_events(out_dir).count() == 2
