@@ -894,6 +894,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["log.file.name", "log_format", "body",
              "severity_text", "severity_number"])
 
+    def q_docs_pack(sf):
+        # context-window packing: global ordered prefix sum of token
+        # counts (two-level scan: per-range-bucket sums → driver
+        # exclusive scan → one bucketed exchange), window = 512 tokens
+        from splunk_otel_collector_ray.stages.packing import pack_documents
+
+        ds = _table(sf, "documents").map_batches(
+            ta.token_stats, batch_format="pyarrow").select_columns(
+            ["doc_id", "n_ws_tokens"])
+        return pack_documents(ds, window=512, bucket_span=64)
+
+    def q_journald_parse(sf):
+        # journald receiver analogue: journal JSON export staged from the
+        # corpus, read back with a units allowlist (sshd/crond — drops the
+        # systemd-journald.service third), PRIORITY → OTel severity,
+        # _SYSTEMD_UNIT copied to com.splunk.source and sourcetype
+        # linux:journald added (splunk_logs_config_linux.yaml:123-148)
+        from splunk_otel_collector_ray.sources.journald import read_journald
+
+        path = corpus.ensure_journald_jsonl(sf)
+        return read_journald(path, units=("sshd.service", "crond.service"))
+
     def q_hec_roundtrip(sf):
         # splunk_hec EXPORTER + receiver round trip: transcripts → HEC
         # envelope JSONL via distributed write_json → read back and
@@ -1541,6 +1563,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_clean": q_docs_clean,
         "filelog_parse": q_filelog_parse,
         "hec_ingest": q_hec_ingest,
+        "docs_pack": q_docs_pack,
+        "journald_parse": q_journald_parse,
         "hec_roundtrip": q_hec_roundtrip,
         "events_asof": q_events_asof,
         "docs_decontaminate": q_docs_decontaminate,
@@ -1748,6 +1772,29 @@ def oracle_sql() -> dict[str, str]:
             "SELECT ts, conv_id AS host, role AS source, "
             "'httpevent' AS sourcetype, 'main' AS \"index\", text AS body, "
             "conv_id, turn_idx, tool FROM raw"),
+        "docs_pack": (
+            "WITH t AS (SELECT doc_id, CAST(length(regexp_extract_all("
+            r"trim(text), '[^ \t\n]+')) AS BIGINT) AS n_ws_tokens "
+            "FROM documents), "
+            "c AS (SELECT doc_id, n_ws_tokens, CAST(coalesce(SUM("
+            "n_ws_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED "
+            "PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start "
+            "FROM t) "
+            "SELECT doc_id, n_ws_tokens, tok_start, "
+            "CAST(tok_start // 512 AS BIGINT) AS bin_id FROM c"),
+        "journald_parse": C + (
+            "SELECT ts, text AS body, conv_id AS \"host.name\", "
+            "CASE turn_idx % 3 WHEN 0 THEN 'sshd.service' "
+            "WHEN 1 THEN 'crond.service' END AS \"com.splunk.source\", "
+            "'linux:journald' AS \"com.splunk.sourcetype\", "
+            "CASE turn_idx % 8 WHEN 0 THEN 'FATAL' WHEN 1 THEN 'ERROR3' "
+            "WHEN 2 THEN 'ERROR2' WHEN 3 THEN 'ERROR' WHEN 4 THEN 'WARN' "
+            "WHEN 5 THEN 'INFO2' WHEN 6 THEN 'INFO' ELSE 'DEBUG' END "
+            "AS severity_text, "
+            "CAST(CASE turn_idx % 8 WHEN 0 THEN 21 WHEN 1 THEN 19 "
+            "WHEN 2 THEN 18 WHEN 3 THEN 17 WHEN 4 THEN 13 WHEN 5 THEN 10 "
+            "WHEN 6 THEN 9 ELSE 5 END AS TINYINT) AS severity_number "
+            "FROM raw WHERE turn_idx % 3 < 2"),
         "hec_roundtrip": C + (
             # exporter→receiver round trip is exact, so the oracle is the
             # same raw projection as hec_ingest

@@ -509,6 +509,52 @@ def ensure_filelog(sf_dir_or_name: str, force: bool = False) -> str:
     return path
 
 
+JOURNALD_UNITS = ("sshd.service", "crond.service", "systemd-journald.service")
+
+
+def ensure_journald_jsonl(sf_dir_or_name: str, force: bool = False) -> str:
+    """Stage the transcripts as journald JSON export lines (the journald
+    receiver's wire format, `journalctl -o json`): one object per turn
+    with ``__REALTIME_TIMESTAMP`` as a STRING of epoch µs (journald's
+    actual convention), ``MESSAGE``, ``_HOSTNAME``, ``PRIORITY`` as a
+    string syslog level (turn_idx % 8) and ``_SYSTEMD_UNIT`` cycling
+    JOURNALD_UNITS (turn_idx % 3). Fixture generation — one-off, cached.
+    """
+    import json
+
+    tdir = ensure_transcripts(sf_dir_or_name)
+    path = os.path.join(FIXTURE_ROOT, sf_name(sf_dir_or_name), "journald")
+    if os.path.isdir(path) and _version_ok(path) and not force:
+        return path
+    if os.path.isdir(path):
+        import shutil
+        shutil.rmtree(path, ignore_errors=True)
+    df = pq.read_table(
+        tdir, columns=["conv_id", "turn_idx", "text", "ts"]).to_pandas()
+    us = df["ts"].astype("int64")
+    tmpdir = tempfile.mkdtemp(dir=os.path.dirname(path), prefix=".jd.tmp")
+    with open(os.path.join(tmpdir, "journal.jsonl"), "w",
+              encoding="utf-8") as f:
+        for t, conv, turn, text in zip(us, df["conv_id"], df["turn_idx"],
+                                       df["text"]):
+            f.write(json.dumps({
+                "__REALTIME_TIMESTAMP": str(t),
+                "MESSAGE": text,
+                "_HOSTNAME": conv,
+                "PRIORITY": str(int(turn) % 8),
+                "_SYSTEMD_UNIT": JOURNALD_UNITS[int(turn) % 3],
+            }, ensure_ascii=False))
+            f.write("\n")
+    with open(os.path.join(tmpdir, ".version"), "w") as f:
+        f.write(CORPUS_VERSION)
+    try:
+        os.replace(tmpdir, path)
+    except OSError:  # lost the race to a concurrent writer — theirs is fine
+        import shutil
+        shutil.rmtree(tmpdir, ignore_errors=True)
+    return path
+
+
 def ensure_hec_jsonl(sf_dir_or_name: str, force: bool = False) -> str:
     """Stage the transcripts as HEC event JSONL (the splunk_hec receiver's
     wire format): one ``{"time", "host", "source", "sourcetype", "index",

@@ -484,3 +484,41 @@ def test_hec_export_roundtrip(ray_session, tmp_path):
     # re-run must not double-count (staging dir cleared)
     write_hec_events(src, out_dir)
     assert read_hec_events(out_dir).count() == 2
+
+
+def test_journald_decode_units_and_severity():
+    from splunk_otel_collector_ray.sources.journald import (
+        decode_journald_batch,
+    )
+
+    t = pa.table({
+        "__REALTIME_TIMESTAMP": ["1700000000000001", "1700000000000002",
+                                 "1700000000000003"],
+        "MESSAGE": ["a", "b", "c"],
+        "_HOSTNAME": ["h", "h", "h"],
+        "PRIORITY": ["0", "6", "7"],
+        "_SYSTEMD_UNIT": ["sshd.service", "weird.service", "crond.service"],
+    })
+    out = decode_journald_batch(
+        t, units=("sshd.service", "crond.service")).to_pandas()
+    assert list(out.body) == ["a", "c"]          # allowlist drops weird
+    assert list(out.severity_text) == ["FATAL", "DEBUG"]
+    assert list(out.severity_number) == [21, 5]
+    assert out.severity_number.dtype == np.int8
+    assert out["com.splunk.sourcetype"].iloc[0] == "linux:journald"
+    assert out.ts.iloc[0] == pd.Timestamp("2023-11-14 22:13:20.000001")
+
+
+def test_pack_documents_prefix_sum(ray_session):
+    import ray
+
+    from splunk_otel_collector_ray.stages.packing import pack_documents
+
+    counts = [100, 300, 200, 50, 500, 10]
+    ds = ray.data.from_items([
+        {"doc_id": i, "n_ws_tokens": c} for i, c in enumerate(counts)])
+    out = pack_documents(ds, window=256, bucket_span=2).to_pandas() \
+        .sort_values("doc_id")
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    assert list(out.tok_start) == list(starts)
+    assert list(out.bin_id) == list(starts // 256)
