@@ -894,6 +894,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["log.file.name", "log_format", "body",
              "severity_text", "severity_number"])
 
+    def q_fluent_parse(sf):
+        # fluent_forward receiver analogue: the corpus staged as Forward-
+        # mode msgpack (EventTime ext + record maps), decoded by the
+        # from-spec wire codec in sources/fluent.py — one file per block,
+        # per-message decode, Arrow-native downstream
+        from splunk_otel_collector_ray.sources.fluent import (
+            read_fluent_forward,
+        )
+
+        path = corpus.ensure_fluent_msgpack(sf)
+        return read_fluent_forward(path).select_columns(
+            ["ts", "tag", "conv_id", "turn_idx", "role", "message"])
+
     def q_docs_pack(sf):
         # context-window packing: global ordered prefix sum of token
         # counts (two-level scan: per-range-bucket sums → driver
@@ -1563,6 +1576,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_clean": q_docs_clean,
         "filelog_parse": q_filelog_parse,
         "hec_ingest": q_hec_ingest,
+        "fluent_parse": q_fluent_parse,
         "docs_pack": q_docs_pack,
         "journald_parse": q_journald_parse,
         "hec_roundtrip": q_hec_roundtrip,
@@ -1772,6 +1786,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT ts, conv_id AS host, role AS source, "
             "'httpevent' AS sourcetype, 'main' AS \"index\", text AS body, "
             "conv_id, turn_idx, tool FROM raw"),
+        "fluent_parse": C + (
+            # EventTime(sec, µs·1000) round-trips every µs exactly
+            "SELECT ts, 'transcripts.forward' AS tag, conv_id, turn_idx, "
+            "role, text AS message FROM raw"),
         "docs_pack": (
             "WITH t AS (SELECT doc_id, CAST(length(regexp_extract_all("
             r"trim(text), '[^ \t\n]+')) AS BIGINT) AS n_ws_tokens "

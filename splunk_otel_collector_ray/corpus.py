@@ -509,6 +509,54 @@ def ensure_filelog(sf_dir_or_name: str, force: bool = False) -> str:
     return path
 
 
+FLUENT_TAG = "transcripts.forward"
+
+
+def ensure_fluent_msgpack(sf_dir_or_name: str, force: bool = False) -> str:
+    """Stage the transcripts as Fluentd Forward-mode msgpack files (the
+    fluent_forward receiver's wire format): messages of ≤5000
+    ``[EventTime, record]`` entries, ~25k turns per file so the reader
+    gets multiple blocks. Fixture generation — one-off, cached."""
+    from .sources.fluent import EventTime, pack_forward_message
+
+    tdir = ensure_transcripts(sf_dir_or_name)
+    path = os.path.join(FIXTURE_ROOT, sf_name(sf_dir_or_name), "fluent")
+    if os.path.isdir(path) and _version_ok(path) and not force:
+        return path
+    if os.path.isdir(path):
+        import shutil
+        shutil.rmtree(path, ignore_errors=True)
+    df = pq.read_table(
+        tdir, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    ).to_pandas()
+    us = df["ts"].astype("int64").to_numpy()
+    tmpdir = tempfile.mkdtemp(dir=os.path.dirname(path), prefix=".fl.tmp")
+    per_file, per_msg = 25_000, 5_000
+    for fi in range(0, len(df), per_file):
+        with open(os.path.join(tmpdir, f"chunk-{fi // per_file:03d}.msgpack"),
+                  "wb") as f:
+            for mi in range(fi, min(fi + per_file, len(df)), per_msg):
+                sl = df.iloc[mi:mi + per_msg]
+                entries = [
+                    (EventTime(int(u) // 1_000_000,
+                               (int(u) % 1_000_000) * 1_000),
+                     {"message": text, "conv_id": conv,
+                      "turn_idx": int(turn), "role": role, "tool": tool})
+                    for u, conv, turn, role, text, tool in zip(
+                        us[mi:mi + per_msg], sl["conv_id"], sl["turn_idx"],
+                        sl["role"], sl["text"], sl["tool"])
+                ]
+                f.write(pack_forward_message(FLUENT_TAG, entries))
+    with open(os.path.join(tmpdir, ".version"), "w") as f:
+        f.write(CORPUS_VERSION)
+    try:
+        os.replace(tmpdir, path)
+    except OSError:  # lost the race to a concurrent writer — theirs is fine
+        import shutil
+        shutil.rmtree(tmpdir, ignore_errors=True)
+    return path
+
+
 JOURNALD_UNITS = ("sshd.service", "crond.service", "systemd-journald.service")
 
 

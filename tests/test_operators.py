@@ -522,3 +522,56 @@ def test_pack_documents_prefix_sum(ray_session):
     starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
     assert list(out.tok_start) == list(starts)
     assert list(out.bin_id) == list(starts // 256)
+
+
+def test_msgpack_codec_spec_bytes():
+    """Decode hand-crafted wire bytes from the msgpack spec (not just our
+    own encoder's output) to prove conformance."""
+    from splunk_otel_collector_ray.sources.fluent import (
+        EventTime,
+        pack,
+        unpack,
+    )
+
+    # [ "foo", 7, -3, true, nil, {"a": 1.5}, EventTime(1, 500) ]
+    wire = (b"\x97"                       # fixarray(7)
+            b"\xa3foo"                    # fixstr "foo"
+            b"\x07"                       # fixint 7
+            b"\xfd"                       # negative fixint -3
+            b"\xc3"                       # true
+            b"\xc0"                       # nil
+            b"\x81\xa1a\xcb?\xf8\x00\x00\x00\x00\x00\x00"  # {"a": 1.5}
+            b"\xd7\x00\x00\x00\x00\x01\x00\x00\x01\xf4")   # fixext8 t0
+    obj, pos = unpack(wire)
+    assert pos == len(wire)
+    assert obj[:6] == ["foo", 7, -3, True, None, {"a": 1.5}]
+    assert obj[6] == EventTime(1, 500)
+    # round-trip our encoder through the decoder for wider types
+    src = ["x" * 40, 300, 70000, 2**40, -2**40, 3.25, b"\x00\x01",
+           list(range(20)), {str(i): i for i in range(20)}]
+    buf = bytearray()
+    pack(src, buf)
+    back, pos = unpack(bytes(buf))
+    assert pos == len(buf) and back == src
+
+
+def test_fluent_forward_roundtrip(ray_session, tmp_path):
+    from splunk_otel_collector_ray.sources.fluent import (
+        EventTime,
+        pack_forward_message,
+        read_fluent_forward,
+    )
+
+    msg1 = pack_forward_message("app.log", [
+        (EventTime(100, 123_456_000), {"message": "hello", "k": 1}),
+        (1700000000, {"message": "int-time", "k": 2}),   # plain epoch-sec
+    ])
+    msg2 = pack_forward_message("db.log", [
+        (EventTime(200, 0), {"message": "wörld", "k": 3}),
+    ])
+    (tmp_path / "a.msgpack").write_bytes(msg1 + msg2)  # back-to-back msgs
+    out = read_fluent_forward(str(tmp_path)).to_pandas().sort_values("k")
+    assert list(out.message) == ["hello", "int-time", "wörld"]
+    assert list(out.tag) == ["app.log", "app.log", "db.log"]
+    assert out.ts.iloc[0] == pd.Timestamp("1970-01-01 00:01:40.123456")
+    assert out.ts.iloc[1] == pd.Timestamp(1700000000, unit="s")
