@@ -894,6 +894,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["log.file.name", "log_format", "body",
              "severity_text", "severity_number"])
 
+    def q_training_pipeline(sf):
+        # flagship LLM-training-data pipeline, every stage oracle-proven
+        # individually and here composed end to end: quality/language
+        # clean gate → exact dedup (min-id winner per distinct text) →
+        # benchmark decontamination (eval split dropped, leaked docs
+        # dropped) → context-window packing over the survivors.
+        import ray
+
+        from splunk_otel_collector_ray.stages.packing import pack_documents
+
+        docs = _table(sf, "documents")
+        cleaned = docs.map_batches(
+            ta.CleanStage, fn_constructor_kwargs={"keep_text": True},
+            batch_format="pyarrow", concurrency=(1, 4)
+        ).select_columns(["doc_id", "text"])
+        deduped = dd.exact_dedup_rows(cleaned, col="text", id_col="doc_id")
+        ref = ray.put(ta.build_eval_ngram_hashes(docs))
+        flagged = deduped.map_batches(
+            ta.DecontaminateStage, fn_constructor_args=(ref,),
+            batch_format="pyarrow", concurrency=(1, 4))
+        surv = flagged.map_batches(
+            lambda t: t.filter(pc.invert(t["contaminated"].combine_chunks())),
+            batch_format="pyarrow")
+        counted = surv.map_batches(
+            ta.token_stats, batch_format="pyarrow").select_columns(
+            ["doc_id", "n_ws_tokens"])
+        return pack_documents(counted, window=512, bucket_span=64)
+
     def q_fluent_parse(sf):
         # fluent_forward receiver analogue: the corpus staged as Forward-
         # mode msgpack (EventTime ext + record maps), decoded by the
@@ -988,7 +1016,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ref = ray.put(ta.build_eval_ngram_hashes(ds))
         return ds.map_batches(
             ta.DecontaminateStage, fn_constructor_args=(ref,),
-            batch_format="pyarrow", concurrency=(1, 4))
+            batch_format="pyarrow", concurrency=(1, 4)
+        ).select_columns(["doc_id", "contaminated"])
 
     def q_docs_chunks(sf):
         # training-sample prep: 200-char windows, stride 150 (50 overlap)
@@ -1576,6 +1605,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_clean": q_docs_clean,
         "filelog_parse": q_filelog_parse,
         "hec_ingest": q_hec_ingest,
+        "training_pipeline": q_training_pipeline,
         "fluent_parse": q_fluent_parse,
         "docs_pack": q_docs_pack,
         "journald_parse": q_journald_parse,
@@ -1786,6 +1816,50 @@ def oracle_sql() -> dict[str, str]:
             "SELECT ts, conv_id AS host, role AS source, "
             "'httpevent' AS sourcetype, 'main' AS \"index\", text AS body, "
             "conv_id, turn_idx, tool FROM raw"),
+        "training_pipeline": (
+            # composition of the docs_clean, exact-dedup,
+            # docs_decontaminate and docs_pack oracles in one CTE chain
+            f"WITH {_REPETITION_CTES}, "
+            f"lid AS MATERIALIZED ({_langid_sql()}), "
+            "sig AS (SELECT doc_id, "
+            r"CAST(length(regexp_extract_all(text, '[^ \t\n]+')) AS BIGINT) "
+            "AS n_ws_tokens, "
+            "(length(text) - length(regexp_replace(text, '[A-Za-z]', '', "
+            "'g'))) / CAST(length(text) AS DOUBLE) AS alpha_ratio, "
+            r"length(regexp_extract_all(text, '[^0-9A-Za-z_ \t\n\f\r\v]')) "
+            "/ CAST(length(text) AS DOUBLE) AS punct_ratio FROM documents), "
+            "clean AS (SELECT sig.doc_id, d.text FROM sig "
+            "JOIN rep ON rep.doc_id = sig.doc_id "
+            "JOIN lid ON lid.doc_id = sig.doc_id "
+            "JOIN documents d ON d.doc_id = sig.doc_id "
+            "WHERE n_ws_tokens BETWEEN 20 AND 100000 "
+            "AND alpha_ratio >= 0.82 AND punct_ratio <= 0.1 "
+            "AND dup_line_frac <= 0.3 AND top_bigram_frac <= 0.06 "
+            "AND pred_lang IN ('en')), "
+            "ded AS (SELECT min(doc_id) AS doc_id, text FROM clean "
+            "GROUP BY text), "
+            "toks AS MATERIALIZED (SELECT doc_id, "
+            r"regexp_extract_all(text, '[^ \t\n]+') AS t FROM documents), "
+            "grams_e AS (SELECT array_to_string(t[i:i+7], ' ') AS g FROM ("
+            "SELECT doc_id, t, unnest(range(1, greatest(length(t)-6, 1))) "
+            "AS i FROM toks WHERE doc_id % 25 = 0)), "
+            "tokst AS (SELECT doc_id, "
+            r"regexp_extract_all(text, '[^ \t\n]+') AS t FROM ded), "
+            "grams_t AS (SELECT doc_id, array_to_string(t[i:i+7], ' ') "
+            "AS g FROM (SELECT doc_id, t, unnest(range(1, "
+            "greatest(length(t)-6, 1))) AS i FROM tokst)), "
+            "contam AS (SELECT DISTINCT doc_id FROM grams_t "
+            "WHERE g IN (SELECT g FROM grams_e)), "
+            "surv AS (SELECT d.doc_id, CAST(length(regexp_extract_all("
+            r"trim(d.text), '[^ \t\n]+')) AS BIGINT) AS n_ws_tokens "
+            "FROM ded d WHERE d.doc_id % 25 <> 0 "
+            "AND d.doc_id NOT IN (SELECT doc_id FROM contam)), "
+            "c AS (SELECT doc_id, n_ws_tokens, CAST(coalesce(SUM("
+            "n_ws_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED "
+            "PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start "
+            "FROM surv) "
+            "SELECT doc_id, n_ws_tokens, tok_start, "
+            "CAST(tok_start // 512 AS BIGINT) AS bin_id FROM c"),
         "fluent_parse": C + (
             # EventTime(sec, µs·1000) round-trips every µs exactly
             "SELECT ts, 'transcripts.forward' AS tag, conv_id, turn_idx, "

@@ -174,11 +174,13 @@ class CleanStage:
                  max_dup_line_frac: float = 0.3,
                  max_top_bigram_frac: float = 0.06,
                  langs: tuple[str, ...] = ("en",),
-                 text_col: str = "text", id_col: str = "doc_id") -> None:
+                 text_col: str = "text", id_col: str = "doc_id",
+                 keep_text: bool = False) -> None:
         self.cfg = (min_ws_tokens, max_ws_tokens, min_alpha_ratio,
                     max_punct_ratio, max_dup_line_frac, max_top_bigram_frac)
         self.langs = frozenset(langs)
         self.text_col, self.id_col = text_col, id_col
+        self.keep_text = keep_text
         self.langid = LangIdStage(text_col)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -195,14 +197,16 @@ class CleanStage:
             & (rep["top_bigram_frac"] <= max_big)
             & lang.isin(self.langs)
         ).to_numpy()
-        out = pa.table({
+        cols = {
             self.id_col: batch[self.id_col],
             "pred_lang": pa.array(lang, type=pa.string()),
             "n_ws_tokens": pa.array(tok["n_ws_tokens"]),
             "alpha_ratio": pa.array(qual["alpha_ratio"]),
             "top_bigram_frac": pa.array(rep["top_bigram_frac"]),
-        })
-        return out.filter(pa.array(keep))
+        }
+        if self.keep_text:
+            cols[self.text_col] = batch[self.text_col]
+        return pa.table(cols).filter(pa.array(keep))
 
 
 def _token_ngram_hashes(s: pd.Series, n: int = 8
@@ -288,8 +292,7 @@ class DecontaminateStage:
         if len(h):
             contaminated = doc[np.isin(h, self.eval_h)]
             hit[np.unique(contaminated)] = True
-        return pa.table({self.id_col: sub[self.id_col],
-                         "contaminated": pa.array(hit)})
+        return sub.append_column("contaminated", pa.array(hit))
 
 
 def chunk_documents(batch: pa.Table, size: int = 200, stride: int = 150,
