@@ -894,6 +894,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["log.file.name", "log_format", "body",
              "severity_text", "severity_number"])
 
+    def q_events_range_join(sf):
+        # range join: clicks within 60 s AFTER each error, per user —
+        # two vectorized merge_asof passes over a per-key cumulative
+        # counter inside one bucketed exchange
+        from splunk_otel_collector_ray.stages.asof import range_join_count
+
+        ev = _table(sf, "events")
+        errors = ev.filter(expr="event_type == 'error'").select_columns(
+            ["event_id", "user_id", "ts"])
+        clicks = ev.filter(expr="event_type == 'click'").select_columns(
+            ["user_id", "ts"])
+        return range_join_count(
+            errors, clicks, by="user_id", on="ts",
+            window=np.timedelta64(60, "s"), left_cols=["event_id"],
+            out_col="n_clicks")
+
     def q_training_pipeline(sf):
         # flagship LLM-training-data pipeline, every stage oracle-proven
         # individually and here composed end to end: quality/language
@@ -1605,6 +1621,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_clean": q_docs_clean,
         "filelog_parse": q_filelog_parse,
         "hec_ingest": q_hec_ingest,
+        "events_range_join": q_events_range_join,
         "training_pipeline": q_training_pipeline,
         "fluent_parse": q_fluent_parse,
         "docs_pack": q_docs_pack,
@@ -1816,6 +1833,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT ts, conv_id AS host, role AS source, "
             "'httpevent' AS sourcetype, 'main' AS \"index\", text AS body, "
             "conv_id, turn_idx, tool FROM raw"),
+        "events_range_join": (
+            "WITH e AS (SELECT event_id, user_id, ts FROM events "
+            "WHERE event_type = 'error'), "
+            "c AS (SELECT user_id, ts FROM events "
+            "WHERE event_type = 'click') "
+            "SELECT e.user_id, e.ts, e.event_id, "
+            "CAST(count(c.ts) AS BIGINT) AS n_clicks "
+            "FROM e LEFT JOIN c ON c.user_id = e.user_id "
+            "AND c.ts > e.ts AND c.ts <= e.ts + INTERVAL 60 SECOND "
+            "GROUP BY e.event_id, e.user_id, e.ts"),
         "training_pipeline": (
             # composition of the docs_clean, exact-dedup,
             # docs_decontaminate and docs_pack oracles in one CTE chain

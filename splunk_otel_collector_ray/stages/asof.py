@@ -91,3 +91,74 @@ def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
         .groupby("_hb")
         .map_groups(bucket_asof, batch_format="pandas")
     )
+
+
+def range_join_count(left: "ray.data.Dataset", right: "ray.data.Dataset",
+                     by: str, on: str, window: "np.timedelta64",
+                     left_cols: list[str], out_col: str = "n_in_window",
+                     num_buckets: int | None = None) -> "ray.data.Dataset":
+    """Range join as a count: for each left row, the number of right rows
+    with the same key in ``(left.on, left.on + window]`` — the banded/
+    range-join primitive (e.g. clicks within 60 s after each error).
+
+    Same bucketed single-exchange plan as :func:`asof_join`; inside a
+    bucket the count is two vectorized ``merge_asof`` passes over the
+    right side's per-key cumulative counter:
+    ``count(t0, t1] = cum_at(t1) - cum_at(t0)`` where ``cum_at(x)`` is the
+    per-key count of right rows with ``on <= x``. No per-key Python loop.
+    """
+    if num_buckets is None:
+        from ..partitioning import default_num_buckets
+
+        num_buckets = default_num_buckets()
+
+    lsch = left.schema()
+    types = dict(zip(lsch.names, lsch.types))
+    schema_types = {c: types[c] for c in [by, on] + list(left_cols)}
+    rt_types = {by: types[by], on: types[on]}
+    both = _project(left, 0, schema_types).union(
+        _project(right.select_columns([by, on]), 1,
+                 {**schema_types, **rt_types}))
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        k = t[by].to_numpy(zero_copy_only=False)
+        if k.dtype.kind in "iu":
+            hb = (k.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                  >> np.uint64(40)).astype(np.int64) % num_buckets
+        else:
+            hb = pd.util.hash_array(np.asarray(k, dtype=object)) % num_buckets
+        return t.append_column("_hb", pa.array(hb.astype(np.int32)))
+
+    def bucket_count(g: pd.DataFrame) -> pd.DataFrame:
+        lf = g[g["_side"] == 0].sort_values(on, kind="mergesort")
+        rt = g[g["_side"] == 1].sort_values([by, on],
+                                           kind="mergesort")[[by, on]]
+        rt = rt.assign(_cum=rt.groupby(by).cumcount() + 1) \
+               .sort_values(on, kind="mergesort")
+
+        def cum_at(times: pd.Series) -> np.ndarray:
+            probe = lf[[by]].assign(_t=times.to_numpy()) \
+                            .sort_values("_t", kind="mergesort")
+            m = pd.merge_asof(probe, rt.rename(columns={on: "_t"}),
+                              on="_t", by=by, direction="backward")
+            # merge_asof resets the index; restore probe's original (lf)
+            # labels, then realign to lf row order
+            return m.set_index(probe.index)["_cum"] \
+                .fillna(0).reindex(lf.index).to_numpy()
+
+        at_t = cum_at(lf[on])
+        at_upper = cum_at(lf[on] + window)
+        out = lf[[by, on] + list(left_cols)].copy()
+        # left payload ints were promoted to float by the union's nulls
+        # on right-side rows; left rows are never null — restore
+        for c in left_cols:
+            if pa.types.is_integer(schema_types[c]) and out[c].notna().all():
+                out[c] = out[c].astype(np.int64)
+        out[out_col] = (at_upper - at_t).astype(np.int64)
+        return out
+
+    return (
+        both.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_hb")
+        .map_groups(bucket_count, batch_format="pandas")
+    )

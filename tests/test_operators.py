@@ -575,3 +575,31 @@ def test_fluent_forward_roundtrip(ray_session, tmp_path):
     assert list(out.tag) == ["app.log", "app.log", "db.log"]
     assert out.ts.iloc[0] == pd.Timestamp("1970-01-01 00:01:40.123456")
     assert out.ts.iloc[1] == pd.Timestamp(1700000000, unit="s")
+
+
+def test_range_join_count(ray_session):
+    import ray
+
+    from splunk_otel_collector_ray.stages.asof import range_join_count
+
+    t0 = pd.Timestamp("2024-01-01")
+    s = pd.Timedelta(seconds=1)
+    errors = ray.data.from_arrow(pa.table({
+        "event_id": [1, 2, 3],
+        "user_id": [7, 7, 9],
+        "ts": pa.array([t0, t0 + 100 * s, t0], type=pa.timestamp("us")),
+    }))
+    clicks = ray.data.from_arrow(pa.table({
+        "user_id": [7, 7, 7, 9],
+        # for error1 (t0): +0s excluded (strictly after), +30s in, +60s in
+        # (inclusive upper); error2's (+100s) window catches nothing;
+        # user 9's click at +59s is inside error3's window
+        "ts": pa.array([t0, t0 + 30 * s, t0 + 60 * s, t0 + 59 * s],
+                       type=pa.timestamp("us")),
+    }))
+    out = range_join_count(
+        errors, clicks, by="user_id", on="ts",
+        window=np.timedelta64(60, "s"), left_cols=["event_id"],
+        out_col="n").to_pandas().sort_values("event_id")
+    assert list(out.n) == [2, 0, 1]
+    assert out.event_id.dtype == np.int64
