@@ -894,6 +894,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["log.file.name", "log_format", "body",
              "severity_text", "severity_number"])
 
+    def q_emb_centroids(sf):
+        # per-label embedding centroid (k-means M-step shape): batch-local
+        # (sum, count) partials per key, tiny driver combine — nothing
+        # wide shuffles
+        from splunk_otel_collector_ray.stages.similarity import (
+            label_centroids,
+        )
+
+        return label_centroids(_table(sf, "embeddings"))
+
     def q_events_range_join(sf):
         # range join: clicks within 60 s AFTER each error, per user —
         # two vectorized merge_asof passes over a per-key cumulative
@@ -1621,6 +1631,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_clean": q_docs_clean,
         "filelog_parse": q_filelog_parse,
         "hec_ingest": q_hec_ingest,
+        "emb_centroids": q_emb_centroids,
         "events_range_join": q_events_range_join,
         "training_pipeline": q_training_pipeline,
         "fluent_parse": q_fluent_parse,
@@ -1833,6 +1844,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT ts, conv_id AS host, role AS source, "
             "'httpevent' AS sourcetype, 'main' AS \"index\", text AS body, "
             "conv_id, turn_idx, tool FROM raw"),
+        "emb_centroids": (
+            "WITH x AS (SELECT label, unnest(embedding) AS v, "
+            "generate_subscripts(embedding, 1) AS i FROM embeddings) "
+            "SELECT label, CAST(i - 1 AS BIGINT) AS dim, "
+            "sum(CAST(v AS DOUBLE)) / count(*) AS centroid FROM x "
+            "GROUP BY label, i"),
         "events_range_join": (
             "WITH e AS (SELECT event_id, user_id, ts FROM events "
             "WHERE event_type = 'error'), "

@@ -434,3 +434,40 @@ def lsh_topk(
             "id_col": id_col, "bucket_col": "lsh_bucket"},
         batch_format="pyarrow", concurrency=(1, 8)).to_pandas()
     return _final_topk(local, k)
+
+
+def label_centroids(ds: "ray.data.Dataset", vec_col: str = "embedding",
+                    key_col: str = "label") -> pd.DataFrame:
+    """Distributed per-key embedding centroid (the k-means M-step / class
+    prototype op): per-batch partial (sum-vector, count) per key — one
+    zero-copy flatten + np.add.at per batch, no per-row loop — then a
+    driver-side combine over the TINY partial table (keys × dim rows per
+    batch). Returns (key, dim, centroid) long-form.
+
+    Scale shape: the stream is reduced batch-locally to keys×dim partials,
+    so nothing wide shuffles; the driver holds only n_keys × dim doubles.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        fl = t[vec_col]
+        if isinstance(fl, pa.ChunkedArray):
+            fl = fl.combine_chunks()
+        dim = len(fl[0])
+        mat = fl.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.float64).reshape(t.num_rows, dim)
+        lab = t[key_col].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(lab, return_inverse=True)
+        sums = np.zeros((len(u), dim))
+        np.add.at(sums, inv, mat)
+        n = np.bincount(inv).astype(np.int64)
+        return pa.table({
+            key_col: np.repeat(u, dim),
+            "dim": np.tile(np.arange(dim, dtype=np.int64), len(u)),
+            "s": sums.ravel(),
+            "n": np.repeat(n, dim),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby([key_col, "dim"], as_index=False).sum()
+    agg["centroid"] = agg["s"] / agg["n"]
+    return agg[[key_col, "dim", "centroid"]]
