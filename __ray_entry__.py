@@ -994,7 +994,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             write_hec_events,
         )
 
-        out = f"/tmp/graft_stage/hec_export_{sf_name(sf)}"
+        import tempfile
+
+        out = tempfile.mkdtemp(prefix=f"hec_export_{sf_name(sf)}_")
         cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
         import ray.data
 
@@ -1880,8 +1882,8 @@ def oracle_sql() -> dict[str, str]:
             "AND alpha_ratio >= 0.82 AND punct_ratio <= 0.1 "
             "AND dup_line_frac <= 0.3 AND top_bigram_frac <= 0.06 "
             "AND pred_lang IN ('en')), "
-            "ded AS (SELECT min(doc_id) AS doc_id, text FROM clean "
-            "GROUP BY text), "
+            "ded AS MATERIALIZED (SELECT min(doc_id) AS doc_id, text "
+            "FROM clean GROUP BY text), "
             "toks AS MATERIALIZED (SELECT doc_id, "
             r"regexp_extract_all(text, '[^ \t\n]+') AS t FROM documents), "
             "grams_e AS (SELECT array_to_string(t[i:i+7], ' ') AS g FROM ("

@@ -34,6 +34,29 @@ def _project(side: "ray.data.Dataset", tag: int,
     return side.map_batches(fn, batch_format="pyarrow")
 
 
+def _make_add_bucket(by: str, num_buckets: int):
+    def add_bucket(t: pa.Table) -> pa.Table:
+        k = t[by].to_numpy(zero_copy_only=False)
+        if k.dtype.kind in "iu":
+            hb = (k.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                  >> np.uint64(40)).astype(np.int64) % num_buckets
+        else:
+            hb = pd.util.hash_array(np.asarray(k, dtype=object)) % num_buckets
+        return t.append_column("_hb", pa.array(hb.astype(np.int32)))
+
+    return add_bucket
+
+
+def _restore_int_cols(df: pd.DataFrame, cols, schema_types) -> pd.DataFrame:
+    """The union stage nulls left payloads on right-side rows, promoting
+    int columns to float64 in pandas; left rows are never null there, so
+    restore the declared integer dtype."""
+    for c in cols:
+        if pa.types.is_integer(schema_types[c]) and df[c].notna().all():
+            df[c] = df[c].astype(np.int64)
+    return df
+
+
 def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
               by: str, on: str, left_cols: list[str],
               right_cols: list[str], num_buckets: int | None = None,
@@ -59,18 +82,6 @@ def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
     both = _project(left, 0, schema_types).union(
         _project(right, 1, schema_types))
 
-    def add_bucket(t: pa.Table) -> pa.Table:
-        k = t[by].to_numpy(zero_copy_only=False)
-        if k.dtype.kind in "iu":
-            hb = (k.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
-                  >> np.uint64(40)).astype(np.int64) % num_buckets
-        else:
-            hb = pd.util.hash_array(np.asarray(k, dtype=object)) % num_buckets
-        return t.append_column("_hb", pa.array(hb.astype(np.int32)))
-
-    int_left = {c for c in left_cols
-                if pa.types.is_integer(schema_types[c])}
-
     def bucket_asof(g: pd.DataFrame) -> pd.DataFrame:
         lf = g[g["_side"] == 0].sort_values(on, kind="mergesort")
         rt = g[g["_side"] == 1].sort_values(on, kind="mergesort")
@@ -78,16 +89,12 @@ def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
             lf[[by, on] + list(left_cols)],
             rt[[by, on] + list(right_cols)].rename(columns={on: on + "_r"}),
             left_on=on, right_on=on + "_r", by=by, direction=direction)
-        # the union stage nulls left payloads on right-side rows, which
-        # promotes int columns to float64 in pandas; left rows are never
-        # null there, so restore the declared integer dtype
-        for c in int_left:
-            if out[c].notna().all():
-                out[c] = out[c].astype(np.int64)
-        return out
+        out = out.drop(columns=[on + "_r"])  # internal probe column
+        return _restore_int_cols(out, left_cols, schema_types)
 
     return (
-        both.map_batches(add_bucket, batch_format="pyarrow")
+        both.map_batches(_make_add_bucket(by, num_buckets),
+                         batch_format="pyarrow")
         .groupby("_hb")
         .map_groups(bucket_asof, batch_format="pandas")
     )
@@ -120,15 +127,6 @@ def range_join_count(left: "ray.data.Dataset", right: "ray.data.Dataset",
         _project(right.select_columns([by, on]), 1,
                  {**schema_types, **rt_types}))
 
-    def add_bucket(t: pa.Table) -> pa.Table:
-        k = t[by].to_numpy(zero_copy_only=False)
-        if k.dtype.kind in "iu":
-            hb = (k.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
-                  >> np.uint64(40)).astype(np.int64) % num_buckets
-        else:
-            hb = pd.util.hash_array(np.asarray(k, dtype=object)) % num_buckets
-        return t.append_column("_hb", pa.array(hb.astype(np.int32)))
-
     def bucket_count(g: pd.DataFrame) -> pd.DataFrame:
         lf = g[g["_side"] == 0].sort_values(on, kind="mergesort")
         rt = g[g["_side"] == 1].sort_values([by, on],
@@ -149,16 +147,13 @@ def range_join_count(left: "ray.data.Dataset", right: "ray.data.Dataset",
         at_t = cum_at(lf[on])
         at_upper = cum_at(lf[on] + window)
         out = lf[[by, on] + list(left_cols)].copy()
-        # left payload ints were promoted to float by the union's nulls
-        # on right-side rows; left rows are never null — restore
-        for c in left_cols:
-            if pa.types.is_integer(schema_types[c]) and out[c].notna().all():
-                out[c] = out[c].astype(np.int64)
+        out = _restore_int_cols(out, left_cols, schema_types)
         out[out_col] = (at_upper - at_t).astype(np.int64)
         return out
 
     return (
-        both.map_batches(add_bucket, batch_format="pyarrow")
+        both.map_batches(_make_add_bucket(by, num_buckets),
+                         batch_format="pyarrow")
         .groupby("_hb")
         .map_groups(bucket_count, batch_format="pandas")
     )

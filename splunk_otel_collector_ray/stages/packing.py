@@ -37,6 +37,10 @@ def pack_documents(ds: "ray.data.Dataset", window: int = 512,
     than ``window`` keep the window of their FIRST token (they span into
     the following windows; the slicer handles the split).
     """
+    # two passes are inherent to a scan (partial sums, then the offset
+    # apply); pin the narrow (id, count) projection once so the upstream
+    # pipeline — possibly a full clean/dedup chain — does not re-execute
+    ds = ds.materialize()
 
     def partial_sums(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_numpy(zero_copy_only=False)

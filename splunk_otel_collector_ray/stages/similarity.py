@@ -449,6 +449,11 @@ def label_centroids(ds: "ray.data.Dataset", vec_col: str = "embedding",
     """
 
     def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({key_col: pa.array([], t[key_col].type),
+                             "dim": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.float64()),
+                             "n": pa.array([], pa.int64())})
         fl = t[vec_col]
         if isinstance(fl, pa.ChunkedArray):
             fl = fl.combine_chunks()
