@@ -894,6 +894,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["log.file.name", "log_format", "body",
              "severity_text", "severity_number"])
 
+    def q_events_quantiles(sf):
+        # per-group p50/p95/p99 on a deterministic value grid: the stream
+        # reduces batch-locally to (group, bucket) histograms; only tiny
+        # partials move (error bounded by 1/grid, data-size independent)
+        from splunk_otel_collector_ray.pipelines.aggregate import (
+            grid_quantiles,
+        )
+
+        return grid_quantiles(_table(sf, "events"), "event_type", "value")
+
     def q_emb_centroids(sf):
         # per-label embedding centroid (k-means M-step shape): batch-local
         # (sum, count) partials per key, tiny driver combine — nothing
@@ -1633,6 +1643,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_clean": q_docs_clean,
         "filelog_parse": q_filelog_parse,
         "hec_ingest": q_hec_ingest,
+        "events_quantiles": q_events_quantiles,
         "emb_centroids": q_emb_centroids,
         "events_range_join": q_events_range_join,
         "training_pipeline": q_training_pipeline,
@@ -1846,6 +1857,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT ts, conv_id AS host, role AS source, "
             "'httpevent' AS sourcetype, 'main' AS \"index\", text AS body, "
             "conv_id, turn_idx, tool FROM raw"),
+        "events_quantiles": (
+            "WITH b AS (SELECT event_type, CAST(floor(value * 100) AS "
+            "BIGINT) AS bk, count(*) AS c FROM events GROUP BY 1, 2), "
+            "t AS (SELECT event_type, sum(c) AS n FROM b GROUP BY 1), "
+            "cum AS (SELECT b.event_type, bk, SUM(c) OVER (PARTITION BY "
+            "b.event_type ORDER BY bk) AS cc, t.n FROM b "
+            "JOIN t USING (event_type)), "
+            "qs AS (SELECT unnest([0.5, 0.95, 0.99]) AS q) "
+            "SELECT event_type, CAST(q AS DOUBLE) AS q, "
+            "min(CASE WHEN cc >= ceil(q * n) THEN bk END) / 100.0 "
+            "AS quantile FROM cum CROSS JOIN qs GROUP BY event_type, q"),
         "emb_centroids": (
             "WITH x AS (SELECT label, unnest(embedding) AS v, "
             "generate_subscripts(embedding, 1) AS i FROM embeddings) "

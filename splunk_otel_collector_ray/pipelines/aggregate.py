@@ -125,3 +125,45 @@ def grouped_count_sum(
     return partials.groupby(keys).aggregate(
         Sum(count_alias, alias_name=count_alias), Sum(sum_alias, alias_name=sum_alias)
     )
+
+
+def grid_quantiles(ds: "ray.data.Dataset", group_col: str, value_col: str,
+                   qs: "tuple[float, ...]" = (0.5, 0.95, 0.99),
+                   grid: int = 100) -> pd.DataFrame:
+    """Distributed per-group quantiles on a fixed value grid — the p50/p95/
+    p99 latency roll-up every telemetry pipeline ends in.
+
+    Exact quantiles need a per-group sort (all-to-all at 100 TB); instead
+    values are bucketed to a deterministic grid (``floor(v·grid)``) and
+    the stream reduces batch-locally to (group, bucket) counts — the same
+    partial-shrink shape as the count/sum connectors, so only tiny
+    histograms move. The q-quantile is the smallest bucket whose
+    cumulative count reaches ``ceil(q·n)`` (1-based rank), reported as
+    the bucket lower edge ``bucket / grid`` — deterministic, replayed
+    exactly by the SQL twin (identical int division both sides). Grid
+    resolution bounds the error to 1/grid, independent of data size.
+    """
+    import math
+
+    import numpy as np
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t[value_col].to_numpy(zero_copy_only=False)
+        g = t[group_col].to_pandas()
+        bk = np.floor(v * grid).astype(np.int64)
+        out = pd.DataFrame({group_col: g, "bk": bk}) \
+            .groupby([group_col, "bk"], as_index=False).size()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    hist = parts.groupby([group_col, "bk"], as_index=False)["size"].sum()
+    rows = []
+    for grp, h in hist.groupby(group_col):
+        h = h.sort_values("bk")
+        cum = h["size"].cumsum().to_numpy()
+        n = int(cum[-1])
+        bks = h["bk"].to_numpy()
+        for q in qs:
+            rank = math.ceil(q * n)
+            rows.append((grp, q, bks[int(np.searchsorted(cum, rank))] / grid))
+    return pd.DataFrame(rows, columns=[group_col, "q", "quantile"])

@@ -603,3 +603,19 @@ def test_range_join_count(ray_session):
         out_col="n").to_pandas().sort_values("event_id")
     assert list(out.n) == [2, 0, 1]
     assert out.event_id.dtype == np.int64
+
+
+def test_grid_quantiles(ray_session):
+    import ray
+
+    from splunk_otel_collector_ray.pipelines.aggregate import grid_quantiles
+
+    # group "a": values 0.01..1.00 → p50 = bucket of the 50th value
+    vals = [round(0.01 * i, 2) for i in range(1, 101)]
+    rows = [{"g": "a", "v": v} for v in vals] + [{"g": "b", "v": 5.0}]
+    out = grid_quantiles(ray.data.from_items(rows), "g", "v",
+                         qs=(0.5, 0.99), grid=100)
+    got = {(r.g, r.q): r.quantile for r in out.itertuples()}
+    assert got[("a", 0.5)] == 0.5      # rank 50 → bucket 50 → 0.50
+    assert got[("a", 0.99)] == 0.99
+    assert got[("b", 0.5)] == 5.0
