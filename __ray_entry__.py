@@ -1123,6 +1123,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return _table(sf, "documents").map_batches(fn, batch_format="pyarrow")
 
+    def q_docs_simhash_neardup(sf):
+        # banded SimHash hamming-distance near-dup pairs — EXACT result
+        # (pigeonhole: ham<=3 with 4 bands guarantees recall 1.0, popcount
+        # verify gives precision 1.0), so the O(N^2) self-join oracle is a
+        # true twin
+        return dd.simhash_neardup_pairs(
+            _table(sf, "documents"), max_hamming=3)
+
     def q_emb_ann_topk(sf):
         return ann_topk(_table(sf, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=5)
 
@@ -1660,6 +1668,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_fingerprint": q_docs_fingerprint,
         "docs_minhash_groups": q_docs_minhash_groups,
         "docs_simhash": q_docs_simhash,
+        "docs_simhash_neardup": q_docs_simhash_neardup,
         "emb_ann_topk": q_emb_ann_topk,
         "emb_neardup": q_emb_neardup,
         "emb_neardup_lsh": q_emb_neardup_lsh,
@@ -1802,19 +1811,25 @@ def _minhash_groups_sql() -> str:
         'count(*) AS "size" FROM folded GROUP BY 1, 2 HAVING count(*) > 1')
 
 
-def _simhash_sql() -> str:
-    """SQL twin of dedup.simhash64 (shingle=4): per-bit ±1 sign sums over
-    the distinct shingle-hash set, bit set iff the sum is strictly
-    positive, then two's-complement reinterpretation to int64."""
+def _simhash_cte() -> str:
+    """Shared CTE chain computing dedup.simhash64 (shingle=4) per doc:
+    per-bit ±1 sign sums over the distinct shingle-hash set, bit set iff
+    the sum is strictly positive, then two's-complement reinterpretation
+    to int64 in CTE ``sig(doc_id, simhash)``. MATERIALIZED because the
+    near-dup twin references it twice (self-join)."""
     return (
         f"WITH {_shingle_sql(4)}, "
         "bits AS (SELECT doc_id, b, "
         "sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s "
         "FROM sh, unnest(range(0, 64)) t(b) GROUP BY 1, 2), "
         "agg AS (SELECT doc_id, sum(CASE WHEN s > 0 THEN 1::HUGEINT << b "
-        "ELSE 0::HUGEINT END) AS u FROM bits GROUP BY 1) "
-        f"SELECT doc_id, CAST(CASE WHEN u >= {1 << 63} THEN u - {_M64} "
-        "ELSE u END AS BIGINT) AS simhash FROM agg")
+        "ELSE 0::HUGEINT END) AS u FROM bits GROUP BY 1), "
+        f"sig AS MATERIALIZED (SELECT doc_id, CAST(CASE WHEN u >= {1 << 63} "
+        f"THEN u - {_M64} ELSE u END AS BIGINT) AS simhash FROM agg) ")
+
+
+def _simhash_sql() -> str:
+    return _simhash_cte() + "SELECT doc_id, simhash FROM sig"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2236,6 +2251,10 @@ def oracle_sql() -> dict[str, str]:
             r"length(regexp_extract_all(text, '[^ \t\n]+')) AS logit, "
             "logit > 0.0 AS keep FROM documents"),
         "docs_simhash": _simhash_sql(),
+        "docs_simhash_neardup": _simhash_cte() + (
+            "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b "
+            "FROM sig a JOIN sig b ON a.doc_id < b.doc_id "
+            "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"),
         "docs_minhash_groups": _minhash_groups_sql(),
         "docs_quality": (
             "SELECT doc_id, (length(text) - length(regexp_replace(text, "

@@ -541,6 +541,92 @@ def simhash64(text: pd.Series, shingle: int = 4) -> np.ndarray:
     return out
 
 
+def simhash_rows(batch: pa.Table, id_col: str = "doc_id",
+                 text_col: str = "text", shingle: int = 4) -> pa.Table:
+    """(id, text) batch → (id, simhash:int64) signature rows."""
+    h = simhash64(batch[text_col].to_pandas(), shingle)
+    return pa.table({id_col: batch[id_col],
+                     "simhash": pa.array(h.astype(np.int64), type=pa.int64())})
+
+
+def simhash_neardup_pairs(
+    ds: "ray.data.Dataset", max_hamming: int = 3,
+    id_col: str = "doc_id", text_col: str = "text", shingle: int = 4,
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """SimHash near-dup pairs: docs whose 64-bit SimHash signatures differ
+    in at most ``max_hamming`` bits (doc_a < doc_b) — the banded-blocking
+    dedup of Manku/Jain/Sarma, "Detecting Near-Duplicates for Web Crawling"
+    (WWW'07), batch form.
+
+    EXACT despite the blocking: signatures split into ``max_hamming + 1``
+    bit-bands; by pigeonhole, any pair within the hamming radius agrees on
+    at least one whole band, so every qualifying pair surfaces as a
+    same-bucket candidate (recall 1.0) and the per-pair popcount verify
+    keeps precision 1.0.
+
+    Scale shape: bands stream through the shared ``candidate_pairs_from_bands``
+    generator (bucketed triu expansion, no per-bucket task); the 8-byte
+    signatures are hash-JOINED back onto the candidate pairs by doc id
+    (zero-CPU aggregators, capped partitions — never a driver-side
+    signature map); the verify is one vectorized xor+popcount per batch.
+    """
+    import ray
+
+    bands = max_hamming + 1
+    if 64 % bands:
+        raise ValueError("max_hamming + 1 must divide 64")
+    width = 64 // bands
+    mask = np.uint64((1 << width) - 1)
+    if num_partitions is None:
+        # same cap rationale as neardup_pairs: two concurrent joins, keep
+        # aggregator actors well under the CPU count
+        num_partitions = max(1, int(ray.cluster_resources().get("CPU", 8)) // 8)
+
+    sigs = ds.map_batches(
+        simhash_rows,
+        fn_kwargs={"id_col": id_col, "text_col": text_col, "shingle": shingle},
+        batch_format="pyarrow")
+
+    def expand_bands(t: pa.Table) -> pa.Table:
+        u = t["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        ids = t[id_col]
+        parts = []
+        for b in range(bands):
+            bh = ((u >> np.uint64(b * width)) & mask).astype(np.int64)
+            parts.append(pa.table({
+                id_col: ids,
+                "band": pa.array(np.full(len(u), b, dtype=np.int32)),
+                "band_hash": pa.array(bh),
+            }))
+        return pa.concat_tables(parts)
+
+    pairs = candidate_pairs_from_bands(
+        sigs.map_batches(expand_bands, batch_format="pyarrow"), id_col=id_col)
+
+    agg_args = {"num_cpus": 0}
+    joined = pairs.join(sigs, join_type="inner",
+                        num_partitions=num_partitions,
+                        on=("doc_a",), right_on=(id_col,), right_suffix="_a",
+                        aggregator_ray_remote_args=agg_args)
+    joined = (
+        joined.rename_columns({"simhash": "simhash_a"})
+        .join(sigs, join_type="inner", num_partitions=num_partitions,
+              on=("doc_b",), right_on=(id_col,), right_suffix="_b",
+              aggregator_ray_remote_args=agg_args)
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        a = batch["simhash_a"].to_numpy(zero_copy_only=False).view(np.uint64)
+        b = batch["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        x = (a ^ b).view(np.uint8).reshape(-1, 8)
+        ham = np.unpackbits(x, axis=1).sum(axis=1)
+        return batch.select(["doc_a", "doc_b"]).filter(
+            pa.array(ham <= max_hamming))
+
+    return joined.map_batches(verify, batch_format="pyarrow")
+
+
 def ngram_jaccard(a: str, b: str, n: int = 5) -> float:
     """Exact n-gram Jaccard — the verification kernel for candidate pairs."""
     ha = _token_hashes(pd.Series([a]), n)[0]

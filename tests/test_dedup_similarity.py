@@ -94,6 +94,52 @@ def test_duplicate_clusters_transitive_chain(ray_session):
     assert (solo["cluster_id"] == solo["doc_id"]).all()
 
 
+def test_simhash_neardup_matches_bruteforce(ray_session, sf_dir):
+    """Banded blocking + popcount verify must equal the exact O(N^2)
+    driver-side sweep (pigeonhole recall guarantee, ham<=3 with 4 bands)."""
+    import ray.data
+
+    from splunk_otel_collector_ray.stages.dedup import (
+        simhash64,
+        simhash_neardup_pairs,
+    )
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"]).head(200)
+    sig = simhash64(docs["text"])
+    ids = docs["doc_id"].to_numpy()
+    x = sig[:, None] ^ sig[None, :]
+    ham = np.unpackbits(
+        x.astype(">u8").view(np.uint8).reshape(len(ids), len(ids), 8),
+        axis=2).sum(axis=2)
+    i, j = np.nonzero(np.triu(ham <= 3, k=1))
+    a, b = np.minimum(ids[i], ids[j]), np.maximum(ids[i], ids[j])
+    exp = sorted(zip(a.tolist(), b.tolist()))
+
+    ds = ray.data.from_pandas(docs)
+    got = (simhash_neardup_pairs(ds, max_hamming=3).to_pandas()
+           .sort_values(["doc_a", "doc_b"]))
+    assert list(map(tuple, got.to_numpy())) == exp
+    assert len(exp) > 0  # the corpus actually contains near-dups
+
+
+def test_simhash_neardup_planted(ray_session):
+    import ray.data
+
+    from splunk_otel_collector_ray.stages.dedup import simhash_neardup_pairs
+
+    base = "the quick brown fox jumps over the lazy dog and runs away " * 20
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": [base, base.replace("lazy dog", "lazy d0g"),
+                 "completely different content about streaming executors "
+                 "and arrow batches with no shared phrasing at all " * 20],
+    })
+    out = simhash_neardup_pairs(
+        ray.data.from_arrow(docs), max_hamming=3).to_pandas()
+    assert list(map(tuple, out.to_numpy())) == [(1, 2)]
+
+
 def test_neardup_pairs_on_documents_table(ray_session, sf_dir):
     import ray.data
 
