@@ -1422,6 +1422,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = ray.data.from_arrow(pa.table({"text": pa.array(lines)}))
         return ds.map_batches(parse_wavefront_text, batch_format="pyarrow")
 
+    def q_collectd_parse(sf):
+        # collectd receiver (components.go:221): write_http JSON value
+        # lists → datapoints with SignalFx naming (type[.type_instance]
+        # [.dsname], bracket metadata labels, derive/counter→cumulative).
+        # Oracle reconstructs the datapoints from the same i-formulas.
+        from splunk_otel_collector_ray.sources.collectd import (
+            read_collectd_json,
+        )
+
+        return read_collectd_json(corpus.ensure_collectd_jsonl())
+
     def q_groupbyattrs(sf):
         # groupbyattrs processor analogue: regroup under resource identity
         # (host.name) — components.go:324
@@ -1693,6 +1704,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prometheus_histogram": q_prometheus_histogram,
         "prometheus_errors": q_prometheus_errors,
         "statsd_parse": q_statsd_parse,
+        "collectd_parse": q_collectd_parse,
         "graphite_parse": q_graphite_parse,
         "wavefront_parse": q_wavefront_parse,
         "groupbyattrs": q_groupbyattrs,
@@ -2473,6 +2485,30 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN t = 'c' THEN TRY_CAST(value_raw AS DOUBLE) / "
             "COALESCE(TRY_CAST(rate_s AS DOUBLE), 1.0) ELSE "
             "TRY_CAST(value_raw AS DOUBLE) END AS scaled_value FROM x"),
+        "collectd_parse": (
+            "WITH r AS (SELECT range AS i FROM range(96)), "
+            "ds AS (SELECT i, 0 AS di FROM r "
+            "UNION ALL SELECT i, 1 FROM r WHERE i % 4 = 0) "
+            "SELECT "
+            "CASE i % 4 WHEN 0 THEN 'disk_octets.' || "
+            "(CASE di WHEN 0 THEN 'read' ELSE 'write' END) "
+            "WHEN 1 THEN 'percent.idle' WHEN 2 THEN 'memory.used' "
+            "ELSE 'pg_numbackends' END AS name, "
+            "CASE i % 4 WHEN 0 THEN (CASE di WHEN 0 THEN i * 100.0 "
+            "ELSE i * 50.0 END) WHEN 1 THEN i * 0.5 "
+            "WHEN 2 THEN i * 1024.0 ELSE CAST(i AS DOUBLE) END AS value, "
+            "CASE i % 4 WHEN 1 THEN 'gauge' WHEN 2 THEN 'gauge' "
+            "ELSE 'cumulative' END AS mtype, "
+            "to_timestamp(1767225600 + i * 10) AT TIME ZONE 'UTC' AS ts, "
+            "CASE i % 4 WHEN 0 THEN 'disk' WHEN 1 THEN 'cpu' "
+            "WHEN 2 THEN 'memory' ELSE 'postgresql' END AS plugin, "
+            "CASE i % 4 WHEN 0 THEN 'sda' || (i % 3) "
+            "WHEN 1 THEN CAST(i % 8 AS VARCHAR) WHEN 2 THEN '' "
+            "ELSE 'mydb' END AS plugin_instance, "
+            "'host-' || (i % 8) AS host, "
+            "CASE WHEN i % 4 = 0 THEN '' ELSE 'value' END AS dsname, "
+            "CASE WHEN i % 4 = 3 THEN 'env=prod,dc=dc' || (i % 3) "
+            "ELSE '' END AS labels FROM ds"),
         "graphite_parse": (
             "WITH gb AS (SELECT 'servers.host' || (i % 4) || '.cpu' || "
             "(i % 2) || CASE WHEN i % 3 = 0 THEN ';dc=dc' || (i % 3) || "

@@ -603,6 +603,76 @@ def ensure_journald_jsonl(sf_dir_or_name: str, force: bool = False) -> str:
     return path
 
 
+def collectd_records() -> list[dict]:
+    """Deterministic collectd write_http value-list records covering the
+    receiver's semantic surface: multi-ds records (dsname folded into the
+    name), type_instance names, single-"value" ds (dsname label), bracket
+    metadata labels, gauge vs derive/counter dstypes. The oracle twin
+    reconstructs the expected datapoints from the same i-formulas."""
+    recs = []
+    for i in range(96):
+        t = 1767225600 + i * 10
+        if i % 4 == 0:
+            recs.append({
+                "values": [i * 100.0, i * 50.0],
+                "dstypes": ["derive", "derive"],
+                "dsnames": ["read", "write"], "time": t, "interval": 10.0,
+                "host": f"host-{i % 8}", "plugin": "disk",
+                "plugin_instance": f"sda{i % 3}", "type": "disk_octets",
+                "type_instance": ""})
+        elif i % 4 == 1:
+            recs.append({
+                "values": [i * 0.5], "dstypes": ["gauge"],
+                "dsnames": ["value"], "time": t, "interval": 10.0,
+                "host": f"host-{i % 8}", "plugin": "cpu",
+                "plugin_instance": str(i % 8), "type": "percent",
+                "type_instance": "idle"})
+        elif i % 4 == 2:
+            recs.append({
+                "values": [i * 1024.0], "dstypes": ["gauge"],
+                "dsnames": ["value"], "time": t, "interval": 10.0,
+                "host": f"host-{i % 8}", "plugin": "memory",
+                "plugin_instance": "", "type": "memory",
+                "type_instance": "used"})
+        else:
+            recs.append({
+                "values": [float(i)], "dstypes": ["counter"],
+                "dsnames": ["value"], "time": t, "interval": 10.0,
+                "host": f"host-{i % 8}", "plugin": "postgresql",
+                "plugin_instance": f"mydb[env=prod,dc=dc{i % 3}]",
+                "type": "pg_numbackends", "type_instance": ""})
+    return recs
+
+
+def ensure_collectd_jsonl(force: bool = False) -> str:
+    """Stage the deterministic collectd record set as JSONL (one record
+    per line — the write_http array unpacked, as the receiver sees it)."""
+    import json
+
+    path = os.path.join(FIXTURE_ROOT, "collectd")
+    os.makedirs(FIXTURE_ROOT, exist_ok=True)
+    if os.path.isdir(path) and _version_ok(path) and not force:
+        return path
+    if os.path.isdir(path):
+        import shutil
+        shutil.rmtree(path, ignore_errors=True)
+    tmpdir = tempfile.mkdtemp(dir=os.path.dirname(path),
+                              prefix=".collectd.tmp")
+    with open(os.path.join(tmpdir, "records.jsonl"), "w",
+              encoding="utf-8") as f:
+        for rec in collectd_records():
+            f.write(json.dumps(rec, ensure_ascii=False))
+            f.write("\n")
+    with open(os.path.join(tmpdir, ".version"), "w") as f:
+        f.write(CORPUS_VERSION)
+    try:
+        os.replace(tmpdir, path)
+    except OSError:  # lost the race to a concurrent writer — theirs is fine
+        import shutil
+        shutil.rmtree(tmpdir, ignore_errors=True)
+    return path
+
+
 def ensure_hec_jsonl(sf_dir_or_name: str, force: bool = False) -> str:
     """Stage the transcripts as HEC event JSONL (the splunk_hec receiver's
     wire format): one ``{"time", "host", "source", "sourcetype", "index",

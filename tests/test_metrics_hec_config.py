@@ -355,3 +355,40 @@ def test_hec_gating_null_sourcetype_is_log_data():
     })
     assert HecProjection(profiling_data_enabled=False)(t).num_rows == 1
     assert HecProjection(log_data_enabled=False)(t).num_rows == 0
+
+
+def test_collectd_decode_semantics():
+    """Pins the upstream collectdreceiver mapping: dsname folded into the
+    name only for multi-ds records, type_instance in the name, bracket
+    metadata extracted to labels from type_instance/plugin_instance/host
+    (in that order), derive/counter→cumulative, unknown dstype→gauge."""
+    import pyarrow as pa
+
+    from splunk_otel_collector_ray.sources.collectd import (
+        decode_collectd_batch,
+    )
+
+    batch = pa.table({
+        "values": [[1.0, 2.0], [3.5]],
+        "dstypes": [["derive", "gauge"], ["weird"]],
+        "dsnames": [["read", "write"], ["value"]],
+        "time": [10.0, 20.25],
+        "interval": [10.0, 10.0],
+        "host": ["h[rack=r1]", "plain-host"],
+        "plugin": ["disk", "cpu"],
+        "plugin_instance": ["sda[bus=scsi]", ""],
+        "type": ["disk_octets", "percent"],
+        "type_instance": ["", "idle[core=0]"],
+    })
+    out = decode_collectd_batch(batch).to_pandas()
+    assert list(out["name"]) == ["disk_octets.read", "disk_octets.write",
+                                 "percent.idle"]
+    assert list(out["mtype"]) == ["cumulative", "gauge", "gauge"]
+    assert list(out["dsname"]) == ["", "", "value"]  # folded vs labeled
+    assert list(out["labels"]) == ["bus=scsi,rack=r1", "bus=scsi,rack=r1",
+                                   "core=0"]
+    assert list(out["host"]) == ["h", "h", "plain-host"]
+    assert list(out["plugin_instance"]) == ["sda", "sda", ""]
+    assert out["ts"].astype("int64").tolist() == [
+        10_000_000, 10_000_000, 20_250_000]
+    assert list(out["value"]) == [1.0, 2.0, 3.5]
