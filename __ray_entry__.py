@@ -541,6 +541,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = _parsed(sf).map_batches(tr, batch_format="pyarrow")
         return ds.select_columns(["conv_id", "turn_idx", "body"])
 
+    def q_ottl_functions(sf):
+        # upstream OTTL converter breadth: ConvertCase + Len values, a
+        # conditional overwrite, and type-inferring set on new fields
+        from splunk_otel_collector_ray.functions.ottl import OttlTransform
+
+        tr = OttlTransform([
+            'set(role_uc, ConvertCase(role, "upper"))',
+            'set(text_len, Len(text))',
+            'set(tool_uc, tool)',
+            'set(tool_uc, ConvertCase(tool, "upper")) where role == "tool"',
+        ])
+        ds = _read_transcripts(sf).map_batches(tr, batch_format="pyarrow")
+        return ds.select_columns(
+            ["conv_id", "turn_idx", "role_uc", "text_len", "tool_uc"])
+
     def q_discovery_status(sf):
         # discovery receiver Match-rule evaluation as one queryable stage:
         # (strict|regexp|expr) table, first-match-wins, emit-once per
@@ -1631,6 +1646,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "attributes_include": q_attributes_include,
         "discovery_status": q_discovery_status,
         "ottl_replace": q_ottl_replace,
+        "ottl_functions": q_ottl_functions,
         "truncate": q_truncate,
         "recombine": q_recombine,
         "multiline_frame": q_multiline_frame,
@@ -2034,6 +2050,11 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT *, row_number() OVER (PARTITION BY endpoint, "
             "receiver, status, pattern ORDER BY turn_idx) AS rn FROM dmatch "
             "WHERE status IS NOT NULL) WHERE rn = 1"),
+        "ottl_functions": C + (
+            "SELECT conv_id, turn_idx, upper(role) AS role_uc, "
+            "length(text) AS text_len, "
+            "CASE WHEN role = 'tool' THEN upper(tool) ELSE tool END "
+            "AS tool_uc FROM raw"),
         "ottl_statements": C + (
             "SELECT conv_id, turn_idx, "
             "CASE WHEN severity_number = 10 THEN 'NOTICE' ELSE severity_text "

@@ -24,6 +24,7 @@ Grammar:
   <target> := column | attributes["key"]
   <value>  := literal | column | attributes["key"]
             | Substring(<value>, start, length) | Concat([<value>…], sep)
+            | ConvertCase(<value>, "upper"|"lower") | Len(<value>)
   predicates may use IsMatch(col, "regex") — the upstream OTTL condition
   function (alias of functions.expr's matches()); replacement backrefs use
   RE2 ``\\1`` syntax (the kernel is pyarrow replace_substring_regex).
@@ -163,6 +164,32 @@ def _value_fn(node) -> Callable[[pa.Table], "np.ndarray | object"]:
                     arr, start, start + length).to_numpy(zero_copy_only=False)
 
             return sub
+        if node.func.id == "ConvertCase":
+            # upstream OTTL converter ConvertCase(target, "upper"|"lower")
+            inner = _value_fn(node.args[0])
+            mode = ast.literal_eval(node.args[1])
+            kern = {"upper": pc.utf8_upper, "lower": pc.utf8_lower}[mode]
+
+            def cc(b, inner=inner, kern=kern):
+                v = inner(b)
+                arr = v if isinstance(v, pa.Array) else pa.array(
+                    v, type=pa.string())
+                return kern(arr).to_numpy(zero_copy_only=False)
+
+            return cc
+        if node.func.id == "Len":
+            # upstream OTTL converter Len(target) — unicode code points,
+            # matching SQL length(); int64 so the oracle BIGINT twin aligns
+            inner = _value_fn(node.args[0])
+
+            def ln(b, inner=inner):
+                v = inner(b)
+                arr = v if isinstance(v, pa.Array) else pa.array(
+                    v, type=pa.string())
+                return pc.utf8_length(arr).cast(pa.int64()).to_numpy(
+                    zero_copy_only=False)
+
+            return ln
         if node.func.id == "Concat":
             if not isinstance(node.args[0], ast.List):
                 raise ValueError("Concat([v…], sep) expected")
@@ -188,13 +215,18 @@ def _set_column(batch: pa.Table, name: str, vals, mask) -> pa.Table:
         col = batch[name]
         typ = col.type
         cur = col.to_pandas().to_numpy()
-    else:  # OTTL set creates absent fields
-        typ = pa.string()
+    else:  # OTTL set creates absent fields; type inferred from the value
+        typ = None
         cur = np.full(batch.num_rows, None, dtype=object)
     if np.isscalar(vals) or vals is None:
         vals = np.full(batch.num_rows, vals)
     out = np.where(mask, vals, cur) if mask is not None else vals
-    new = pa.array(out, type=typ)
+    if typ is not None:
+        new = pa.array(out, type=typ)
+    else:
+        new = pa.array(out)
+        if pa.types.is_null(new.type):  # all-None: default to string
+            new = new.cast(pa.string())
     if name in batch.column_names:
         return batch.set_column(batch.column_names.index(name), name, new)
     return batch.append_column(name, new)

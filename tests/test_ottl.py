@@ -237,3 +237,24 @@ def test_truncate_all_statement():
     got2 = [None if r is None else dict(r)
             for r in out2["attributes"].to_pylist()]
     assert got2 == [{"a": "0123", "b": "xy"}, None, {"c": "abcdef"}]
+
+
+def test_convertcase_and_len_values():
+    import pyarrow as pa
+
+    from splunk_otel_collector_ray.functions.ottl import OttlTransform
+
+    t = pa.table({"role": ["user", "tool"], "text": ["héllo", ""],
+                  "tool": ["bash", "grep"]})
+    out = OttlTransform([
+        'set(up, ConvertCase(role, "upper"))',
+        'set(low, ConvertCase(up, "lower"))',
+        'set(n, Len(text))',
+        'set(tool, ConvertCase(tool, "upper")) where role == "tool"',
+    ])(t)
+    assert out["up"].to_pylist() == ["USER", "TOOL"]
+    assert out["low"].to_pylist() == ["user", "tool"]
+    # Len counts code points (héllo = 5), and the new column is int64
+    assert out["n"].to_pylist() == [5, 0]
+    assert out["n"].type == pa.int64()
+    assert out["tool"].to_pylist() == ["bash", "GREP"]  # guarded overwrite
