@@ -1138,6 +1138,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return _table(sf, "documents").map_batches(fn, batch_format="pyarrow")
 
+    def q_docs_split(sf):
+        # deterministic hash-based train/val/test split (90/5/5) — stable
+        # across reruns, row order and cluster size; no shuffle
+        from splunk_otel_collector_ray.stages.sample import hash_split
+
+        return hash_split(_table(sf, "documents"), "doc_id") \
+            .select_columns(["doc_id", "split"])
+
     def q_docs_simhash_neardup(sf):
         # banded SimHash hamming-distance near-dup pairs — EXACT result
         # (pigeonhole: ham<=3 with 4 bands guarantees recall 1.0, popcount
@@ -1696,6 +1704,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_minhash_groups": q_docs_minhash_groups,
         "docs_simhash": q_docs_simhash,
         "docs_simhash_neardup": q_docs_simhash_neardup,
+        "docs_split": q_docs_split,
         "emb_ann_topk": q_emb_ann_topk,
         "emb_neardup": q_emb_neardup,
         "emb_neardup_lsh": q_emb_neardup_lsh,
@@ -2284,6 +2293,11 @@ def oracle_sql() -> dict[str, str]:
             r"length(regexp_extract_all(text, '[^ \t\n]+')) AS logit, "
             "logit > 0.0 AS keep FROM documents"),
         "docs_simhash": _simhash_sql(),
+        "docs_split": (
+            "SELECT doc_id, CASE "
+            "WHEN (doc_id * 2654435761) % 10000 < 9000 THEN 'train' "
+            "WHEN (doc_id * 2654435761) % 10000 < 9500 THEN 'val' "
+            "ELSE 'test' END AS split FROM documents"),
         "docs_simhash_neardup": _simhash_cte() + (
             "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b "
             "FROM sig a JOIN sig b ON a.doc_id < b.doc_id "

@@ -69,6 +69,36 @@ def stratified_sample(
     return out.drop_columns(["_h"])
 
 
+def hash_split(ds: "ray.data.Dataset", id_col: str,
+               splits: "list[tuple[str, int]] | None" = None,
+               modulus: int = 10_000) -> "ray.data.Dataset":
+    """Deterministic train/val/test assignment: split = the first bucket
+    whose cumulative weight exceeds ``hash(id) % modulus`` — the standard
+    hash-based dataset split of a training-data pipeline. Stable across
+    reruns, cluster sizes and row order (pure function of the id, Knuth
+    multiplicative hash — same family as probabilistic_sample), embarrasses
+    no shuffle: one vectorized searchsorted per batch.
+
+    ``splits`` is [(name, weight)]; weights are in ``modulus`` units and
+    must sum to ``modulus`` (default 90/5/5 train/val/test).
+    """
+    if splits is None:
+        splits = [("train", 9_000), ("val", 500), ("test", 500)]
+    if sum(w for _, w in splits) != modulus:
+        raise ValueError("split weights must sum to the modulus")
+    names = np.array([n for n, _ in splits], dtype=object)
+    bounds = np.cumsum([w for _, w in splits])  # right-exclusive edges
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pandas().to_numpy().astype(np.int64)
+        h = (ids * KNUTH) % modulus
+        part = names[np.searchsorted(bounds, h, side="right")]
+        return batch.append_column(
+            "split", pa.array(part, type=pa.string()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 @dataclass
 class StringAttributePolicy:
     """Sample if any turn's ``column`` is in ``values`` (string_attribute)."""

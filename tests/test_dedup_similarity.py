@@ -300,3 +300,24 @@ def test_embedding_neardup_more_blocks_than_rows(ray_session):
     out = embedding_neardup_pairs(ray.data.from_arrow(t), threshold=0.9,
                                   num_blocks=4)
     assert out[["id_a", "id_b"]].values.tolist() == [[0, 1]]
+
+
+def test_hash_split_deterministic_and_validated(ray_session):
+    import ray.data
+
+    from splunk_otel_collector_ray.stages.sample import hash_split
+
+    docs = pa.table({"doc_id": pa.array(range(1000), type=pa.int64())})
+    out = hash_split(ray.data.from_arrow(docs), "doc_id").to_pandas()
+    frac = out["split"].value_counts(normalize=True)
+    assert 0.85 < frac["train"] < 0.95  # weights roughly honored
+    # pure function of the id: shuffled input gives identical assignment
+    out2 = hash_split(
+        ray.data.from_arrow(docs).random_shuffle(seed=7),
+        "doc_id").to_pandas()
+    merged = out.merge(out2, on="doc_id", suffixes=("", "_b"))
+    assert (merged["split"] == merged["split_b"]).all()
+
+    with pytest.raises(ValueError):
+        hash_split(ray.data.from_arrow(docs), "doc_id",
+                   splits=[("a", 1), ("b", 2)])
