@@ -1146,6 +1146,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return hash_split(_table(sf, "documents"), "doc_id") \
             .select_columns(["doc_id", "split"])
 
+    def q_docs_mixture(sf):
+        # deterministic per-source corpus mixing: src0 kept at 20%, src1 at
+        # 50%, everything else full — the Pile/C4-style blend step
+        from splunk_otel_collector_ray.stages.sample import mixture_sample
+
+        return mixture_sample(
+            _table(sf, "documents"), "source", "doc_id",
+            rates={"src0": 0.2, "src1": 0.5},
+        ).select_columns(["doc_id", "source"])
+
     def q_docs_simhash_neardup(sf):
         # banded SimHash hamming-distance near-dup pairs — EXACT result
         # (pigeonhole: ham<=3 with 4 bands guarantees recall 1.0, popcount
@@ -1705,6 +1715,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_simhash": q_docs_simhash,
         "docs_simhash_neardup": q_docs_simhash_neardup,
         "docs_split": q_docs_split,
+        "docs_mixture": q_docs_mixture,
         "emb_ann_topk": q_emb_ann_topk,
         "emb_neardup": q_emb_neardup,
         "emb_neardup_lsh": q_emb_neardup_lsh,
@@ -2298,6 +2309,11 @@ def oracle_sql() -> dict[str, str]:
             "WHEN (doc_id * 2654435761) % 10000 < 9000 THEN 'train' "
             "WHEN (doc_id * 2654435761) % 10000 < 9500 THEN 'val' "
             "ELSE 'test' END AS split FROM documents"),
+        "docs_mixture": (
+            "SELECT doc_id, source FROM documents WHERE "
+            "(doc_id * 2654435761) % 10000 < CASE source "
+            "WHEN 'src0' THEN 2000 WHEN 'src1' THEN 5000 "
+            "ELSE 10000 END"),
         "docs_simhash_neardup": _simhash_cte() + (
             "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b "
             "FROM sig a JOIN sig b ON a.doc_id < b.doc_id "

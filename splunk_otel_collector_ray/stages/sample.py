@@ -99,6 +99,33 @@ def hash_split(ds: "ray.data.Dataset", id_col: str,
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def mixture_sample(ds: "ray.data.Dataset", source_col: str, id_col: str,
+                   rates: dict[str, float], default_rate: float = 1.0,
+                   modulus: int = 10_000) -> "ray.data.Dataset":
+    """Per-source corpus mixing: keep a row iff ``hash(id) % modulus <
+    rate(source) · modulus`` — the deterministic down-sampling step that
+    blends corpus sources at configured weights in a training-data
+    pipeline (each source keeps an exact, rerun-stable subset rather than
+    a random one). Stateless map_batches, no shuffle; the rate table is a
+    tiny constant captured in the closure (broadcast with the function)."""
+    names = np.array(sorted(set(rates)), dtype=object)
+    thresholds = np.array(
+        [int(rates[n] * modulus) for n in names], dtype=np.int64)
+    default_t = int(default_rate * modulus)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        src = batch[source_col].to_pandas().to_numpy(dtype=object)
+        idx = np.searchsorted(names, src)
+        idx = np.clip(idx, 0, len(names) - 1)
+        known = names[idx] == src if len(names) else np.zeros(len(src), bool)
+        thr = np.where(known, thresholds[idx], default_t)
+        ids = batch[id_col].to_pandas().to_numpy().astype(np.int64)
+        h = (ids * KNUTH) % modulus
+        return batch.filter(pa.array(h < thr))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 @dataclass
 class StringAttributePolicy:
     """Sample if any turn's ``column`` is in ``values`` (string_attribute)."""

@@ -321,3 +321,24 @@ def test_hash_split_deterministic_and_validated(ray_session):
     with pytest.raises(ValueError):
         hash_split(ray.data.from_arrow(docs), "doc_id",
                    splits=[("a", 1), ("b", 2)])
+
+
+def test_mixture_sample_rates_and_determinism(ray_session):
+    import ray.data
+
+    from splunk_otel_collector_ray.stages.sample import mixture_sample
+
+    docs = pa.table({
+        "doc_id": pa.array(range(4000), type=pa.int64()),
+        "source": pa.array((["a", "b", "c", "d"] * 1000)),
+    })
+    out = mixture_sample(ray.data.from_arrow(docs), "source", "doc_id",
+                         rates={"a": 0.1, "b": 0.5},
+                         default_rate=1.0).to_pandas()
+    got = out["source"].value_counts()
+    assert got["c"] == got["d"] == 1000        # default rate keeps all
+    assert 50 <= got["a"] <= 150               # ~10% of 1000
+    assert 400 <= got["b"] <= 600              # ~50% of 1000
+    out2 = mixture_sample(ray.data.from_arrow(docs), "source", "doc_id",
+                          rates={"a": 0.1, "b": 0.5}).to_pandas()
+    assert sorted(out["doc_id"]) == sorted(out2["doc_id"])  # deterministic
