@@ -1466,6 +1466,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return read_collectd_json(corpus.ensure_collectd_jsonl())
 
+    def q_winevt_parse(sf):
+        # windows_event_log receiver (splunk_logs_config_windows.yaml:2-27):
+        # raw event XML → typed records, exclude_providers + exclude_events
+        # applied; body (raw XML passthrough) pinned by unit test instead
+        # of the oracle to keep the SQL twin readable
+        import datetime
+
+        import ray.data
+        from splunk_otel_collector_ray.sources.winevt import (
+            read_windows_events,
+        )
+
+        provs = ["XENAGENT", "MSSQLSERVER", "Service Control Manager",
+                 "Tenable Nessus Agent", "Microsoft-Windows-Security-Auditing"]
+        lines = []
+        for i in range(128):
+            prov = provs[i % 5]
+            channel = "Security" if i % 5 == 4 else "Application"
+            event_id = 4662 if i % 8 == 0 else (
+                566 if i % 8 == 4 else 1000 + i % 7)
+            tstr = datetime.datetime.fromtimestamp(
+                1767225600 + i * 10, datetime.timezone.utc
+            ).strftime("%Y-%m-%dT%H:%M:%S.%fZ")
+            lines.append(
+                "<Event xmlns='http://schemas.microsoft.com/win/2004/08/"
+                "events/event'><System>"
+                f"<Provider Name='{prov}'/><EventID>{event_id}</EventID>"
+                f"<Level>{i % 6}</Level>"
+                f"<TimeCreated SystemTime='{tstr}'/>"
+                f"<Channel>{channel}</Channel>"
+                f"<Computer>win-{i % 4}</Computer></System>"
+                "<EventData></EventData></Event>")
+        ds = ray.data.from_arrow(pa.table({"text": pa.array(lines)}))
+        out = read_windows_events(
+            ds, exclude_providers=("XENAGENT", "Tenable Nessus Agent"),
+            exclude_event_ids=(4662, 566))
+        return out.drop_columns(["body"])
+
     def q_groupbyattrs(sf):
         # groupbyattrs processor analogue: regroup under resource identity
         # (host.name) — components.go:324
@@ -1741,6 +1779,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prometheus_errors": q_prometheus_errors,
         "statsd_parse": q_statsd_parse,
         "collectd_parse": q_collectd_parse,
+        "winevt_parse": q_winevt_parse,
         "graphite_parse": q_graphite_parse,
         "wavefront_parse": q_wavefront_parse,
         "groupbyattrs": q_groupbyattrs,
@@ -2560,6 +2599,28 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN i % 4 = 0 THEN '' ELSE 'value' END AS dsname, "
             "CASE WHEN i % 4 = 3 THEN 'env=prod,dc=dc' || (i % 3) "
             "ELSE '' END AS labels FROM ds"),
+        "winevt_parse": (
+            "WITH r AS (SELECT range AS i FROM range(128)), "
+            "f AS (SELECT i, CASE i % 5 WHEN 0 THEN 'XENAGENT' "
+            "WHEN 1 THEN 'MSSQLSERVER' WHEN 2 THEN 'Service Control Manager' "
+            "WHEN 3 THEN 'Tenable Nessus Agent' "
+            "ELSE 'Microsoft-Windows-Security-Auditing' END AS provider, "
+            "CASE WHEN i % 5 = 4 THEN 'Security' ELSE 'Application' END "
+            "AS channel, "
+            "CASE WHEN i % 8 = 0 THEN 4662 WHEN i % 8 = 4 THEN 566 "
+            "ELSE 1000 + i % 7 END AS event_id, "
+            "CAST(i % 6 AS BIGINT) AS level, 'win-' || (i % 4) AS computer, "
+            "to_timestamp(1767225600 + i * 10) AT TIME ZONE 'UTC' AS ts "
+            "FROM r) "
+            "SELECT channel, provider, event_id, level, "
+            "CASE level WHEN 1 THEN 'FATAL' WHEN 2 THEN 'ERROR' "
+            "WHEN 3 THEN 'WARN' WHEN 5 THEN 'DEBUG' ELSE 'INFO' END "
+            "AS severity_text, "
+            "CAST(CASE level WHEN 1 THEN 21 WHEN 2 THEN 17 WHEN 3 THEN 13 "
+            "WHEN 5 THEN 5 ELSE 9 END AS TINYINT) AS severity_number, "
+            "ts, computer FROM f "
+            "WHERE provider NOT IN ('XENAGENT', 'Tenable Nessus Agent') "
+            "AND event_id NOT IN (4662, 566)"),
         "graphite_parse": (
             "WITH gb AS (SELECT 'servers.host' || (i % 4) || '.cpu' || "
             "(i % 2) || CASE WHEN i % 3 = 0 THEN ';dc=dc' || (i % 3) || "

@@ -392,3 +392,32 @@ def test_collectd_decode_semantics():
     assert out["ts"].astype("int64").tolist() == [
         10_000_000, 10_000_000, 20_250_000]
     assert list(out["value"]) == [1.0, 2.0, 3.5]
+
+
+def test_windows_event_parse_semantics():
+    """Raw XML passthrough as body, fractional-second SystemTime, level→
+    severity map, provider/event-id exclusion, missing-field tolerance."""
+    import pyarrow as pa
+
+    from splunk_otel_collector_ray.sources.winevt import parse_windows_events
+
+    ev = ("<Event><System><Provider Name='{p}'/><EventID>{e}</EventID>"
+          "<Level>{l}</Level><TimeCreated SystemTime='{t}'/>"
+          "<Channel>Application</Channel><Computer>w1</Computer>"
+          "</System></Event>")
+    rows = [
+        ev.format(p="App", e=7036, l=2, t="2026-01-01T00:00:01.250000Z"),
+        ev.format(p="XEN", e=1000, l=4, t="2026-01-01T00:00:02Z"),
+        ev.format(p="App", e=4662, l=3, t="2026-01-01T00:00:03.5Z"),
+        "<Event><System></System></Event>",  # all fields absent
+    ]
+    out = parse_windows_events(
+        pa.table({"text": rows}), exclude_providers=("XEN",),
+        exclude_event_ids=(4662,)).to_pandas()
+    assert list(out["event_id"]) == [7036, 0]
+    assert list(out["severity_text"]) == ["ERROR", "INFO"]
+    assert list(out["severity_number"]) == [17, 9]
+    assert out["severity_number"].dtype == "int8"
+    assert out["ts"].iloc[0].microsecond == 250000
+    assert pd.isna(out["ts"].iloc[1])  # unparseable time → null, row kept
+    assert out["body"].iloc[0] == rows[0]  # raw XML passthrough
