@@ -1138,6 +1138,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return _table(sf, "documents").map_batches(fn, batch_format="pyarrow")
 
+    def q_docs_repeated_grams(sf):
+        # intra-corpus repeated word-8-gram signal (Lee et al. dedup-paper
+        # shape): per doc, distinct grams shared with >=2 docs corpus-wide
+        return ta.repeated_ngram_stats(_table(sf, "documents"))
+
     def q_docs_split(sf):
         # deterministic hash-based train/val/test split (90/5/5) — stable
         # across reruns, row order and cluster size; no shuffle
@@ -1754,6 +1759,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_simhash_neardup": q_docs_simhash_neardup,
         "docs_split": q_docs_split,
         "docs_mixture": q_docs_mixture,
+        "docs_repeated_grams": q_docs_repeated_grams,
         "emb_ann_topk": q_emb_ann_topk,
         "emb_neardup": q_emb_neardup,
         "emb_neardup_lsh": q_emb_neardup_lsh,
@@ -2322,6 +2328,21 @@ def oracle_sql() -> dict[str, str]:
             "WHERE doc_id % 25 <> 0 AND g IN (SELECT g FROM eg)) "
             "SELECT doc_id, doc_id IN (SELECT doc_id FROM hits) "
             "AS contaminated FROM documents WHERE doc_id % 25 <> 0"),
+        "docs_repeated_grams": (
+            # same token/gram construction as docs_decontaminate; hash vs
+            # string grams — equal up to ~1e-11 collision odds
+            "WITH toks AS MATERIALIZED (SELECT doc_id, "
+            r"regexp_extract_all(text, '[^ \t\n]+') AS t FROM documents), "
+            "grams AS MATERIALIZED (SELECT doc_id, "
+            "array_to_string(t[i:i+7], ' ') AS g FROM ("
+            "SELECT doc_id, t, unnest(range(1, greatest(length(t)-6, 1))) "
+            "AS i FROM toks)), "
+            "dg AS MATERIALIZED (SELECT DISTINCT doc_id, g FROM grams), "
+            "cnt AS (SELECT g, count(*) AS nd FROM dg GROUP BY g) "
+            "SELECT dg.doc_id, CAST(sum(CASE WHEN cnt.nd >= 2 THEN 1 "
+            "ELSE 0 END) AS BIGINT) AS repeated_grams, "
+            "CAST(count(*) AS BIGINT) AS total_grams "
+            "FROM dg JOIN cnt USING (g) GROUP BY dg.doc_id"),
         "docs_chunks": (
             "WITH d AS (SELECT doc_id, text, "
             "CAST(ceil(length(text) / 150.0) AS BIGINT) AS nc "

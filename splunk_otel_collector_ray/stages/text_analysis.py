@@ -295,6 +295,71 @@ class DecontaminateStage:
         return sub.append_column("contaminated", pa.array(hit))
 
 
+def repeated_ngram_stats(
+    ds: "ray.data.Dataset", n: int = 8, min_docs: int = 2,
+    text_col: str = "text", id_col: str = "doc_id",
+    num_buckets: int | None = None,
+) -> "ray.data.Dataset":
+    """Corpus-level duplication signal per doc: of its DISTINCT word
+    ``n``-grams, how many also appear in at least ``min_docs`` distinct
+    documents corpus-wide — the hash-count form of intra-corpus repeated-
+    span analysis (Lee et al., "Deduplicating Training Data Makes Language
+    Models Better": repeated ≥k-token spans across documents). Emits
+    ``(doc_id, repeated_grams, total_grams)`` for every doc with ≥1 gram.
+
+    Scale shape — fully distributed, no broadcast of the (potentially
+    huge) frequent-gram set: per batch, one vectorized gram-hash pass and
+    a (gram_hash, doc_id) unique-pair shrink; ONE bucketed exchange on
+    ``hash % B``; within each bucket one pandas pass computes per-gram
+    doc counts AND folds them straight into per-doc partials (the
+    gram→doc join never leaves the bucket); a final tiny groupby(doc)
+    sums the per-bucket partials. Text never shuffles.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..partitioning import default_num_buckets
+
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
+
+    def pair_shrink(t: pa.Table) -> pa.Table:
+        h, doc = _token_ngram_hashes(t[text_col].to_pandas(), n)
+        empty = pa.table({
+            id_col: pa.array([], pa.int64()),
+            "h": pa.array([], pa.int64()),
+            "_b": pa.array([], pa.int32())})
+        if not len(h):
+            return empty
+        order = np.lexsort((h, doc))
+        doc, h = doc[order], h[order]
+        keep = np.ones(len(h), dtype=bool)
+        keep[1:] = (doc[1:] != doc[:-1]) | (h[1:] != h[:-1])
+        doc, h = doc[keep], h[keep]
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            id_col: pa.array(ids[doc]),
+            "h": pa.array(h.astype(np.int64)),
+            "_b": pa.array((h % np.uint64(num_buckets)).astype(np.int32)),
+        })
+
+    def bucket_stats(g: pd.DataFrame) -> pd.DataFrame:
+        # doc ids are globally unique per batch, so (h, doc) pairs arrive
+        # already distinct; per-gram doc count = group size
+        nd = g.groupby("h", sort=False)["h"].transform("size")
+        g = g.assign(_r=(nd >= min_docs).astype(np.int64))
+        out = g.groupby(id_col, sort=False).agg(
+            repeated_grams=("_r", "sum"), total_grams=("_r", "size"))
+        return out.reset_index()
+
+    partials = (
+        ds.map_batches(pair_shrink, batch_format="pyarrow")
+        .groupby("_b").map_groups(bucket_stats, batch_format="pandas")
+    )
+    return partials.groupby(id_col).aggregate(
+        Sum("repeated_grams", alias_name="repeated_grams"),
+        Sum("total_grams", alias_name="total_grams"))
+
+
 def chunk_documents(batch: pa.Table, size: int = 200, stride: int = 150,
                     text_col: str = "text", id_col: str = "doc_id"
                     ) -> pa.Table:

@@ -342,3 +342,29 @@ def test_mixture_sample_rates_and_determinism(ray_session):
     out2 = mixture_sample(ray.data.from_arrow(docs), "source", "doc_id",
                           rates={"a": 0.1, "b": 0.5}).to_pandas()
     assert sorted(out["doc_id"]) == sorted(out2["doc_id"])  # deterministic
+
+
+def test_repeated_ngram_stats_planted(ray_session):
+    import ray.data
+
+    from splunk_otel_collector_ray.stages.text_analysis import (
+        repeated_ngram_stats,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # one 8-gram
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "text": [shared + " one two three",
+                 "x " + shared,
+                 "unique words only here nothing shared at all nine ten",
+                 "short"],  # < 8 tokens → no grams → no output row
+    })
+    out = (repeated_ngram_stats(ray.data.from_arrow(docs)).to_pandas()
+           .set_index("doc_id").sort_index())
+    assert set(out.index) == {1, 2, 3}
+    # docs 1+2 share exactly the one 8-gram window "alpha..theta"
+    assert out.loc[1, "repeated_grams"] == 1
+    assert out.loc[2, "repeated_grams"] == 1
+    assert out.loc[3, "repeated_grams"] == 0
+    assert out.loc[1, "total_grams"] == 4   # 11 tokens → 4 windows
+    assert out.loc[3, "total_grams"] == 3   # 10 tokens → 3 windows
