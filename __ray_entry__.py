@@ -1471,6 +1471,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return read_collectd_json(corpus.ensure_collectd_jsonl())
 
+    def q_syslog_5424(sf):
+        # syslog receiver rfc5424 mode (components.go:275): PRI decompose,
+        # offset timestamps, nil fields, structured-data params
+        import datetime
+
+        import ray.data
+        from splunk_otel_collector_ray.sources.syslog import read_syslog_5424
+
+        def fmt(tsec, frac_us, off):
+            if off == "Z":
+                base = datetime.datetime.fromtimestamp(
+                    tsec, datetime.timezone.utc)
+                s = base.strftime("%Y-%m-%dT%H:%M:%S")
+                if frac_us is not None:
+                    s += f".{frac_us:06d}"
+                return s + "Z"
+            sign = 1 if off.startswith("+") else -1
+            secs = sign * (int(off[1:3]) * 3600 + int(off[4:6]) * 60)
+            base = datetime.datetime.fromtimestamp(
+                tsec + secs, datetime.timezone.utc)
+            return base.strftime("%Y-%m-%dT%H:%M:%S") + off
+
+        lines = []
+        for i in range(128):
+            pri = [4, 10, 16][i % 3] * 8 + i % 8
+            t = 1767225600 + i * 10
+            tstr = [fmt(t, i * 1000, "Z"), fmt(t, None, "-05:00"),
+                    fmt(t, None, "Z"), fmt(t, None, "+01:00")][i % 4]
+            host = "-" if i % 16 == 5 else f"host{i % 4}"
+            sd = ('[exampleSDID@32473 iut="3" eventID="1011"]'
+                  if i % 3 == 0 else "-")
+            msg = "" if i % 8 == 7 else f" event {i} occurred"
+            lines.append(f"<{pri}>1 {tstr} {host} app{i % 5} - ID47 {sd}"
+                         f"{msg}")
+        ds = ray.data.from_arrow(pa.table({"text": pa.array(lines)}))
+        return read_syslog_5424(ds)
+
     def q_winevt_parse(sf):
         # windows_event_log receiver (splunk_logs_config_windows.yaml:2-27):
         # raw event XML → typed records, exclude_providers + exclude_events
@@ -1786,6 +1823,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "statsd_parse": q_statsd_parse,
         "collectd_parse": q_collectd_parse,
         "winevt_parse": q_winevt_parse,
+        "syslog_5424": q_syslog_5424,
         "graphite_parse": q_graphite_parse,
         "wavefront_parse": q_wavefront_parse,
         "groupbyattrs": q_groupbyattrs,
@@ -2620,6 +2658,29 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN i % 4 = 0 THEN '' ELSE 'value' END AS dsname, "
             "CASE WHEN i % 4 = 3 THEN 'env=prod,dc=dc' || (i % 3) "
             "ELSE '' END AS labels FROM ds"),
+        "syslog_5424": (
+            "WITH r AS (SELECT range AS i FROM range(128)) "
+            "SELECT CAST(CASE i % 3 WHEN 0 THEN 4 WHEN 1 THEN 10 "
+            "ELSE 16 END AS BIGINT) AS facility, "
+            "CASE i % 8 WHEN 0 THEN 'FATAL' WHEN 1 THEN 'ERROR3' "
+            "WHEN 2 THEN 'ERROR2' WHEN 3 THEN 'ERROR' WHEN 4 THEN 'WARN' "
+            "WHEN 5 THEN 'INFO2' WHEN 6 THEN 'INFO' ELSE 'DEBUG' END "
+            "AS severity_text, "
+            "CAST(CASE i % 8 WHEN 0 THEN 21 WHEN 1 THEN 19 WHEN 2 THEN 18 "
+            "WHEN 3 THEN 17 WHEN 4 THEN 13 WHEN 5 THEN 10 WHEN 6 THEN 9 "
+            "ELSE 5 END AS TINYINT) AS severity_number, "
+            "CAST(1 AS BIGINT) AS version, "
+            "to_timestamp(1767225600 + i * 10 + CASE WHEN i % 4 = 0 THEN "
+            "(i * 1000) / 1000000.0 ELSE 0 END) AT TIME ZONE 'UTC' AS ts, "
+            "CASE WHEN i % 16 = 5 THEN '' ELSE 'host' || (i % 4) END "
+            "AS hostname, "
+            "'app' || (i % 5) AS appname, '' AS proc_id, 'ID47' AS msg_id, "
+            "CASE WHEN i % 3 = 0 THEN 'exampleSDID@32473' ELSE '' END "
+            "AS sd_id, "
+            "CASE WHEN i % 3 = 0 THEN 'iut=3,eventID=1011' ELSE '' END "
+            "AS sd_params, "
+            "CASE WHEN i % 8 = 7 THEN '' ELSE 'event ' || i || ' occurred' "
+            "END AS body FROM r"),
         "winevt_parse": (
             "WITH r AS (SELECT range AS i FROM range(128)), "
             "f AS (SELECT i, CASE i % 5 WHEN 0 THEN 'XENAGENT' "

@@ -421,3 +421,29 @@ def test_windows_event_parse_semantics():
     assert out["ts"].iloc[0].microsecond == 250000
     assert pd.isna(out["ts"].iloc[1])  # unparseable time → null, row kept
     assert out["body"].iloc[0] == rows[0]  # raw XML passthrough
+
+
+def test_syslog_5424_parse_semantics():
+    """PRI decomposition, offset-timestamp math, nil fields, SD params,
+    malformed-line drop."""
+    import pyarrow as pa
+
+    from splunk_otel_collector_ray.sources.syslog import parse_syslog_5424
+
+    rows = [
+        '<165>1 2026-01-01T00:00:10.250000Z host1 app - ID47 '
+        '[x@1 k="v" k2="w w"] hello world',
+        '<13>1 2026-01-01T05:00:10-05:00 - - - - - no structured data',
+        "not a syslog line",
+    ]
+    out = parse_syslog_5424(pa.table({"text": rows})).to_pandas()
+    assert len(out) == 2  # malformed dropped
+    assert list(out["facility"]) == [20, 1]
+    assert list(out["severity_text"]) == ["INFO2", "INFO2"]  # sev 5 both
+    assert out["ts"].iloc[0].microsecond == 250000
+    # -05:00 local 05:00:10 == 10:00:10 UTC
+    assert str(out["ts"].iloc[1]) == "2026-01-01 10:00:10"
+    assert out["sd_id"].iloc[0] == "x@1"
+    assert out["sd_params"].iloc[0] == "k=v,k2=w w"  # space kept in value
+    assert out["hostname"].iloc[1] == ""  # nil
+    assert out["body"].iloc[1] == "no structured data"
