@@ -1138,6 +1138,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return _table(sf, "documents").map_batches(fn, batch_format="pyarrow")
 
+    def q_pii_signals(sf):
+        # PII detection signals over the turn stream (the audit companion
+        # of the sanitize/redaction pass)
+        ds = _read_transcripts(sf).map_batches(
+            ta.pii_signals, batch_format="pyarrow")
+        return ds.select_columns(
+            ["conv_id", "turn_idx", "n_emails", "n_ipv4", "n_phones",
+             "has_pii"])
+
     def q_docs_repeated_grams(sf):
         # intra-corpus repeated word-8-gram signal (Lee et al. dedup-paper
         # shape): per doc, distinct grams shared with >=2 docs corpus-wide
@@ -1797,6 +1806,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_split": q_docs_split,
         "docs_mixture": q_docs_mixture,
         "docs_repeated_grams": q_docs_repeated_grams,
+        "pii_signals": q_pii_signals,
         "emb_ann_topk": q_emb_ann_topk,
         "emb_neardup": q_emb_neardup,
         "emb_neardup_lsh": q_emb_neardup_lsh,
@@ -2366,6 +2376,20 @@ def oracle_sql() -> dict[str, str]:
             "WHERE doc_id % 25 <> 0 AND g IN (SELECT g FROM eg)) "
             "SELECT doc_id, doc_id IN (SELECT doc_id FROM hits) "
             "AS contaminated FROM documents WHERE doc_id % 25 <> 0"),
+        "pii_signals": C + (
+            r"SELECT conv_id, turn_idx, "
+            r"CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@"
+            r"[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails, "
+            r"CAST(len(regexp_extract_all(text, '[0-9]{1,3}\.[0-9]{1,3}\."
+            r"[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ipv4, "
+            r"CAST(len(regexp_extract_all(text, '[0-9]{3}[-.][0-9]{3}[-.]"
+            r"[0-9]{4}')) AS BIGINT) AS n_phones, "
+            r"(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@"
+            r"[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) + "
+            r"len(regexp_extract_all(text, '[0-9]{1,3}\.[0-9]{1,3}\."
+            r"[0-9]{1,3}\.[0-9]{1,3}')) + "
+            r"len(regexp_extract_all(text, '[0-9]{3}[-.][0-9]{3}[-.]"
+            r"[0-9]{4}'))) > 0 AS has_pii FROM raw"),
         "docs_repeated_grams": (
             # same token/gram construction as docs_decontaminate; hash vs
             # string grams — equal up to ~1e-11 collision odds

@@ -12,6 +12,7 @@ import re
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 # tiny per-language stopword profiles (n-gram/stopword heuristic language ID)
 LANG_STOPWORDS: dict[str, frozenset[str]] = {
@@ -293,6 +294,35 @@ class DecontaminateStage:
             contaminated = doc[np.isin(h, self.eval_h)]
             hit[np.unique(contaminated)] = True
         return sub.append_column("contaminated", pa.array(hit))
+
+
+_PII_PATTERNS = {
+    # explicit ASCII classes (CLAUDE.md rule); all three are RE2 patterns
+    # counted identically by pyarrow and DuckDB (both RE2, leftmost
+    # non-overlapping)
+    "n_emails": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "n_ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+    "n_phones": r"[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}",
+}
+
+
+def pii_signals(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-record PII detection signals: counts of email / IPv4 / phone
+    shapes plus an any-hit flag — the detection side of the redaction
+    processor (the corpus-audit step before a sanitize pass; the
+    redaction itself is stages/transform.RedactRegex). One
+    ``count_substring_regex`` kernel per pattern, no row loop."""
+    txt = batch[text_col]
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    out = batch
+    total = np.zeros(batch.num_rows, dtype=np.int64)
+    for name, rx in _PII_PATTERNS.items():
+        c = pc.count_substring_regex(txt, rx).cast(pa.int64())
+        n = pc.fill_null(c, 0).to_numpy(zero_copy_only=False)
+        total += n
+        out = out.append_column(name, pa.array(n))
+    return out.append_column("has_pii", pa.array(total > 0))
 
 
 def repeated_ngram_stats(
