@@ -863,6 +863,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda t: em(t, name_col="event_type"), batch_format="pyarrow")
         return grouped_count(ds, ["event_type", "plugin"])
 
+    def _event_datapoints(sf):
+        # events → metricstransform datapoint shape: name + string labels
+        # (ub = user bucket, day) + double value
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        def shape(t: "pa.Table") -> "pa.Table":
+            ub = pc.cast(pc.bit_wise_and(t["user_id"], 3), pa.string())
+            day = pc.strftime(t["ts"], format="%Y-%m-%d")
+            return pa.table({"name": t["event_type"], "ub": ub, "day": day,
+                             "value": t["value"]})
+
+        return _table(sf, "events").map_batches(shape, batch_format="pyarrow")
+
+    def q_metric_agg_labels(sf):
+        # metricstransform aggregate_labels (full_config_linux.yaml:525-540):
+        # for the matched metric keep only label_set labels and merge the
+        # collapsed datapoints with the aggregation_type; other metrics keep
+        # all labels and pass through the same grouped reduce unchanged
+        from splunk_otel_collector_ray.stages.metrics import (
+            metrics_aggregate_labels)
+
+        return metrics_aggregate_labels(
+            _event_datapoints(sf), name_col="name", labels=["ub", "day"],
+            label_set=["ub"], aggregation_type="mean", include="view",
+            match_type="strict")
+
+    def q_metric_agg_values(sf):
+        # metricstransform aggregate_label_values: collapse the listed label
+        # values into new_value for regexp-matched metrics, then merge
+        from splunk_otel_collector_ray.stages.metrics import (
+            metrics_aggregate_label_values)
+
+        return metrics_aggregate_label_values(
+            _event_datapoints(sf), name_col="name", labels=["ub", "day"],
+            label="ub", aggregated_values=["1", "3"], new_value="odd",
+            aggregation_type="sum", include="^(click|view)$",
+            match_type="regexp")
+
     def q_lineitem_pricing(sf):
         return grouped_count_sum(
             _table(sf, "lineitem"), ["l_returnflag", "l_linestatus"],
@@ -1775,6 +1814,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rate": q_events_rate,
         "events_topk": q_events_topk,
         "metric_rename": q_metric_rename,
+        "metric_agg_labels": q_metric_agg_labels,
+        "metric_agg_values": q_metric_agg_values,
         "telegraf_emit": q_telegraf_emit,
         "lineitem_pricing": q_lineitem_pricing,
         "docs_exact_dedup": q_docs_exact_dedup,
@@ -2289,6 +2330,27 @@ def oracle_sql() -> dict[str, str]:
             r"SELECT regexp_replace(regexp_replace(event_type, "
             r"'^(click|view)$', 'ui.\1'), '\.', '_', 'g') AS event_type, "
             "COUNT(*) AS n FROM events GROUP BY 1"),
+        "metric_agg_labels": (
+            # matched metric ('view'): day label nulled → grouped merge by
+            # (name, ub); others keep day so the same GROUP BY is a no-op
+            "WITH dp AS (SELECT event_type AS name, "
+            "CAST(user_id % 4 AS VARCHAR) AS ub, "
+            "strftime(ts, '%Y-%m-%d') AS day, value FROM events), "
+            "nulled AS (SELECT name, ub, "
+            "CASE WHEN name = 'view' THEN NULL ELSE day END AS day, value "
+            "FROM dp) "
+            "SELECT name, ub, day, AVG(value) AS value "
+            "FROM nulled GROUP BY name, ub, day"),
+        "metric_agg_values": (
+            "WITH dp AS (SELECT event_type AS name, "
+            "CAST(user_id % 4 AS VARCHAR) AS ub, "
+            "strftime(ts, '%Y-%m-%d') AS day, value FROM events), "
+            "coll AS (SELECT name, "
+            "CASE WHEN regexp_matches(name, '^(click|view)$') "
+            "AND ub IN ('1','3') THEN 'odd' ELSE ub END AS ub, day, value "
+            "FROM dp) "
+            "SELECT name, ub, day, SUM(value) AS value FROM coll "
+            "GROUP BY name, ub, day"),
         "telegraf_emit": (
             # nameMap hit short-circuits the transform chain; exclusion is
             # checked on the FINAL name (baseemitter.go:159-183,281-287)

@@ -585,3 +585,111 @@ def dimension_upsert(
         .groupby("_bucket")
         .map_groups(final_bucket, batch_format="pandas")
     )
+
+
+# --- metricstransform aggregate operations ---------------------------------
+
+def _mt_mask(names, include: str | None, match_type: str):
+    """metricstransform include/match_type metric selector
+    (cmd/otelcol/config/collector/full_config_linux.yaml:506-509):
+    strict = exact name equality, regexp = regex match. None = all metrics."""
+    if include is None:
+        return None
+    if match_type == "strict":
+        return pc.equal(names, include)
+    return pc.match_substring_regex(names, include)
+
+
+def _mt_reduce(ds: "ray.data.Dataset", keys: list[str], value_col: str,
+               aggregation_type: str) -> "ray.data.Dataset":
+    """Grouped datapoint merge with mergeable (n, sum, min, max) partials —
+    each batch shrinks to ≤1 row/group before the exchange, so the shuffle
+    moves O(groups × blocks) rows, never the stream."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.select([*keys, value_col]).group_by(keys).aggregate(
+            [([], "count_all"), (value_col, "sum"),
+             (value_col, "min"), (value_col, "max")])
+        return g.rename_columns([*keys, "_n", "_sum", "_min", "_max"])
+
+    combined = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(keys)
+        .aggregate(Sum("_n", alias_name="_n"), Sum("_sum", alias_name="_sum"),
+                   Min("_min", alias_name="_min"),
+                   Max("_max", alias_name="_max")))
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if aggregation_type == "sum":
+            v = t["_sum"]
+        elif aggregation_type == "mean":
+            v = pc.divide(pc.cast(t["_sum"], pa.float64()),
+                          pc.cast(t["_n"], pa.float64()))
+        elif aggregation_type == "min":
+            v = t["_min"]
+        elif aggregation_type == "max":
+            v = t["_max"]
+        else:
+            raise ValueError(f"unknown aggregation_type {aggregation_type!r}")
+        return (t.drop_columns(["_n", "_sum", "_min", "_max"])
+                .append_column(value_col, pc.cast(v, pa.float64())))
+
+    return combined.map_batches(finalize, batch_format="pyarrow")
+
+
+def metrics_aggregate_labels(
+    ds: "ray.data.Dataset", *, name_col: str, labels: list[str],
+    label_set: list[str], value_col: str = "value",
+    aggregation_type: str = "sum", include: str | None = None,
+    match_type: str = "strict",
+) -> "ray.data.Dataset":
+    """metricstransform `aggregate_labels` operation
+    (full_config_linux.yaml:525-540): for metrics matching `include`, keep
+    only the labels in `label_set` (the rest are nulled) and merge datapoints
+    that became identical with `aggregation_type` (sum|mean|min|max).
+
+    Non-matching metrics keep all their labels, so the single grouped reduce
+    passes them through unchanged — no separate pass-through branch.
+    """
+    drop = [c for c in labels if c not in label_set]
+
+    def nullify(t: pa.Table) -> pa.Table:
+        mask = _mt_mask(t[name_col], include, match_type)
+        for c in drop:
+            i = t.column_names.index(c)
+            arr = t[c]
+            if mask is None:
+                new = pa.nulls(len(t), type=arr.type)
+            else:
+                new = pc.if_else(mask, pa.scalar(None, type=arr.type), arr)
+            t = t.set_column(i, c, new)
+        return t
+
+    nd = ds.map_batches(nullify, batch_format="pyarrow")
+    return _mt_reduce(nd, [name_col, *labels], value_col, aggregation_type)
+
+
+def metrics_aggregate_label_values(
+    ds: "ray.data.Dataset", *, name_col: str, labels: list[str], label: str,
+    aggregated_values: list[str], new_value: str, value_col: str = "value",
+    aggregation_type: str = "sum", include: str | None = None,
+    match_type: str = "strict",
+) -> "ray.data.Dataset":
+    """metricstransform `aggregate_label_values` operation
+    (full_config_linux.yaml:530-540): for metrics matching `include`,
+    rewrite the listed values of `label` to `new_value`, then merge
+    datapoints that became identical with `aggregation_type`."""
+
+    def collapse(t: pa.Table) -> pa.Table:
+        hit = pc.is_in(t[label],
+                       value_set=pa.array(aggregated_values, type=pa.string()))
+        mask = _mt_mask(t[name_col], include, match_type)
+        if mask is not None:
+            hit = pc.and_(mask, hit)
+        i = t.column_names.index(label)
+        return t.set_column(
+            i, label, pc.if_else(hit, pa.scalar(new_value), t[label]))
+
+    nd = ds.map_batches(collapse, batch_format="pyarrow")
+    return _mt_reduce(nd, [name_col, *labels], value_col, aggregation_type)

@@ -447,3 +447,41 @@ def test_syslog_5424_parse_semantics():
     assert out["sd_params"].iloc[0] == "k=v,k2=w w"  # space kept in value
     assert out["hostname"].iloc[1] == ""  # nil
     assert out["body"].iloc[1] == "no structured data"
+
+
+def test_metrics_aggregate_labels_and_values(ray_session):
+    import ray.data
+
+    from splunk_otel_collector_ray.stages.metrics import (
+        metrics_aggregate_label_values, metrics_aggregate_labels)
+
+    dp = pd.DataFrame({
+        "name": ["m", "m", "m", "other", "other"],
+        "host": ["a", "b", "a", "a", "b"],
+        "zone": ["z1", "z1", "z2", "z1", "z2"],
+        "value": [1.0, 2.0, 4.0, 8.0, 16.0],
+    })
+
+    # aggregate_labels keeps only `zone` for metric m (max of collapsed
+    # points); `other` keeps both labels so its rows pass through untouched
+    out = metrics_aggregate_labels(
+        ray.data.from_pandas(dp), name_col="name", labels=["host", "zone"],
+        label_set=["zone"], aggregation_type="max", include="m",
+        match_type="strict").to_pandas()
+    m = out[out["name"] == "m"].sort_values("zone")
+    assert m["host"].isna().all()
+    assert list(m["zone"]) == ["z1", "z2"]
+    assert list(m["value"]) == [2.0, 4.0]
+    other = out[out["name"] == "other"]
+    assert len(other) == 2 and set(other["value"]) == {8.0, 16.0}
+
+    # aggregate_label_values collapses z1/z2 → z for regexp-matched metrics
+    out2 = metrics_aggregate_label_values(
+        ray.data.from_pandas(dp), name_col="name", labels=["host", "zone"],
+        label="zone", aggregated_values=["z1", "z2"], new_value="z",
+        aggregation_type="sum", include="^m$",
+        match_type="regexp").to_pandas()
+    m2 = out2[out2["name"] == "m"].sort_values("host")
+    assert list(m2["zone"]) == ["z", "z"]
+    assert list(m2["value"]) == [5.0, 2.0]  # host a: 1+4, host b: 2
+    assert set(out2[out2["name"] == "other"]["zone"]) == {"z1", "z2"}
