@@ -556,6 +556,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return ds.select_columns(
             ["conv_id", "turn_idx", "role_uc", "text_len", "tool_uc"])
 
+    def q_ottl_converters(sf):
+        # second OTTL converter wave: SHA256 (hex digest), Trim, Double, and
+        # Int with truncation + null-on-unparseable (hex 'a'-'f' first chars
+        # land null) — statements chain, later ones read earlier outputs
+        from splunk_otel_collector_ray.functions.ottl import OttlTransform
+
+        tr = OttlTransform([
+            'set(sha, SHA256(text))',
+            'set(tlen, Len(Trim(text)))',
+            'set(dchars, Double(n_chars))',
+            'set(icode, Int(Substring(sha, 0, 1)))',
+        ])
+        ds = _table(sf, "documents").map_batches(tr, batch_format="pyarrow")
+        return ds.select_columns(["doc_id", "sha", "tlen", "dchars", "icode"])
+
     def q_discovery_status(sf):
         # discovery receiver Match-rule evaluation as one queryable stage:
         # (strict|regexp|expr) table, first-match-wins, emit-once per
@@ -1793,6 +1808,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "discovery_status": q_discovery_status,
         "ottl_replace": q_ottl_replace,
         "ottl_functions": q_ottl_functions,
+        "ottl_converters": q_ottl_converters,
         "truncate": q_truncate,
         "recombine": q_recombine,
         "multiline_frame": q_multiline_frame,
@@ -2209,6 +2225,15 @@ def oracle_sql() -> dict[str, str]:
             "length(text) AS text_len, "
             "CASE WHEN role = 'tool' THEN upper(tool) ELSE tool END "
             "AS tool_uc FROM raw"),
+        "ottl_converters": (
+            # SHA256 → sha256(); Trim → TRIM with the ASCII whitespace set
+            # (utf8_trim_whitespace twin on an ASCII corpus); Int truncates
+            # toward zero with TRY_CAST null-on-unparseable
+            "SELECT doc_id, sha256(text) AS sha, "
+            "length(TRIM(text, ' \t\n\r\f')) AS tlen, "
+            "CAST(n_chars AS DOUBLE) AS dchars, "
+            "CAST(TRUNC(TRY_CAST(substr(sha256(text), 1, 1) AS DOUBLE)) "
+            "AS BIGINT) AS icode FROM documents"),
         "ottl_statements": C + (
             "SELECT conv_id, turn_idx, "
             "CASE WHEN severity_number = 10 THEN 'NOTICE' ELSE severity_text "

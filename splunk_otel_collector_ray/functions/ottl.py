@@ -25,6 +25,8 @@ Grammar:
   <value>  := literal | column | attributes["key"]
             | Substring(<value>, start, length) | Concat([<value>…], sep)
             | ConvertCase(<value>, "upper"|"lower") | Len(<value>)
+            | Trim(<value>) | Int(<value>) | Double(<value>)
+            | SHA256(<value>)
   predicates may use IsMatch(col, "regex") — the upstream OTTL condition
   function (alias of functions.expr's matches()); replacement backrefs use
   RE2 ``\\1`` syntax (the kernel is pyarrow replace_substring_regex).
@@ -190,6 +192,59 @@ def _value_fn(node) -> Callable[[pa.Table], "np.ndarray | object"]:
                     zero_copy_only=False)
 
             return ln
+        if node.func.id == "Trim":
+            # upstream OTTL converter Trim(target): strip leading/trailing
+            # whitespace (pc.utf8_trim_whitespace — vectorized)
+            inner = _value_fn(node.args[0])
+
+            def tr(b, inner=inner):
+                v = inner(b)
+                arr = v if isinstance(v, pa.Array) else pa.array(
+                    v, type=pa.string())
+                return pc.utf8_trim_whitespace(arr).to_numpy(
+                    zero_copy_only=False)
+
+            return tr
+        if node.func.id in ("Int", "Double"):
+            # upstream OTTL type converters: string/number → int64 / float64.
+            # Unparseable inputs become null (upstream returns nil);
+            # Int("3.9") truncates toward zero like Go's int64 conversion.
+            inner = _value_fn(node.args[0])
+            is_int = node.func.id == "Int"
+
+            def conv(b, inner=inner, is_int=is_int):
+                v = inner(b)
+                s = pd.Series(v.to_pandas() if isinstance(v, pa.Array) else v)
+                num = pd.to_numeric(s, errors="coerce").to_numpy(np.float64)
+                if not is_int:
+                    return num  # NaN ≙ null for float64 columns
+                tr = np.trunc(num)
+                valid = ~np.isnan(tr)
+                # object array of python ints + None → pa.array infers int64
+                # with nulls, keeping the column type deterministic per batch
+                obj = np.empty(len(tr), dtype=object)
+                obj[valid] = tr[valid].astype(np.int64)
+                return obj
+
+            return conv
+        if node.func.id == "SHA256":
+            # upstream OTTL converter SHA256(target) → lowercase hex digest.
+            # No vectorized sha kernel exists in Arrow; the per-row hash is
+            # inherent (same as the attributes processor's hash action) and
+            # runs only on this statement's column, not the whole stream.
+            import hashlib
+
+            inner = _value_fn(node.args[0])
+
+            def sha(b, inner=inner):
+                v = inner(b)
+                s = pd.Series(
+                    v.to_pandas() if isinstance(v, pa.Array) else v)
+                return s.map(
+                    lambda x: hashlib.sha256(str(x).encode()).hexdigest()
+                    if x is not None else None).to_numpy(dtype=object)
+
+            return sha
         if node.func.id == "Concat":
             if not isinstance(node.args[0], ast.List):
                 raise ValueError("Concat([v…], sep) expected")

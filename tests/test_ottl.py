@@ -258,3 +258,31 @@ def test_convertcase_and_len_values():
     assert out["n"].to_pylist() == [5, 0]
     assert out["n"].type == pa.int64()
     assert out["tool"].to_pylist() == ["bash", "GREP"]  # guarded overwrite
+
+
+def test_trim_int_double_sha256_converters():
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    from splunk_otel_collector_ray.functions.ottl import OttlTransform
+
+    t = pa.table({"s": ["  pad  ", "x\t", "y"],
+                  "num": ["3.9", "-2.7", "nope"],
+                  "n": [1, 2, 3]})
+    out = OttlTransform([
+        'set(trimmed, Trim(s))',
+        'set(i, Int(num))',
+        'set(d, Double(num))',
+        'set(dn, Double(n))',
+        'set(h, SHA256(s))',
+    ])(t)
+    assert out["trimmed"].to_pylist() == ["pad", "x", "y"]
+    # Int truncates toward zero; unparseable → null; column stays int64
+    assert out["i"].to_pylist() == [3, -2, None]
+    assert out["i"].type == pa.int64()
+    d = out["d"].to_pylist()
+    assert d[0] == 3.9 and d[1] == -2.7 and (d[2] is None or np.isnan(d[2]))
+    assert out["dn"].to_pylist() == [1.0, 2.0, 3.0]
+    assert out["h"].to_pylist()[0] == hashlib.sha256(b"  pad  ").hexdigest()
