@@ -917,6 +917,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             aggregation_type="sum", include="^(click|view)$",
             match_type="regexp")
 
+    def q_events_hll(sf):
+        # HyperLogLog approximate distinct users per event type — mergeable
+        # register partials (max per bucket), deterministic mix64 hash so the
+        # SQL twin replays the identical registers and the APPROXIMATION
+        # itself is value-compared (stages/sketch.py)
+        from splunk_otel_collector_ray.stages.sketch import hll_distinct
+
+        return hll_distinct(_table(sf, "events"), "user_id", "event_type")
+
     def q_lineitem_pricing(sf):
         return grouped_count_sum(
             _table(sf, "lineitem"), ["l_returnflag", "l_linestatus"],
@@ -1831,6 +1840,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_topk": q_events_topk,
         "metric_rename": q_metric_rename,
         "metric_agg_labels": q_metric_agg_labels,
+        "events_hll": q_events_hll,
         "metric_agg_values": q_metric_agg_values,
         "telegraf_emit": q_telegraf_emit,
         "lineitem_pricing": q_lineitem_pricing,
@@ -1977,6 +1987,33 @@ _NEARDUP_CTES = (
     "JOIN np_sz sa ON sa.doc_id = doc_a "
     "JOIN np_sz sb ON sb.doc_id = doc_b "
     "WHERE CAST(i AS DOUBLE) / (sa.c + sb.c - i) >= 0.8)")
+
+
+def _events_hll_sql() -> str:
+    """SQL twin of sketch.hll_distinct(events.user_id by event_type, p=12):
+    replays mix64 (HUGEINT mod-2^64 CTE chain from sketch.mix64_sql_ctes),
+    the bucket/rho register decomposition (top 12 bits / leading zeros of
+    the low 52 bits via FLOOR(LOG2) — exact because w < 2^52 is exactly
+    representable as a double), the max-register merge, and the HLL estimate
+    with the linear-counting small-range correction."""
+    from splunk_otel_collector_ray.stages.sketch import mix64_sql_ctes
+
+    ctes, final = mix64_sql_ctes("event_type", "user_id", "events")
+    w = "h % 4503599627370496"
+    return (
+        f"WITH {ctes}, "
+        f"reg AS (SELECT event_type, h // 4503599627370496 AS bucket, "
+        f"MAX(CASE WHEN {w} = 0 THEN 53 ELSE 52 - "
+        f"CAST(FLOOR(LOG2({w})) AS BIGINT) END) AS rho "
+        f"FROM {final} GROUP BY 1, 2), "
+        "agg AS (SELECT event_type, COUNT(*) AS present, "
+        "SUM(POWER(2.0, -rho)) AS s FROM reg GROUP BY 1), "
+        "raw AS (SELECT event_type, present, "
+        "(0.7213 / (1 + 1.079 / 4096)) * 4096 * 4096 / "
+        "((4096 - present) + s) AS r FROM agg) "
+        "SELECT event_type, CASE WHEN r <= 10240.0 AND present < 4096 "
+        "THEN 4096 * LN(4096.0 / (4096 - present)) ELSE r END "
+        "AS approx_distinct FROM raw")
 
 
 def _minhash_groups_sql() -> str:
@@ -2355,6 +2392,7 @@ def oracle_sql() -> dict[str, str]:
             r"SELECT regexp_replace(regexp_replace(event_type, "
             r"'^(click|view)$', 'ui.\1'), '\.', '_', 'g') AS event_type, "
             "COUNT(*) AS n FROM events GROUP BY 1"),
+        "events_hll": _events_hll_sql(),
         "metric_agg_labels": (
             # matched metric ('view'): day label nulled → grouped merge by
             # (name, ub); others keep day so the same GROUP BY is a no-op

@@ -1,0 +1,135 @@
+"""Mergeable-sketch operators (beyond-reference training-data ops).
+
+The reference collector has no sketches (SURVEY §2.7: "Distinct/sketches:
+none"), but a 100 TB data-pipeline needs cardinality estimates that do NOT
+shuffle the stream. HyperLogLog (Flajolet, Fusy, Gandouet, Meunier, "HyperLogLog:
+the analysis of a near-optimal cardinality estimation algorithm", AofA 2007)
+is the canonical mergeable sketch: per-batch register partials merge with
+``max`` — the same partial-shrink shape as the count/sum connectors, so the
+exchange moves O(groups × m) register rows, never the values.
+
+Everything here is DETERMINISTIC (mix64 value hash, fixed register count),
+so the DuckDB oracle twin replays the identical registers with HUGEINT
+mod-2^64 arithmetic and the approximation itself is value-compared — not
+just bounds-tested.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+# SQL-replayable 64-bit mix: two rounds of 32-bit-limb multiply-accumulate
+# (mod 2^64) + xorshift. Multipliers are < 2^61 so the oracle twin's HUGEINT
+# products (2^32 limb × 2^61 constant = 2^93) stay far inside int128 — the
+# same wraparound-replay discipline as the MinHash twin. Constants are
+# arbitrary odd 61-bit values (golden-ratio-flavored, no special source).
+MIX_P = (0x1B87359353C9A6D1, 0x0D1B54A32D192ED3,
+         0x165667B19E3779F9, 0x1FC64E6B349B91A7)
+MIX_K = 0x27220A95FE7C3D4F
+_M64 = 1 << 64
+
+
+def mix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit hash over int64/uint64 values (wraps mod 2^64);
+    replayed bit-exactly by :func:`mix64_sql`."""
+    h = x.astype(np.uint64)
+    for p, q in (MIX_P[:2], MIX_P[2:]):
+        lo = h & np.uint64(0xFFFFFFFF)
+        hi = h >> np.uint64(32)
+        h = lo * np.uint64(p) + hi * np.uint64(q) + np.uint64(MIX_K)
+        h ^= h >> np.uint64(31)
+    return h
+
+
+def mix64_sql_ctes(carry: str, value_expr: str, source: str,
+                   prefix: str = "mx") -> tuple[str, str]:
+    """DuckDB CTE chain computing mix64(value_expr) with HUGEINT mod-2^64
+    arithmetic (value_expr must be non-negative integer). Returns
+    ``(cte_sql, final_name)``; the final CTE has columns ``(carry…, h)``.
+    Linear chain — each stage referenced once, so DuckDB never re-executes
+    the mix (the MATERIALIZED-CTE discipline is unnecessary here)."""
+    ctes = [f"{prefix}_in AS (SELECT {carry}, "
+            f"CAST({value_expr} AS HUGEINT) AS h FROM {source})"]
+    src = f"{prefix}_in"
+    for i, (p, q) in enumerate((MIX_P[:2], MIX_P[2:])):
+        ctes.append(f"{prefix}_m{i} AS (SELECT {carry}, "
+                    f"(h % 4294967296 * {p}::HUGEINT + "
+                    f"h // 4294967296 * {q}::HUGEINT + {MIX_K}::HUGEINT) "
+                    f"% {_M64}::HUGEINT AS t FROM {src})")
+        src = f"{prefix}_h{i}"
+        ctes.append(f"{src} AS (SELECT {carry}, "
+                    f"xor(t, t // 2147483648) AS h FROM {prefix}_m{i})")
+    return ", ".join(ctes), src
+
+
+def _rho(w: np.ndarray, width: int) -> np.ndarray:
+    """1 + leading-zero count of ``w`` within ``width`` bits (w < 2^width,
+    width ≤ 52 so the float64 log2 path is exact): rho = width - floor(log2 w)
+    for w > 0, else width + 1."""
+    out = np.full(len(w), width + 1, dtype=np.int64)
+    nz = w > 0
+    # w < 2^52 ≤ 2^53 → exactly representable; frexp exponent-1 == floor(log2)
+    _, exp = np.frexp(w[nz].astype(np.float64))
+    out[nz] = width - (exp - 1)
+    return out
+
+
+def hll_estimate(rhos: np.ndarray, m: int) -> float:
+    """HLL estimate from the present registers (absent buckets count rho=0,
+    i.e. contribute 2^0 = 1 to the denominator) with the standard
+    small-range linear-counting correction."""
+    present = len(rhos)
+    s = float(m - present) + float(
+        np.sum(np.power(2.0, -rhos.astype(np.float64))))
+    alpha = 0.7213 / (1 + 1.079 / m)
+    raw = alpha * m * m / s
+    v = m - present
+    if raw <= 2.5 * m and v > 0:
+        return m * math.log(m / v)
+    return raw
+
+
+def hll_distinct(
+    ds: "ray.data.Dataset", value_col: str, group_col: str, p: int = 12,
+    out: str = "approx_distinct",
+) -> "ray.data.Dataset":
+    """Approximate COUNT(DISTINCT value) per group via per-batch HLL
+    register partials.
+
+    Scale shape: each batch shrinks to ≤ groups × 2^p (bucket, rho) rows
+    before the exchange; the final merge is a grouped ``max`` over register
+    ids, and the estimate runs per group over ≤ 2^p tiny rows. The stream's
+    values never shuffle. Standard error ≈ 1.04/sqrt(2^p) (~1.6% at p=12).
+    """
+    m = 1 << p
+    width = 64 - p
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals = t[value_col].to_numpy(zero_copy_only=False)
+        h = mix64(vals)
+        bucket = (h >> np.uint64(width)).astype(np.int64)
+        w = h & np.uint64((1 << width) - 1)
+        df = pd.DataFrame({group_col: t[group_col].to_pandas(),
+                           "bucket": bucket, "rho": _rho(w, width)})
+        out_df = df.groupby([group_col, "bucket"], as_index=False)["rho"].max()
+        return pa.Table.from_pandas(out_df, preserve_index=False)
+
+    from ray.data.aggregate import Max
+
+    registers = (ds.map_batches(partial, batch_format="pyarrow")
+                 .groupby([group_col, "bucket"])
+                 .aggregate(Max("rho", alias_name="rho")))
+
+    def estimate(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            group_col: [g[group_col].iloc[0]],
+            out: [hll_estimate(g["rho"].to_numpy(), m)]})
+
+    return registers.groupby(group_col).map_groups(
+        estimate, batch_format="pandas")

@@ -619,3 +619,34 @@ def test_grid_quantiles(ray_session):
     assert got[("a", 0.5)] == 0.5      # rank 50 → bucket 50 → 0.50
     assert got[("a", 0.99)] == 0.99
     assert got[("b", 0.5)] == 5.0
+
+
+def test_hll_distinct_accuracy_and_merge(ray_session):
+    import ray.data
+
+    from splunk_otel_collector_ray.stages.sketch import (
+        _rho, hll_estimate, hll_distinct, mix64)
+
+    rng = np.random.default_rng(11)
+    vals = rng.integers(0, 10**12, 30000)
+    df = pd.DataFrame({"g": np.where(np.arange(len(vals)) % 2 == 0,
+                                     "a", "b"), "v": vals})
+    out = hll_distinct(ray.data.from_pandas(df), "v", "g").to_pandas()
+    exact = df.groupby("g")["v"].nunique()
+    for r in out.itertuples():
+        err = abs(r.approx_distinct - exact[r.g]) / exact[r.g]
+        assert err < 0.06, (r.g, r.approx_distinct, exact[r.g])
+
+    # register merge is associative: max-merged halves == whole-stream
+    width, m = 52, 4096
+    h = mix64(vals)
+    bucket = (h >> np.uint64(width)).astype(np.int64)
+    rho = _rho(h & np.uint64((1 << width) - 1), width)
+    whole = pd.DataFrame({"b": bucket, "r": rho}).groupby("b")["r"].max()
+    half = len(vals) // 2
+    h1 = pd.DataFrame({"b": bucket[:half], "r": rho[:half]}).groupby("b")["r"].max()
+    h2 = pd.DataFrame({"b": bucket[half:], "r": rho[half:]}).groupby("b")["r"].max()
+    merged = pd.concat([h1, h2]).groupby(level=0).max()
+    assert merged.equals(whole)
+    assert hll_estimate(merged.to_numpy(), m) == hll_estimate(
+        whole.to_numpy(), m)
