@@ -917,6 +917,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             aggregation_type="sum", include="^(click|view)$",
             match_type="regexp")
 
+    def q_docs_tfidf(sf):
+        # per-doc top-3 TF-IDF terms: batch-local tf pairs, grouped df,
+        # token-keyed idf join, partial-pruned per-doc top-k
+        from splunk_otel_collector_ray.stages.text_analysis import (
+            tfidf_top_terms)
+
+        return tfidf_top_terms(_table(sf, "documents"), k=3)
+
     def q_events_hll(sf):
         # HyperLogLog approximate distinct users per event type — mergeable
         # register partials (max per bucket), deterministic mix64 hash so the
@@ -1841,6 +1849,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "metric_rename": q_metric_rename,
         "metric_agg_labels": q_metric_agg_labels,
         "events_hll": q_events_hll,
+        "docs_tfidf": q_docs_tfidf,
         "metric_agg_values": q_metric_agg_values,
         "telegraf_emit": q_telegraf_emit,
         "lineitem_pricing": q_lineitem_pricing,
@@ -2393,6 +2402,20 @@ def oracle_sql() -> dict[str, str]:
             r"'^(click|view)$', 'ui.\1'), '\.', '_', 'g') AS event_type, "
             "COUNT(*) AS n FROM events GROUP BY 1"),
         "events_hll": _events_hll_sql(),
+        "docs_tfidf": (
+            # same whitespace tokenization as docs_top_tokens; idf = ln(N/df);
+            # top-3 per doc on the (score desc, token) total order
+            r"WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(text, "
+            r"'[ \t\n\f\r\v]+')) AS token FROM documents), "
+            "tf AS MATERIALIZED (SELECT doc_id, token, COUNT(*) AS tf "
+            "FROM tok WHERE token <> '' GROUP BY 1, 2), "
+            "df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1), "
+            "n AS (SELECT COUNT(*) AS n FROM documents) "
+            "SELECT doc_id, t.token, tf, "
+            "tf * LN(CAST(n AS DOUBLE) / df) AS score "
+            "FROM tf t JOIN df USING (token) CROSS JOIN n "
+            "QUALIFY row_number() OVER (PARTITION BY doc_id "
+            "ORDER BY score DESC, t.token) <= 3"),
         "metric_agg_labels": (
             # matched metric ('view'): day label nulled → grouped merge by
             # (name, ub); others keep day so the same GROUP BY is a no-op

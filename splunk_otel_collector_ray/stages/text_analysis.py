@@ -467,3 +467,58 @@ def fingerprint(batch: pa.Table, text_col: str = "text") -> pa.Table:
         (int.from_bytes(doc.encode("utf-8", "ignore"), "big") % M for doc in s),
         dtype=np.int64, count=len(s))
     return batch.append_column("fingerprint", pa.array(out, type=pa.int64()))
+
+
+def tfidf_top_terms(
+    ds: "ray.data.Dataset", k: int = 3, id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """Per-document top-k TF-IDF terms (whitespace tokens) — the classic
+    keyword/feature extraction a corpus pipeline runs before indexing.
+
+    score(d, t) = tf(d, t) · ln(N / df(t)).
+
+    Scale shape: (doc, token, tf) pairs are computed batch-locally (one doc
+    per row, so the pairs are already distinct per doc); df is a grouped
+    count of those pairs keyed on token — partials shrink per batch; idf
+    attaches via a hash join on token (zero-CPU aggregator actors, capped
+    partitions per the Dataset.join discipline); the per-doc top-k prunes
+    partially on the total order (score desc, token asc), so the final
+    reduce sees ≤ k rows per doc per batch.
+    """
+    import ray
+
+    from ..pipelines.aggregate import grouped_count, grouped_topk
+
+    def tf_pairs(t: pa.Table) -> pa.Table:
+        arr = t[text_col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        toks = pc.split_pattern_regex(arr, pattern="[ \\t\\n\\f\\r\\v]+")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        rows = np.repeat(t[id_col].to_numpy(zero_copy_only=False), lens)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        tbl = pa.table({id_col: pa.array(rows[keep]),
+                        "token": flat.filter(pa.array(keep))})
+        g = tbl.group_by([id_col, "token"]).aggregate([([], "count_all")])
+        return g.rename_columns([id_col, "token", "tf"])
+
+    n_docs = ds.count()
+    pairs = ds.map_batches(tf_pairs, batch_format="pyarrow")
+    df = grouped_count(pairs, ["token"], alias="df")
+    num_partitions = max(1, int(ray.cluster_resources().get("CPU", 8)) // 8)
+    joined = pairs.join(df, join_type="inner",
+                        num_partitions=num_partitions, on=("token",),
+                        aggregator_ray_remote_args={"num_cpus": 0})
+
+    def score(t: pa.Table) -> pa.Table:
+        idf = np.log(float(n_docs)
+                     / t["df"].to_numpy(zero_copy_only=False))
+        sc = t["tf"].to_numpy(zero_copy_only=False) * idf
+        return t.append_column("score", pa.array(sc, type=pa.float64()))
+
+    scored = joined.map_batches(score, batch_format="pyarrow") \
+        .select_columns([id_col, "token", "tf", "score"])
+    return grouped_topk(scored, [id_col], k,
+                        by=["score", "token"], ascending=[False, True])

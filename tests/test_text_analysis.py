@@ -16,3 +16,27 @@ def test_pii_signals_counts():
     assert list(out["n_ipv4"]) == [0, 2, 0, 0]
     assert list(out["n_phones"]) == [0, 0, 2, 0]
     assert list(out["has_pii"]) == [True, True, True, False]
+
+
+def test_tfidf_top_terms(ray_session):
+    import math
+
+    import pandas as pd
+    import ray.data
+
+    from splunk_otel_collector_ray.stages.text_analysis import tfidf_top_terms
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["cat cat dog", "dog fish", "fish fish fish bird"],
+    })
+    out = tfidf_top_terms(ray.data.from_pandas(docs), k=2).to_pandas()
+    got = {(r.doc_id, r.token): (r.tf, r.score) for r in out.itertuples()}
+    # doc 1: cat tf=2 df=1 → 2·ln3 beats dog tf=1 df=2 → ln(3/2)
+    assert got[(1, "cat")][0] == 2
+    assert math.isclose(got[(1, "cat")][1], 2 * math.log(3))
+    assert math.isclose(got[(1, "dog")][1], math.log(3 / 2))
+    # doc 3: fish tf=3 df=2 → 3·ln(3/2) vs bird tf=1 df=1 → ln3
+    assert math.isclose(got[(3, "fish")][1], 3 * math.log(3 / 2))
+    assert got[(3, "bird")][0] == 1
+    assert len(out) == 6  # k=2 per doc
