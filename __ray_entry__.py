@@ -925,6 +925,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return tfidf_top_terms(_table(sf, "documents"), k=3)
 
+    def q_docs_index(sf):
+        # inverted index build: distinct (token, doc) pair exchange bucketed
+        # by hash(token), per-bucket vectorized posting-string fold
+        from splunk_otel_collector_ray.stages.text_analysis import (
+            inverted_index)
+
+        return inverted_index(_table(sf, "documents"), min_df=3)
+
     def q_events_hll(sf):
         # HyperLogLog approximate distinct users per event type — mergeable
         # register partials (max per bucket), deterministic mix64 hash so the
@@ -1850,6 +1858,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "metric_agg_labels": q_metric_agg_labels,
         "events_hll": q_events_hll,
         "docs_tfidf": q_docs_tfidf,
+        "docs_index": q_docs_index,
         "metric_agg_values": q_metric_agg_values,
         "telegraf_emit": q_telegraf_emit,
         "lineitem_pricing": q_lineitem_pricing,
@@ -2402,6 +2411,15 @@ def oracle_sql() -> dict[str, str]:
             r"'^(click|view)$', 'ui.\1'), '\.', '_', 'g') AS event_type, "
             "COUNT(*) AS n FROM events GROUP BY 1"),
         "events_hll": _events_hll_sql(),
+        "docs_index": (
+            r"WITH tokraw AS (SELECT doc_id, "
+            r"unnest(regexp_split_to_array(text, '[ \t\n\f\r\v]+')) AS token "
+            "FROM documents), "
+            "tok AS (SELECT DISTINCT doc_id, token FROM tokraw "
+            "WHERE token <> '') "
+            "SELECT token, COUNT(*) AS df, "
+            "STRING_AGG(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) "
+            "AS postings FROM tok GROUP BY token HAVING COUNT(*) >= 3"),
         "docs_tfidf": (
             # same whitespace tokenization as docs_top_tokens; idf = ln(N/df);
             # top-3 per doc on the (score desc, token) total order

@@ -469,6 +469,23 @@ def fingerprint(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("fingerprint", pa.array(out, type=pa.int64()))
 
 
+def _tf_pairs(t: pa.Table, id_col: str, text_col: str) -> pa.Table:
+    """Batch-local distinct (id, token, tf) pairs over whitespace tokens —
+    the shared front end of tfidf_top_terms and inverted_index."""
+    arr = t[text_col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    toks = pc.split_pattern_regex(arr, pattern="[ \\t\\n\\f\\r\\v]+")
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(toks)
+    rows = np.repeat(t[id_col].to_numpy(zero_copy_only=False), lens)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    tbl = pa.table({id_col: pa.array(rows[keep]),
+                    "token": flat.filter(pa.array(keep))})
+    g = tbl.group_by([id_col, "token"]).aggregate([([], "count_all")])
+    return g.rename_columns([id_col, "token", "tf"])
+
+
 def tfidf_top_terms(
     ds: "ray.data.Dataset", k: int = 3, id_col: str = "doc_id",
     text_col: str = "text",
@@ -490,22 +507,9 @@ def tfidf_top_terms(
 
     from ..pipelines.aggregate import grouped_count, grouped_topk
 
-    def tf_pairs(t: pa.Table) -> pa.Table:
-        arr = t[text_col]
-        if isinstance(arr, pa.ChunkedArray):
-            arr = arr.combine_chunks()
-        toks = pc.split_pattern_regex(arr, pattern="[ \\t\\n\\f\\r\\v]+")
-        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
-        flat = pc.list_flatten(toks)
-        rows = np.repeat(t[id_col].to_numpy(zero_copy_only=False), lens)
-        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-        tbl = pa.table({id_col: pa.array(rows[keep]),
-                        "token": flat.filter(pa.array(keep))})
-        g = tbl.group_by([id_col, "token"]).aggregate([([], "count_all")])
-        return g.rename_columns([id_col, "token", "tf"])
-
     n_docs = ds.count()
-    pairs = ds.map_batches(tf_pairs, batch_format="pyarrow")
+    pairs = ds.map_batches(lambda t: _tf_pairs(t, id_col, text_col),
+                           batch_format="pyarrow")
     df = grouped_count(pairs, ["token"], alias="df")
     num_partitions = max(1, int(ray.cluster_resources().get("CPU", 8)) // 8)
     joined = pairs.join(df, join_type="inner",
@@ -522,3 +526,44 @@ def tfidf_top_terms(
         .select_columns([id_col, "token", "tf", "score"])
     return grouped_topk(scored, [id_col], k,
                         by=["score", "token"], ascending=[False, True])
+
+
+def inverted_index(
+    ds: "ray.data.Dataset", id_col: str = "doc_id", text_col: str = "text",
+    min_df: int = 2, num_buckets: int | None = None,
+) -> "ray.data.Dataset":
+    """Distributed inverted index: token → (df, ascending posting list) —
+    the search-index build step over a document corpus.
+
+    Scale shape: only distinct (token, doc) pairs move (batch-local fold
+    shrinks repeats first), bucketed by ``hash(token) % B`` with one
+    vectorized pandas fold per bucket building every posting string for its
+    tokens — never one task per token. ``min_df`` prunes hapax tokens
+    before the string build (they dominate raw vocabularies). Postings are
+    comma-joined ids ascending — deterministic, replayed by
+    ``STRING_AGG(… ORDER BY …)`` in the oracle twin.
+    """
+    if num_buckets is None:
+        from ..partitioning import default_num_buckets
+
+        num_buckets = default_num_buckets()
+
+    pairs = ds.map_batches(
+        lambda t: _tf_pairs(t, id_col, text_col).select([id_col, "token"]),
+        batch_format="pyarrow")
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        tok = t["token"].to_pandas().to_numpy(dtype=object)
+        hb = (pd.util.hash_array(tok) % num_buckets).astype(np.int32)
+        return t.append_column("_hb", pa.array(hb))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["token", id_col], kind="mergesort")
+        df_counts = g.groupby("token", sort=False)[id_col].agg(
+            df="size", postings=lambda s: ",".join(map(str, s)))
+        out = df_counts.reset_index()
+        return out[out["df"] >= min_df]
+
+    return (pairs.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("_hb")
+            .map_groups(fold, batch_format="pandas"))

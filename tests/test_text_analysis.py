@@ -40,3 +40,22 @@ def test_tfidf_top_terms(ray_session):
     assert math.isclose(got[(3, "fish")][1], 3 * math.log(3 / 2))
     assert got[(3, "bird")][0] == 1
     assert len(out) == 6  # k=2 per doc
+
+
+def test_inverted_index(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from splunk_otel_collector_ray.stages.text_analysis import inverted_index
+
+    docs = pd.DataFrame({
+        "doc_id": [3, 1, 2],
+        "text": ["cat dog cat", "dog bird", "dog cat"],
+    })
+    out = inverted_index(ray.data.from_pandas(docs),
+                         min_df=2).to_pandas()
+    got = {r.token: (r.df, r.postings) for r in out.itertuples()}
+    # cat appears in docs 2,3 (twice in 3 counts once); bird df=1 pruned
+    assert got["cat"] == (2, "2,3")
+    assert got["dog"] == (3, "1,2,3")
+    assert "bird" not in got
