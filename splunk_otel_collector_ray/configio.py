@@ -278,6 +278,85 @@ def migrate_telemetry_resource_attributes(doc: dict) -> dict:
     return doc
 
 
+# the three metric_relabel_configs generations shipped by the distribution
+# (disable_excessive_internal_metrics.go:40-79); V1/V2 are upgraded in place
+_RELABEL_V1 = [{"source_labels": ["__name__"], "regex": ".*grpc_io.*",
+                "action": "drop"}]
+_RELABEL_V2 = [
+    {"source_labels": ["__name__"], "regex": "otelcol_rpc_.*",
+     "action": "drop"},
+    {"source_labels": ["__name__"], "regex": "otelcol_http_.*",
+     "action": "drop"},
+    {"source_labels": ["__name__"], "regex": "otelcol_processor_batch_.*",
+     "action": "drop"},
+]
+_RELABEL_CURRENT = [
+    {"source_labels": ["__name__"],
+     "regex": "promhttp_metric_handler_errors.*", "action": "drop"},
+    {"source_labels": ["__name__"], "regex": "otelcol_processor_batch_.*",
+     "action": "drop"},
+]
+_PROM_INTERNAL_RECEIVERS = ("prometheus/internal", "prometheus/agent",
+                            "prometheus/k8s_cluster_receiver",
+                            "prometheus/collector")
+
+
+def disable_excessive_internal_metrics(doc: dict) -> dict:
+    """Document converter: upgrade the internal-metrics prometheus scrape
+    configs' drop lists from the V1/V2 generations to the current one —
+    only for ``otel-``-prefixed jobs whose ``metric_relabel_configs``
+    exactly equals an old default; anything user-customized is untouched
+    (disable_excessive_internal_metrics.go:84-133)."""
+    import copy
+
+    receivers = doc.get("receivers")
+    if not isinstance(receivers, dict):
+        return doc
+    doc = copy.deepcopy(doc)
+    for rname in _PROM_INTERNAL_RECEIVERS:
+        recv = doc.get("receivers", {}).get(rname)
+        if not isinstance(recv, dict):
+            continue
+        scrape = (recv.get("config") or {}).get("scrape_configs")
+        if not isinstance(scrape, list):
+            continue
+        for sc in scrape:
+            if not isinstance(sc, dict):
+                continue
+            job = sc.get("job_name")
+            if not isinstance(job, str) or not job.startswith("otel-"):
+                continue
+            mrcs = sc.get("metric_relabel_configs")
+            if mrcs is None:
+                continue  # unset stays unset
+            if mrcs == _RELABEL_V1 or mrcs == _RELABEL_V2:
+                sc["metric_relabel_configs"] = copy.deepcopy(_RELABEL_CURRENT)
+    return doc
+
+
+OPAMP_EXTENSION = "opamp/splunk_o11y"
+
+
+def remove_opamp_extension(gate_enabled: bool):
+    """Document-converter factory: the opamp feature-gate guard — when the
+    gate is DISABLED, drop ``opamp/splunk_o11y`` from service.extensions if
+    present; when enabled, leave the document alone (opamp.go:39-89)."""
+    def convert(doc: dict) -> dict:
+        if gate_enabled:
+            return doc
+        exts = ((doc.get("service") or {}).get("extensions"))
+        if not isinstance(exts, list) or OPAMP_EXTENSION not in exts:
+            return doc
+        import copy
+
+        doc = copy.deepcopy(doc)
+        doc["service"]["extensions"] = [
+            e for e in exts if e != OPAMP_EXTENSION]
+        return doc
+
+    return convert
+
+
 def service_specs(doc: dict) -> list[tuple[str, dict]]:
     """Collector-style document → ORDERED list of (pipeline name, native
     spec) for a multi-pipeline service.

@@ -382,3 +382,49 @@ def test_filelog_include_exclude_globs(ray_session, tmp_path):
               receivers: [filelog/transcripts]
     """))
     assert build_pipeline_from_yaml(str(yml)).count() == only0
+
+
+def test_disable_excessive_internal_metrics_converter():
+    from splunk_otel_collector_ray.configio import (
+        _RELABEL_CURRENT, _RELABEL_V1, _RELABEL_V2,
+        disable_excessive_internal_metrics)
+
+    custom = [{"source_labels": ["__name__"], "regex": "mine", "action": "keep"}]
+    doc = {"receivers": {"prometheus/internal": {"config": {"scrape_configs": [
+        {"job_name": "otel-collector",
+         "metric_relabel_configs": list(_RELABEL_V1)},
+        {"job_name": "otel-agent",
+         "metric_relabel_configs": list(_RELABEL_V2)},
+        {"job_name": "otel-custom", "metric_relabel_configs": custom},
+        {"job_name": "other-job",
+         "metric_relabel_configs": list(_RELABEL_V1)},
+        {"job_name": "otel-unset"},
+    ]}}}}
+    out = disable_excessive_internal_metrics(doc)
+    scs = out["receivers"]["prometheus/internal"]["config"]["scrape_configs"]
+    # V1 and V2 upgrade to current; custom, non-otel jobs, and unset stay
+    assert scs[0]["metric_relabel_configs"] == _RELABEL_CURRENT
+    assert scs[1]["metric_relabel_configs"] == _RELABEL_CURRENT
+    assert scs[2]["metric_relabel_configs"] == custom
+    assert scs[3]["metric_relabel_configs"] == _RELABEL_V1
+    assert "metric_relabel_configs" not in scs[4]
+    # input untouched (deepcopy discipline)
+    assert doc["receivers"]["prometheus/internal"]["config"][
+        "scrape_configs"][0]["metric_relabel_configs"] == _RELABEL_V1
+
+
+def test_remove_opamp_extension_gate():
+    from splunk_otel_collector_ray.configio import (
+        OPAMP_EXTENSION, remove_opamp_extension)
+
+    doc = {"service": {"extensions": [OPAMP_EXTENSION, "health_check"],
+                       "pipelines": {}}}
+    # gate enabled → untouched (same object back)
+    assert remove_opamp_extension(True)(doc) is doc
+    # gate disabled → opamp removed, others kept, original intact
+    out = remove_opamp_extension(False)(doc)
+    assert out["service"]["extensions"] == ["health_check"]
+    assert doc["service"]["extensions"] == [OPAMP_EXTENSION, "health_check"]
+    # absent extension → no-op
+    doc2 = {"service": {"extensions": ["health_check"]}}
+    assert remove_opamp_extension(False)(doc2) is doc2
