@@ -917,6 +917,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             aggregation_type="sum", include="^(click|view)$",
             match_type="regexp")
 
+    def q_events_cm(sf):
+        # count-min heavy hitters: order-independent counter grid (per-batch
+        # bincount partials), exact top-10 candidates, min-over-rows estimate
+        from splunk_otel_collector_ray.stages.sketch import cm_heavy_hitters
+
+        return cm_heavy_hitters(_table(sf, "events"), "user_id", k=10)
+
     def q_docs_tfidf(sf):
         # per-doc top-3 TF-IDF terms: batch-local tf pairs, grouped df,
         # token-keyed idf join, partial-pruned per-doc top-k
@@ -1859,6 +1866,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hll": q_events_hll,
         "docs_tfidf": q_docs_tfidf,
         "docs_index": q_docs_index,
+        "events_cm": q_events_cm,
         "metric_agg_values": q_metric_agg_values,
         "telegraf_emit": q_telegraf_emit,
         "lineitem_pricing": q_lineitem_pricing,
@@ -2032,6 +2040,40 @@ def _events_hll_sql() -> str:
         "SELECT event_type, CASE WHEN r <= 10240.0 AND present < 4096 "
         "THEN 4096 * LN(4096.0 / (4096 - present)) ELSE r END "
         "AS approx_distinct FROM raw")
+
+
+def _events_cm_sql(k: int = 10, depth: int = 4, width: int = 1024) -> str:
+    """SQL twin of sketch.cm_heavy_hitters(events.user_id): replays the four
+    seeded mix64 rows (one CTE chain each), the depth×width counter grid
+    (grouped counts — commutative, so order-independent like the engine's
+    partials), the exact top-k candidates (count desc, user_id tiebreak),
+    and the min-over-rows estimate."""
+    from splunk_otel_collector_ray.stages.sketch import (CM_SEEDS,
+                                                         mix64_sql_ctes)
+
+    chains, buckets = [], []
+    for d, seed in enumerate(CM_SEEDS[:depth]):
+        vexpr = ("user_id" if seed == 0 else
+                 f"xor(CAST(user_id AS HUGEINT), {seed}::HUGEINT)")
+        cte, final = mix64_sql_ctes("user_id", vexpr, "ev", prefix=f"c{d}")
+        chains.append(cte)
+        buckets.append(f"SELECT {d} AS d, user_id, h % {width} AS bucket "
+                       f"FROM {final}")
+    allb = " UNION ALL ".join(buckets)
+    return (
+        "WITH ev AS (SELECT user_id FROM events), "
+        + ", ".join(chains) + ", "
+        f"allb AS MATERIALIZED ({allb}), "
+        "grid AS (SELECT d, bucket, COUNT(*) AS n FROM allb GROUP BY 1, 2), "
+        "exact AS (SELECT user_id, COUNT(*) AS n_exact FROM ev GROUP BY 1), "
+        "top AS MATERIALIZED (SELECT user_id, n_exact FROM exact "
+        f"ORDER BY n_exact DESC, user_id LIMIT {k}), "
+        "cb AS (SELECT DISTINCT d, user_id, bucket FROM allb "
+        "WHERE user_id IN (SELECT user_id FROM top)) "
+        "SELECT t.user_id, t.n_exact, MIN(g.n) AS n_est "
+        "FROM top t JOIN cb ON cb.user_id = t.user_id "
+        "JOIN grid g ON g.d = cb.d AND g.bucket = cb.bucket "
+        "GROUP BY t.user_id, t.n_exact")
 
 
 def _minhash_groups_sql() -> str:
@@ -2411,6 +2453,7 @@ def oracle_sql() -> dict[str, str]:
             r"'^(click|view)$', 'ui.\1'), '\.', '_', 'g') AS event_type, "
             "COUNT(*) AS n FROM events GROUP BY 1"),
         "events_hll": _events_hll_sql(),
+        "events_cm": _events_cm_sql(),
         "docs_index": (
             r"WITH tokraw AS (SELECT doc_id, "
             r"unnest(regexp_split_to_array(text, '[ \t\n\f\r\v]+')) AS token "

@@ -133,3 +133,71 @@ def hll_distinct(
 
     return registers.groupby(group_col).map_groups(
         estimate, batch_format="pandas")
+
+
+# count-min row seeds: row 0 is plain mix64; rows 1-3 xor an odd 61-bit
+# constant into the value first (SQL twin xors the same HUGEINT constant)
+CM_SEEDS = (0, 0x0B4C1D2E3F405162, 0x13579BDF02468ACE, 0x1D0CB0A090807061)
+
+
+def cm_partial_counts(vals: np.ndarray, depth: int, width: int
+                      ) -> pd.DataFrame:
+    """Batch-local count-min partial: (d, bucket, n) rows, one bincount per
+    sketch row — the whole batch shrinks to ≤ depth × width rows."""
+    frames = []
+    u = vals.astype(np.uint64)
+    for d in range(depth):
+        b = (mix64(u ^ np.uint64(CM_SEEDS[d])) % np.uint64(width)).astype(
+            np.int64)
+        cnt = np.bincount(b, minlength=width)
+        nz = np.flatnonzero(cnt)
+        frames.append(pd.DataFrame(
+            {"d": np.full(len(nz), d, dtype=np.int64), "bucket": nz,
+             "n": cnt[nz]}))
+    return pd.concat(frames, ignore_index=True)
+
+
+def cm_heavy_hitters(
+    ds: "ray.data.Dataset", value_col: str, k: int = 10, depth: int = 4,
+    width: int = 1024,
+) -> pd.DataFrame:
+    """Count-min-sketch heavy hitters (Cormode & Muthukrishnan, "An improved
+    data stream summary: the count-min sketch and its applications",
+    J. Algorithms 2005): estimate the counts of the exact top-k values from
+    a fixed depth×width counter grid.
+
+    Unlike SpaceSaving, count-min is ORDER-INDEPENDENT (counters add
+    commutatively), so the distributed estimate is deterministic and the
+    SQL twin replays it exactly. Scale shape: each batch shrinks to
+    ≤ depth × width partial counter rows before the exchange; the merged
+    sketch is sketch-sized (depth × width), so collecting it to the driver
+    is O(1) in the data. Candidates come from the exact grouped count
+    (top-k by count desc, value asc — a total order). est ≥ exact always
+    (one-sided count-min error).
+    """
+    from ray.data.aggregate import Sum
+
+    from ..pipelines.aggregate import grouped_count
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals = t[value_col].to_numpy(zero_copy_only=False)
+        return pa.Table.from_pandas(
+            cm_partial_counts(vals, depth, width), preserve_index=False)
+
+    cm = (ds.map_batches(partial, batch_format="pyarrow")
+          .groupby(["d", "bucket"])
+          .aggregate(Sum("n", alias_name="n"))).to_pandas()
+    grid = np.zeros((depth, width), dtype=np.int64)
+    grid[cm["d"].to_numpy(), cm["bucket"].to_numpy()] = cm["n"].to_numpy()
+
+    top = (grouped_count(ds, [value_col], alias="n_exact")
+           .sort([ "n_exact", value_col], descending=[True, False])
+           .limit(k).to_pandas())
+    cand = top[value_col].to_numpy().astype(np.uint64)
+    est = np.full(len(cand), np.iinfo(np.int64).max, dtype=np.int64)
+    for d in range(depth):
+        b = (mix64(cand ^ np.uint64(CM_SEEDS[d]))
+             % np.uint64(width)).astype(np.int64)
+        est = np.minimum(est, grid[d, b])
+    top["n_est"] = est
+    return top

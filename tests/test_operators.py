@@ -650,3 +650,31 @@ def test_hll_distinct_accuracy_and_merge(ray_session):
     assert merged.equals(whole)
     assert hll_estimate(merged.to_numpy(), m) == hll_estimate(
         whole.to_numpy(), m)
+
+
+def test_cm_heavy_hitters_one_sided(ray_session):
+    import ray.data
+
+    from splunk_otel_collector_ray.stages.sketch import (
+        cm_heavy_hitters, cm_partial_counts)
+
+    rng = np.random.default_rng(5)
+    # zipf-ish: a few heavy keys over a long tail
+    vals = np.concatenate([np.repeat([7, 13, 42], [500, 300, 200]),
+                           rng.integers(1000, 5000, 2000)])
+    rng.shuffle(vals)
+    df = pd.DataFrame({"v": vals})
+    out = cm_heavy_hitters(ray.data.from_pandas(df), "v", k=3, width=256)
+    got = {r.v: (r.n_exact, r.n_est) for r in out.itertuples()}
+    assert set(got) == {7, 13, 42}
+    for exact, est in got.values():
+        assert est >= exact  # count-min error is one-sided
+    assert got[7][0] == 500 and got[7][1] >= 500
+
+    # partials are commutative: split-and-sum equals whole-stream counts
+    whole = cm_partial_counts(vals, 4, 256).groupby(
+        ["d", "bucket"])["n"].sum()
+    parts = pd.concat([cm_partial_counts(vals[:1000], 4, 256),
+                       cm_partial_counts(vals[1000:], 4, 256)]).groupby(
+        ["d", "bucket"])["n"].sum()
+    assert parts.equals(whole)
