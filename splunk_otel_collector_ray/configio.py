@@ -492,3 +492,60 @@ def build_pipeline_from_yaml(path: str, env=None, converters=()):
     from .config import build_pipeline
 
     return build_pipeline(load_yaml_pipeline(path, env, converters))
+
+
+# --- config.d directory layering (discovery confmapprovider) ----------------
+
+_CONFIG_D_SECTIONS = ("receivers", "processors", "exporters", "extensions")
+
+
+def load_config_dir(path: str) -> dict:
+    """Read a ``config.d`` layering directory into a collector-style document
+    fragment (internal/confmapprovider/discovery/config.go:36-63): component
+    fragments live under ``config.d/{receivers,processors,exporters,
+    extensions}/*.y(a)ml`` (each file a mapping of component id → config),
+    and a root ``service.yaml`` merges into the service section. Files are
+    visited in sorted order; later entries override earlier ones per key."""
+    import glob
+    import os
+
+    import yaml
+
+    doc: dict = {}
+    for section in _CONFIG_D_SECTIONS:
+        merged: dict = {}
+        for f in sorted(glob.glob(os.path.join(path, section, "*.yml"))
+                        + glob.glob(os.path.join(path, section, "*.yaml"))):
+            frag = yaml.safe_load(open(f)) or {}
+            if not isinstance(frag, dict):
+                raise ValueError(f"config.d fragment {f} must be a mapping")
+            merged.update(frag)
+        if merged:
+            doc[section] = merged
+    for name in ("service.yaml", "service.yml"):
+        f = os.path.join(path, name)
+        if os.path.exists(f):
+            doc["service"] = yaml.safe_load(open(f)) or {}
+            break
+    return doc
+
+
+def merge_config_dir(doc: dict, config_dir: str) -> dict:
+    """Layer a config.d directory over a base collector document: per-section
+    per-component-id merge, config.d entries winning (the --configd overlay
+    position, internal/settings/settings.go:265-267)."""
+    import copy
+
+    overlay = load_config_dir(config_dir)
+    out = copy.deepcopy(doc)
+    for section in _CONFIG_D_SECTIONS:
+        if section in overlay:
+            base = dict(out.get(section) or {})
+            base.update(overlay[section])
+            out[section] = base
+    if "service" in overlay:
+        svc = dict(out.get("service") or {})
+        for k, v in overlay["service"].items():
+            svc[k] = v
+        out["service"] = svc
+    return out

@@ -428,3 +428,43 @@ def test_remove_opamp_extension_gate():
     # absent extension → no-op
     doc2 = {"service": {"extensions": ["health_check"]}}
     assert remove_opamp_extension(False)(doc2) is doc2
+
+
+def test_config_d_layering(tmp_path):
+    import yaml
+
+    from splunk_otel_collector_ray.configio import (
+        load_config_dir, merge_config_dir)
+
+    d = tmp_path / "config.d"
+    (d / "receivers").mkdir(parents=True)
+    (d / "processors").mkdir()
+    (d / "receivers" / "a_first.yaml").write_text(yaml.safe_dump(
+        {"transcripts": {"path": "/tmp/x"}}))
+    (d / "receivers" / "b_second.yaml").write_text(yaml.safe_dump(
+        {"transcripts": {"path": "/tmp/override"}, "filelog/raw": {
+            "path": "/var/log"}}))
+    (d / "processors" / "sev.yml").write_text(yaml.safe_dump(
+        {"filter/sev": {"min_severity": 9}}))
+    (d / "service.yaml").write_text(yaml.safe_dump(
+        {"pipelines": {"logs": {"receivers": ["transcripts"],
+                                "processors": ["filter/sev"],
+                                "exporters": []}}}))
+
+    frag = load_config_dir(str(d))
+    # sorted-order merge: b_second overrides a_first per component id
+    assert frag["receivers"]["transcripts"] == {"path": "/tmp/override"}
+    assert "filelog/raw" in frag["receivers"]
+    assert frag["processors"]["filter/sev"] == {"min_severity": 9}
+    assert frag["service"]["pipelines"]["logs"]["processors"] == ["filter/sev"]
+
+    base = {"receivers": {"transcripts": {"path": "/tmp/base"},
+                          "keepme": {"path": "/k"}},
+            "service": {"extensions": ["health_check"]}}
+    merged = merge_config_dir(base, str(d))
+    assert merged["receivers"]["transcripts"] == {"path": "/tmp/override"}
+    assert merged["receivers"]["keepme"] == {"path": "/k"}  # base preserved
+    assert merged["service"]["extensions"] == ["health_check"]
+    assert "pipelines" in merged["service"]
+    # base untouched
+    assert base["receivers"]["transcripts"] == {"path": "/tmp/base"}
