@@ -917,6 +917,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             aggregation_type="sum", include="^(click|view)$",
             match_type="regexp")
 
+    def q_emb_kmeans(sf):
+        # distributed Lloyd k-means (every E-step over the whole stream,
+        # k×dim partials only — rows-only by design: 5 Lloyd iterations
+        # aren't SQL-expressible; pinned by an equality test vs a pure-numpy
+        # reference with the same deterministic init)
+        from splunk_otel_collector_ray.stages.similarity import (
+            kmeans_distributed)
+
+        return kmeans_distributed(_table(sf, "embeddings"),
+                                  id_col="vec_id", k=8, iters=5)
+
     def q_events_cm(sf):
         # count-min heavy hitters: order-independent counter grid (per-batch
         # bincount partials), exact top-10 candidates, min-over-rows estimate
@@ -1867,6 +1878,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_tfidf": q_docs_tfidf,
         "docs_index": q_docs_index,
         "events_cm": q_events_cm,
+        "emb_kmeans": q_emb_kmeans,
         "metric_agg_values": q_metric_agg_values,
         "telegraf_emit": q_telegraf_emit,
         "lineitem_pricing": q_lineitem_pricing,

@@ -476,3 +476,81 @@ def label_centroids(ds: "ray.data.Dataset", vec_col: str = "embedding",
     agg = parts.groupby([key_col, "dim"], as_index=False).sum()
     agg["centroid"] = agg["s"] / agg["n"]
     return agg[[key_col, "dim", "centroid"]]
+
+
+def kmeans_distributed(
+    ds: "ray.data.Dataset", vec_col: str = "embedding",
+    id_col: str = "doc_id", k: int = 8, iters: int = 5,
+) -> "ray.data.Dataset":
+    """Full distributed Lloyd k-means over an embedding column — the scale
+    path past kmeans_fit's bounded driver sample (which stays the IVF coarse
+    quantizer trainer): every E-step touches the WHOLE stream, yet nothing
+    wide shuffles.
+
+    Per iteration: centroids broadcast once (ray.put); each batch assigns
+    via one (n×d)·(d×k) matmul (argmin of −2x·c + ‖c‖², never an n×k×d
+    broadcast) and folds to per-cluster (sum-vector, count) partials —
+    k × dim doubles per batch — which the driver combines into new
+    centroids (empty clusters keep their previous position). Init is
+    deterministic: the vectors of the k smallest ids. Returns the final
+    (id, cluster) assignment as a Dataset.
+    """
+    import ray
+
+    seed = ds.sort(id_col).limit(k).to_pandas()
+    cent = _as_matrix(seed[vec_col]).astype(np.float64)
+    dim = cent.shape[1]
+
+    def _mat(t: pa.Table) -> np.ndarray:
+        fl = t[vec_col]
+        if isinstance(fl, pa.ChunkedArray):
+            fl = fl.combine_chunks()
+        if hasattr(fl, "flatten"):  # plain list<float> — zero-copy flatten
+            return (fl.flatten().to_numpy(zero_copy_only=False)
+                    .astype(np.float64).reshape(t.num_rows, dim))
+        # tensor-extension arrays (ray from_pandas) lack flatten
+        return _as_matrix(t[vec_col].to_pandas()).astype(np.float64)
+
+    def _assign(mat: np.ndarray, c: np.ndarray) -> np.ndarray:
+        scores = mat @ c.T - 0.5 * (c * c).sum(axis=1)[None, :]
+        return scores.argmax(axis=1)
+
+    for _ in range(iters):
+        cent_ref = ray.put(cent)
+
+        def estep(t: pa.Table, cent_ref=cent_ref) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({"cluster": pa.array([], pa.int64()),
+                                 "dim": pa.array([], pa.int64()),
+                                 "s": pa.array([], pa.float64()),
+                                 "n": pa.array([], pa.int64())})
+            c = ray.get(cent_ref)
+            mat = _mat(t)
+            a = _assign(mat, c)
+            sums = np.zeros((len(c), dim))
+            np.add.at(sums, a, mat)
+            n = np.bincount(a, minlength=len(c)).astype(np.int64)
+            return pa.table({
+                "cluster": np.repeat(np.arange(len(c), dtype=np.int64), dim),
+                "dim": np.tile(np.arange(dim, dtype=np.int64), len(c)),
+                "s": sums.ravel(), "n": np.repeat(n, dim)})
+
+        parts = ds.map_batches(estep, batch_format="pyarrow").to_pandas()
+        agg = parts.groupby(["cluster", "dim"], as_index=False).agg(
+            s=("s", "sum"), n=("n", "sum"))
+        new = cent.copy()
+        piv_s = agg.pivot(index="cluster", columns="dim", values="s")
+        counts = agg.groupby("cluster")["n"].first()
+        for j, cnt in counts.items():
+            if cnt > 0:
+                new[j] = piv_s.loc[j].to_numpy() / cnt
+        cent = new
+
+    final_ref = ray.put(cent)
+
+    def label(t: pa.Table, cent_ref=final_ref) -> pa.Table:
+        a = _assign(_mat(t), ray.get(cent_ref))
+        return pa.table({id_col: t[id_col],
+                         "cluster": pa.array(a.astype(np.int64))})
+
+    return ds.map_batches(label, batch_format="pyarrow")

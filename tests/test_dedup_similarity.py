@@ -368,3 +368,37 @@ def test_repeated_ngram_stats_planted(ray_session):
     assert out.loc[3, "repeated_grams"] == 0
     assert out.loc[1, "total_grams"] == 4   # 11 tokens → 4 windows
     assert out.loc[3, "total_grams"] == 3   # 10 tokens → 3 windows
+
+
+def test_kmeans_distributed_matches_numpy_reference(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from splunk_otel_collector_ray.stages.similarity import kmeans_distributed
+
+    rng = np.random.default_rng(3)
+    k, dim, iters = 4, 8, 5
+    centers = rng.standard_normal((k, dim)) * 5
+    x = np.concatenate([centers[i] + rng.standard_normal((50, dim))
+                        for i in range(k)])
+    ids = np.arange(len(x))
+    df = pd.DataFrame({"vec_id": ids,
+                       "embedding": [r.astype(np.float32) for r in x]})
+    got = kmeans_distributed(ray.data.from_pandas(df), id_col="vec_id",
+                             k=k, iters=iters).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+
+    # pure-numpy Lloyd with the same init (vectors of the k smallest ids,
+    # float32 storage round-trip) and the same argmax scoring
+    xm = np.stack([r.astype(np.float32) for r in x]).astype(np.float64)
+    cent = xm[:k].copy()
+    for _ in range(iters):
+        sc = xm @ cent.T - 0.5 * (cent * cent).sum(axis=1)[None, :]
+        a = sc.argmax(axis=1)
+        for j in range(k):
+            if (a == j).any():
+                cent[j] = xm[a == j].mean(axis=0)
+    sc = xm @ cent.T - 0.5 * (cent * cent).sum(axis=1)[None, :]
+    expect = sc.argmax(axis=1)
+    assert (got["cluster"].to_numpy() == expect).all()
