@@ -917,6 +917,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
             aggregation_type="sum", include="^(click|view)$",
             match_type="regexp")
 
+    def q_sql_datapoints(sf):
+        # smartagent sql monitor structured mapping: one datapoint per row
+        # per configured Metric, case-insensitive column match, null dims →
+        # '', counter/gauge from isCumulative (sql/monitor.go:50-66)
+        from splunk_otel_collector_ray.stages.metrics import (
+            sql_monitor_datapoints)
+
+        return sql_monitor_datapoints(_table(sf, "events"), [
+            {"metricName": "events.value", "valueColumn": "value",
+             "dimensionColumns": ["event_type"]},
+            {"metricName": "events.user", "valueColumn": "USER_ID",
+             "dimensionColumns": ["event_type", "props"],
+             "isCumulative": True},
+        ])
+
     def q_emb_kmeans(sf):
         # distributed Lloyd k-means (every E-step over the whole stream,
         # k×dim partials only — rows-only by design: 5 Lloyd iterations
@@ -1879,6 +1894,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_index": q_docs_index,
         "events_cm": q_events_cm,
         "emb_kmeans": q_emb_kmeans,
+        "sql_datapoints": q_sql_datapoints,
         "metric_agg_values": q_metric_agg_values,
         "telegraf_emit": q_telegraf_emit,
         "lineitem_pricing": q_lineitem_pricing,
@@ -2466,6 +2482,15 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(*) AS n FROM events GROUP BY 1"),
         "events_hll": _events_hll_sql(),
         "events_cm": _events_cm_sql(),
+        "sql_datapoints": (
+            "SELECT 'events.value' AS metric, CAST(value AS DOUBLE) AS value, "
+            "'gauge' AS type, COALESCE(event_type, '') AS event_type, "
+            "CAST(NULL AS VARCHAR) AS props FROM events "
+            "WHERE value IS NOT NULL "
+            "UNION ALL "
+            "SELECT 'events.user', CAST(user_id AS DOUBLE), 'counter', "
+            "COALESCE(event_type, ''), COALESCE(CAST(props AS VARCHAR), '') "
+            "FROM events WHERE user_id IS NOT NULL"),
         "docs_index": (
             r"WITH tokraw AS (SELECT doc_id, "
             r"unnest(regexp_split_to_array(text, '[ \t\n\f\r\v]+')) AS token "

@@ -693,3 +693,51 @@ def metrics_aggregate_label_values(
 
     nd = ds.map_batches(collapse, batch_format="pyarrow")
     return _mt_reduce(nd, [name_col, *labels], value_col, aggregation_type)
+
+
+# --- smartagent sql monitor row→datapoint mapping ---------------------------
+
+def sql_monitor_datapoints(
+    ds: "ray.data.Dataset", metrics: list[dict],
+) -> "ray.data.Dataset":
+    """smartagent ``sql`` monitor structured mapping: each query-result row
+    yields one datapoint per configured Metric — name from ``metricName``,
+    double value from ``valueColumn``, dimensions from ``dimensionColumns``
+    (null → ''), counter vs gauge from ``isCumulative``
+    (internal/signalfx-agent/pkg/monitors/sql/monitor.go:50-66,
+    querier.go:190-262). Column matching is case-insensitive (querier.go:217,
+    EqualFold dim matching); a null value column drops that datapoint.
+
+    Vectorized: one select/cast per metric per batch — a row-count × #metrics
+    flat union, never a per-row loop.
+    """
+    all_dims: list[str] = []  # first spelling wins; matching stays EqualFold
+    for m in metrics:
+        for d in m.get("dimensionColumns", ()):
+            if d.lower() not in {x.lower() for x in all_dims}:
+                all_dims.append(d)
+
+    def fn(t: pa.Table) -> pa.Table:
+        cols = {c.lower(): c for c in t.column_names}
+        outs = []
+        for m in metrics:
+            val = pc.cast(t[cols[m["valueColumn"].lower()]], pa.float64())
+            ok = pc.is_valid(val)
+            n = t.num_rows
+            data: dict = {
+                "metric": pa.array([m["metricName"]] * n),
+                "value": val,
+                "type": pa.array(
+                    ["counter" if m.get("isCumulative") else "gauge"] * n),
+            }
+            mine = {d.lower() for d in m.get("dimensionColumns", ())}
+            for d in all_dims:
+                if d.lower() in mine:
+                    data[d] = pc.fill_null(
+                        pc.cast(t[cols[d.lower()]], pa.string()), "")
+                else:
+                    data[d] = pa.nulls(n, type=pa.string())
+            outs.append(pa.table(data).filter(ok))
+        return pa.concat_tables(outs)
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -485,3 +485,30 @@ def test_metrics_aggregate_labels_and_values(ray_session):
     assert list(m2["zone"]) == ["z", "z"]
     assert list(m2["value"]) == [5.0, 2.0]  # host a: 1+4, host b: 2
     assert set(out2[out2["name"] == "other"]["zone"]) == {"z1", "z2"}
+
+
+def test_sql_monitor_datapoints(ray_session):
+    import ray.data
+
+    from splunk_otel_collector_ray.stages.metrics import sql_monitor_datapoints
+
+    rows = pd.DataFrame({
+        "Val": [1.5, None, 3.0],
+        "host": ["a", None, "c"],
+        "extra": ["x", "y", "z"],
+    })
+    out = sql_monitor_datapoints(ray.data.from_pandas(rows), [
+        {"metricName": "m.gauge", "valueColumn": "val",  # case-insensitive
+         "dimensionColumns": ["HOST"]},
+        {"metricName": "m.counter", "valueColumn": "Val",
+         "dimensionColumns": ["host", "extra"], "isCumulative": True},
+    ]).to_pandas()
+    g = out[out["metric"] == "m.gauge"]
+    c = out[out["metric"] == "m.counter"]
+    # null value row dropped per metric; null dim → ''
+    assert len(g) == 2 and len(c) == 2
+    assert set(g["type"]) == {"gauge"} and set(c["type"]) == {"counter"}
+    assert list(g.sort_values("value")["HOST"]) == ["a", "c"]  # first spelling wins
+    # extra dim is null for the metric that doesn't configure it
+    assert g["extra"].isna().all()
+    assert list(c.sort_values("value")["extra"]) == ["x", "z"]
