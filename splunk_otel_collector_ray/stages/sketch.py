@@ -111,6 +111,10 @@ def hll_distinct(
     width = 64 - p
 
     def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:  # keep the partial schema stable on empty blocks
+            return pa.table({group_col: pa.array([], t[group_col].type),
+                             "bucket": pa.array([], pa.int64()),
+                             "rho": pa.array([], pa.int64())})
         vals = t[value_col].to_numpy(zero_copy_only=False)
         h = mix64(vals)
         bucket = (h >> np.uint64(width)).astype(np.int64)
