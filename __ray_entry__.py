@@ -966,6 +966,72 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return inverted_index(_table(sf, "documents"), min_df=3)
 
+    def q_events_bloom(sf):
+        # Bloom-filter membership: build the bitmap over error-event user
+        # ids distributed (per-batch distinct bit positions only), broadcast
+        # the 8 KB bitmap, flag the whole stream, and count per-type hits —
+        # bit-exact vs the SQL twin's mix64 position replay (one-sided
+        # error: bloom_hits ≥ exact member count)
+        from splunk_otel_collector_ray.pipelines.aggregate import (
+            grouped_count_sum)
+        from splunk_otel_collector_ray.stages.sketch import (
+            bloom_build, bloom_flag)
+
+        ev = _table(sf, "events")
+        ref = ev.map_batches(
+            lambda t: t.filter(pc.equal(t["event_type"], "error")),
+            batch_format="pyarrow").select_columns(["user_id"])
+        bits = bloom_build(ref, "user_id", m=1 << 16)
+        flagged = bloom_flag(ev, "user_id", bits).map_batches(
+            lambda t: t.append_column(
+                "hit_i", pc.cast(t["bloom_hit"], pa.int64())),
+            batch_format="pyarrow")
+        return grouped_count_sum(flagged, ["event_type"], "hit_i",
+                                 count_alias="n", sum_alias="bloom_hits")
+
+    def q_docs_outliers(sf):
+        # per-source length z-score + |z|>3 flag: exact int64 moment
+        # partials (n, Σx, Σx²) shrink per batch, the tiny moment table
+        # broadcasts, one float expression over exact integers both sides
+        from splunk_otel_collector_ray.stages.stats import zscore_flags
+
+        return zscore_flags(
+            _table(sf, "documents"), "n_chars", "source").select_columns(
+            ["doc_id", "source", "z", "is_outlier"])
+
+    def q_log_templates(sf):
+        # Drain-style log template mining: mask digit runs, count per
+        # template, global top-50 by (n desc, template) — only (template,
+        # count) partials reach the exchange
+        from splunk_otel_collector_ray.stages.text_analysis import (
+            log_templates)
+
+        return log_templates(_read_transcripts(sf), "text", k=50)
+
+    def q_docs_sentences(sf):
+        # sentence segmentation row expansion (one split kernel pass +
+        # flat-buffer np.repeat/arange — no per-doc loop). The synthetic
+        # docs carry no punctuation, so the boundary alternation also
+        # treats ' the ' as a segment break to exercise real expansion;
+        # true punctuation semantics are pinned in test_text_analysis.
+        from splunk_otel_collector_ray.stages.text_analysis import (
+            split_sentences)
+
+        return _table(sf, "documents").map_batches(
+            lambda t: split_sentences(t, pattern=r"[.!?] | the "),
+            batch_format="pyarrow")
+
+    def q_events_props_extract(sf):
+        # flat-JSON scalar field extraction (OTTL ParseJSON-lite): one RE2
+        # extract pass, null on missing/unparseable
+        from splunk_otel_collector_ray.stages.text_analysis import (
+            json_int_field)
+
+        return _table(sf, "events").map_batches(
+            lambda t: json_int_field(t, "props", "k", "k_val"),
+            batch_format="pyarrow").select_columns(
+            ["event_id", "event_type", "k_val"])
+
     def q_events_hll(sf):
         # HyperLogLog approximate distinct users per event type — mergeable
         # register partials (max per bucket), deterministic mix64 hash so the
@@ -1893,6 +1959,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_tfidf": q_docs_tfidf,
         "docs_index": q_docs_index,
         "events_cm": q_events_cm,
+        "events_bloom": q_events_bloom,
+        "docs_outliers": q_docs_outliers,
+        "log_templates": q_log_templates,
+        "docs_sentences": q_docs_sentences,
+        "events_props_extract": q_events_props_extract,
         "emb_kmeans": q_emb_kmeans,
         "sql_datapoints": q_sql_datapoints,
         "metric_agg_values": q_metric_agg_values,
@@ -2041,6 +2112,42 @@ _NEARDUP_CTES = (
     "JOIN np_sz sa ON sa.doc_id = doc_a "
     "JOIN np_sz sb ON sb.doc_id = doc_b "
     "WHERE CAST(i AS DOUBLE) / (sa.c + sb.c - i) >= 0.8)")
+
+
+def _events_bloom_sql(m: int = 1 << 16) -> str:
+    """SQL twin of the events_bloom query: replays the k=3 Bloom positions
+    (mix64(user_id xor seed) % m via the HUGEINT CTE chains), builds the
+    reference position set from DISTINCT error-event user ids, and counts a
+    stream row as a hit iff all 3 of its positions are present (a row's
+    seed-row joins refpos at most once each, so COUNT(*)=3 ⇔ member)."""
+    from splunk_otel_collector_ray.stages.sketch import (
+        BLOOM_SEEDS, mix64_sql_ctes)
+
+    ref_src = ("(SELECT DISTINCT user_id FROM events "
+               "WHERE event_type = 'error')")
+    ctes, ref_sel, str_sel = [], [], []
+    for i, seed in enumerate(BLOOM_SEEDS):
+        vexpr = "user_id" if seed == 0 else f"xor(user_id, {seed})"
+        c, fin = mix64_sql_ctes("user_id", vexpr, ref_src, prefix=f"rb{i}")
+        ctes.append(c)
+        ref_sel.append(f"SELECT h FROM {fin}")
+        c, fin = mix64_sql_ctes("event_id, event_type", vexpr, "events",
+                                prefix=f"sb{i}")
+        ctes.append(c)
+        str_sel.append(f"SELECT event_id, event_type, h FROM {fin}")
+    return (
+        f"WITH {', '.join(ctes)}, "
+        f"refpos AS (SELECT DISTINCT h % {m} AS pos FROM "
+        f"({' UNION ALL '.join(ref_sel)})), "
+        f"sp AS (SELECT event_id, event_type, h % {m} AS pos FROM "
+        f"({' UNION ALL '.join(str_sel)})), "
+        "hits AS (SELECT event_id, COUNT(*) AS c FROM sp "
+        "JOIN refpos USING (pos) GROUP BY 1) "
+        "SELECT e.event_type, COUNT(*) AS n, "
+        "CAST(COALESCE(SUM(CASE WHEN hh.c = 3 THEN 1 ELSE 0 END), 0) "
+        "AS BIGINT) AS bloom_hits "
+        "FROM events e LEFT JOIN hits hh ON e.event_id = hh.event_id "
+        "GROUP BY 1")
 
 
 def _events_hll_sql() -> str:
@@ -2482,6 +2589,35 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(*) AS n FROM events GROUP BY 1"),
         "events_hll": _events_hll_sql(),
         "events_cm": _events_cm_sql(),
+        "events_bloom": _events_bloom_sql(),
+        "docs_outliers": (
+            # exact HUGEINT moments, ONE float expression from exact ints
+            # (identical to the engine's int64→float64 path; raw-IEEE rule)
+            "WITH agg AS (SELECT source, COUNT(*) AS n, SUM(n_chars) AS s, "
+            "SUM(n_chars * n_chars) AS q FROM documents GROUP BY 1), "
+            "scored AS (SELECT doc_id, d.source AS source, "
+            "CASE WHEN n * q - s * s > 0 THEN "
+            "CAST(n * d.n_chars - s AS DOUBLE) / "
+            "SQRT(CAST(n * q - s * s AS DOUBLE)) ELSE 0.0 END AS z "
+            "FROM documents d JOIN agg USING (source)) "
+            "SELECT doc_id, source, z, ABS(z) > 3.0 AS is_outlier "
+            "FROM scored"),
+        "log_templates": (
+            f"SELECT regexp_replace(text, '[0-9]+', '#', 'g') AS template, "
+            f"COUNT(*) AS n FROM read_parquet('{ORACLE_TGLOB}') "
+            f"GROUP BY 1 ORDER BY n DESC, template ASC LIMIT 50"),
+        "docs_sentences": (
+            "SELECT doc_id, "
+            "CAST(generate_subscripts(arr, 1) AS BIGINT) AS sent_idx, "
+            "unnest(arr) AS sentence FROM (SELECT doc_id, "
+            "regexp_split_to_array(COALESCE(text, ''), '[.!?] | the ') AS arr "
+            "FROM documents)"),
+        "events_props_extract": (
+            # regexp mirror of the engine's RE2 extraction (NOT a JSON
+            # parser on either side — flat scalar subset by design)
+            "SELECT event_id, event_type, TRY_CAST(NULLIF(regexp_extract("
+            "COALESCE(props, ''), '\"k\"[ ]*:[ ]*(-?[0-9]+)', 1), '') "
+            "AS BIGINT) AS k_val FROM events"),
         "sql_datapoints": (
             "SELECT 'events.value' AS metric, CAST(value AS DOUBLE) AS value, "
             "'gauge' AS type, COALESCE(event_type, '') AS event_type, "

@@ -143,6 +143,58 @@ def hll_distinct(
 # constant into the value first (SQL twin xors the same HUGEINT constant)
 CM_SEEDS = (0, 0x0B4C1D2E3F405162, 0x13579BDF02468ACE, 0x1D0CB0A090807061)
 
+# bloom hash seeds (k=3 independent positions per value, same xor-then-mix
+# construction as the count-min rows so the SQL twin replays them)
+BLOOM_SEEDS = (0, 0x0E9F1D8C7B6A5943, 0x1A2B3C4D5E6F7081)
+
+
+def bloom_positions(vals: np.ndarray, m: int, seeds=BLOOM_SEEDS
+                    ) -> np.ndarray:
+    """(len(vals), k) bit positions: mix64(value xor seed_i) % m."""
+    u = vals.astype(np.uint64)
+    return np.stack(
+        [(mix64(u ^ np.uint64(s)) % np.uint64(m)).astype(np.int64)
+         for s in seeds], axis=1)
+
+
+def bloom_build(ds: "ray.data.Dataset", value_col: str, m: int = 1 << 16,
+                seeds=BLOOM_SEEDS) -> np.ndarray:
+    """Build a Bloom-filter bitmap (Bloom, CACM 1970) over a key column,
+    distributed: each batch shrinks to its ≤ m DISTINCT bit positions
+    before the exchange, the exchange is a `unique` over ≤ m ints, and only
+    the m-bit bitmap (8 KB at m=2^16) reaches the driver — the keys
+    themselves never move. Deterministic (mix64), so the DuckDB twin
+    replays the exact positions and the membership test is value-compared.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        vals = t[value_col].to_numpy(zero_copy_only=False)
+        pos = np.unique(bloom_positions(vals, m, seeds))
+        return pa.table({"pos": pa.array(pos, type=pa.int64())})
+
+    pos = (ds.map_batches(partial, batch_format="pyarrow")
+           .unique("pos"))
+    bits = np.zeros(m, dtype=bool)
+    bits[np.asarray(pos, dtype=np.int64)] = True
+    return bits
+
+
+def bloom_flag(ds: "ray.data.Dataset", value_col: str, bits: np.ndarray,
+               out: str = "bloom_hit", seeds=BLOOM_SEEDS) -> "ray.data.Dataset":
+    """Stamp each row with Bloom membership of ``value_col``. The bitmap is
+    tiny (m bits) and rides in the task closure; at cluster scale pass a
+    ``ray.put`` handle instead if m grows past a few MB. One-sided error:
+    a False is definitely absent; a True may be a false positive."""
+    m = len(bits)
+
+    def fn(t: pa.Table) -> pa.Table:
+        vals = t[value_col].to_numpy(zero_copy_only=False)
+        pos = bloom_positions(vals, m, seeds)
+        hit = bits[pos].all(axis=1)
+        return t.append_column(out, pa.array(hit, type=pa.bool_()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
 
 def cm_partial_counts(vals: np.ndarray, depth: int, width: int
                       ) -> pd.DataFrame:

@@ -567,3 +567,79 @@ def inverted_index(
     return (pairs.map_batches(add_bucket, batch_format="pyarrow")
             .groupby("_hb")
             .map_groups(fold, batch_format="pandas"))
+
+
+# template mask: any ASCII digit run collapses to '#'. RE2 on both sides
+# (Arrow replace_substring_regex / DuckDB regexp_replace 'g'), explicit
+# ASCII class per the engine-vs-oracle string-semantics rule.
+TEMPLATE_MASK_RX = r"[0-9]+"
+
+
+def log_templates(
+    ds: "ray.data.Dataset", text_col: str, k: int = 50,
+    out: str = "template",
+) -> "ray.data.Dataset":
+    """Log-template mining (the masking step of Drain-style log clustering,
+    He et al., ICWS 2017): collapse variable number fields so structurally
+    identical log lines share one template, then count occurrences per
+    template and keep the global top-k by (n desc, template asc) — a total
+    order, so per-batch partial pruning is exact.
+
+    Scale shape: the template projection is one RE2 pass per batch; only
+    (template, partial-count) rows — bounded by the template cardinality,
+    which is what makes templates useful — reach the exchange, and the
+    top-k prune runs on the already-aggregated table.
+    """
+    from ..pipelines.aggregate import grouped_count
+
+    def mask(t: pa.Table) -> pa.Table:
+        tmpl = pc.replace_substring_regex(
+            t[text_col], pattern=TEMPLATE_MASK_RX, replacement="#")
+        return pa.table({out: tmpl})
+
+    counts = grouped_count(ds.map_batches(mask, batch_format="pyarrow"),
+                           [out], alias="n")
+    return counts.sort(["n", out], descending=[True, False]).limit(k)
+
+
+# sentence boundary: terminal punctuation + ONE space. No lookbehind (RE2
+# on both sides); the punctuation is consumed by the split, which the
+# DuckDB twin (regexp_split_to_array, same pattern) reproduces exactly.
+SENTENCE_SPLIT_RX = r"[.!?] "
+
+
+def split_sentences(batch: pa.Table, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    pattern: str = SENTENCE_SPLIT_RX) -> pa.Table:
+    """Sentence segmentation: one row per sentence with its 1-based index —
+    the row-expansion step before sentence-level quality filtering /
+    embedding. Fully vectorized: one Arrow ``split_pattern_regex`` kernel
+    pass, then flat-buffer expansion (np.repeat of ids + a single arange
+    minus repeated offsets for the indices) — no per-document loop."""
+    parts = pc.split_pattern_regex(
+        pc.coalesce(batch[text_col], ""), pattern=pattern)
+    parts = parts.combine_chunks()
+    lens = pc.list_value_length(parts).to_numpy(zero_copy_only=False)
+    lens = np.nan_to_num(lens.astype(np.float64)).astype(np.int64)
+    ids = np.repeat(batch[id_col].to_numpy(zero_copy_only=False), lens)
+    offsets = np.repeat(np.cumsum(lens) - lens, lens)
+    sent_idx = np.arange(int(lens.sum()), dtype=np.int64) - offsets + 1
+    flat = parts.flatten() if isinstance(parts, pa.ChunkedArray) else parts
+    values = flat.values if isinstance(flat, pa.ListArray) else flat
+    return pa.table({id_col: pa.array(ids, type=batch[id_col].type),
+                     "sent_idx": pa.array(sent_idx, type=pa.int64()),
+                     "sentence": values})
+
+
+# flat-JSON scalar field: "key": <int> — the ParseJSON-lite extraction the
+# OTTL transform reaches for on simple structured bodies. regexp mirror on
+# the oracle side (NOT a real JSON parser): documented subset = flat
+# objects, unescaped keys, integer values.
+def json_int_field(batch: pa.Table, col: str, key: str, out: str
+                   ) -> pa.Table:
+    """Extract an integer field from a flat JSON string column via one RE2
+    ``extract_regex`` pass; missing/unparseable rows → null."""
+    pat = '"' + re.escape(key) + '"[ ]*:[ ]*(?P<v>-?[0-9]+)'
+    ex = pc.extract_regex(pc.coalesce(batch[col], ""), pattern=pat)
+    v = pc.cast(pc.struct_field(ex, "v"), pa.int64())
+    return batch.append_column(out, v)

@@ -678,3 +678,35 @@ def test_cm_heavy_hitters_one_sided(ray_session):
                        cm_partial_counts(vals[1000:], 4, 256)]).groupby(
         ["d", "bucket"])["n"].sum()
     assert parts.equals(whole)
+
+
+def test_bloom_no_false_negatives_and_fp_bounded(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from splunk_otel_collector_ray.stages.sketch import bloom_build, bloom_flag
+
+    members = np.arange(0, 500, dtype=np.int64)
+    stream = pd.DataFrame({"v": np.arange(0, 20_000, dtype=np.int64)})
+    bits = bloom_build(
+        ray.data.from_pandas(pd.DataFrame({"v": members})), "v", m=1 << 14)
+    out = bloom_flag(ray.data.from_pandas(stream), "v", bits).to_pandas()
+    hit = out.set_index("v")["bloom_hit"]
+    assert hit.loc[members].all()  # no false negatives, ever
+    fp = hit.loc[500:].mean()
+    # k=3, n=500, m=2^14 → (1 - e^(-3·500/16384))^3 ≈ 6.6e-4
+    assert fp < 0.01
+
+
+def test_bloom_build_is_partition_invariant(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from splunk_otel_collector_ray.stages.sketch import bloom_build
+
+    vals = pd.DataFrame({"v": np.arange(100, dtype=np.int64) * 17})
+    a = bloom_build(ray.data.from_pandas(vals), "v", m=1 << 12)
+    b = bloom_build(ray.data.from_pandas(vals).repartition(7), "v", m=1 << 12)
+    assert (a == b).all()

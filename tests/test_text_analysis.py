@@ -59,3 +59,70 @@ def test_inverted_index(ray_session):
     assert got["cat"] == (2, "2,3")
     assert got["dog"] == (3, "1,2,3")
     assert "bird" not in got
+
+
+def test_split_sentences_punctuation():
+    import pyarrow as pa
+
+    from splunk_otel_collector_ray.stages.text_analysis import split_sentences
+
+    t = pa.table({"doc_id": [1, 2, 3],
+                  "text": ["One. Two! Three? End", "single", None]})
+    out = split_sentences(t).to_pandas()
+    got = list(zip(out["doc_id"], out["sent_idx"], out["sentence"]))
+    assert got == [(1, 1, "One"), (1, 2, "Two"), (1, 3, "Three"),
+                   (1, 4, "End"), (2, 1, "single"), (3, 1, "")]
+
+
+def test_log_templates_masks_and_ranks(ray_session):
+    import ray.data
+
+    from splunk_otel_collector_ray.stages.text_analysis import log_templates
+
+    rows = ([{"text": f"connect from 10.0.0.{i} port {1000 + i}"}
+             for i in range(5)]
+            + [{"text": "disk full on /dev/sda1"}] * 3
+            + [{"text": "disk full on /dev/sda2"}])
+    out = log_templates(ray.data.from_items(rows), "text").to_pandas()
+    assert list(out["template"]) == ["connect from #.#.#.# port #",
+                                     "disk full on /dev/sda#"]
+    assert list(out["n"]) == [5, 4]
+
+
+def test_json_int_field():
+    import pyarrow as pa
+
+    from splunk_otel_collector_ray.stages.text_analysis import json_int_field
+
+    t = pa.table({"props": ['{"k": 42}', '{"k":-7, "j": 1}', '{"j": 9}',
+                            None, '{"k": "text"}']})
+    out = json_int_field(t, "props", "k", "k_val").to_pandas()
+    vals = out["k_val"].tolist()
+    assert vals[0] == 42 and vals[1] == -7
+    assert all(v is None or v != v for v in (vals[2], vals[3], vals[4]))
+
+
+def test_zscore_flags_matches_numpy(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from splunk_otel_collector_ray.stages.stats import zscore_flags
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({
+        "g": np.repeat(["a", "b"], 200),
+        "x": np.concatenate([rng.integers(40, 60, 199), [500],
+                             rng.integers(0, 5, 200)]).astype(np.int64),
+    })
+    out = zscore_flags(ray.data.from_pandas(df), "x", "g").to_pandas()
+    for g, sub in out.groupby("g"):
+        x = sub["x"].to_numpy(np.float64)
+        mu, sd = x.mean(), x.std()  # population std, ddof=0
+        np.testing.assert_allclose(
+            sub["z"].to_numpy(), (x - mu) / sd, rtol=1e-9)
+    assert out.loc[out["x"] == 500, "is_outlier"].all()
+    # constant group → z = 0, no flags
+    const = pd.DataFrame({"g": ["c"] * 8, "x": np.full(8, 3, np.int64)})
+    out2 = zscore_flags(ray.data.from_pandas(const), "x", "g").to_pandas()
+    assert (out2["z"] == 0).all() and not out2["is_outlier"].any()
