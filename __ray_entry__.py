@@ -1032,6 +1032,58 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow").select_columns(
             ["event_id", "event_type", "k_val"])
 
+    def q_docs_normalize(sf):
+        # canonical text normalization (lowercase, control→space, space
+        # collapse, edge trim) — three RE2 passes mirrored by the twin
+        from splunk_otel_collector_ray.stages.text_analysis import (
+            normalize_text)
+
+        return _table(sf, "documents").map_batches(
+            normalize_text, batch_format="pyarrow").select_columns(
+            ["doc_id", "norm_text"])
+
+    def q_docs_reservoir(sf):
+        # deterministic global k-sample (reservoir equivalent): the 100
+        # smallest-mix64 doc ids; per-batch local-k prune, tiny final sort
+        from splunk_otel_collector_ray.stages.sample import (
+            smallest_hash_sample)
+
+        return smallest_hash_sample(_table(sf, "documents"), "doc_id",
+                                    k=100)
+
+    def q_emb_dup_clusters(sf):
+        # connected components over the EXACT embedding-cosine pair graph
+        # (block-pair sweep) — same union-find labeling as docs_dup_clusters
+        from splunk_otel_collector_ray.stages.dedup import cluster_from_pairs
+        from splunk_otel_collector_ray.stages.similarity import (
+            embedding_neardup_pairs)
+
+        emb = _table(sf, "embeddings")
+        pairs = embedding_neardup_pairs(emb, threshold=0.45, num_blocks=4)
+        return cluster_from_pairs(emb, pairs, "vec_id", "id_a", "id_b")
+
+    def q_incremental_counts(sf):
+        # continuous-collector semantics in batch form: 4 arrival shards
+        # folded into durable count-connector state with single-rename
+        # commits; rerun skips committed shards (exactly-once) and the
+        # final state equals the one-shot aggregate (the oracle)
+        import shutil
+
+        from splunk_otel_collector_ray.pipelines.streaming import (
+            run_incremental)
+
+        out = f"/tmp/graft_incremental/{os.path.basename(sf.rstrip('/'))}"
+        shutil.rmtree(out, ignore_errors=True)
+
+        def shard(i):
+            return lambda: _table(sf, "events").map_batches(
+                lambda t: t.filter(pc.equal(
+                    pc.bit_wise_and(t["event_id"], 3), i)),
+                batch_format="pyarrow")
+
+        shards = [(f"arrival-{i}", shard(i)) for i in range(4)]
+        return run_incremental(shards, out, ["event_type"])
+
     def q_events_hll(sf):
         # HyperLogLog approximate distinct users per event type — mergeable
         # register partials (max per bucket), deterministic mix64 hash so the
@@ -1964,6 +2016,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "log_templates": q_log_templates,
         "docs_sentences": q_docs_sentences,
         "events_props_extract": q_events_props_extract,
+        "docs_normalize": q_docs_normalize,
+        "docs_reservoir": q_docs_reservoir,
+        "emb_dup_clusters": q_emb_dup_clusters,
+        "incremental_counts": q_incremental_counts,
         "emb_kmeans": q_emb_kmeans,
         "sql_datapoints": q_sql_datapoints,
         "metric_agg_values": q_metric_agg_values,
@@ -2148,6 +2204,18 @@ def _events_bloom_sql(m: int = 1 << 16) -> str:
         "AS BIGINT) AS bloom_hits "
         "FROM events e LEFT JOIN hits hh ON e.event_id = hh.event_id "
         "GROUP BY 1")
+
+
+def _docs_reservoir_sql(k: int = 100) -> str:
+    """SQL twin of smallest_hash_sample: the k doc ids with the smallest
+    mix64 hash, unsigned HUGEINT order (the engine sorts the same hashes
+    xor-mapped to int64 — an order isomorphism)."""
+    from splunk_otel_collector_ray.stages.sketch import mix64_sql_ctes
+
+    ctes, fin = mix64_sql_ctes("doc_id", "doc_id", "documents",
+                               prefix="rsv")
+    return (f"WITH {ctes} SELECT doc_id FROM {fin} "
+            f"ORDER BY h, doc_id LIMIT {k}")
 
 
 def _events_hll_sql() -> str:
@@ -2618,6 +2686,31 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, event_type, TRY_CAST(NULLIF(regexp_extract("
             "COALESCE(props, ''), '\"k\"[ ]*:[ ]*(-?[0-9]+)', 1), '') "
             "AS BIGINT) AS k_val FROM events"),
+        "docs_normalize": (
+            "SELECT doc_id, regexp_replace(regexp_replace(regexp_replace("
+            "lower(COALESCE(text, '')), '[\\x00-\\x1f\\x7f]', ' ', 'g'), "
+            "' +', ' ', 'g'), '^ | $', '', 'g') AS norm_text "
+            "FROM documents"),
+        "docs_reservoir": _docs_reservoir_sql(),
+        "emb_dup_clusters": (
+            # recursive closure over the exact cosine pair graph; e and p
+            # are referenced repeatedly → MATERIALIZED per the CTE rule
+            "WITH RECURSIVE e AS MATERIALIZED (SELECT vec_id, "
+            "CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+            "p AS MATERIALIZED (SELECT a.vec_id AS a, b.vec_id AS b "
+            "FROM e a JOIN e b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.v, b.v) >= 0.45), "
+            "edges AS (SELECT a, b FROM p UNION ALL SELECT b, a FROM p), "
+            "reach(x, y) AS (SELECT a, b FROM edges "
+            "UNION SELECT r.x, e2.b FROM reach r JOIN edges e2 "
+            "ON r.y = e2.a), "
+            "comp AS (SELECT x AS vec_id, least(x, min(y)) AS cluster_id "
+            "FROM reach GROUP BY x) "
+            "SELECT em.vec_id, coalesce(c.cluster_id, em.vec_id) "
+            "AS cluster_id FROM embeddings em LEFT JOIN comp c "
+            "USING (vec_id)"),
+        "incremental_counts": (
+            "SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1"),
         "sql_datapoints": (
             "SELECT 'events.value' AS metric, CAST(value AS DOUBLE) AS value, "
             "'gauge' AS type, COALESCE(event_type, '') AS event_type, "

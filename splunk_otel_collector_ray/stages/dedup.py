@@ -484,9 +484,21 @@ def duplicate_clusters(
     applied to the doc stream per batch. No doc text moves, and the wide
     work (LSH bucketing, hash joins, verify) stays in the pair DAG.
     """
+    pairs = neardup_pairs(ds, jaccard_threshold, id_col, text_col, **kw)
+    return cluster_from_pairs(ds, pairs, id_col, "doc_a", "doc_b")
+
+
+def cluster_from_pairs(
+    ds: "ray.data.Dataset", pairs: pd.DataFrame, id_col: str,
+    a_col: str = "doc_a", b_col: str = "doc_b",
+) -> "ray.data.Dataset":
+    """Label every id with its duplicate-component min-id given a verified
+    pair table (from any of the dedup family's pair generators —
+    MinHash/Jaccard, SimHash hamming, embedding cosine). Union-find runs on
+    the pairs alone (orders of magnitude smaller than the id set); the
+    only-dup-members map broadcasts once via ray.put."""
     import ray
 
-    pairs = neardup_pairs(ds, jaccard_threshold, id_col, text_col, **kw)
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -497,7 +509,7 @@ def duplicate_clusters(
             parent[x], x = root, parent[x]
         return root
 
-    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+    for a, b in zip(pairs[a_col], pairs[b_col]):
         ra, rb = find(int(a)), find(int(b))
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)

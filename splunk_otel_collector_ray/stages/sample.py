@@ -312,3 +312,26 @@ def tail_sample_conversations(
     )
     return semi_join_keys(ds, kept_keys, key,
                           max_broadcast_keys=max_broadcast_keys)
+
+
+def smallest_hash_sample(ds: "ray.data.Dataset", id_col: str,
+                         k: int = 100) -> "ray.data.Dataset":
+    """Deterministic global k-sample: the k ids with the smallest mix64
+    hash — the distributed equivalent of reservoir sampling (uniform over
+    ids, rerun-/order-/cluster-size-stable, mergeable: min-k of min-ks).
+
+    Scale shape: each batch prunes to its local k smallest hashes, so the
+    final exchange sorts ≤ k·#batches tiny rows, never the stream. The
+    hash is order-mapped to int64 (xor 2^63) so Arrow's signed sort equals
+    the oracle's unsigned HUGEINT order."""
+    from .sketch import mix64
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        h = (mix64(ids) ^ np.uint64(1 << 63)).view(np.int64)
+        take = np.argsort(h, kind="stable")[:k]
+        return pa.table({id_col: pa.array(ids[take], type=t[id_col].type),
+                         "_h": pa.array(h[take], type=pa.int64())})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .sort(["_h", id_col]).limit(k).select_columns([id_col]))

@@ -643,3 +643,26 @@ def json_int_field(batch: pa.Table, col: str, key: str, out: str
     ex = pc.extract_regex(pc.coalesce(batch[col], ""), pattern=pat)
     v = pc.cast(pc.struct_field(ex, "v"), pa.int64())
     return batch.append_column(out, v)
+
+
+# normalization patterns — RE2 escapes kept literal (raw strings) so the
+# DuckDB twin receives the identical pattern text
+_CTRL_RX = r"[\x00-\x1f\x7f]"   # all C0 controls incl. \t\n, plus DEL
+_MULTISPACE_RX = r" +"
+_EDGE_SPACE_RX = r"^ | $"
+
+
+def normalize_text(batch: pa.Table, text_col: str = "text",
+                   out: str = "norm_text") -> pa.Table:
+    """Canonical text normalization (the first cleaning step of a training
+    corpus): lowercase, map control chars (incl. tabs/newlines) to spaces,
+    collapse space runs, trim edges. Three RE2 kernel passes + one
+    lowercase pass per batch — each mirrored verbatim by the DuckDB twin
+    (lower + regexp_replace 'g'), so normalized text hash-compares."""
+    s = pc.utf8_lower(pc.coalesce(batch[text_col], ""))
+    s = pc.replace_substring_regex(s, pattern=_CTRL_RX, replacement=" ")
+    s = pc.replace_substring_regex(s, pattern=_MULTISPACE_RX,
+                                   replacement=" ")
+    s = pc.replace_substring_regex(s, pattern=_EDGE_SPACE_RX,
+                                   replacement="")
+    return batch.append_column(out, s)

@@ -710,3 +710,51 @@ def test_bloom_build_is_partition_invariant(ray_session):
     a = bloom_build(ray.data.from_pandas(vals), "v", m=1 << 12)
     b = bloom_build(ray.data.from_pandas(vals).repartition(7), "v", m=1 << 12)
     assert (a == b).all()
+
+
+def test_incremental_fold_resume_and_equality(ray_session, tmp_path):
+    import pandas as pd
+    import ray.data
+
+    from splunk_otel_collector_ray.pipelines.streaming import run_incremental
+
+    df = pd.DataFrame({"k": ["a", "b", "a", "c", "b", "a"],
+                       "i": range(6)})
+
+    def shard(lo, hi):
+        return lambda: ray.data.from_pandas(df[(df.i >= lo) & (df.i < hi)])
+
+    out = str(tmp_path / "state")
+    all_shards = [("s0", shard(0, 2)), ("s1", shard(2, 4)),
+                  ("s2", shard(4, 6))]
+    # partial run: first two shards only
+    st1 = run_incremental(all_shards[:2], out, ["k"])
+    assert st1.set_index("k")["n"].to_dict() == {"a": 2, "b": 1, "c": 1}
+    # resumed run with the full list: s0/s1 skipped, s2 folded once
+    st2 = run_incremental(all_shards, out, ["k"])
+    expected = df.groupby("k").size().to_dict()
+    assert st2.set_index("k")["n"].to_dict() == expected
+    # idempotent rerun: nothing new arrives, state unchanged
+    st3 = run_incremental(all_shards, out, ["k"])
+    pd.testing.assert_frame_equal(st2, st3)
+
+
+def test_smallest_hash_sample_partition_invariant(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from splunk_otel_collector_ray.stages.sample import smallest_hash_sample
+    from splunk_otel_collector_ray.stages.sketch import mix64
+
+    ids = np.arange(1000, dtype=np.int64)
+    df = pd.DataFrame({"doc_id": ids})
+    a = smallest_hash_sample(
+        ray.data.from_pandas(df), "doc_id", k=50).to_pandas()
+    b = smallest_hash_sample(
+        ray.data.from_pandas(df.sample(frac=1, random_state=3))
+        .repartition(9), "doc_id", k=50).to_pandas()
+    assert sorted(a["doc_id"]) == sorted(b["doc_id"])
+    # exact: the 50 globally smallest hashes
+    order = np.argsort(mix64(ids), kind="stable")[:50]
+    assert set(a["doc_id"]) == set(ids[order])
