@@ -1032,6 +1032,53 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow").select_columns(
             ["event_id", "event_type", "k_val"])
 
+    def q_metrics_pipeline(sf):
+        # the reference's PRIMARY metrics use-case composed end to end:
+        # expfmt scrape parse → NaN gate → smartagent FilterSet exclusion
+        # with include-override (rtt + /^process_.*/ excluded, process_cpu
+        # re-included) → metricNameTransformations rename chain →
+        # extraDimensions merge → per-metric count+sum connector. One
+        # composed oracle proves the whole chain, not just its stages.
+        from splunk_otel_collector_ray.stages.attributes import (
+            extra_dimensions_merge)
+        from splunk_otel_collector_ray.stages.filters import (
+            FilterSet, OverridableFilter)
+        from splunk_otel_collector_ray.stages.metrics import (
+            MetricRenameChain, parse_prometheus_text)
+
+        fs = FilterSet(
+            excludes=[OverridableFilter(
+                metric_names=["rtt", "/^process_.*/"])],
+            includes=[OverridableFilter(metric_names=["process_cpu"])])
+        chain = MetricRenameChain([(r"^http_", "web_"),
+                                   (r"_total$", "")])
+
+        def stage(t):
+            p = parse_prometheus_text(t, id_col="blob_id")
+            p = p.filter(pc.invert(pc.is_nan(p["value"])))
+            df = p.to_pandas()  # FilterSet masks operate on pandas
+            kept = pa.Table.from_pandas(df[fs.keep_mask(df, "name")],
+                                        preserve_index=False)
+            return extra_dimensions_merge(chain(kept),
+                                          {"plugin": "prometheus"})
+
+        parsed = _prom_dataset().map_batches(stage, batch_format="pyarrow")
+        return grouped_count_sum(parsed, ["plugin", "name", "type"],
+                                 "value", count_alias="n",
+                                 sum_alias="sum_value")
+
+    def q_events_rate_limit(sf):
+        # per-key rate limiting (first 5 events per user by arrival time) —
+        # the batch form of a per-entity throttle; partial-pruned top-k so
+        # each batch ships at most k rows per key
+        from splunk_otel_collector_ray.pipelines.aggregate import grouped_topk
+
+        ds = _table(sf, "events").select_columns(
+            ["user_id", "event_id", "ts"])
+        return grouped_topk(ds, ["user_id"], 5, by=["ts", "event_id"],
+                            ascending=[True, True]).select_columns(
+            ["user_id", "event_id"])
+
     def q_docs_normalize(sf):
         # canonical text normalization (lowercase, control→space, space
         # collapse, edge trim) — three RE2 passes mirrored by the twin
@@ -2018,6 +2065,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_extract": q_events_props_extract,
         "docs_normalize": q_docs_normalize,
         "docs_reservoir": q_docs_reservoir,
+        "metrics_pipeline": q_metrics_pipeline,
+        "events_rate_limit": q_events_rate_limit,
         "emb_dup_clusters": q_emb_dup_clusters,
         "incremental_counts": q_incremental_counts,
         "emb_kmeans": q_emb_kmeans,
@@ -2711,6 +2760,19 @@ def oracle_sql() -> dict[str, str]:
             "USING (vec_id)"),
         "incremental_counts": (
             "SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1"),
+        "metrics_pipeline": _prom_sql_cte() + (
+            # the composed chain: NaN gate → FilterSet with include
+            # override → rename chain → constant dim → count+sum
+            "SELECT 'prometheus' AS plugin, "
+            "regexp_replace(regexp_replace(name, '^http_', 'web_'), "
+            "'_total$', '') AS name, type, COUNT(*) AS n, "
+            "SUM(value) AS sum_value FROM prom "
+            "WHERE NOT isnan(value) AND NOT ((name = 'rtt' OR "
+            "regexp_matches(name, '^process_.*')) AND "
+            "name <> 'process_cpu') GROUP BY 1, 2, 3"),
+        "events_rate_limit": (
+            "SELECT user_id, event_id FROM events QUALIFY row_number() "
+            "OVER (PARTITION BY user_id ORDER BY ts, event_id) <= 5"),
         "sql_datapoints": (
             "SELECT 'events.value' AS metric, CAST(value AS DOUBLE) AS value, "
             "'gauge' AS type, COALESCE(event_type, '') AS event_type, "
