@@ -1079,6 +1079,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
                             ascending=[True, True]).select_columns(
             ["user_id", "event_id"])
 
+    def q_cardinality_limit(sf):
+        # series-cardinality guard: top-20 (event_type, props) series kept,
+        # the tail collapsed into one _overflow series
+        from splunk_otel_collector_ray.stages.metrics import cardinality_limit
+
+        return cardinality_limit(_table(sf, "events"),
+                                 ["event_type", "props"], n=20)
+
     def q_docs_normalize(sf):
         # canonical text normalization (lowercase, control→space, space
         # collapse, edge trim) — three RE2 passes mirrored by the twin
@@ -2067,6 +2075,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_reservoir": q_docs_reservoir,
         "metrics_pipeline": q_metrics_pipeline,
         "events_rate_limit": q_events_rate_limit,
+        "cardinality_limit": q_cardinality_limit,
         "emb_dup_clusters": q_emb_dup_clusters,
         "incremental_counts": q_incremental_counts,
         "emb_kmeans": q_emb_kmeans,
@@ -2773,6 +2782,17 @@ def oracle_sql() -> dict[str, str]:
         "events_rate_limit": (
             "SELECT user_id, event_id FROM events QUALIFY row_number() "
             "OVER (PARTITION BY user_id ORDER BY ts, event_id) <= 5"),
+        "cardinality_limit": (
+            "WITH c AS (SELECT event_type, props, COUNT(*) AS n "
+            "FROM events GROUP BY 1, 2), "
+            "kept AS (SELECT event_type, props FROM c QUALIFY row_number() "
+            "OVER (ORDER BY n DESC, event_type, props) <= 20) "
+            "SELECT CASE WHEN k.event_type IS NULL THEN '_overflow' "
+            "ELSE e.event_type END AS event_type, "
+            "CASE WHEN k.event_type IS NULL THEN '_overflow' "
+            "ELSE e.props END AS props, COUNT(*) AS n "
+            "FROM events e LEFT JOIN kept k ON e.event_type = k.event_type "
+            "AND e.props = k.props GROUP BY 1, 2"),
         "sql_datapoints": (
             "SELECT 'events.value' AS metric, CAST(value AS DOUBLE) AS value, "
             "'gauge' AS type, COALESCE(event_type, '') AS event_type, "

@@ -741,3 +741,40 @@ def sql_monitor_datapoints(
         return pa.concat_tables(outs)
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def cardinality_limit(
+    ds: "ray.data.Dataset", series_keys: list[str], n: int = 20,
+    overflow: str = "_overflow", alias: str = "n",
+) -> "ray.data.Dataset":
+    """Series-cardinality limiter: keep the ``n`` highest-count series and
+    collapse every other series into one ``_overflow`` bucket — the
+    cardinality guard of a metrics pipeline (OTel's experimental
+    cardinality limits; SignalFx per-token series caps), as a batch
+    operator.
+
+    Scale shape: series counts come from per-batch partials (bounded by
+    series cardinality, never the stream), the kept-set is n tuples
+    broadcast in the closure, and the relabel pass is one vectorized
+    MultiIndex membership test per batch. Tie-break on (count desc, keys
+    asc) is a total order, so the kept set is deterministic.
+    """
+    from ..pipelines.aggregate import grouped_count
+
+    counts = grouped_count(ds, series_keys, alias=alias)
+    kept_df = counts.sort([alias, *series_keys],
+                          descending=[True] + [False] * len(series_keys)
+                          ).limit(n).to_pandas()
+    kept = pd.MultiIndex.from_frame(kept_df[series_keys].astype(object))
+
+    def relabel(t: pa.Table) -> pa.Table:
+        df = t.select(series_keys).to_pandas().astype(object)
+        keep = pd.MultiIndex.from_frame(df).isin(kept)
+        for kcol in series_keys:
+            vals = np.where(keep, df[kcol].to_numpy(dtype=object), overflow)
+            t = t.set_column(t.column_names.index(kcol), kcol,
+                             pa.array(vals, type=pa.string()))
+        return t
+
+    return grouped_count(ds.map_batches(relabel, batch_format="pyarrow"),
+                         series_keys, alias=alias)

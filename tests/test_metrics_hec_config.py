@@ -512,3 +512,20 @@ def test_sql_monitor_datapoints(ray_session):
     # extra dim is null for the metric that doesn't configure it
     assert g["extra"].isna().all()
     assert list(c.sort_values("value")["extra"]) == ["x", "z"]
+
+
+def test_cardinality_limit_collapses_tail(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from splunk_otel_collector_ray.stages.metrics import cardinality_limit
+
+    df = pd.DataFrame({
+        "name": ["a"] * 5 + ["b"] * 3 + ["c"] * 2 + ["d"] * 2 + ["e"],
+        "dim": ["x"] * 13,
+    })
+    out = cardinality_limit(
+        ray.data.from_pandas(df), ["name", "dim"], n=2
+    ).to_pandas().set_index("name")["n"].to_dict()
+    # top-2 series survive; c+d+e collapse into one overflow bucket
+    assert out == {"a": 5, "b": 3, "_overflow": 5}
