@@ -69,6 +69,29 @@ def _file_source(selector: str, env) -> "str | None":
         return f.read().strip()
 
 
+_TEMPLATE_PARAM_RX = re.compile(r"\{\{\s*\.(\w+)\s*\}\}")
+
+
+@register_config_source("include")
+def _include_source(selector: str, env) -> "str | None":
+    """includeconfigsource with template parameters (include
+    source.go:44-61; testdata/param_template): the file is a Go
+    text/template and ``{{ .param }}`` placeholders substitute from the
+    invocation's params. The reference passes params as a YAML map under
+    the ``$include:`` key; the interpolation-string analogue here is a
+    query suffix — ``${include:path?glob_pattern=/var/**/*.log}``.
+    Placeholders with no matching param resolve to '' (text/template's
+    missing-key zero value for the default option)."""
+    path, _, query = selector.partition("?")
+    if not os.path.exists(path):
+        return None
+    params = dict(p.split("=", 1) for p in query.split("&") if "=" in p)
+    with open(path) as f:
+        text = f.read().strip()
+    return _TEMPLATE_PARAM_RX.sub(
+        lambda m: params.get(m.group(1), ""), text)
+
+
 def make_store_source(backend) -> ConfigSourceFn:
     """Factory for a document-store-backed config source — the offline
     analogue of the vault / zookeeper / etcd2 backends (vault

@@ -468,3 +468,23 @@ def test_config_d_layering(tmp_path):
     assert "pipelines" in merged["service"]
     # base untouched
     assert base["receivers"]["transcripts"] == {"path": "/tmp/base"}
+
+
+def test_include_config_source_templates(tmp_path):
+    import yaml
+
+    from splunk_otel_collector_ray.configio import interpolate
+
+    tpl = tmp_path / "component_template"
+    tpl.write_text("logs_path: {{ .glob_pattern }}\nfmt: {{ .format }}\n")
+    plain = tmp_path / "plain"
+    plain.write_text("just-text")
+    doc = yaml.safe_load(
+        "a: ${include:%s?glob_pattern=/var/**/*.log&format=json}\n"
+        "b: ${include:%s}\n"
+        "c: ${include:%s/missing:-fallback}\n"
+        % (tpl, plain, tmp_path))
+    cfg = interpolate(doc)
+    assert cfg["a"] == "logs_path: /var/**/*.log\nfmt: json"
+    assert cfg["b"] == "just-text"
+    assert cfg["c"] == "fallback"
