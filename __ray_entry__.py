@@ -1079,6 +1079,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
                             ascending=[True, True]).select_columns(
             ["user_id", "event_id"])
 
+    def q_docs_weighted_sample(sf):
+        # quality-weighted importance sampling: weight = min(n_chars,400)/400
+        # (longer docs kept more often), keep iff hash(id)%m < floor(w·m)
+        from splunk_otel_collector_ray.stages.sample import weighted_sample
+
+        ds = _table(sf, "documents").map_batches(
+            lambda t: t.append_column("w", pa.array(np.minimum(
+                t["n_chars"].to_numpy(zero_copy_only=False), 400)
+                .astype(np.float64) / 400.0)),
+            batch_format="pyarrow")
+        return weighted_sample(ds, "doc_id", "w").select_columns(
+            ["doc_id", "source"])
+
+    def q_docs_epochs(sf):
+        # fractional-epoch repeat mixing: src0 ×2.5, src-default ×1 — each
+        # copy stamped with its epoch index (multi-epoch corpus blending)
+        from splunk_otel_collector_ray.stages.sample import (
+            epoch_mixture_expand)
+
+        return epoch_mixture_expand(
+            _table(sf, "documents").select_columns(["doc_id", "source"]),
+            "doc_id", "source", {"src0": 2.5}, default_factor=1.0)
+
     def q_cardinality_limit(sf):
         # series-cardinality guard: top-20 (event_type, props) series kept,
         # the tail collapsed into one _overflow series
@@ -2076,6 +2099,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "metrics_pipeline": q_metrics_pipeline,
         "events_rate_limit": q_events_rate_limit,
         "cardinality_limit": q_cardinality_limit,
+        "docs_weighted_sample": q_docs_weighted_sample,
+        "docs_epochs": q_docs_epochs,
         "emb_dup_clusters": q_emb_dup_clusters,
         "incremental_counts": q_incremental_counts,
         "emb_kmeans": q_emb_kmeans,
@@ -2782,6 +2807,17 @@ def oracle_sql() -> dict[str, str]:
         "events_rate_limit": (
             "SELECT user_id, event_id FROM events QUALIFY row_number() "
             "OVER (PARTITION BY user_id ORDER BY ts, event_id) <= 5"),
+        "docs_weighted_sample": (
+            "SELECT doc_id, source FROM documents WHERE "
+            "(doc_id * 2654435761) % 10000 < CAST(FLOOR("
+            "LEAST(n_chars, 400) / 400.0 * 10000) AS BIGINT)"),
+        "docs_epochs": (
+            "SELECT doc_id, source, CAST(unnest(range(reps)) AS BIGINT) "
+            "AS epoch FROM (SELECT doc_id, source, "
+            "(CASE WHEN source = 'src0' THEN 2 ELSE 1 END) + "
+            "(CASE WHEN source = 'src0' AND "
+            "(doc_id * 2654435761) % 10000 < 5000 THEN 1 ELSE 0 END) "
+            "AS reps FROM documents)"),
         "cardinality_limit": (
             "WITH c AS (SELECT event_type, props, COUNT(*) AS n "
             "FROM events GROUP BY 1, 2), "

@@ -335,3 +335,56 @@ def smallest_hash_sample(ds: "ray.data.Dataset", id_col: str,
 
     return (ds.map_batches(partial, batch_format="pyarrow")
             .sort(["_h", id_col]).limit(k).select_columns([id_col]))
+
+
+def weighted_sample(ds: "ray.data.Dataset", id_col: str, weight_col: str,
+                    modulus: int = 10_000) -> "ray.data.Dataset":
+    """Per-row importance sampling: keep iff ``hash(id) % m <
+    floor(weight · m)`` — the quality-weighted downsampling step of a
+    training-data pipeline (weights in [0,1] from any upstream scorer;
+    weight 1 keeps everything, 0 drops everything). Deterministic and
+    rerun-stable like :func:`mixture_sample`; stateless map_batches."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = batch[weight_col].to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        thr = np.floor(w * modulus).astype(np.int64)
+        return batch.filter(pa.array((ids * KNUTH) % modulus < thr))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def epoch_mixture_expand(
+    ds: "ray.data.Dataset", id_col: str, source_col: str,
+    factors: dict[str, float], default_factor: float = 1.0,
+    modulus: int = 10_000,
+) -> "ray.data.Dataset":
+    """Fractional-epoch repeat mixing: replicate each row
+    ``floor(f(source))`` times plus one more iff ``hash(id) % m <
+    frac(f)·m`` — the multi-epoch corpus-blending step (a 2.5× source
+    repeats every doc twice and a deterministic half of it a third time).
+    Emits an ``epoch`` index per copy. Vectorized row expansion
+    (``Table.take`` over np.repeat indices); thresholds are precomputed
+    ints so engine and oracle compare integers, never floats."""
+    base = {s: int(f) for s, f in factors.items()}
+    extra = {s: int(round((f - int(f)) * modulus))
+             for s, f in factors.items()}
+    dbase, dextra = (int(default_factor),
+                     int(round((default_factor - int(default_factor))
+                               * modulus)))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        src = batch[source_col].to_pandas()
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (ids * KNUTH) % modulus
+        reps = (src.map(base).fillna(dbase).to_numpy(dtype=np.int64)
+                + (h < src.map(extra).fillna(dextra)
+                   .to_numpy(dtype=np.int64)))
+        idx = np.repeat(np.arange(len(ids)), reps)
+        offsets = np.repeat(np.cumsum(reps) - reps, reps)
+        epoch = np.arange(int(reps.sum()), dtype=np.int64) - offsets
+        return batch.take(idx).append_column(
+            "epoch", pa.array(epoch, type=pa.int64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -758,3 +758,25 @@ def test_smallest_hash_sample_partition_invariant(ray_session):
     # exact: the 50 globally smallest hashes
     order = np.argsort(mix64(ids), kind="stable")[:50]
     assert set(a["doc_id"]) == set(ids[order])
+
+
+def test_epoch_mixture_expand(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from splunk_otel_collector_ray.stages.sample import (
+        KNUTH, epoch_mixture_expand)
+
+    df = pd.DataFrame({"doc_id": range(20),
+                       "source": ["a"] * 10 + ["b"] * 10})
+    out = epoch_mixture_expand(
+        ray.data.from_pandas(df), "doc_id", "source",
+        {"a": 3.0, "b": 0.5}, default_factor=1.0).to_pandas()
+    # a: exactly 3 copies each, epochs 0..2
+    a = out[out.source == "a"]
+    assert a.groupby("doc_id").size().eq(3).all()
+    assert sorted(a[a.doc_id == 0]["epoch"]) == [0, 1, 2]
+    # b: 0 or 1 copies, exactly the deterministic half of the hash space
+    b = out[out.source == "b"]
+    kept = {i for i in range(10, 20) if (i * KNUTH) % 10_000 < 5_000}
+    assert set(b["doc_id"]) == kept and (b["epoch"] == 0).all()
