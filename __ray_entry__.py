@@ -1079,6 +1079,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
                             ascending=[True, True]).select_columns(
             ["user_id", "event_id"])
 
+    def q_schema_union(sf):
+        # schema-drift-tolerant union: two staged shard generations (one
+        # missing n_chars, one missing text + an extra column) aligned to a
+        # target schema at the read — union_by_name twin
+        import duckdb as _dk
+
+        from splunk_otel_collector_ray.sources.evolution import (
+            read_parquet_evolved)
+
+        stage = f"/tmp/graft_drift/{os.path.basename(sf.rstrip('/'))}"
+        if not os.path.exists(os.path.join(stage, "_done")):
+            os.makedirs(stage, exist_ok=True)
+            con = _dk.connect()
+            con.execute(
+                f"COPY (SELECT doc_id, text FROM "
+                f"read_parquet('{sf}/documents.parquet') WHERE doc_id % 2 "
+                f"= 0) TO '{stage}/gen1.parquet' (FORMAT PARQUET)")
+            con.execute(
+                f"COPY (SELECT doc_id, n_chars, source FROM "
+                f"read_parquet('{sf}/documents.parquet') WHERE doc_id % 2 "
+                f"= 1) TO '{stage}/gen2.parquet' (FORMAT PARQUET)")
+            open(os.path.join(stage, "_done"), "w").close()
+        target = pa.schema([("doc_id", pa.int64()), ("text", pa.string()),
+                            ("n_chars", pa.int64())])
+        return read_parquet_evolved(
+            [f"{stage}/gen1.parquet", f"{stage}/gen2.parquet"], target)
+
     def q_docs_weighted_sample(sf):
         # quality-weighted importance sampling: weight = min(n_chars,400)/400
         # (longer docs kept more often), keep iff hash(id)%m < floor(w·m)
@@ -2099,6 +2126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "metrics_pipeline": q_metrics_pipeline,
         "events_rate_limit": q_events_rate_limit,
         "cardinality_limit": q_cardinality_limit,
+        "schema_union": q_schema_union,
         "docs_weighted_sample": q_docs_weighted_sample,
         "docs_epochs": q_docs_epochs,
         "emb_dup_clusters": q_emb_dup_clusters,
@@ -2807,6 +2835,14 @@ def oracle_sql() -> dict[str, str]:
         "events_rate_limit": (
             "SELECT user_id, event_id FROM events QUALIFY row_number() "
             "OVER (PARTITION BY user_id ORDER BY ts, event_id) <= 5"),
+        "schema_union": (
+            # the staged shard generations are deterministic projections of
+            # documents, so the twin is a union_by_name-equivalent over the
+            # registered view (retargets with the sf dir automatically)
+            "SELECT doc_id, text, CAST(NULL AS BIGINT) AS n_chars "
+            "FROM documents WHERE doc_id % 2 = 0 UNION ALL "
+            "SELECT doc_id, CAST(NULL AS VARCHAR) AS text, n_chars "
+            "FROM documents WHERE doc_id % 2 = 1"),
         "docs_weighted_sample": (
             "SELECT doc_id, source FROM documents WHERE "
             "(doc_id * 2654435761) % 10000 < CAST(FLOOR("

@@ -780,3 +780,45 @@ def test_epoch_mixture_expand(ray_session):
     b = out[out.source == "b"]
     kept = {i for i in range(10, 20) if (i * KNUTH) % 10_000 < 5_000}
     assert set(b["doc_id"]) == kept and (b["epoch"] == 0).all()
+
+
+def test_incremental_fold_crash_between_state_and_pointer(ray_session,
+                                                          tmp_path):
+    import pandas as pd
+    import ray.data
+
+    from splunk_otel_collector_ray.pipelines.streaming import run_incremental
+
+    df = pd.DataFrame({"k": ["a", "b", "a"], "i": range(3)})
+    out = str(tmp_path / "state")
+    shards = [("s0", lambda: ray.data.from_pandas(df.iloc[:2])),
+              ("s1", lambda: ray.data.from_pandas(df.iloc[2:]))]
+    run_incremental(shards[:1], out, ["k"])
+    # simulate a crash AFTER the next state file is written but BEFORE the
+    # pointer flips: the orphan state-v2 must be ignored and s1 replayed
+    pd.DataFrame({"k": ["poison"], "n": [999]}).to_parquet(
+        f"{out}/state-v2.parquet", index=False)
+    st = run_incremental(shards, out, ["k"])
+    assert st.set_index("k")["n"].to_dict() == {"a": 2, "b": 1}
+
+
+def test_read_parquet_evolved_aligns_drifted_schemas(ray_session, tmp_path):
+    import pandas as pd
+    import pyarrow as pa
+
+    from splunk_otel_collector_ray.sources.evolution import (
+        read_parquet_evolved)
+
+    # gen1: missing 'b', narrow int32 'a'; gen2: extra column 'junk'
+    pd.DataFrame({"id": [1, 2], "a": pd.array([10, 20], dtype="int32")}
+                 ).to_parquet(tmp_path / "g1.parquet", index=False)
+    pd.DataFrame({"id": [3], "a": [30], "b": ["x"], "junk": [9.9]}
+                 ).to_parquet(tmp_path / "g2.parquet", index=False)
+    target = pa.schema([("id", pa.int64()), ("a", pa.int64()),
+                        ("b", pa.string())])
+    out = read_parquet_evolved(
+        [str(tmp_path / "g1.parquet"), str(tmp_path / "g2.parquet")],
+        target).to_pandas().sort_values("id").reset_index(drop=True)
+    assert list(out.columns) == ["id", "a", "b"]
+    assert out["a"].tolist() == [10, 20, 30]
+    assert out["b"].tolist()[:2] == [None, None] and out["b"][2] == "x"
