@@ -97,6 +97,26 @@ def run_bench() -> dict:
     recombine_fragments(frag).count()
     queries["recombine"] = round(time.time() - t0, 3)
 
+    # exact dedup over the full corpus text (the canonical training-data
+    # op: per-batch hash shrink + one bucketed exchange on hash % B)
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from splunk_otel_collector_ray.stages.dedup import exact_dedup
+
+    def add_rid(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(
+            t["conv_id"].to_pandas().to_numpy(dtype=object)).astype(np.int64)
+        rid = (h * 131 + t["turn_idx"].to_numpy(
+            zero_copy_only=False)).astype(np.int64)
+        return t.append_column("rid", pa.array(rid))
+
+    t0 = time.time()
+    exact_dedup(read_transcripts(SF_DIR).map_batches(
+        add_rid, batch_format="pyarrow"), col="text", id_col="rid").count()
+    queries["dedup_exact"] = round(time.time() - t0, 3)
+
     ray.shutdown()
     return {
         "metric": "flagship parse→enrich→route→export seconds",

