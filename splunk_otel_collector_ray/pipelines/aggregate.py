@@ -21,6 +21,27 @@ import ray.data
 from ray.data.aggregate import Sum
 
 
+def _sum_combine(partials: "ray.data.Dataset", keys: list[str],
+                 sums: list[str], batch_size: int = 1 << 16,
+                 ) -> "ray.data.Dataset":
+    """Second combiner level: coalesce many tiny partial blocks into few.
+
+    The Aggregate operator pays a fixed per-input-block cost (sort + hash
+    per block) that dominates when the input is thousands of tiny partial
+    blocks — measured ~80 ms/block on 65-row partials, i.e. tens of CPU
+    seconds for <1 MB of data at sf1.6. One coalescing map_batches with a
+    large batch_size folds ~1000 partial blocks into one before the
+    all-to-all, so the exchange sees O(#groups) rows per coalesced block.
+    """
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = t.group_by(keys).aggregate([(c, "sum") for c in sums])
+        return g.rename_columns([*keys, *sums])
+
+    return partials.map_batches(combine, batch_format="pyarrow",
+                                batch_size=batch_size)
+
+
 def grouped_count(
     ds: "ray.data.Dataset", keys: list[str], alias: str = "n"
 ) -> "ray.data.Dataset":
@@ -30,7 +51,8 @@ def grouped_count(
         g = batch.select(keys).group_by(keys).aggregate([([], "count_all")])
         return g.rename_columns([*keys, alias])
 
-    partials = ds.map_batches(partial, batch_format="pyarrow")
+    partials = _sum_combine(
+        ds.map_batches(partial, batch_format="pyarrow"), keys, [alias])
     return partials.groupby(keys).aggregate(Sum(alias, alias_name=alias))
 
 
@@ -44,7 +66,8 @@ def grouped_sum(
         g = batch.select([*keys, value]).group_by(keys).aggregate([(value, "sum")])
         return g.rename_columns([*keys, alias])
 
-    partials = ds.map_batches(partial, batch_format="pyarrow")
+    partials = _sum_combine(
+        ds.map_batches(partial, batch_format="pyarrow"), keys, [alias])
     return partials.groupby(keys).aggregate(Sum(alias, alias_name=alias))
 
 
@@ -66,7 +89,13 @@ def grouped_stats(
             [([], "count_all"), (value, "sum"), (value, "min"), (value, "max")])
         return g.rename_columns([*keys, "n", "_sum", "_min", "_max"])
 
-    partials = ds.map_batches(partial, batch_format="pyarrow")
+    def coalesce(t: pa.Table) -> pa.Table:
+        g = t.group_by(keys).aggregate(
+            [("n", "sum"), ("_sum", "sum"), ("_min", "min"), ("_max", "max")])
+        return g.rename_columns([*keys, "n", "_sum", "_min", "_max"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow").map_batches(
+        coalesce, batch_format="pyarrow", batch_size=1 << 16)
     combined = partials.groupby(keys).aggregate(
         Sum("n", alias_name="n"), Sum("_sum", alias_name="_sum"),
         Min("_min", alias_name="_min"), Max("_max", alias_name="_max"))
@@ -121,7 +150,9 @@ def grouped_count_sum(
             [([], "count_all"), (value, "sum")])
         return g.rename_columns([*keys, count_alias, sum_alias])
 
-    partials = ds.map_batches(partial, batch_format="pyarrow")
+    partials = _sum_combine(
+        ds.map_batches(partial, batch_format="pyarrow"), keys,
+        [count_alias, sum_alias])
     return partials.groupby(keys).aggregate(
         Sum(count_alias, alias_name=count_alias), Sum(sum_alias, alias_name=sum_alias)
     )

@@ -130,18 +130,42 @@ def run_flagship(sf_dir: str, out_dir: str) -> dict[str, Any]:
     the only shuffled rows are those partials (collector exporter+obsreport
     coupling, see stages/export.py). Aggregates land next to the sink dirs.
     """
-    from ray.data.aggregate import Sum
+    import pyarrow as pa
+
+    from ray.data import DataContext
 
     from ..stages.export import SinkWriter
 
+    keys = ["sink", "severity_text", "tool"]
+
+    def combine(t: "pa.Table") -> "pa.Table":
+        g = t.group_by(keys).aggregate([("n", "sum")])
+        return g.rename_columns([*keys, "n"])
+
     t0 = time.time()
-    ds = build_logs_dataset(sf_dir)
-    routed_dir = os.path.join(out_dir, "by_sink")
-    os.makedirs(routed_dir, exist_ok=True)
-    partials = ds.map_batches(SinkWriter(routed_dir), batch_format="pyarrow")
-    agg = partials.groupby(["sink", "severity_text", "tool"]).aggregate(
-        Sum("n", alias_name="n"))
-    agg_pdf = agg.to_pandas()
+    ctx = DataContext.get_current()
+    prev_reserve = ctx.op_resource_reservation_enabled
+    # map-only chain (read → fused map → combine): per-operator resource
+    # reservation idles ~45% of CPUs here (measured 15.5 s vs 13.3 s at
+    # sf1.6/32) and exists to protect all-to-all ops this pipeline doesn't
+    # have — disable for the run, restore after
+    ctx.op_resource_reservation_enabled = False
+    try:
+        ds = build_logs_dataset(sf_dir)
+        routed_dir = os.path.join(out_dir, "by_sink")
+        os.makedirs(routed_dir, exist_ok=True)
+        partials = ds.map_batches(SinkWriter(routed_dir),
+                                  batch_format="pyarrow")
+        # partial counts are bounded by #blocks × #groups; one coalescing
+        # combine level folds ~2000 blocks into one, so the driver-side
+        # final sum sees O(#groups) rows — the Aggregate all-to-all op paid
+        # ~80 ms/block on 65-row partials (≈6 s wall at sf1.6), pure waste
+        pre = partials.map_batches(combine, batch_format="pyarrow",
+                                   batch_size=1 << 16)
+        agg_pdf = pre.to_pandas()
+        agg_pdf = agg_pdf.groupby(keys, as_index=False)["n"].sum()
+    finally:
+        ctx.op_resource_reservation_enabled = prev_reserve
     t_route = time.time() - t0
 
     agg_dir = os.path.join(out_dir, "aggregates")
@@ -194,8 +218,6 @@ def run_resumable(sf_dir: str, out_dir: str) -> dict[str, Any]:
 
     processed: dict[str, dict] = {}
     if todo:
-        from ray.data.aggregate import Sum
-
         from ..stages.export import SinkWriter
 
         ds = ray.data.read_parquet(
@@ -214,10 +236,21 @@ def run_resumable(sf_dir: str, out_dir: str) -> dict[str, Any]:
         # (manifest counts come from the SAME pass, no output re-read)
         partials = ds.map_batches(
             SinkWriter(out_dir, partition_col="part"), batch_format="pyarrow")
+        pkeys = ["part", "sink", "severity_text", "tool"]
+
+        def combine(t: "pa.Table") -> "pa.Table":
+            g = t.group_by(pkeys).aggregate([("n", "sum")])
+            return g.rename_columns([*pkeys, "n"])
+
+        # num_cpus=0 keeps combine a SEPARATE zero-cost operator: fused, its
+        # batch_size would re-batch SinkWriter's input across file
+        # boundaries, breaking the batch-per-partition invariant asserted in
+        # export.py; unfused it coalesces tiny partial blocks across tasks
         cpdf = (
-            partials.groupby(["part", "sink", "severity_text", "tool"])
-            .aggregate(Sum("n", alias_name="n"))
+            partials.map_batches(combine, batch_format="pyarrow",
+                                 batch_size=1 << 16, num_cpus=0)
             .to_pandas()
+            .groupby(pkeys, as_index=False)["n"].sum()
         )
         for part_id, p, fp in todo:
             sub = cpdf[cpdf["part"] == part_id]
