@@ -1417,6 +1417,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _table(sf, "documents").map_batches(
             ta.model_score, batch_format="pyarrow")
 
+    def q_docs_ccnet_buckets(sf):
+        # CCNet-style head/middle/tail corpus split: exact global NTILE(3)
+        # over (quality-model logit, doc_id) WITHOUT a global sort —
+        # histogram passes find each boundary rank's cell, only that cell's
+        # (id, score) pairs reach the driver (stages/sample.quantile_buckets)
+        from splunk_otel_collector_ray.stages.sample import quantile_buckets
+
+        scored = _table(sf, "documents").map_batches(
+            ta.model_score, batch_format="pyarrow")
+        return quantile_buckets(scored, k=3)
+
     def q_boilerplate_turns(sf):
         # C4-style boilerplate removal over the transcript stream: drop
         # turns whose exact text repeats across >= 3 distinct
@@ -2156,6 +2167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_decontaminate": q_docs_decontaminate,
         "docs_chunks": q_docs_chunks,
         "docs_model_score": q_docs_model_score,
+        "docs_ccnet_buckets": q_docs_ccnet_buckets,
         "boilerplate_turns": q_boilerplate_turns,
         "docs_langid": q_docs_langid,
         "docs_fingerprint": q_docs_fingerprint,
@@ -3054,6 +3066,19 @@ def oracle_sql() -> dict[str, str]:
             "/ CAST(length(text) AS DOUBLE)) + 0.01 * "
             r"length(regexp_extract_all(text, '[^ \t\n]+')) AS logit, "
             "logit > 0.0 AS keep FROM documents"),
+        "docs_ccnet_buckets": (
+            # NTILE over the bit-identical logit expression — DuckDB's
+            # global sort is the oracle for the engine's histogram-rank
+            # boundary selection (no sort on the engine side)
+            "WITH s AS (SELECT doc_id, -2.0 + 4.0 * ((length(text) - "
+            "length(regexp_replace(text, '[A-Za-z]', '', 'g'))) / "
+            "CAST(length(text) AS DOUBLE)) - 6.0 * ("
+            r"length(regexp_extract_all(text, '[^0-9A-Za-z_ \t\n\f\r\v]')) "
+            "/ CAST(length(text) AS DOUBLE)) + 0.01 * "
+            r"length(regexp_extract_all(text, '[^ \t\n]+')) AS logit "
+            "FROM documents) "
+            "SELECT doc_id, logit, CAST(NTILE(3) OVER (ORDER BY logit, "
+            "doc_id) AS BIGINT) AS bucket FROM s"),
         "docs_simhash": _simhash_sql(),
         "docs_split": (
             "SELECT doc_id, CASE "

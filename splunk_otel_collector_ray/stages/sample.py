@@ -388,3 +388,161 @@ def epoch_mixture_expand(
             "epoch", pa.array(epoch, type=pa.int64()))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _cell_of(x: np.ndarray, lo: float, hi: float, ncells: int) -> np.ndarray:
+    """Grid-cell index of each value over [lo, hi]; hi clips into the last
+    cell. Deterministic float arithmetic — every pass that needs 'which rows
+    are in cell c' recomputes THIS expression, so counting, refinement, and
+    the final pull always agree on membership."""
+    if hi <= lo:
+        return np.zeros(len(x), np.int64)
+    c = np.floor((x - lo) * (ncells / (hi - lo))).astype(np.int64)
+    return np.clip(c, 0, ncells - 1)
+
+
+def quantile_buckets(
+    ds: "ray.data.Dataset", k: int = 3, score_col: str = "logit",
+    id_col: str = "doc_id", ncells: int = 4096, cell_cap: int = 1 << 22,
+) -> "ray.data.Dataset":
+    """Exact k-quantile bucket per row — NTILE(k) OVER (ORDER BY score, id).
+
+    The CCNet head/middle/tail split (Wenzek et al. 2020: bucket a corpus by
+    per-doc LM perplexity into equal groups, keep/weight the best): every row
+    gets its GLOBAL rank k-tile, deterministically, matching SQL NTILE
+    exactly (the first ``n % k`` buckets get the extra row; ties ordered by
+    the unique ``id_col``).
+
+    Scale shape — no global sort, the text never moves:
+
+    1. materialize the (id, score) projection once (16 B/row blocks);
+    2. one pass: per-batch (min, max, n) partials → tiny driver combine;
+    3. one pass: per-batch score histogram over a fixed ``ncells`` grid →
+       driver sums nonzero cells → each of the k-1 boundary RANKS lands in
+       one cell with a known rank offset inside it;
+    4. per boundary: pull ONLY that cell's (id, score) pairs (~n/ncells
+       rows), sort on the driver, take the pair at the offset — the exact
+       global (score, id) threshold;
+    5. one pass: broadcast the k-1 threshold pairs, assign buckets with a
+       vectorized lexicographic compare.
+
+    A boundary cell larger than ``cell_cap`` (pathological score ties) is
+    refined instead of pulled: re-grid the cell's rows (membership = the
+    previous pass's exact cell predicate, composed, so no row is ever
+    double-counted across a float boundary) until the cell fits or stops
+    splitting; a cell that stops splitting holds ONE distinct score (a
+    4096-cell grid over a ≥2-ulp window always separates two distinct
+    floats), so the order inside it is by id alone and the same refinement
+    runs on the id axis (ids unique ⇒ it terminates). Each refinement is
+    one extra pass over the 2-column projection — never a driver pull.
+    """
+    import pyarrow.compute as pc
+
+    scores = ds.select_columns([id_col, score_col]).materialize()
+
+    def mm(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"lo": pa.array([], pa.float64()),
+                             "hi": pa.array([], pa.float64()),
+                             "n": pa.array([], pa.int64())})
+        return pa.table({
+            "lo": [float(pc.min(t[score_col]).as_py())],
+            "hi": [float(pc.max(t[score_col]).as_py())],
+            "n": [t.num_rows]})
+
+    st = scores.map_batches(mm, batch_format="pyarrow").to_pandas()
+    n = int(st["n"].sum())
+    if n == 0:
+        return scores.map_batches(
+            lambda t: t.append_column("bucket", pa.array([], pa.int64())),
+            batch_format="pyarrow")
+    glo, ghi = float(st["lo"].min()), float(st["hi"].max())
+
+    def col_vals(t: pa.Table, col: str) -> np.ndarray:
+        return t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+
+    def cell_pred(col: str, lo: float, hi: float, cell: int, inner):
+        """Row predicate: (inner) AND value lands in `cell` of this grid."""
+        def p(t: pa.Table) -> np.ndarray:
+            m = inner(t) if inner is not None else np.ones(t.num_rows, bool)
+            if m.any():
+                m = m & (_cell_of(col_vals(t, col), lo, hi, ncells) == cell)
+            return m
+        return p
+
+    def hist(col: str, lo: float, hi: float, pred) -> np.ndarray:
+        def h(t: pa.Table) -> pa.Table:
+            m = pred(t) if pred is not None else np.ones(t.num_rows, bool)
+            if not m.any():
+                return pa.table({"cell": pa.array([], pa.int64()),
+                                 "cnt": pa.array([], pa.int64())})
+            c = _cell_of(col_vals(t, col)[m], lo, hi, ncells)
+            cnt = np.bincount(c, minlength=ncells)
+            nz = np.flatnonzero(cnt)
+            return pa.table({"cell": nz.astype(np.int64),
+                             "cnt": cnt[nz].astype(np.int64)})
+
+        hdf = (scores.map_batches(h, batch_format="pyarrow")
+               .to_pandas().groupby("cell")["cnt"].sum())
+        counts = np.zeros(ncells, np.int64)
+        counts[hdf.index.to_numpy()] = hdf.to_numpy()
+        return counts
+
+    def window_minmax(col: str, pred) -> tuple[float, float]:
+        def f(t: pa.Table) -> pa.Table:
+            m = pred(t) if pred is not None else np.ones(t.num_rows, bool)
+            if not m.any():
+                return pa.table({"lo": pa.array([], pa.float64()),
+                                 "hi": pa.array([], pa.float64())})
+            v = col_vals(t, col)[m]
+            return pa.table({"lo": [float(v.min())], "hi": [float(v.max())]})
+        df = scores.map_batches(f, batch_format="pyarrow").to_pandas()
+        return float(df["lo"].min()), float(df["hi"].max())
+
+    def drill(col: str, lo: float, hi: float, pred, rank: int,
+              order_cols: list) -> "pd.DataFrame | None":
+        """Narrow (col, grid, pred) around global in-window rank ``rank``
+        until the boundary cell fits under cell_cap, then pull and return
+        (sorted rows, offset) — or None if the cell stopped splitting."""
+        base = int(rank)
+        counts = hist(col, lo, hi, pred)
+        while True:
+            cum = np.concatenate([[0], np.cumsum(counts)])
+            c = int(np.searchsorted(cum, base, side="right") - 1)
+            base -= int(cum[c])
+            sel = cell_pred(col, lo, hi, c, pred)
+            if int(counts[c]) <= cell_cap:
+                sub = scores.map_batches(
+                    lambda t, s=sel: t.filter(pa.array(s(t))),
+                    batch_format="pyarrow").to_pandas()
+                return sub.sort_values(order_cols, kind="mergesort"), base
+            nlo, nhi = window_minmax(col, sel)
+            if nlo >= nhi:  # one distinct value: this grid can't order it
+                return sel, base, nlo  # caller switches axis
+            lo, hi, pred = nlo, nhi, sel
+            counts = hist(col, lo, hi, pred)
+
+    def threshold_at(rank: int) -> tuple[float, int]:
+        out = drill(score_col, glo, ghi, None, rank, [score_col, id_col])
+        if len(out) == 3:  # score axis saturated on one value → order by id
+            sel, base, val = out
+            ilo, ihi = window_minmax(id_col, sel)
+            sub, off = drill(id_col, ilo, ihi, sel, base, [id_col])
+            return val, int(sub.iloc[off][id_col])
+        sub, off = out
+        row = sub.iloc[off]
+        return float(row[score_col]), int(row[id_col])
+
+    sizes = [n // k + (1 if i < n % k else 0) for i in range(k)]
+    bounds = np.cumsum(sizes)[:-1]
+    thresholds = [threshold_at(int(b)) for b in bounds]
+
+    def assign(t: pa.Table) -> pa.Table:
+        x = col_vals(t, score_col)
+        i = t[id_col].to_numpy(zero_copy_only=False)
+        b = np.ones(t.num_rows, np.int64)
+        for (ts_, ti) in thresholds:
+            b += ((x > ts_) | ((x == ts_) & (i >= ti))).astype(np.int64)
+        return t.append_column("bucket", pa.array(b))
+
+    return scores.map_batches(assign, batch_format="pyarrow")

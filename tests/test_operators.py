@@ -822,3 +822,86 @@ def test_read_parquet_evolved_aligns_drifted_schemas(ray_session, tmp_path):
     assert list(out.columns) == ["id", "a", "b"]
     assert out["a"].tolist() == [10, 20, 30]
     assert out["b"].tolist()[:2] == [None, None] and out["b"][2] == "x"
+
+
+def _ntile_reference(df, k):
+    import numpy as np
+    import pandas as pd
+
+    df = df.sort_values(["logit", "doc_id"], kind="mergesort").reset_index(
+        drop=True)
+    n = len(df)
+    sizes = [n // k + (1 if i < n % k else 0) for i in range(k)]
+    return pd.Series(
+        np.repeat(np.arange(1, k + 1), sizes), index=df["doc_id"].to_numpy())
+
+
+def test_quantile_buckets_matches_ntile(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+    from splunk_otel_collector_ray.stages.sample import quantile_buckets
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({
+        "doc_id": np.arange(1000, dtype=np.int64),
+        "logit": rng.normal(size=1000),
+    })
+    out = quantile_buckets(
+        ray.data.from_arrow(pa.Table.from_pandas(df)), k=3).to_pandas()
+    ref = _ntile_reference(df, 3)
+    got = out.set_index("doc_id")["bucket"]
+    assert (got.reindex(ref.index).to_numpy() == ref.to_numpy()).all()
+    # NTILE sizes: 1000 = 334 + 333 + 333
+    assert got.value_counts().sort_index().tolist() == [334, 333, 333]
+
+
+def test_quantile_buckets_all_ties_orders_by_id(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+    from splunk_otel_collector_ray.stages.sample import quantile_buckets
+
+    # every score identical → the score histogram can never split the
+    # boundary cell; with a tiny cell_cap the id-axis refinement must kick
+    # in, and buckets are assigned purely by doc_id order
+    df = pd.DataFrame({
+        "doc_id": np.arange(100, dtype=np.int64)[::-1].copy(),
+        "logit": np.full(100, 0.25),
+    })
+    out = quantile_buckets(
+        ray.data.from_arrow(pa.Table.from_pandas(df)), k=4,
+        cell_cap=8).to_pandas()
+    got = out.sort_values("doc_id")["bucket"].to_numpy()
+    expect = np.repeat([1, 2, 3, 4], 25)
+    assert (got == expect).all()
+
+
+def test_quantile_buckets_refinement_equals_direct(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+    from splunk_otel_collector_ray.stages.sample import quantile_buckets
+
+    # clustered scores + a forced tiny cell_cap: the score-axis refinement
+    # loop must produce the same buckets as the unconstrained path
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({
+        "doc_id": np.arange(500, dtype=np.int64),
+        "logit": np.round(rng.normal(size=500), 2),  # heavy ties
+    })
+    src = pa.Table.from_pandas(df)
+    a = quantile_buckets(ray.data.from_arrow(src), k=5).to_pandas()
+    b = quantile_buckets(ray.data.from_arrow(src), k=5,
+                         cell_cap=4).to_pandas()
+    ma = a.set_index("doc_id")["bucket"]
+    mb = b.set_index("doc_id")["bucket"].reindex(ma.index)
+    assert (ma.to_numpy() == mb.to_numpy()).all()
+    ref = _ntile_reference(df, 5)
+    assert (ma.reindex(ref.index).to_numpy() == ref.to_numpy()).all()
