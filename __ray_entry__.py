@@ -2010,6 +2010,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return duplicate_clusters(_table(sf, "documents"),
                                   jaccard_threshold=0.8)
 
+    def q_docs_cluster_keep_best(sf):
+        # production dedup policy: of N near-duplicates keep the BEST by
+        # quality-model score (ties → min id), not the min id — composes the
+        # near-dup cluster map with the one-pass scored projection
+        from splunk_otel_collector_ray.stages.dedup import cluster_keep_best
+
+        return cluster_keep_best(_table(sf, "documents"), ta.model_score,
+                                 jaccard_threshold=0.8)
+
     def q_ann_lsh(sf):
         # LSH-bucketed ANN (multi-probe) — the scale path next to the
         # brute-force baseline of emb_ann_topk (rows-only; approximate)
@@ -2217,6 +2226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hot_convs": q_hot_convs,
         "neardup_pairs": q_neardup_pairs,
         "docs_dup_clusters": q_docs_dup_clusters,
+        "docs_cluster_keep_best": q_docs_cluster_keep_best,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "events_stats": q_events_stats,
@@ -3133,6 +3143,28 @@ def oracle_sql() -> dict[str, str]:
             "FROM reach GROUP BY x) "
             "SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id "
             "FROM documents d LEFT JOIN comp c USING (doc_id)"),
+        "docs_cluster_keep_best": (
+            # same recursive closure as docs_dup_clusters + the bit-identical
+            # logit; keep = row_number 1 per cluster on (logit DESC, doc_id)
+            f"WITH RECURSIVE {_NEARDUP_CTES}, "
+            "edges AS (SELECT doc_a AS a, doc_b AS b FROM np_pairs "
+            "UNION ALL SELECT doc_b, doc_a FROM np_pairs), "
+            "reach(x, y) AS (SELECT a, b FROM edges "
+            "UNION SELECT r.x, e.b FROM reach r JOIN edges e ON r.y = e.a), "
+            "comp AS (SELECT x AS doc_id, least(x, min(y)) AS cluster_id "
+            "FROM reach GROUP BY x), "
+            "lab AS (SELECT d.doc_id, "
+            "coalesce(c.cluster_id, d.doc_id) AS cluster_id, "
+            "-2.0 + 4.0 * ((length(text) - "
+            "length(regexp_replace(text, '[A-Za-z]', '', 'g'))) / "
+            "CAST(length(text) AS DOUBLE)) - 6.0 * ("
+            r"length(regexp_extract_all(text, '[^0-9A-Za-z_ \t\n\f\r\v]')) "
+            "/ CAST(length(text) AS DOUBLE)) + 0.01 * "
+            r"length(regexp_extract_all(text, '[^ \t\n]+')) AS logit "
+            "FROM documents d LEFT JOIN comp c USING (doc_id)) "
+            "SELECT doc_id, cluster_id, logit, row_number() OVER ("
+            "PARTITION BY cluster_id ORDER BY logit DESC, doc_id) = 1 "
+            "AS keep FROM lab"),
         "stratified_sample": (
             "SELECT event_type, event_id FROM events QUALIFY row_number() "
             "OVER (PARTITION BY event_type ORDER BY "

@@ -402,3 +402,41 @@ def test_kmeans_distributed_matches_numpy_reference(ray_session):
     sc = xm @ cent.T - 0.5 * (cent * cent).sum(axis=1)[None, :]
     expect = sc.argmax(axis=1)
     assert (got["cluster"].to_numpy() == expect).all()
+
+
+def test_cluster_keep_best_prefers_quality_over_min_id(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+    from splunk_otel_collector_ray.stages.dedup import cluster_keep_best
+
+    base = ("the quick brown fox jumps over the lazy dog again and again "
+            "while the observer takes careful notes about every motion")
+    docs = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": [
+            base + " !!!! ???? ;;;; ::::",        # 0: dup, heavy punct → low
+            base + " with one extra clean word",   # 1: dup, clean → winner
+            base + " !!!! ???? ;;;; ....",         # 2: dup, heavy punct → low
+            "a completely different document about sailing ships and maps",
+            "another standalone text mentioning gardens and quiet rivers",
+            "short",
+        ],
+    })
+
+    def score(t: pa.Table) -> pa.Table:
+        from splunk_otel_collector_ray.stages.text_analysis import model_score
+        return model_score(t)
+
+    out = cluster_keep_best(
+        ray.data.from_arrow(pa.Table.from_pandas(docs)), score,
+        jaccard_threshold=0.5).to_pandas().set_index("doc_id").sort_index()
+    # docs 0,1,2 form one near-dup cluster labeled by min id 0
+    assert set(out.loc[[0, 1, 2], "cluster_id"]) == {0}
+    # winner is the highest-logit member (1), NOT the min id (0)
+    assert bool(out.loc[1, "keep"]) and not bool(out.loc[0, "keep"]) \
+        and not bool(out.loc[2, "keep"])
+    # singletons keep themselves
+    assert out.loc[[3, 4, 5], "keep"].all()
