@@ -264,6 +264,12 @@ def _oracle_cte(tglob: str = ORACLE_TGLOB) -> str:
 
 # enrichment dims as inline SQL (must equal stages/enrich.py build_dim_table)
 _BUCKET_SQL = "(CAST(substr(conv_id, 6) AS BIGINT) % 64)"
+
+# stages/structured.URI_RX verbatim (single-quote-free, so it embeds in a
+# standard SQL string literal untouched — DuckDB strings keep backslashes)
+_URI_SQL_RX = (r"^(?P<scheme>[a-z][a-z0-9+.-]*)://(?P<host>[^/:?#]*)"
+               r"(?::(?P<port>[0-9]+))?(?P<path>/[^?#]*)?"
+               r"(?:\?(?P<query>[^#]*))?(?:#(?P<fragment>.*))?$")
 _NS_SQL = ("CASE " + " ".join(
     f"WHEN {_BUCKET_SQL} % 4 = {i} THEN '{v}'" for i, v in enumerate(NAMESPACES))
     + " END")
@@ -1019,6 +1025,68 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return _table(sf, "documents").map_batches(
             lambda t: split_sentences(t, pattern=r"[.!?] | the "),
+            batch_format="pyarrow")
+
+    def q_events_kv_parse(sf):
+        # stanza key_value_parser (CHANGELOG.md:3589; pkg/stanza upstream):
+        # construct the kv line deterministically from events columns (the
+        # reference's construct→parse test strategy), explode key=value
+        # pairs to relational rows
+        from splunk_otel_collector_ray.stages.structured import kv_explode
+
+        def build(t):
+            et = pc.cast(t["event_type"], pa.string())
+            line = pc.binary_join_element_wise(
+                "type=", et, " user=",
+                pc.cast(t["user_id"], pa.string()), " id=",
+                pc.cast(t["event_id"], pa.string()), "")
+            return t.append_column("line", line)
+
+        return _table(sf, "events").map_batches(
+            build, batch_format="pyarrow").map_batches(
+            lambda t: kv_explode(t, "line", ["event_id"]),
+            batch_format="pyarrow")
+
+    def q_events_csv_parse(sf):
+        # stanza csv_parser with an RFC-4180 QUOTED field (props carries
+        # quotes/commas → doubled-quote escaping exercised on every row);
+        # both sides run the identical RE2 field pattern
+        from splunk_otel_collector_ray.stages.structured import csv_parse
+
+        def build(t):
+            esc = pc.replace_substring(t["props"], '"', '""')
+            line = pc.binary_join_element_wise(
+                pc.cast(t["event_id"], pa.string()), ',"', esc, '",',
+                pc.cast(t["event_type"], pa.string()), "")
+            return t.append_column("line", line)
+
+        return _table(sf, "events").map_batches(
+            build, batch_format="pyarrow").map_batches(
+            lambda t: csv_parse(t, "line", ["rid", "payload", "etype"],
+                                keep=["event_id"]),
+            batch_format="pyarrow")
+
+    def q_events_uri_parse(sf):
+        # stanza uri_parser: scheme/host/port/path/query decomposition, with
+        # the port present on a deterministic third of the rows
+        from splunk_otel_collector_ray.stages.structured import uri_parse
+
+        def build(t):
+            import numpy as np
+
+            ids = t["event_id"].to_numpy(zero_copy_only=False)
+            uids = t["user_id"].to_numpy(zero_copy_only=False)
+            port = pa.array(np.where(ids % 3 == 0, ":8080", ""))
+            uri = pc.binary_join_element_wise(
+                "https://h", pa.array((uids % 20).astype(str)),
+                ".example.com", port, "/api/",
+                pc.cast(t["event_type"], pa.string()), "?id=",
+                pc.cast(t["event_id"], pa.string()), "")
+            return t.append_column("uri", uri)
+
+        return _table(sf, "events").map_batches(
+            build, batch_format="pyarrow").map_batches(
+            lambda t: uri_parse(t, "uri", keep=["event_id"]),
             batch_format="pyarrow")
 
     def q_events_props_extract(sf):
@@ -2141,6 +2209,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "log_templates": q_log_templates,
         "docs_sentences": q_docs_sentences,
         "events_props_extract": q_events_props_extract,
+        "events_kv_parse": q_events_kv_parse,
+        "events_csv_parse": q_events_csv_parse,
+        "events_uri_parse": q_events_uri_parse,
         "docs_normalize": q_docs_normalize,
         "docs_reservoir": q_docs_reservoir,
         "metrics_pipeline": q_metrics_pipeline,
@@ -2819,6 +2890,60 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, event_type, TRY_CAST(NULLIF(regexp_extract("
             "COALESCE(props, ''), '\"k\"[ ]*:[ ]*(-?[0-9]+)', 1), '') "
             "AS BIGINT) AS k_val FROM events"),
+        "events_kv_parse": (
+            # identical RE2 pair pattern on both sides; the two unnests of
+            # equal-length lists align positionally in DuckDB
+            "WITH l AS (SELECT event_id, 'type=' || event_type || ' user=' "
+            "|| CAST(user_id AS VARCHAR) || ' id=' || "
+            "CAST(event_id AS VARCHAR) AS line FROM events) "
+            "SELECT event_id, "
+            "unnest(regexp_extract_all(line, "
+            "'([0-9A-Za-z_.]+)=([^ ]*)', 1)) AS key, "
+            "unnest(regexp_extract_all(line, "
+            "'([0-9A-Za-z_.]+)=([^ ]*)', 2)) AS value FROM l"),
+        "events_csv_parse": (
+            # the engine's csv_rx(3) verbatim, group-indexed; unquote =
+            # the same CASE + substring + replace('""','\"') chain
+            "WITH l AS (SELECT event_id, CAST(event_id AS VARCHAR) || ',\"' "
+            "|| replace(props, '\"', '\"\"') || '\",' || event_type AS line "
+            "FROM events), p AS (SELECT event_id, "
+            "regexp_extract(line, '^(\"(?:[^\"]|\"\")*\"|[^,]*),"
+            "(\"(?:[^\"]|\"\")*\"|[^,]*),(\"(?:[^\"]|\"\")*\"|[^,]*)$', 1) "
+            "AS f0, "
+            "regexp_extract(line, '^(\"(?:[^\"]|\"\")*\"|[^,]*),"
+            "(\"(?:[^\"]|\"\")*\"|[^,]*),(\"(?:[^\"]|\"\")*\"|[^,]*)$', 2) "
+            "AS f1, "
+            "regexp_extract(line, '^(\"(?:[^\"]|\"\")*\"|[^,]*),"
+            "(\"(?:[^\"]|\"\")*\"|[^,]*),(\"(?:[^\"]|\"\")*\"|[^,]*)$', 3) "
+            "AS f2 FROM l) "
+            "SELECT event_id, "
+            "COALESCE(replace(regexp_replace(f0, "
+            "'^\"((?:[^\"]|\"\")*)\"$', '\\1'), '\"\"', '\"'), '') AS rid, "
+            "COALESCE(replace(regexp_replace(f1, "
+            "'^\"((?:[^\"]|\"\")*)\"$', '\\1'), '\"\"', '\"'), '') "
+            "AS payload, "
+            "COALESCE(replace(regexp_replace(f2, "
+            "'^\"((?:[^\"]|\"\")*)\"$', '\\1'), '\"\"', '\"'), '') "
+            "AS etype FROM p"),
+        "events_uri_parse": (
+            "WITH l AS (SELECT event_id, 'https://h' || "
+            "CAST(user_id % 20 AS VARCHAR) || '.example.com' || "
+            "CASE WHEN event_id % 3 = 0 THEN ':8080' ELSE '' END || "
+            "'/api/' || event_type || '?id=' || "
+            "CAST(event_id AS VARCHAR) AS uri FROM events) "
+            "SELECT event_id, "
+            "COALESCE(regexp_extract(uri, '" + _URI_SQL_RX + "', 1), '') "
+            "AS scheme, "
+            "COALESCE(regexp_extract(uri, '" + _URI_SQL_RX + "', 2), '') "
+            "AS host, "
+            "COALESCE(regexp_extract(uri, '" + _URI_SQL_RX + "', 3), '') "
+            "AS port, "
+            "COALESCE(regexp_extract(uri, '" + _URI_SQL_RX + "', 4), '') "
+            "AS path, "
+            "COALESCE(regexp_extract(uri, '" + _URI_SQL_RX + "', 5), '') "
+            "AS query, "
+            "COALESCE(regexp_extract(uri, '" + _URI_SQL_RX + "', 6), '') "
+            "AS fragment FROM l"),
         "docs_normalize": (
             "SELECT doc_id, regexp_replace(regexp_replace(regexp_replace("
             "lower(COALESCE(text, '')), '[\\x00-\\x1f\\x7f]', ' ', 'g'), "

@@ -217,3 +217,57 @@ def test_family_attr_keys_retained_only():
         sub = df[df.log_format == fam]
         if len(sub):
             assert all(sorted(dict(a)) == sorted(keys) for a in sub.attributes.head(20))
+
+
+def test_csv_parse_quoting_and_malformed():
+    import pyarrow as pa
+
+    from splunk_otel_collector_ray.stages.structured import csv_parse
+
+    t = pa.table({"line": [
+        'a,b,c',                      # plain
+        '1,"x, y",z',                 # quoted field with delimiter inside
+        '2,"he said ""hi""",w',       # doubled-quote escape
+        'only,two',                   # malformed: too few fields → ''
+        ',,',                         # empty fields
+    ]})
+    out = csv_parse(t, "line", ["f", "g", "h"]).to_pydict()
+    assert out["f"] == ["a", "1", "2", "", ""]
+    assert out["g"] == ["b", "x, y", 'he said "hi"', "", ""]
+    assert out["h"] == ["c", "z", "w", "", ""]
+
+
+def test_uri_parse_components():
+    import pyarrow as pa
+
+    from splunk_otel_collector_ray.stages.structured import uri_parse
+
+    t = pa.table({"u": [
+        "https://example.com:8443/a/b?x=1&y=2#frag",
+        "http://example.org/",
+        "ftp://files.example.net",
+        "not a uri",
+    ]})
+    out = uri_parse(t, "u").to_pydict()
+    assert out["scheme"] == ["https", "http", "ftp", ""]
+    assert out["host"] == ["example.com", "example.org", "files.example.net",
+                           ""]
+    assert out["port"] == ["8443", "", "", ""]
+    assert out["path"] == ["/a/b", "/", "", ""]
+    assert out["query"] == ["x=1&y=2", "", "", ""]
+    assert out["fragment"] == ["frag", "", "", ""]
+
+
+def test_kv_explode_first_delimiter_and_ids():
+    import pyarrow as pa
+
+    from splunk_otel_collector_ray.stages.structured import kv_explode
+
+    t = pa.table({"rid": [10, 11], "line": [
+        "a=1 b=two c=",          # empty value kept
+        "nopairs here",          # no matches → contributes no rows
+    ]})
+    out = kv_explode(t, "line", ["rid"]).to_pydict()
+    assert out["rid"] == [10, 10, 10]
+    assert out["key"] == ["a", "b", "c"]
+    assert out["value"] == ["1", "two", ""]
