@@ -1089,6 +1089,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda t: uri_parse(t, "uri", keep=["event_id"]),
             batch_format="pyarrow")
 
+    def q_events_trace_parse(sf):
+        # stanza trace_parser: W3C hex-shape validation + lowercase
+        # canonicalization; ids constructed vectorized (one hexlify over the
+        # u64 view), a seventh invalid, odd rows uppercased to exercise the
+        # canonical path
+        from splunk_otel_collector_ray.stages.structured import trace_parse
+
+        def build(t):
+            import binascii
+
+            import numpy as np
+
+            ids = t["event_id"].to_numpy(zero_copy_only=False)
+            uids = t["user_id"].to_numpy(zero_copy_only=False)
+
+            def hex16(x):
+                buf = binascii.hexlify(x.astype(">u8").tobytes())
+                return np.frombuffer(buf, dtype="S16").astype("U16")
+
+            tid = np.char.add(hex16(ids), hex16(uids * 2654435761))
+            tid = np.where(ids % 2 == 1, np.char.upper(tid), tid)
+            tid = np.where(ids % 7 == 0, "not-a-trace", tid)
+            sid = hex16(ids * 2654435761).astype(object)
+            sid = np.where(ids % 11 == 0, "short", sid)
+            return t.append_column("tid", pa.array(tid.astype(object))) \
+                    .append_column("sid", pa.array(sid))
+
+        return _table(sf, "events").map_batches(
+            build, batch_format="pyarrow").map_batches(
+            lambda t: trace_parse(t, "tid", "sid", keep=["event_id"]),
+            batch_format="pyarrow")
+
     def q_events_props_extract(sf):
         # flat-JSON scalar field extraction (OTTL ParseJSON-lite): one RE2
         # extract pass, null on missing/unparseable
@@ -2210,6 +2242,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_sentences": q_docs_sentences,
         "events_props_extract": q_events_props_extract,
         "events_kv_parse": q_events_kv_parse,
+        "events_trace_parse": q_events_trace_parse,
         "events_csv_parse": q_events_csv_parse,
         "events_uri_parse": q_events_uri_parse,
         "docs_normalize": q_docs_normalize,
@@ -2890,6 +2923,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, event_type, TRY_CAST(NULLIF(regexp_extract("
             "COALESCE(props, ''), '\"k\"[ ]*:[ ]*(-?[0-9]+)', 1), '') "
             "AS BIGINT) AS k_val FROM events"),
+        "events_trace_parse": (
+            "WITH l AS (SELECT event_id, "
+            "lower(lpad(hex(event_id), 16, '0')) || "
+            "lower(lpad(hex(user_id * 2654435761), 16, '0')) AS raw, "
+            "lower(lpad(hex(event_id * 2654435761), 16, '0')) AS sraw "
+            "FROM events), m AS (SELECT event_id, "
+            "CASE WHEN event_id % 7 = 0 THEN 'not-a-trace' "
+            "WHEN event_id % 2 = 1 THEN upper(raw) ELSE raw END AS tid, "
+            "CASE WHEN event_id % 11 = 0 THEN 'short' ELSE sraw END AS sid "
+            "FROM l) "
+            "SELECT event_id, "
+            "CASE WHEN regexp_matches(tid, '^[0-9a-fA-F]{32}$') "
+            "THEN lower(tid) ELSE '' END AS trace_id, "
+            "CASE WHEN regexp_matches(sid, '^[0-9a-fA-F]{16}$') "
+            "THEN lower(sid) ELSE '' END AS span_id FROM m"),
         "events_kv_parse": (
             # identical RE2 pair pattern on both sides; the two unnests of
             # equal-length lists align positionally in DuckDB

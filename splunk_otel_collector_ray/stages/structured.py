@@ -101,3 +101,35 @@ def kv_explode(batch: pa.Table, col: str, id_cols: list[str],
     keys = pa.array(ext[0].to_numpy(dtype=object), pa.string())
     vals = pa.array(ext[1].to_numpy(dtype=object), pa.string())
     return out.append_column("key", keys).append_column("value", vals)
+
+
+TRACE_ID_RX = "^[0-9a-fA-F]{32}$"
+SPAN_ID_RX = "^[0-9a-fA-F]{16}$"
+FLAGS_RX = "^[0-9a-fA-F]{1,2}$"
+
+
+def trace_parse(batch: pa.Table, trace_col: str, span_col: str | None = None,
+                flags_col: str | None = None,
+                keep: list[str] | None = None) -> pa.Table:
+    """stanza trace_parser (CHANGELOG.md:3590; pkg/stanza upstream): lift
+    trace context fields onto the record, VALIDATING the W3C hex shapes —
+    a 32-hex trace_id, 16-hex span_id, 1-2-hex flags. Invalid values parse
+    to '' (stanza drops them from the trace context), and the surviving ids
+    are canonicalized to lowercase like the collector's pdata ids.
+
+    One anchored RE2 match + utf8_lower per field — no row loop."""
+    out = batch.select([c for c in (keep or []) if c in batch.column_names])
+
+    def lift(col: str | None, rx: str, name: str) -> None:
+        nonlocal out
+        if col is None:
+            return
+        v = pc.coalesce(batch[col], "")
+        ok = pc.match_substring_regex(v, rx)
+        out = out.append_column(
+            name, pc.if_else(ok, pc.utf8_lower(v), ""))
+
+    lift(trace_col, TRACE_ID_RX, "trace_id")
+    lift(span_col, SPAN_ID_RX, "span_id")
+    lift(flags_col, FLAGS_RX, "trace_flags")
+    return out
