@@ -2030,6 +2030,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return ds.map_batches(proj, batch_format="pyarrow")
 
+    def q_ottl_map_edit(sf):
+        # third OTTL editor wave: delete_matching_keys (RE2 over the flat
+        # keys array) + limit with a priority key; verified via the
+        # FAMILY_ATTR_KEYS replay (attrs_left) and priority survival
+        # (has_code) — upstream editors limit()/delete_matching_keys()
+        from splunk_otel_collector_ray.functions.ottl import OttlTransform
+
+        tr = OttlTransform([
+            'delete_matching_keys(attributes, "^re")',
+            'limit(attributes, 3, ["code"])',
+        ])
+        ds = _parsed(sf).map_batches(tr, batch_format="pyarrow")
+
+        def proj(t: pa.Table) -> pa.Table:
+            arr = t["attributes"]
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            off = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            keys = arr.keys.to_numpy(zero_copy_only=False)
+            rows = np.repeat(np.arange(len(off) - 1), np.diff(off))
+            has = np.zeros(len(off) - 1, dtype=bool)
+            has[rows[keys == "code"]] = True
+            return pa.table({
+                "conv_id": t["conv_id"], "turn_idx": t["turn_idx"],
+                "attrs_left": pa.array(np.diff(off), type=pa.int64()),
+                "has_code": pa.array(has),
+            })
+
+        return ds.map_batches(proj, batch_format="pyarrow")
+
     def q_conv_sampler(sf):
         # probabilistic sampler keyed on the conversation (trace-id hashing
         # analogue): whole conversations kept or dropped together
@@ -2209,6 +2239,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "discovery_status": q_discovery_status,
         "ottl_replace": q_ottl_replace,
         "ottl_functions": q_ottl_functions,
+        "ottl_map_edit": q_ottl_map_edit,
         "ottl_converters": q_ottl_converters,
         "truncate": q_truncate,
         "recombine": q_recombine,
@@ -2762,6 +2793,22 @@ def oracle_sql() -> dict[str, str]:
             "length(text) AS text_len, "
             "CASE WHEN role = 'tool' THEN upper(tool) ELSE tool END "
             "AS tool_uc FROM raw"),
+        "ottl_map_edit": C + (
+            # replay delete_matching_keys('^re') + limit(3) over the
+            # FAMILY_ATTR_KEYS metadata (a parsed row carries exactly its
+            # family's key set); 'code' never matches ^re and limit>=1 with
+            # priority keeps it whenever the family has it
+            "SELECT conv_id, turn_idx, CAST(CASE log_format "
+            + " ".join(
+                f"WHEN '{fam}' THEN "
+                f"{min(3, len([k for k in ks if not k.startswith('re')]))}"
+                for fam, ks in FAMILY_ATTR_KEYS.items() if fam != "plain")
+            + " ELSE 0 END AS BIGINT) AS attrs_left, "
+            "CASE log_format "
+            + " ".join(
+                f"WHEN '{fam}' THEN TRUE"
+                for fam, ks in FAMILY_ATTR_KEYS.items() if "code" in ks)
+            + " ELSE FALSE END AS has_code FROM parsed"),
         "ottl_converters": (
             # SHA256 → sha256(); Trim → TRIM with the ASCII whitespace set
             # (utf8_trim_whitespace twin on an ASCII corpus); Int truncates

@@ -19,7 +19,10 @@ key/value arrays with numpy offset arithmetic — no per-row Python.
 Grammar:
     set(<target>, <value>) [where <predicate>]
     delete_key(attributes, "key") [where <predicate>]
+    delete_matching_keys(attributes, "regex") [where <predicate>]
     keep_keys(attributes, ["k1", "k2"]) [where <predicate>]
+    limit(attributes, n[, ["priority", …]]) [where <predicate>]
+    truncate_all(attributes, n) [where <predicate>]
     replace_pattern(<target>, "regex", "replacement") [where <predicate>]
   <target> := column | attributes["key"]
   <value>  := literal | column | attributes["key"]
@@ -116,6 +119,46 @@ def map_truncate_all(arr, limit: int,
         keep_orig = ~mask[rows]
         cut[keep_orig] = items[keep_orig]
     return _rebuild(n, rows, keys, cut, nulls)
+
+
+def map_delete_matching_keys(arr, pattern: str,
+                             mask: np.ndarray | None = None) -> pa.Array:
+    """Drop every entry whose KEY matches ``pattern`` (upstream OTTL
+    ``delete_matching_keys(attributes, "regex")`` editor) — one RE2 pass
+    over the flat keys array."""
+    offsets, keys, items, n, nulls = _map_parts(arr)
+    rows = np.repeat(np.arange(n), np.diff(offsets))
+    hit = pc.match_substring_regex(
+        pa.array(keys, type=pa.string()), pattern).to_numpy(
+        zero_copy_only=False)
+    if mask is not None:
+        hit &= mask[rows]
+    keep = ~hit
+    return _rebuild(n, rows[keep], keys[keep], items[keep], nulls)
+
+
+def map_limit(arr, limit: int, priority_keys: list[str] | None = None,
+              mask: np.ndarray | None = None) -> pa.Array:
+    """Keep at most ``limit`` entries per map, ``priority_keys`` first
+    (upstream OTTL ``limit(attributes, n, ["k", …])`` editor). Within each
+    priority class the original map order decides — flat-array lexsort +
+    per-row rank, no row loop."""
+    offsets, keys, items, n, nulls = _map_parts(arr)
+    rows = np.repeat(np.arange(n), np.diff(offsets))
+    pos = np.arange(len(rows)) - offsets[rows]
+    prio = np.full(len(rows), len(priority_keys or []), dtype=np.int64)
+    for i, k in enumerate(priority_keys or []):
+        prio[keys == k] = i
+    order = np.lexsort((pos, prio, rows))
+    # rank within row in (prio, pos) order: position minus row start
+    starts = np.concatenate([[0], np.cumsum(np.bincount(
+        rows, minlength=n))])[:-1]
+    rank = np.empty(len(rows), dtype=np.int64)
+    rank[order] = np.arange(len(rows)) - starts[rows[order]]
+    keep = rank < limit
+    if mask is not None:
+        keep |= ~mask[rows]
+    return _rebuild(n, rows[keep], keys[keep], items[keep], nulls)
 
 
 def map_set_key(arr, key: str, values: np.ndarray,
@@ -375,6 +418,34 @@ def compile_statement(stmt: str) -> BatchFn:
             if isinstance(arr, pa.ChunkedArray):
                 arr = arr.combine_chunks()
             new = map_truncate_all(arr, limit, pred(b) if pred else None)
+            return b.set_column(b.column_names.index(mcol), mcol, new)
+
+        return run
+
+    if fname == "delete_matching_keys":
+        mcol = node.args[0].id
+        pattern = ast.literal_eval(node.args[1])
+
+        def run(b, mcol=mcol, pattern=pattern, pred=pred):
+            arr = b[mcol]
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            new = map_delete_matching_keys(
+                arr, pattern, pred(b) if pred else None)
+            return b.set_column(b.column_names.index(mcol), mcol, new)
+
+        return run
+
+    if fname == "limit":
+        mcol = node.args[0].id
+        lim = ast.literal_eval(node.args[1])
+        prio = ast.literal_eval(node.args[2]) if len(node.args) > 2 else []
+
+        def run(b, mcol=mcol, lim=lim, prio=prio, pred=pred):
+            arr = b[mcol]
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            new = map_limit(arr, lim, prio, pred(b) if pred else None)
             return b.set_column(b.column_names.index(mcol), mcol, new)
 
         return run

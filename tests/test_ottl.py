@@ -286,3 +286,40 @@ def test_trim_int_double_sha256_converters():
     assert d[0] == 3.9 and d[1] == -2.7 and (d[2] is None or np.isnan(d[2]))
     assert out["dn"].to_pylist() == [1.0, 2.0, 3.0]
     assert out["h"].to_pylist()[0] == hashlib.sha256(b"  pad  ").hexdigest()
+
+
+def test_delete_matching_keys_and_limit_priority():
+    import pyarrow as pa
+
+    from splunk_otel_collector_ray.functions.ottl import OttlTransform
+
+    m = pa.array(
+        [[("alpha", "1"), ("beta", "2"), ("thread", "t"), ("code", "200"),
+          ("time", "x")],
+         [("thread", "t")], None, []],
+        type=pa.map_(pa.string(), pa.string()))
+    t = pa.table({"attributes": m, "role": ["a", "b", "c", "d"]})
+    out = OttlTransform([
+        'delete_matching_keys(attributes, "^t")',
+        'limit(attributes, 2, ["code"])',
+    ])(t)["attributes"].to_pylist()
+    # row 0: ^t drops thread/time; limit 2 keeps priority 'code' + the
+    # first remaining in ORIGINAL order (alpha); survivors keep map order
+    assert out[0] == [("alpha", "1"), ("code", "200")]
+    assert out[1] == []          # everything matched ^t
+    assert out[2] is None        # null map stays null (validity preserved)
+    assert out[3] == []
+
+
+def test_limit_where_clause_scopes_rows():
+    import pyarrow as pa
+
+    from splunk_otel_collector_ray.functions.ottl import OttlTransform
+
+    m = pa.array([[("a", "1"), ("b", "2")], [("a", "1"), ("b", "2")]],
+                 type=pa.map_(pa.string(), pa.string()))
+    t = pa.table({"attributes": m, "role": ["keep", "trim"]})
+    out = OttlTransform(['limit(attributes, 1) where role == "trim"'])(t)
+    vals = out["attributes"].to_pylist()
+    assert vals[0] == [("a", "1"), ("b", "2")]   # unguarded row untouched
+    assert vals[1] == [("a", "1")]
