@@ -800,6 +800,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = _table(sf, "events").map_batches(add_window, batch_format="pyarrow")
         return grouped_count_sum(ds, ["event_type", "window_start"], "value")
 
+    def q_events_late_drop(sf):
+        # watermark late-data gate: rows older than max(ts) - 6h are
+        # discarded (streaming lateness semantics in batch mode; the
+        # watermark is a tiny per-batch max partial, never a shuffle)
+        from splunk_otel_collector_ray.stages.windows import drop_late
+
+        return drop_late(
+            _table(sf, "events"), "ts",
+            allowed_lateness_us=6 * 3_600_000_000).select_columns(
+            ["event_id", "ts"])
+
     def q_events_sliding(sf):
         # overlapping windows (size 3600s, slide 1800s): each event counts in
         # two windows; expansion happens on partials (stages/windows.py)
@@ -2258,6 +2269,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_filtered": q_events_filtered,
         "events_filtered_dims": q_events_filtered_dims,
         "events_window": q_events_window,
+        "events_late_drop": q_events_late_drop,
         "events_delta": q_events_delta,
         "events_rate": q_events_rate,
         "events_topk": q_events_topk,
@@ -2985,6 +2997,9 @@ def oracle_sql() -> dict[str, str]:
             "THEN lower(tid) ELSE '' END AS trace_id, "
             "CASE WHEN regexp_matches(sid, '^[0-9a-fA-F]{16}$') "
             "THEN lower(sid) ELSE '' END AS span_id FROM m"),
+        "events_late_drop": (
+            "SELECT event_id, ts FROM events WHERE ts >= "
+            "(SELECT max(ts) FROM events) - INTERVAL 6 HOUR"),
         "events_kv_parse": (
             # identical RE2 pair pattern on both sides; the two unnests of
             # equal-length lists align positionally in DuckDB

@@ -119,3 +119,32 @@ def session_windows(
 
     return (ds.map_batches(add_bucket, batch_format="pyarrow")
             .groupby("_bucket").map_groups(per_bucket, batch_format="pandas"))
+
+
+def drop_late(
+    ds: "ray.data.Dataset", ts_col: str = "ts",
+    allowed_lateness_us: int = 3_600_000_000,
+) -> "ray.data.Dataset":
+    """Watermark late-data gate: drop rows older than
+    ``max(ts) - allowed_lateness`` — the batch-mode equivalent of a
+    streaming engine's watermark discard (the record would have missed its
+    window's flush). Two passes, both bounded: per-batch max-ts partials
+    (one i64 per batch) → driver max → broadcast watermark filter. The
+    stream itself never shuffles.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"m": pa.array([], pa.timestamp("us"))})
+        return pa.table({"m": [pc.max(t[ts_col]).as_py()]})
+
+    mx = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if not len(mx):
+        return ds
+    watermark = mx["m"].max() - pd.Timedelta(microseconds=allowed_lateness_us)
+
+    def gate(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(
+            t[ts_col], pa.scalar(watermark, pa.timestamp("us"))))
+
+    return ds.map_batches(gate, batch_format="pyarrow")
