@@ -740,33 +740,38 @@ def cluster_keep_best(
             parent[max(ra, rb)] = min(ra, rb)
     comp = {x: find(x) for x in parent}
     comp_ref = ray.put(comp)
+    mem_ids = np.fromiter(comp.keys(), np.int64, len(comp))
+    mem_ids.sort()
+    mem_ref = ray.put(mem_ids)
 
     scores = ds.map_batches(score_fn, batch_format="pyarrow").select_columns(
         [id_col, score_col]).materialize()
 
     def members(t: pa.Table) -> pa.Table:
-        m = ray.get(comp_ref)
         ids = t[id_col].to_numpy(zero_copy_only=False)
-        keep = np.fromiter((int(i) in m for i in ids), bool, len(ids))
-        return t.filter(pa.array(keep))
+        return t.filter(pa.array(np.isin(ids, ray.get(mem_ref))))
 
     mem = scores.map_batches(members, batch_format="pyarrow").to_pandas()
     if len(mem):
         mem["cluster_id"] = mem[id_col].map(comp)
         mem = mem.sort_values([score_col, id_col], ascending=[False, True],
                               kind="mergesort")
-        winners = set(mem.groupby("cluster_id", sort=False)[id_col].first())
+        winners = np.sort(mem.groupby("cluster_id", sort=False)[id_col]
+                          .first().to_numpy().astype(np.int64))
     else:
-        winners = set()
+        winners = np.array([], dtype=np.int64)
     win_ref = ray.put(winners)
 
     def label(t: pa.Table) -> pa.Table:
-        m, w = ray.get(comp_ref), ray.get(win_ref)
+        m = ray.get(comp_ref)
         ids = t[id_col].to_numpy(zero_copy_only=False)
-        cluster = np.fromiter((m.get(int(i), int(i)) for i in ids),
-                              np.int64, len(ids))
-        keep = np.fromiter(
-            (int(i) not in m or int(i) in w for i in ids), bool, len(ids))
+        in_cluster = np.isin(ids, ray.get(mem_ref))
+        cluster = ids.astype(np.int64).copy()
+        hit = np.flatnonzero(in_cluster)
+        # dict lookups only on the (small) duplicate-member subset
+        cluster[hit] = np.fromiter((m[int(ids[i])] for i in hit),
+                                   np.int64, len(hit))
+        keep = ~in_cluster | np.isin(ids, ray.get(win_ref))
         return pa.table({id_col: t[id_col], "cluster_id": pa.array(cluster),
                          score_col: t[score_col],
                          "keep": pa.array(keep)})
