@@ -905,3 +905,25 @@ def test_quantile_buckets_refinement_equals_direct(ray_session):
     assert (ma.to_numpy() == mb.to_numpy()).all()
     ref = _ntile_reference(df, 5)
     assert (ma.reindex(ref.index).to_numpy() == ref.to_numpy()).all()
+
+
+def test_drop_late_watermark(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+    from splunk_otel_collector_ray.stages.windows import drop_late
+
+    ts = pd.to_datetime([
+        "2026-01-01 00:00:00", "2026-01-01 05:00:00",
+        "2026-01-01 11:30:00", "2026-01-01 12:00:00",
+    ])
+    t = pa.table({"event_id": [1, 2, 3, 4],
+                  "ts": pa.array(ts, pa.timestamp("us"))})
+    out = drop_late(ray.data.from_arrow(t), "ts",
+                    allowed_lateness_us=3_600_000_000).to_pandas()
+    # watermark = 12:00 - 1h = 11:00 → rows 3 and 4 survive
+    assert sorted(out["event_id"]) == [3, 4]
+    # empty input: passthrough without error
+    empty = ray.data.from_arrow(t.slice(0, 0))
+    assert drop_late(empty, "ts").count() == 0
