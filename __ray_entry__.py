@@ -267,6 +267,12 @@ _BUCKET_SQL = "(CAST(substr(conv_id, 6) AS BIGINT) % 64)"
 
 # stages/structured.URI_RX verbatim (single-quote-free, so it embeds in a
 # standard SQL string literal untouched — DuckDB strings keep backslashes)
+# stages/structured.json_array_rx(3) / the unquote pattern, verbatim
+# (single-quote-free; DuckDB string literals keep backslashes untouched)
+_JARR_ELEM = r'("(?:[^"\\]|\\.)*"|[^,\]]*)'
+_JARR_SQL_RX = r"^\[" + ", ".join([_JARR_ELEM] * 3) + r"\]$"
+_JARR_UNQ_RX = r'^"((?:[^"\\]|\\.)*)"$'
+
 _URI_SQL_RX = (r"^(?P<scheme>[a-z][a-z0-9+.-]*)://(?P<host>[^/:?#]*)"
                r"(?::(?P<port>[0-9]+))?(?P<path>/[^?#]*)?"
                r"(?:\?(?P<query>[^#]*))?(?:#(?P<fragment>.*))?$")
@@ -1098,6 +1104,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _table(sf, "events").map_batches(
             build, batch_format="pyarrow").map_batches(
             lambda t: uri_parse(t, "uri", keep=["event_id"]),
+            batch_format="pyarrow")
+
+    def q_events_json_array(sf):
+        # stanza json_array_parser (flat-scalar subset): positional fields
+        # from a constructed [int, "string", int] line; the quoted element
+        # exercises unquoting and the engine/oracle share the RE2 pattern
+        from splunk_otel_collector_ray.stages.structured import (
+            json_array_parse)
+
+        def build(t):
+            line = pc.binary_join_element_wise(
+                "[", pc.cast(t["event_id"], pa.string()), ', "',
+                pc.cast(t["event_type"], pa.string()), '", ',
+                pc.cast(t["user_id"], pa.string()), "]", "")
+            return t.append_column("line", line)
+
+        return _table(sf, "events").map_batches(
+            build, batch_format="pyarrow").map_batches(
+            lambda t: json_array_parse(t, "line", ["eid", "etype", "uid"],
+                                       keep=["event_id"]),
             batch_format="pyarrow")
 
     def q_events_trace_parse(sf):
@@ -2286,6 +2312,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_extract": q_events_props_extract,
         "events_kv_parse": q_events_kv_parse,
         "events_trace_parse": q_events_trace_parse,
+        "events_json_array": q_events_json_array,
         "events_csv_parse": q_events_csv_parse,
         "events_uri_parse": q_events_uri_parse,
         "docs_normalize": q_docs_normalize,
@@ -2982,6 +3009,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, event_type, TRY_CAST(NULLIF(regexp_extract("
             "COALESCE(props, ''), '\"k\"[ ]*:[ ]*(-?[0-9]+)', 1), '') "
             "AS BIGINT) AS k_val FROM events"),
+        "events_json_array": (
+            "WITH l AS (SELECT event_id, '[' || CAST(event_id AS VARCHAR) "
+            "|| ', ' || chr(34) || event_type || chr(34) || ', ' || "
+            "CAST(user_id AS VARCHAR) || ']' AS line FROM events) "
+            "SELECT event_id, "
+            f"COALESCE(regexp_replace(regexp_extract(line, '{_JARR_SQL_RX}'"
+            f", 1), '{_JARR_UNQ_RX}', '\\1'), '') AS eid, "
+            f"COALESCE(regexp_replace(regexp_extract(line, '{_JARR_SQL_RX}'"
+            f", 2), '{_JARR_UNQ_RX}', '\\1'), '') AS etype, "
+            f"COALESCE(regexp_replace(regexp_extract(line, '{_JARR_SQL_RX}'"
+            f", 3), '{_JARR_UNQ_RX}', '\\1'), '') AS uid FROM l"),
         "events_trace_parse": (
             "WITH l AS (SELECT event_id, "
             "lower(lpad(hex(event_id), 16, '0')) || "

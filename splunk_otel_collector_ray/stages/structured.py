@@ -133,3 +133,38 @@ def trace_parse(batch: pa.Table, trace_col: str, span_col: str | None = None,
     lift(span_col, SPAN_ID_RX, "span_id")
     lift(flags_col, FLAGS_RX, "trace_flags")
     return out
+
+
+# one flat JSON array element: a double-quoted JSON string (backslash
+# escapes) or a bare scalar run (number / true / false / null)
+JSON_ELEM_RX = r'("(?:[^"\\]|\\.)*"|[^,\]]*)'
+
+
+def json_array_rx(n: int) -> str:
+    """Anchored pattern for a flat ``[e1, e2, …]`` array of exactly n
+    elements (the stanza json_array_parser's fixed-arity use: positional
+    fields from a known line shape). Separator is ', ' — the canonical
+    json.dumps/DuckDB to_json spacing."""
+    return r"^\[" + ", ".join([JSON_ELEM_RX] * n) + r"\]$"
+
+
+def json_array_parse(batch: pa.Table, col: str, header: list[str],
+                     keep: list[str] | None = None) -> pa.Table:
+    """stanza json_array_parser (CHANGELOG.md:3589), flat-scalar subset: one
+    anchored RE2 pass lifts each positional element into a string attribute;
+    quoted elements are unquoted (JSON string escapes beyond \\" are left
+    verbatim — documented subset, like json_int_field). Non-matching rows
+    parse to ''."""
+    parts = json_array_rx(len(header)).split(JSON_ELEM_RX)
+    named = parts[0]
+    for i, tail in enumerate(parts[1:]):
+        named += JSON_ELEM_RX.replace("(", f"(?P<f{i}>", 1) + tail
+    st = pc.extract_regex(batch[col], named)
+    out = batch.select([c for c in (keep or []) if c in batch.column_names])
+    for i, name in enumerate(header):
+        f = pc.struct_field(st, f"f{i}") if st.type.num_fields else \
+            pa.nulls(batch.num_rows, pa.string())
+        unq = pc.replace_substring_regex(f, '^"((?:[^"\\\\]|\\\\.)*)"$',
+                                         r"\1")
+        out = out.append_column(name, pc.coalesce(unq, ""))
+    return out

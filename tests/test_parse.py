@@ -271,3 +271,20 @@ def test_kv_explode_first_delimiter_and_ids():
     assert out["rid"] == [10, 10, 10]
     assert out["key"] == ["a", "b", "c"]
     assert out["value"] == ["1", "two", ""]
+
+
+def test_json_array_parse_flat_subset():
+    import pyarrow as pa
+
+    from splunk_otel_collector_ray.stages.structured import json_array_parse
+
+    t = pa.table({"line": [
+        '[7, "purchase", 12]',
+        '[8, "with, comma", 0]',
+        '[9, "esc \\" quote", 1]',
+        "not an array",
+    ]})
+    out = json_array_parse(t, "line", ["a", "b", "c"]).to_pydict()
+    assert out["a"] == ["7", "8", "9", ""]
+    assert out["b"] == ["purchase", "with, comma", 'esc \\" quote', ""]
+    assert out["c"] == ["12", "0", "1", ""]
