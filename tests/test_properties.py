@@ -165,3 +165,52 @@ def test_multiline_end_framing_roundtrip(gaps):
     assert "\n".join(out.body) == "\n".join(lines)
     for rec in out.body.tolist()[:-1]:
         assert re.search(r";$", rec.split("\n")[-1])
+
+
+# any printable-ish field content, incl. commas, quotes, spaces — newlines
+# excluded (the operators are line-scoped by contract)
+_csv_field = st.text(
+    alphabet=st.characters(blacklist_characters="\n\r",
+                           min_codepoint=32, max_codepoint=126),
+    max_size=20)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(_csv_field, _csv_field, _csv_field),
+                min_size=1, max_size=20))
+def test_csv_encode_parse_roundtrip(rows):
+    """RFC-4180 encode (always-quote, double inner quotes) → csv_parse
+    recovers every field verbatim."""
+    import pyarrow as pa
+
+    from splunk_otel_collector_ray.stages.structured import csv_parse
+
+    def enc(f):
+        return '"' + f.replace('"', '""') + '"'
+
+    lines = [",".join(enc(f) for f in r) for r in rows]
+    out = csv_parse(pa.table({"line": lines}), "line",
+                    ["a", "b", "c"]).to_pydict()
+    for i, (a, b, c) in enumerate(rows):
+        assert (out["a"][i], out["b"][i], out["c"][i]) == (a, b, c)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(
+    st.tuples(st.from_regex(r"[A-Za-z_][0-9A-Za-z_.]{0,8}", fullmatch=True),
+              st.from_regex(r"[!-~]{0,12}", fullmatch=True)),
+    min_size=1, max_size=12))
+def test_kv_encode_explode_roundtrip(pairs):
+    """space-joined key=value encoding → kv_explode yields exactly the
+    pairs, in order (values are space-free by the operator's grammar)."""
+    import pyarrow as pa
+
+    from splunk_otel_collector_ray.stages.structured import kv_explode
+
+    # a '=' inside a VALUE would re-split on parse; the stanza grammar
+    # takes the first '=' — normalize values to the parseable alphabet
+    pairs = [(k, v.replace("=", "-")) for k, v in pairs]
+    line = " ".join(f"{k}={v}" for k, v in pairs)
+    out = kv_explode(pa.table({"rid": [0], "line": [line]}),
+                     "line", ["rid"]).to_pydict()
+    assert list(zip(out["key"], out["value"])) == pairs
