@@ -1326,6 +1326,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         shards = [(f"arrival-{i}", shard(i)) for i in range(4)]
         return run_incremental(shards, out, ["event_type"])
 
+    def q_events_distinct_users(sf):
+        # EXACT grouped distinct — the precise twin of events_hll's sketch:
+        # two combiner-leveled count exchanges over (type, user) partials;
+        # only distinct pairs (then distinct types) ever shuffle, never rows
+        inner = grouped_count(_table(sf, "events"),
+                              ["event_type", "user_id"])
+        return grouped_count(inner.select_columns(
+            ["event_type", "user_id"]), ["event_type"], alias="n_users")
+
     def q_events_hll(sf):
         # HyperLogLog approximate distinct users per event type — mergeable
         # register partials (max per bucket), deterministic mix64 hash so the
@@ -2302,6 +2311,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "metric_rename": q_metric_rename,
         "metric_agg_labels": q_metric_agg_labels,
         "events_hll": q_events_hll,
+        "events_distinct_users": q_events_distinct_users,
         "docs_tfidf": q_docs_tfidf,
         "docs_index": q_docs_index,
         "events_cm": q_events_cm,
@@ -3035,6 +3045,9 @@ def oracle_sql() -> dict[str, str]:
             "THEN lower(tid) ELSE '' END AS trace_id, "
             "CASE WHEN regexp_matches(sid, '^[0-9a-fA-F]{16}$') "
             "THEN lower(sid) ELSE '' END AS span_id FROM m"),
+        "events_distinct_users": (
+            "SELECT event_type, COUNT(DISTINCT user_id) AS n_users "
+            "FROM events GROUP BY event_type"),
         "events_late_drop": (
             "SELECT event_id, ts FROM events WHERE ts >= "
             "(SELECT max(ts) FROM events) - INTERVAL 6 HOUR"),
