@@ -1558,6 +1558,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _table(sf, "documents").map_batches(
             ta.chunk_documents, batch_format="pyarrow")
 
+    def q_docs_familiarity(sf):
+        # CCNet LM-scoring shape with integer-exact semantics: char-bigram
+        # counts trained on the hash-train split (broadcast once), per-doc
+        # familiarity = sum(ref counts)/#bigrams — one flat utf-32 decode +
+        # searchsorted lookup per batch, no per-doc loop
+        from splunk_otel_collector_ray.stages.text_analysis import (
+            familiarity_score,
+            reference_bigram_counts,
+        )
+
+        docs = _table(sf, "documents")
+        return familiarity_score(docs, reference_bigram_counts(docs))
+
     def q_docs_model_score(sf):
         # batched linear quality model (broadcast constant weights)
         return _table(sf, "documents").map_batches(
@@ -2360,6 +2373,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_decontaminate": q_docs_decontaminate,
         "docs_chunks": q_docs_chunks,
         "docs_model_score": q_docs_model_score,
+        "docs_familiarity": q_docs_familiarity,
         "docs_ccnet_buckets": q_docs_ccnet_buckets,
         "boilerplate_turns": q_boilerplate_turns,
         "docs_langid": q_docs_langid,
@@ -3351,6 +3365,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, chunk_idx, "
             "substr(text, CAST(chunk_idx * 150 + 1 AS INT), 200) AS chunk "
             "FROM c"),
+        "docs_familiarity": (
+            # the reference-bigram model replayed relationally: train-split
+            # bigram counts joined back onto every doc's bigrams; same
+            # integer sums, ONE division → bit-identical doubles
+            "WITH tr AS (SELECT text FROM documents WHERE "
+            "(doc_id * 2654435761) % 10000 < 9000), "
+            "refb AS MATERIALIZED (SELECT substr(text, i, 2) AS b, "
+            "count(*) AS c FROM tr, unnest(range(1, "
+            "greatest(length(text) - 1, 0) + 1)) t(i) "
+            "WHERE length(text) >= 2 GROUP BY b), "
+            "dq AS MATERIALIZED (SELECT doc_id, substr(text, i, 2) AS b "
+            "FROM documents, unnest(range(1, "
+            "greatest(length(text) - 1, 0) + 1)) t(i) "
+            "WHERE length(text) >= 2), "
+            "sc AS (SELECT dq.doc_id, SUM(COALESCE(refb.c, 0)) AS s, "
+            "COUNT(*) AS nb FROM dq LEFT JOIN refb USING (b) "
+            "GROUP BY dq.doc_id) "
+            "SELECT d.doc_id, COALESCE(CAST(sc.s AS DOUBLE) / sc.nb, 0.0) "
+            "AS familiarity FROM documents d LEFT JOIN sc USING (doc_id)"),
         "docs_model_score": (
             # identical left-associative IEEE expression as model_score —
             # the logit is bit-identical, so keep cannot diverge at the

@@ -666,3 +666,86 @@ def normalize_text(batch: pa.Table, text_col: str = "text",
     s = pc.replace_substring_regex(s, pattern=_EDGE_SPACE_RX,
                                    replacement="")
     return batch.append_column(out, s)
+
+
+def _flat_char_bigrams(texts: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """(doc_index, bigram_id) for every adjacent character pair of every
+    doc — ONE utf-32 decode of the '\\x00'-joined batch, no per-doc loop.
+    bigram_id = cp1 * 0x110000 + cp2 (codepoints; injective). Assumes texts
+    contain no NUL (the join separator)."""
+    joined = "\x00".join(texts.tolist())
+    if not joined:
+        return np.array([], np.int64), np.array([], np.int64)
+    cp = np.frombuffer(joined.encode("utf-32-le"), "<u4").astype(np.int64)
+    doc = np.cumsum(cp == 0)  # separator increments the doc index
+    a, b = cp[:-1], cp[1:]
+    ok = (a != 0) & (b != 0)
+    return doc[:-1][ok], a[ok] * 0x110000 + b[ok]
+
+
+def reference_bigram_counts(
+    ds: "ray.data.Dataset", id_col: str = "doc_id", text_col: str = "text",
+    train_pct: int = 9000, modulus: int = 10000,
+) -> "pd.DataFrame":
+    """Char-bigram counts over the deterministic hash-train split — the
+    "reference LM" of a CCNet-style familiarity scorer (Wenzek et al. train
+    a KenLM on trusted text; the engine shape is identical: build a model
+    on a reference slice, broadcast it, score the stream). Distinct-bigram
+    cardinality is bounded by the charset squared, so the combined table is
+    broadcast-safe by construction."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (ids * 2654435761) % modulus < train_pct
+        s = t[text_col].to_pandas().fillna("")[keep]
+        _, big = _flat_char_bigrams(s)
+        if not len(big):
+            return pa.table({"b": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        u, c = np.unique(big, return_counts=True)
+        return pa.table({"b": u, "n": c.astype(np.int64)})
+
+    from ..pipelines.aggregate import _sum_combine
+
+    parts = _sum_combine(
+        ds.map_batches(partial, batch_format="pyarrow"), ["b"], ["n"])
+    pdf = parts.to_pandas().groupby("b", as_index=False)["n"].sum()
+    return pdf.sort_values("b").reset_index(drop=True)
+
+
+def familiarity_score(
+    ds: "ray.data.Dataset", ref: "pd.DataFrame",
+    id_col: str = "doc_id", text_col: str = "text",
+) -> "ray.data.Dataset":
+    """Per-doc familiarity = sum(ref count of each char bigram) / #bigrams —
+    the integer-exact surrogate of CCNet's per-doc LM perplexity (both
+    engine and oracle sum the SAME integers and divide once, so the double
+    is bit-identical; docs with <2 chars score 0.0). The ref model is
+    broadcast once via ray.put; scoring is one flat decode + searchsorted
+    lookup per batch."""
+    import ray
+
+    ref_ids = ref["b"].to_numpy().astype(np.int64)
+    ref_cnt = ref["n"].to_numpy().astype(np.int64)
+    model = ray.put((ref_ids, ref_cnt))
+
+    def score(t: pa.Table) -> pa.Table:
+        rid, rcnt = ray.get(model)
+        s = t[text_col].to_pandas().fillna("")
+        doc, big = _flat_char_bigrams(s)
+        n = len(s)
+        sums = np.zeros(n, np.int64)
+        nb = np.zeros(n, np.int64)
+        if len(big):
+            pos = np.searchsorted(rid, big)
+            pos_c = np.clip(pos, 0, len(rid) - 1)
+            hit = np.where(len(rid) and rid[pos_c] == big,
+                           rcnt[pos_c], 0) if len(rid) else np.zeros(
+                len(big), np.int64)
+            np.add.at(sums, doc, hit)
+            np.add.at(nb, doc, 1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            fam = np.where(nb > 0, sums / nb, 0.0)
+        return pa.table({id_col: t[id_col], "familiarity": pa.array(fam)})
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -126,3 +126,42 @@ def test_zscore_flags_matches_numpy(ray_session):
     const = pd.DataFrame({"g": ["c"] * 8, "x": np.full(8, 3, np.int64)})
     out2 = zscore_flags(ray.data.from_pandas(const), "x", "g").to_pandas()
     assert (out2["z"] == 0).all() and not out2["is_outlier"].any()
+
+
+def test_familiarity_score_hand_corpus(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+    from splunk_otel_collector_ray.stages.text_analysis import (
+        familiarity_score,
+        reference_bigram_counts,
+    )
+
+    # train split = ids where (id*K)%10000 < 9000; pick ids so membership
+    # is known: 0 is train ((0*K)%m=0); find a non-train id
+    K, m = 2654435761, 10000
+    heldout = next(i for i in range(1, 50) if (i * K) % m >= 9000)
+    docs = pd.DataFrame({
+        "doc_id": np.array([0, heldout], dtype=np.int64),
+        "text": ["ababa", "abzz"],
+    })
+    ds = ray.data.from_arrow(pa.Table.from_pandas(docs))
+    ref = reference_bigram_counts(ds)
+    # ref trained on doc 0 only: bigrams ab×2, ba×2
+    got = dict(zip(
+        ref["b"], ref["n"]))
+    ab = ord("a") * 0x110000 + ord("b")
+    ba = ord("b") * 0x110000 + ord("a")
+    assert got == {ab: 2, ba: 2}
+    out = familiarity_score(ds, ref).to_pandas().set_index("doc_id")
+    # doc 0: bigrams ab,ba,ab,ba → (2+2+2+2)/4 = 2.0
+    assert out.loc[0, "familiarity"] == 2.0
+    # heldout "abzz": ab(2) + bz(0) + zz(0) over 3 bigrams
+    assert out.loc[heldout, "familiarity"] == 2 / 3
+    # short/empty docs score 0.0
+    tiny = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([7], pa.int64()), "text": ["x"]}))
+    assert familiarity_score(tiny, ref).to_pandas()[
+        "familiarity"].iloc[0] == 0.0
