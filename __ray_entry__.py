@@ -1571,6 +1571,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         docs = _table(sf, "documents")
         return familiarity_score(docs, reference_bigram_counts(docs))
 
+    def q_docs_ccnet_familiarity(sf):
+        # the FULL CCNet shape composed end to end: reference-LM scoring →
+        # exact global terciles (head/middle/tail) — familiarity ties (e.g.
+        # short docs at 0.0) exercise quantile_buckets' id tie-break
+        from splunk_otel_collector_ray.stages.sample import quantile_buckets
+        from splunk_otel_collector_ray.stages.text_analysis import (
+            familiarity_score,
+            reference_bigram_counts,
+        )
+
+        docs = _table(sf, "documents")
+        scored = familiarity_score(docs, reference_bigram_counts(docs))
+        return quantile_buckets(scored, k=3, score_col="familiarity")
+
     def q_docs_model_score(sf):
         # batched linear quality model (broadcast constant weights)
         return _table(sf, "documents").map_batches(
@@ -2374,6 +2388,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_chunks": q_docs_chunks,
         "docs_model_score": q_docs_model_score,
         "docs_familiarity": q_docs_familiarity,
+        "docs_ccnet_familiarity": q_docs_ccnet_familiarity,
         "docs_ccnet_buckets": q_docs_ccnet_buckets,
         "boilerplate_turns": q_boilerplate_turns,
         "docs_langid": q_docs_langid,
@@ -3365,6 +3380,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, chunk_idx, "
             "substr(text, CAST(chunk_idx * 150 + 1 AS INT), 200) AS chunk "
             "FROM c"),
+        "docs_ccnet_familiarity": (
+            "WITH tr AS (SELECT text FROM documents WHERE "
+            "(doc_id * 2654435761) % 10000 < 9000), "
+            "refb AS MATERIALIZED (SELECT substr(text, i, 2) AS b, "
+            "count(*) AS c FROM tr, unnest(range(1, "
+            "greatest(length(text) - 1, 0) + 1)) t(i) "
+            "WHERE length(text) >= 2 GROUP BY b), "
+            "dq AS MATERIALIZED (SELECT doc_id, substr(text, i, 2) AS b "
+            "FROM documents, unnest(range(1, "
+            "greatest(length(text) - 1, 0) + 1)) t(i) "
+            "WHERE length(text) >= 2), "
+            "sc AS (SELECT dq.doc_id, SUM(COALESCE(refb.c, 0)) AS s, "
+            "COUNT(*) AS nb FROM dq LEFT JOIN refb USING (b) "
+            "GROUP BY dq.doc_id), "
+            "fam AS (SELECT d.doc_id, "
+            "COALESCE(CAST(sc.s AS DOUBLE) / sc.nb, 0.0) AS familiarity "
+            "FROM documents d LEFT JOIN sc USING (doc_id)) "
+            "SELECT doc_id, familiarity, CAST(NTILE(3) OVER ("
+            "ORDER BY familiarity, doc_id) AS BIGINT) AS bucket FROM fam"),
         "docs_familiarity": (
             # the reference-bigram model replayed relationally: train-split
             # bigram counts joined back onto every doc's bigrams; same
