@@ -488,3 +488,28 @@ def test_include_config_source_templates(tmp_path):
     assert cfg["a"] == "logs_path: /var/**/*.log\nfmt: json"
     assert cfg["b"] == "just-text"
     assert cfg["c"] == "fallback"
+
+
+def test_run_service_cli_dry_run(tmp_path):
+    """The CLI's --dry-run echoes the resolved config (with --set applied)
+    WITHOUT starting Ray — pure subprocess, no session conflict."""
+    import json
+    import subprocess
+    import sys
+
+    import yaml
+
+    yml = tmp_path / "svc.yaml"
+    yml.write_text(
+        "receivers:\n  filelog/t:\n    path: /root/testdata/sf0.001\n"
+        "exporters:\n  file/s:\n    path: /tmp/x\n"
+        "service:\n  pipelines:\n    agent:\n"
+        "      receivers: [filelog/t]\n      processors: [parse]\n"
+        "      exporters: [file/s]\n")
+    out = subprocess.run(
+        [sys.executable, "scripts/run_service.py", "--config", str(yml),
+         "--dry-run", "--set", "exporters.file/s.path=/tmp/y"],
+        capture_output=True, text=True, check=True, cwd="/root/repo").stdout
+    doc = yaml.safe_load(out)
+    assert doc["exporters"]["file/s"]["path"] == "/tmp/y"
+    assert "agent" in doc["service"]["pipelines"]
