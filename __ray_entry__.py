@@ -1335,6 +1335,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return grouped_count(inner.select_columns(
             ["event_type", "user_id"]), ["event_type"], alias="n_users")
 
+    def q_events_pctl_exact(sf):
+        # EXACT per-group p50/p95/p99 (no global sort): grouped histogram
+        # partials locate each target rank's cell, one filtered pass pulls
+        # only those cells, selection is integer-rank arithmetic replayed
+        # verbatim by the window-function twin
+        from splunk_otel_collector_ray.stages.stats import (
+            grouped_quantile_select)
+
+        return grouped_quantile_select(
+            _table(sf, "events"), "event_type", "value", "event_id")
+
     def q_events_hll(sf):
         # HyperLogLog approximate distinct users per event type — mergeable
         # register partials (max per bucket), deterministic mix64 hash so the
@@ -2338,6 +2349,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "metric_rename": q_metric_rename,
         "metric_agg_labels": q_metric_agg_labels,
         "events_hll": q_events_hll,
+        "events_pctl_exact": q_events_pctl_exact,
         "events_distinct_users": q_events_distinct_users,
         "docs_tfidf": q_docs_tfidf,
         "docs_index": q_docs_index,
@@ -3074,6 +3086,18 @@ def oracle_sql() -> dict[str, str]:
             "THEN lower(tid) ELSE '' END AS trace_id, "
             "CASE WHEN regexp_matches(sid, '^[0-9a-fA-F]{16}$') "
             "THEN lower(sid) ELSE '' END AS span_id FROM m"),
+        "events_pctl_exact": (
+            "WITH r AS (SELECT event_type, value, event_id, "
+            "row_number() OVER (PARTITION BY event_type "
+            "ORDER BY value, event_id) AS rn, "
+            "count(*) OVER (PARTITION BY event_type) AS n FROM events) "
+            "SELECT event_type, "
+            "max(CASE WHEN rn = (n - 1) * 50 // 100 + 1 THEN value END) "
+            "AS p50, "
+            "max(CASE WHEN rn = (n - 1) * 95 // 100 + 1 THEN value END) "
+            "AS p95, "
+            "max(CASE WHEN rn = (n - 1) * 99 // 100 + 1 THEN value END) "
+            "AS p99 FROM r GROUP BY event_type"),
         "events_distinct_users": (
             "SELECT event_type, COUNT(DISTINCT user_id) AS n_users "
             "FROM events GROUP BY event_type"),

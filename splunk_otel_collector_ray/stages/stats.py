@@ -71,3 +71,111 @@ def zscore_flags(
             flag_out, pa.array(np.abs(z) > threshold, type=pa.bool_()))
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def grouped_quantile_select(
+    ds: "ray.data.Dataset", group_col: str, value_col: str, id_col: str,
+    qs: "tuple[float, ...]" = (0.5, 0.95, 0.99), ncells: int = 4096,
+) -> "pd.DataFrame":
+    """EXACT per-group quantiles without a global sort — the precise
+    counterpart of aggregate.grid_quantiles (spanmetrics-style p50/p95/p99
+    where the exact element matters, e.g. SLO attribution).
+
+    Selection semantics are pinned to integer arithmetic so a SQL twin can
+    replay them: for group size n, quantile q picks the element at 1-based
+    rank ``floor((n-1)*q) + 1`` under (value, id) order. Shape (all
+    passes bounded; rows never sort globally):
+
+    1. one pass: per-batch (group, cell, cnt) histogram partials over a
+       global [min, max] grid → tiny driver combine;
+    2. the target rank of every (group, q) lands in one cell with a known
+       in-cell offset; ONE filtered pass pulls only the needed (group,
+       cell) members (~n_g/ncells rows each) — equal values share a cell,
+       so the in-cell (value, id) sort makes selection exact;
+    3. driver picks each element. Pathological single-value cells stay
+       bounded by the same argument as sample.quantile_buckets (which has
+       the refinement loop for the extreme case).
+
+    Returns a pandas DataFrame (group, p<q>…) — a tiny result by
+    construction (one row per group).
+    """
+    import pyarrow.compute as pc
+
+    proj = ds.select_columns([group_col, value_col, id_col]).materialize()
+
+    def mm(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"lo": pa.array([], pa.float64()),
+                             "hi": pa.array([], pa.float64())})
+        v = t[value_col]
+        return pa.table({"lo": [float(pc.min(v).as_py())],
+                         "hi": [float(pc.max(v).as_py())]})
+
+    st = proj.map_batches(mm, batch_format="pyarrow").to_pandas()
+    if not len(st):
+        return pd.DataFrame({group_col: []})
+    lo, hi = float(st["lo"].min()), float(st["hi"].max())
+
+    def cell_of(x: np.ndarray) -> np.ndarray:
+        if hi <= lo:
+            return np.zeros(len(x), np.int64)
+        c = np.floor((x - lo) * (ncells / (hi - lo))).astype(np.int64)
+        return np.clip(c, 0, ncells - 1)
+
+    def histo(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({group_col: pa.array([], pa.string()),
+                             "cell": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        df = pd.DataFrame({
+            "g": t[group_col].to_pandas(),
+            "cell": cell_of(t[value_col].to_numpy(zero_copy_only=False)
+                            .astype(np.float64)),
+        })
+        out = df.groupby(["g", "cell"], as_index=False).size()
+        return pa.table({group_col: pa.array(out["g"]),
+                         "cell": pa.array(out["cell"], pa.int64()),
+                         "cnt": pa.array(out["size"], pa.int64())})
+
+    hdf = (proj.map_batches(histo, batch_format="pyarrow").to_pandas()
+           .groupby([group_col, "cell"], as_index=False)["cnt"].sum())
+
+    needed: dict = {}  # (group, cell) -> list of (q, offset_in_cell)
+    for g, sub in hdf.groupby(group_col):
+        sub = sub.sort_values("cell")
+        cells = sub["cell"].to_numpy()
+        cnts = sub["cnt"].to_numpy()
+        cum = np.concatenate([[0], np.cumsum(cnts)])
+        n = int(cum[-1])
+        for q in qs:
+            rank = (n - 1) * int(round(q * 100)) // 100  # 0-based, int math
+            j = int(np.searchsorted(cum, rank, side="right") - 1)
+            needed.setdefault((g, int(cells[j])), []).append(
+                (q, rank - int(cum[j])))
+
+    keys = set(needed)
+
+    def pull(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        g = t[group_col].to_pandas().to_numpy(dtype=object)
+        c = cell_of(t[value_col].to_numpy(zero_copy_only=False)
+                    .astype(np.float64))
+        m = np.zeros(len(g), bool)
+        for gg, cc in keys:  # |keys| = #groups × #qs — a handful
+            m |= (g == gg) & (c == cc)
+        return t.filter(pa.array(m))
+
+    pulled = proj.map_batches(pull, batch_format="pyarrow").to_pandas()
+    pulled["_cell"] = cell_of(pulled[value_col].to_numpy(dtype=np.float64))
+
+    rows = {}
+    for (g, cell), targets in needed.items():
+        sub = (pulled[(pulled[group_col] == g) & (pulled["_cell"] == cell)]
+               .sort_values([value_col, id_col], kind="mergesort"))
+        for q, off in targets:
+            rows.setdefault(g, {})[f"p{int(round(q * 100))}"] = \
+                float(sub.iloc[off][value_col])
+    out = pd.DataFrame(
+        [{group_col: g, **vals} for g, vals in sorted(rows.items())])
+    return out.reset_index(drop=True)

@@ -927,3 +927,27 @@ def test_drop_late_watermark(ray_session):
     # empty input: passthrough without error
     empty = ray.data.from_arrow(t.slice(0, 0))
     assert drop_late(empty, "ts").count() == 0
+
+
+def test_grouped_quantile_select_exact(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+    from splunk_otel_collector_ray.stages.stats import grouped_quantile_select
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({
+        "g": np.repeat(["a", "b"], 500),
+        "v": np.round(rng.normal(size=1000), 2),  # ties inside cells
+        "i": np.arange(1000, dtype=np.int64),
+    })
+    out = grouped_quantile_select(
+        ray.data.from_arrow(pa.Table.from_pandas(df)), "g", "v", "i",
+        qs=(0.5, 0.95)).set_index("g")
+    for g, sub in df.groupby("g"):
+        sv = sub.sort_values(["v", "i"], kind="mergesort")["v"].to_numpy()
+        n = len(sv)
+        assert out.loc[g, "p50"] == sv[(n - 1) * 50 // 100]
+        assert out.loc[g, "p95"] == sv[(n - 1) * 95 // 100]
