@@ -1773,6 +1773,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return span_duration_histogram(_read_transcripts(sf))
 
+    def q_span_pctl(sf):
+        # spanmetrics p50/p95/p99 as EXACT elements (not histogram buckets):
+        # per-tool grouped rank selection over span durations; span uid =
+        # conv seq × 1e6 + turn_idx gives the deterministic tie-break
+        from splunk_otel_collector_ray.stages.metrics import span_durations
+        from splunk_otel_collector_ray.stages.stats import (
+            grouped_quantile_select)
+
+        ds = span_durations(_read_transcripts(sf))
+
+        def add_uid(t: pa.Table) -> pa.Table:
+            seq = pc.cast(pc.utf8_slice_codeunits(t["conv_id"], 5, 32),
+                          pa.int64())
+            uid = pc.add(pc.multiply(seq, pa.scalar(1_000_000, pa.int64())),
+                         pc.cast(t["turn_idx"], pa.int64()))
+            return t.append_column("span_uid", uid)
+
+        return grouped_quantile_select(
+            ds.map_batches(add_uid, batch_format="pyarrow"),
+            "tool", "duration_s", "span_uid")
+
     def q_docs_top_tokens(sf):
         # corpus token top-k (the classic wordcount-at-scale op a training
         # pipeline runs for vocab/frequency stats): per-batch partial token
@@ -2424,6 +2445,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "turn_text": q_turn_text,
         "metrics_generate": q_metrics_generate,
         "span_latency_buckets": q_span_latency_buckets,
+        "span_pctl": q_span_pctl,
         "docs_top_tokens": q_docs_top_tokens,
         "statsd_timers": q_statsd_timers,
         "dim_upsert": q_dim_upsert,
@@ -3562,6 +3584,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, 'purchase_per_view' AS event_type, "
             "num / den AS value FROM s "
             "WHERE num IS NOT NULL AND den IS NOT NULL"),
+        "span_pctl": C + (
+            ", d AS (SELECT conv_id, turn_idx, role, tool, ts, LEAD(ts) OVER "
+            "(PARTITION BY conv_id ORDER BY turn_idx) AS nxt FROM raw), "
+            "s AS (SELECT tool, COALESCE((epoch_us(nxt) - epoch_us(ts)) / "
+            "1000000.0, 0) AS dur, CAST(substr(conv_id, 6) AS BIGINT) "
+            "* 1000000 + turn_idx AS uid FROM d "
+            "WHERE role = 'tool' AND tool <> ''), "
+            "r AS (SELECT tool, dur, row_number() OVER (PARTITION BY tool "
+            "ORDER BY dur, uid) AS rn, count(*) OVER (PARTITION BY tool) "
+            "AS n FROM s) SELECT tool, "
+            "max(CASE WHEN rn = (n - 1) * 50 // 100 + 1 THEN dur END) "
+            "AS p50, "
+            "max(CASE WHEN rn = (n - 1) * 95 // 100 + 1 THEN dur END) "
+            "AS p95, "
+            "max(CASE WHEN rn = (n - 1) * 99 // 100 + 1 THEN dur END) "
+            "AS p99 FROM r GROUP BY tool"),
         "span_latency_buckets": C + (
             ", d AS (SELECT conv_id, turn_idx, role, tool, ts, LEAD(ts) OVER "
             "(PARTITION BY conv_id ORDER BY turn_idx) AS nxt FROM raw), "
