@@ -1346,6 +1346,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return grouped_quantile_select(
             _table(sf, "events"), "event_type", "value", "event_id")
 
+    def q_events_anti_join(sf):
+        # blocklist anti-join: events of users with no BIG purchase —
+        # distinct buyer ids via the combiner-leveled count exchange, then
+        # anti_join_keys (broadcast ~isin here; keyed left-outer + null
+        # marker past the cardinality threshold)
+        from splunk_otel_collector_ray.stages.sample import anti_join_keys
+
+        ev = _table(sf, "events")
+        buyers = grouped_count(
+            ev.map_batches(
+                lambda t: t.filter(pc.and_(
+                    pc.equal(t["event_type"], "purchase"),
+                    pc.greater(t["value"], 150.0))),
+                batch_format="pyarrow"),
+            ["user_id"]).select_columns(["user_id"])
+        return anti_join_keys(ev, buyers, "user_id").select_columns(
+            ["event_id", "user_id", "event_type"])
+
     def q_events_hll(sf):
         # HyperLogLog approximate distinct users per event type — mergeable
         # register partials (max per bucket), deterministic mix64 hash so the
@@ -2372,6 +2390,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hll": q_events_hll,
         "events_pctl_exact": q_events_pctl_exact,
         "events_distinct_users": q_events_distinct_users,
+        "events_anti_join": q_events_anti_join,
         "docs_tfidf": q_docs_tfidf,
         "docs_index": q_docs_index,
         "events_cm": q_events_cm,
@@ -3120,6 +3139,11 @@ def oracle_sql() -> dict[str, str]:
             "AS p95, "
             "max(CASE WHEN rn = (n - 1) * 99 // 100 + 1 THEN value END) "
             "AS p99 FROM r GROUP BY event_type"),
+        "events_anti_join": (
+            "SELECT event_id, user_id, event_type FROM events e "
+            "WHERE NOT EXISTS (SELECT 1 FROM events p WHERE "
+            "p.event_type = 'purchase' AND p.value > 150.0 "
+            "AND p.user_id = e.user_id)"),
         "events_distinct_users": (
             "SELECT event_type, COUNT(DISTINCT user_id) AS n_users "
             "FROM events GROUP BY event_type"),

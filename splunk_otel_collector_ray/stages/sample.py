@@ -212,6 +212,50 @@ def semi_join_keys(
                    aggregator_ray_remote_args={"num_cpus": 0})
 
 
+def anti_join_keys(
+    ds: "ray.data.Dataset", drop_keys: "ray.data.Dataset", key: str,
+    max_broadcast_keys: int = 1_000_000,
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """DROP stream rows whose ``key`` appears in ``drop_keys`` — the
+    blocklist/anti-join complement of ``semi_join_keys``, same two shapes:
+    broadcast ``~isin`` under the cardinality threshold; past it, a keyed
+    LEFT OUTER join against the marker-tagged key table keeping only
+    unmatched rows (Ray Data has no native anti join — the null-marker
+    filter is the standard construction)."""
+    drop_keys = drop_keys.materialize()
+    if drop_keys.count() <= max_broadcast_keys:
+        drop_ref = ray.put(set(drop_keys.to_pandas()[key]))
+
+        class Filter:
+            def __init__(self) -> None:
+                self.drop = ray.get(drop_ref)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                mask = ~batch[key].to_pandas().isin(self.drop).to_numpy()
+                return batch.filter(pa.array(mask))
+
+        return ds.map_batches(Filter, batch_format="pyarrow",
+                              concurrency=(1, 8))
+    if num_partitions is None:
+        num_partitions = max(1, int(ray.cluster_resources().get("CPU", 8)) // 8)
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column("_present", pa.array(
+            np.ones(t.num_rows, np.int8)))
+
+    tagged = drop_keys.map_batches(tag, batch_format="pyarrow")
+    joined = ds.join(tagged, join_type="left_outer",
+                     num_partitions=num_partitions, on=(key,),
+                     aggregator_ray_remote_args={"num_cpus": 0})
+    import pyarrow.compute as pc
+
+    return joined.map_batches(
+        lambda t: t.filter(pc.is_null(t["_present"])).drop_columns(
+            ["_present"]),
+        batch_format="pyarrow")
+
+
 def tail_sample_policies(
     ds: "ray.data.Dataset", policies: list, key: str = "conv_id",
     max_broadcast_keys: int = 1_000_000,

@@ -951,3 +951,24 @@ def test_grouped_quantile_select_exact(ray_session):
         n = len(sv)
         assert out.loc[g, "p50"] == sv[(n - 1) * 50 // 100]
         assert out.loc[g, "p95"] == sv[(n - 1) * 95 // 100]
+
+
+def test_anti_join_keyed_path_equals_broadcast(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+    from splunk_otel_collector_ray.stages.sample import anti_join_keys
+
+    rng = np.random.default_rng(5)
+    stream = pd.DataFrame({"k": rng.integers(0, 40, 500).astype(np.int64),
+                           "v": np.arange(500, dtype=np.int64)})
+    block = pd.DataFrame({"k": np.arange(0, 40, 3, dtype=np.int64)})
+    sds = ray.data.from_arrow(pa.Table.from_pandas(stream))
+    bds = ray.data.from_arrow(pa.Table.from_pandas(block))
+    a = anti_join_keys(sds, bds, "k").to_pandas()
+    b = anti_join_keys(sds, bds, "k", max_broadcast_keys=0).to_pandas()
+    key = lambda df: df.sort_values(["k", "v"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(key(a)[["k", "v"]], key(b)[["k", "v"]])
+    assert not a["k"].isin(block["k"]).any()
