@@ -2185,17 +2185,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def q_conv_sampler(sf):
         # probabilistic sampler keyed on the conversation (trace-id hashing
-        # analogue): whole conversations kept or dropped together
-        import pyarrow.compute as pc2
+        # analogue): whole conversations kept or dropped together — the id
+        # STRING is hashed (mix64 over the byte fold), never parsed
+        from splunk_otel_collector_ray.stages.sample import (
+            conv_probabilistic_sample)
 
-        def fn(t: pa.Table) -> pa.Table:
-            seq = pc2.cast(pc2.utf8_slice_codeunits(t["conv_id"], 5, 32),
-                           pa.int64()).to_numpy(zero_copy_only=False)
-            keep = (seq * 2654435761) % 100 < 20
-            return t.filter(pa.array(keep))
-
-        return _read_transcripts(sf).map_batches(
-            fn, batch_format="pyarrow").select_columns(["conv_id", "turn_idx"])
+        return conv_probabilistic_sample(
+            _read_transcripts(sf), 20).select_columns(
+            ["conv_id", "turn_idx"])
 
     def q_distinct_convs(sf):
         # distinct-cardinality per sink via two-phase distinct (per-batch
@@ -2617,13 +2614,27 @@ def _docs_reservoir_sql(k: int = 100) -> str:
             f"ORDER BY h, doc_id LIMIT {k}")
 
 
+def _id_hash_ctes(carry: str, source: str, prefix: str) -> tuple[str, str]:
+    """mix64-over-string-fold CTE chain for a conv_id hash — the SQL twin
+    of sample.key_hash_mod on STRING ids (r3 VERDICT fix: samplers hash the
+    id, never parse a corpus-specific format). Returns (ctes, final_name);
+    the final CTE carries ``carry`` plus ``h``."""
+    from splunk_otel_collector_ray.stages.sketch import (mix64_sql_ctes,
+                                                         string_fold64_sql)
+
+    return mix64_sql_ctes(carry, string_fold64_sql("conv_id"), source,
+                          prefix=prefix)
+
+
 def _events_hll_sql() -> str:
     """SQL twin of sketch.hll_distinct(events.user_id by event_type, p=12):
     replays mix64 (HUGEINT mod-2^64 CTE chain from sketch.mix64_sql_ctes),
     the bucket/rho register decomposition (top 12 bits / leading zeros of
-    the low 52 bits via FLOOR(LOG2) — exact because w < 2^52 is exactly
-    representable as a double), the max-register merge, and the HLL estimate
-    with the linear-counting small-range correction."""
+    the low 52 bits via integer bit-length: floor(log2(w)) =
+    length(bin(w)) - 1, pure integer/string ops so there is no
+    double-rounded LOG2 to drift one ulp above an exact power of two near
+    2^50..2^52), the max-register merge, and the HLL estimate with the
+    linear-counting small-range correction."""
     from splunk_otel_collector_ray.stages.sketch import mix64_sql_ctes
 
     ctes, final = mix64_sql_ctes("event_type", "user_id", "events")
@@ -2632,7 +2643,7 @@ def _events_hll_sql() -> str:
         f"WITH {ctes}, "
         f"reg AS (SELECT event_type, h // 4503599627370496 AS bucket, "
         f"MAX(CASE WHEN {w} = 0 THEN 53 ELSE 52 - "
-        f"CAST(FLOOR(LOG2({w})) AS BIGINT) END) AS rho "
+        f"CAST(length(bin({w})) - 1 AS BIGINT) END) AS rho "
         f"FROM {final} GROUP BY 1, 2), "
         "agg AS (SELECT event_type, COUNT(*) AS present, "
         "SUM(POWER(2.0, -rho)) AS s FROM reg GROUP BY 1), "
@@ -3009,10 +3020,12 @@ def oracle_sql() -> dict[str, str]:
         "filter_severity": C + (
             "SELECT conv_id, turn_idx, severity_text FROM parsed "
             "WHERE severity_number >= 13"),
-        "sampler": C + (
-            "SELECT conv_id, turn_idx FROM raw WHERE "
-            "(CAST(substr(conv_id, 6) AS BIGINT) * 2654435761 + turn_idx * 97) "
-            "% 100 < 25"),
+        # sampler/conv_sampler/tail_policies f4 hash the id STRING (mix64
+        # over the byte fold — _id_hash_ctes), never parse it: any id
+        # format samples identically on both sides
+        "sampler": C + ", {0} SELECT conv_id, turn_idx FROM {1} WHERE "
+        "(h % 2147483648 + turn_idx * 97) % 100 < 25".format(
+            *_id_hash_ctes("conv_id, turn_idx", "raw", "smp")),
         # the slim projections are MATERIALIZED: `routed` appears twice in
         # these queries and DuckDB would otherwise inline (and re-execute /
         # blow memory on) the full regex-CASE pipeline per reference
@@ -3029,12 +3042,14 @@ def oracle_sql() -> dict[str, str]:
             "END) AS f1, "
             "max(CASE WHEN tool = 'browser' THEN 1 ELSE 0 END) AS f2, "
             "CASE WHEN epoch(max(ts)) - epoch(min(ts)) >= 1800 THEN 1 ELSE 0 "
-            "END AS f3, "
-            "CASE WHEN (CAST(substr(conv_id, 6) AS BIGINT) * 2654435761) "
-            "% 100 < 10 THEN 1 ELSE 0 END AS f4 "
-            "FROM tpm GROUP BY conv_id) "
-            "SELECT r.conv_id, r.turn_idx FROM tpm r JOIN tflags f "
-            "ON r.conv_id = f.conv_id WHERE f.f1 + f.f2 + f.f3 + f.f4 > 0"),
+            "END AS f3 "
+            "FROM tpm GROUP BY conv_id), "
+            "tcv AS (SELECT DISTINCT conv_id FROM tpm), "
+            + "{0} SELECT r.conv_id, r.turn_idx FROM tpm r JOIN tflags f "
+            "ON r.conv_id = f.conv_id JOIN {1} p ON r.conv_id = p.conv_id "
+            "WHERE f.f1 + f.f2 + f.f3 + "
+            "(CASE WHEN p.h % 100 < 10 THEN 1 ELSE 0 END) > 0".format(
+                *_id_hash_ctes("conv_id", "tcv", "tpp"))),
         "events_count": (
             "SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type"),
         "events_sum": (
@@ -3699,9 +3714,9 @@ def oracle_sql() -> dict[str, str]:
                 f"WHEN '{fam}' THEN {len([k for k in ks if k != 'program'])}"
                 for fam, ks in FAMILY_ATTR_KEYS.items() if fam != "plain")
             + " ELSE 0 END AS BIGINT) AS attrs_left FROM parsed"),
-        "conv_sampler": C + (
-            "SELECT conv_id, turn_idx FROM raw WHERE "
-            "(CAST(substr(conv_id, 6) AS BIGINT) * 2654435761) % 100 < 20"),
+        "conv_sampler": C + ", {0} SELECT conv_id, turn_idx FROM {1} "
+        "WHERE h % 100 < 20".format(
+            *_id_hash_ctes("conv_id, turn_idx", "raw", "cvs")),
         "distinct_convs": C + (
             "SELECT sink, COUNT(DISTINCT conv_id) AS n FROM routed "
             "GROUP BY sink"),

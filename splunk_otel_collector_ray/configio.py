@@ -537,8 +537,14 @@ def load_config_dir(path: str) -> dict:
     doc: dict = {}
     for section in _CONFIG_D_SECTIONS:
         merged: dict = {}
-        for f in sorted(glob.glob(os.path.join(path, section, "*.yml"))
-                        + glob.glob(os.path.join(path, section, "*.yaml"))):
+        # ONE sorted order across both extensions (basename-lexicographic),
+        # matching the reference's single sorted directory walk — sorting
+        # the .yml and .yaml globs separately would let a lexically-earlier
+        # .yaml override a later .yml.
+        frags = sorted(
+            glob.glob(os.path.join(path, section, "*.yml"))
+            + glob.glob(os.path.join(path, section, "*.yaml")))
+        for f in frags:
             frag = yaml.safe_load(open(f)) or {}
             if not isinstance(frag, dict):
                 raise ValueError(f"config.d fragment {f} must be a mapping")

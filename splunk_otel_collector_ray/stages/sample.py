@@ -36,13 +36,79 @@ def sample_mask(conv_seq: np.ndarray, turn_idx: np.ndarray, pct: int) -> np.ndar
     return h < pct
 
 
-def probabilistic_sample(ds: "ray.data.Dataset", pct: int) -> "ray.data.Dataset":
-    """Keep ~pct% of records, deterministically, no shuffle."""
+def string_fold64(vals) -> np.ndarray:
+    """Fold a string id column into uint64: the last 8 UTF-8 bytes read
+    big-endian (right-NUL-padded for shorter ids), xor'd with the byte
+    length. Nulls coalesce to ''. Vectorized (pandas C string kernels +
+    one fixed-width numpy view); replayed bit-exactly by
+    :func:`sketch.string_fold64_sql` for ASCII ids (DuckDB ``ord`` is a
+    code point, so non-ASCII ids hash fine engine-side but have no SQL
+    twin)."""
+    if isinstance(vals, (pa.Array, pa.ChunkedArray)):
+        vals = vals.to_pandas()
+    b = pd.Series(vals).fillna("").astype(str).str.encode("utf-8")
+    ln = b.str.len().to_numpy().astype(np.uint64)
+    tail = np.asarray(b.str.slice(-8).tolist(), dtype="S8")
+    return tail.view(">u8").astype(np.uint64) ^ ln
+
+
+def key_hash_mod(col, modulus: int) -> np.ndarray:
+    """Deterministic ``hash(id) % modulus`` over an id column of ANY type
+    (r3 VERDICT fix — samplers/splits must not assume a corpus id format):
+
+    - integer ids keep the historical Knuth multiplicative path
+      ``(id * KNUTH) % m`` (SQL twin: ``(id * 2654435761) % m``), so every
+      existing int-keyed oracle stays bit-identical;
+    - string ids hash via mix64 over :func:`string_fold64` (SQL twin:
+      ``mix64_sql_ctes`` over ``string_fold64_sql`` — sketch.py), crashing
+      on NO id format, unlike the old ``str.slice(5).astype(int64)`` parse.
+
+    Returns int64 values in [0, modulus).
+    """
+    from .sketch import mix64
+
+    if isinstance(col, (pa.Array, pa.ChunkedArray)):
+        if pa.types.is_integer(col.type):
+            ids = col.to_numpy(zero_copy_only=False).astype(np.int64)
+            return (ids * KNUTH) % modulus
+        return (mix64(string_fold64(col))
+                % np.uint64(modulus)).astype(np.int64)
+    arr = np.asarray(pd.Series(col).to_numpy())
+    if np.issubdtype(arr.dtype, np.integer):
+        return (arr.astype(np.int64) * KNUTH) % modulus
+    return (mix64(string_fold64(col)) % np.uint64(modulus)).astype(np.int64)
+
+
+def probabilistic_sample(ds: "ray.data.Dataset", pct: int,
+                         key_col: str = "conv_id",
+                         turn_col: str = "turn_idx") -> "ray.data.Dataset":
+    """Keep ~pct% of records, deterministically, no shuffle.
+
+    The record key is HASHED (``key_hash_mod`` — string ids via mix64 over
+    the byte fold, int ids via Knuth), never parsed, so any id format
+    works — the reference sampler hashes the trace id the same way
+    (internal/components/components.go:330). Keep rule:
+    ``(hash(key) % 2^31 + turn*97) % 100 < pct`` (the 2^31 reduction keeps
+    the addition HUGEINT-replayable in the SQL twin without mod-2^64
+    wraparound)."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        conv = batch["conv_id"].to_pandas().str.slice(5).astype(np.int64).to_numpy()
-        turn = batch["turn_idx"].to_pandas().to_numpy()
-        return batch.filter(pa.array(sample_mask(conv, turn, pct)))
+        r = key_hash_mod(batch[key_col], 1 << 31)
+        turn = batch[turn_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.filter(pa.array((r + turn * 97) % 100 < pct))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def conv_probabilistic_sample(ds: "ray.data.Dataset", pct: int,
+                              key_col: str = "conv_id") -> "ray.data.Dataset":
+    """Conversation-keyed probabilistic sampler (trace-id hashing analogue):
+    whole conversations kept or dropped together, keyed by the hashed id —
+    no id-format parse (r3 VERDICT fix)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        keep = key_hash_mod(batch[key_col], 100) < pct
+        return batch.filter(pa.array(keep))
 
     return ds.map_batches(fn, batch_format="pyarrow")
 
@@ -58,9 +124,8 @@ def stratified_sample(
     from ..pipelines.aggregate import grouped_topk
 
     def add_h(t: pa.Table) -> pa.Table:
-        ids = t[id_col].to_pandas().to_numpy().astype(np.int64)
-        h = (ids * KNUTH) % (1 << 31)
-        return t.append_column("_h", pa.array(h))
+        return t.append_column(
+            "_h", pa.array(key_hash_mod(t[id_col], 1 << 31)))
 
     out = grouped_topk(
         ds.select_columns([*keys, id_col]).map_batches(
@@ -90,8 +155,7 @@ def hash_split(ds: "ray.data.Dataset", id_col: str,
     bounds = np.cumsum([w for _, w in splits])  # right-exclusive edges
 
     def fn(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pandas().to_numpy().astype(np.int64)
-        h = (ids * KNUTH) % modulus
+        h = key_hash_mod(batch[id_col], modulus)
         part = names[np.searchsorted(bounds, h, side="right")]
         return batch.append_column(
             "split", pa.array(part, type=pa.string()))
@@ -114,13 +178,13 @@ def mixture_sample(ds: "ray.data.Dataset", source_col: str, id_col: str,
     default_t = int(default_rate * modulus)
 
     def fn(batch: pa.Table) -> pa.Table:
+        h = key_hash_mod(batch[id_col], modulus)
+        if not len(names):  # no per-source rates: everything at the default
+            return batch.filter(pa.array(h < default_t))
         src = batch[source_col].to_pandas().to_numpy(dtype=object)
-        idx = np.searchsorted(names, src)
-        idx = np.clip(idx, 0, len(names) - 1)
-        known = names[idx] == src if len(names) else np.zeros(len(src), bool)
+        idx = np.clip(np.searchsorted(names, src), 0, len(names) - 1)
+        known = names[idx] == src
         thr = np.where(known, thresholds[idx], default_t)
-        ids = batch[id_col].to_pandas().to_numpy().astype(np.int64)
-        h = (ids * KNUTH) % modulus
         return batch.filter(pa.array(h < thr))
 
     return ds.map_batches(fn, batch_format="pyarrow")
@@ -320,8 +384,7 @@ def tail_sample_policies(
             span = (g[f"_lmax{j}"] - g[f"_lmin{j}"]).dt.total_seconds()
             decision |= span.to_numpy() >= p.threshold_s
         for p in prob_pols:
-            seq = g[key].str.slice(5).astype(np.int64).to_numpy()
-            decision |= (seq * KNUTH) % 100 < p.pct
+            decision |= key_hash_mod(g[key], 100) < p.pct
         return pa.table({key: pa.array(g.loc[decision, key],
                                        type=pa.string())})
 
@@ -390,11 +453,11 @@ def weighted_sample(ds: "ray.data.Dataset", id_col: str, weight_col: str,
     rerun-stable like :func:`mixture_sample`; stateless map_batches."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         w = batch[weight_col].to_numpy(zero_copy_only=False).astype(
             np.float64)
         thr = np.floor(w * modulus).astype(np.int64)
-        return batch.filter(pa.array((ids * KNUTH) % modulus < thr))
+        return batch.filter(
+            pa.array(key_hash_mod(batch[id_col], modulus) < thr))
 
     return ds.map_batches(fn, batch_format="pyarrow")
 
@@ -420,12 +483,11 @@ def epoch_mixture_expand(
 
     def fn(batch: pa.Table) -> pa.Table:
         src = batch[source_col].to_pandas()
-        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        h = (ids * KNUTH) % modulus
+        h = key_hash_mod(batch[id_col], modulus)
         reps = (src.map(base).fillna(dbase).to_numpy(dtype=np.int64)
                 + (h < src.map(extra).fillna(dextra)
                    .to_numpy(dtype=np.int64)))
-        idx = np.repeat(np.arange(len(ids)), reps)
+        idx = np.repeat(np.arange(len(h)), reps)
         offsets = np.repeat(np.cumsum(reps) - reps, reps)
         epoch = np.arange(int(reps.sum()), dtype=np.int64) - offsets
         return batch.take(idx).append_column(

@@ -68,6 +68,21 @@ def mix64_sql_ctes(carry: str, value_expr: str, source: str,
     return ", ".join(ctes), src
 
 
+def string_fold64_sql(col: str) -> str:
+    """DuckDB expression replaying :func:`sample.string_fold64` for ASCII
+    ids: the last 8 bytes of ``col`` (null→'') read big-endian with right
+    NUL padding, xor'd with the byte length. Fixed 8-term fold — pure
+    integer ops, vectorizes fine. Feed the result into
+    :func:`mix64_sql_ctes` as the value_expr."""
+    c = f"COALESCE({col}, '')"
+    t = f"substr({c}, greatest(length({c}) - 7, 1))"
+    terms = " + ".join(
+        f"(CASE WHEN length({t}) >= {i} THEN ord(substr({t}, {i}, 1)) "
+        f"ELSE 0 END) * {256 ** (8 - i)}::HUGEINT"
+        for i in range(1, 9))
+    return f"xor({terms}, strlen({c})::HUGEINT)"
+
+
 def _rho(w: np.ndarray, width: int) -> np.ndarray:
     """1 + leading-zero count of ``w`` within ``width`` bits (w < 2^width,
     width ≤ 52 so the float64 log2 path is exact): rho = width - floor(log2 w)
@@ -107,6 +122,12 @@ def hll_distinct(
     ids, and the estimate runs per group over ≤ 2^p tiny rows. The stream's
     values never shuffle. Standard error ≈ 1.04/sqrt(2^p) (~1.6% at p=12).
     """
+    if not 12 <= p <= 18:
+        # _rho's exact float64 log path needs width = 64-p ≤ 52 (w must be
+        # exactly representable in a double); p < 12 silently risks an
+        # off-by-one exponent from frexp of the rounded value, and the SQL
+        # twin hardcodes p=12 constants anyway.
+        raise ValueError(f"hll_distinct requires 12 <= p <= 18, got {p}")
     m = 1 << p
     width = 64 - p
 

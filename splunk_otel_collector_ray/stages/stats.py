@@ -101,6 +101,21 @@ def grouped_quantile_select(
     """
     import pyarrow.compute as pc
 
+    # exact integer rank math at ppm granularity: floor((n-1)*q) computed as
+    # (n-1)*round(q·10^6)//10^6, so q=0.999 or 0.125 select the RIGHT rank
+    # (the old int(round(q*100))//100 silently turned 0.999 into p100/max)
+    # and each q gets a distinct column name (p99.9, p12.5).
+    qi = {}
+    for q in qs:
+        scaled = int(round(q * 1_000_000))
+        if not (0 <= scaled <= 1_000_000) or abs(q * 1_000_000 - scaled) > 1e-3:
+            raise ValueError(f"quantile {q} not representable at 1e-6 "
+                             "granularity (must be in [0, 1])")
+        qi[q] = scaled
+    qname = {q: ("p%g" % (s / 10_000)) for q, s in qi.items()}
+    if len(set(qname.values())) != len(qs):
+        raise ValueError(f"duplicate quantiles in {qs}")
+
     proj = ds.select_columns([group_col, value_col, id_col]).materialize()
 
     def mm(t: pa.Table) -> pa.Table:
@@ -148,7 +163,7 @@ def grouped_quantile_select(
         cum = np.concatenate([[0], np.cumsum(cnts)])
         n = int(cum[-1])
         for q in qs:
-            rank = (n - 1) * int(round(q * 100)) // 100  # 0-based, int math
+            rank = (n - 1) * qi[q] // 1_000_000  # 0-based, exact int math
             j = int(np.searchsorted(cum, rank, side="right") - 1)
             needed.setdefault((g, int(cells[j])), []).append(
                 (q, rank - int(cum[j])))
@@ -174,7 +189,7 @@ def grouped_quantile_select(
         sub = (pulled[(pulled[group_col] == g) & (pulled["_cell"] == cell)]
                .sort_values([value_col, id_col], kind="mergesort"))
         for q, off in targets:
-            rows.setdefault(g, {})[f"p{int(round(q * 100))}"] = \
+            rows.setdefault(g, {})[qname[q]] = \
                 float(sub.iloc[off][value_col])
     out = pd.DataFrame(
         [{group_col: g, **vals} for g, vals in sorted(rows.items())])

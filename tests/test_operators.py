@@ -952,6 +952,21 @@ def test_grouped_quantile_select_exact(ray_session):
         assert out.loc[g, "p50"] == sv[(n - 1) * 50 // 100]
         assert out.loc[g, "p95"] == sv[(n - 1) * 95 // 100]
 
+    # non-whole-percent quantiles select the right rank under distinct
+    # column names (ADVICE fix: 0.999 used to alias to p100/max)
+    out2 = grouped_quantile_select(
+        ray.data.from_arrow(pa.Table.from_pandas(df)), "g", "v", "i",
+        qs=(0.999, 0.125)).set_index("g")
+    for g, sub in df.groupby("g"):
+        sv = sub.sort_values(["v", "i"], kind="mergesort")["v"].to_numpy()
+        n = len(sv)
+        assert out2.loc[g, "p99.9"] == sv[(n - 1) * 999_000 // 1_000_000]
+        assert out2.loc[g, "p12.5"] == sv[(n - 1) * 125_000 // 1_000_000]
+    with pytest.raises(ValueError):
+        grouped_quantile_select(
+            ray.data.from_arrow(pa.Table.from_pandas(df)), "g", "v", "i",
+            qs=(1.5,))
+
 
 def test_anti_join_keyed_path_equals_broadcast(ray_session):
     import numpy as np
