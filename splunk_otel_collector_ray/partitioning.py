@@ -47,6 +47,79 @@ def default_num_buckets(min_buckets: int = 64) -> int:
     return max(min_buckets, 2 * cpus)
 
 
+def spread_num_buckets(min_buckets: int = 64) -> int:
+    """Bucket DOMAIN for :func:`bucket_fold` — 64× the task-level bucket
+    count. The fold runs one vectorized pass per output BLOCK (not per
+    bucket), so a wide domain costs nothing, and it keeps the bucket value
+    count far above the sort partition count (= upstream block count):
+    Ray's sort emits every surplus partition as a schemaless EMPTY block
+    that bypasses downstream UDFs (ray plan_udf_map_op.py TODO(hchen)) and
+    trips schema-divergence warnings. With values ≫ partitions every
+    partition is populated and the executor sees one stable schema."""
+    return 64 * default_num_buckets(min_buckets)
+
+
+def pd_table(df: pd.DataFrame) -> pa.Table:
+    """``pa.Table.from_pandas`` WITHOUT the ``b'pandas'`` schema metadata.
+
+    The metadata dict makes the Arrow schema unhashable, which knocks Ray's
+    per-reduce-task schema deduplication (``transform_pyarrow.unify_schemas``
+    early-exit) onto its slow full-unify path and logs
+    ``Failed to hash the schemas`` per task — measurable overhead in every
+    shuffle whose map side built tables from pandas."""
+    return pa.Table.from_pandas(df, preserve_index=False) \
+        .replace_schema_metadata(None)
+
+
+def bucket_fold(ds: "ray.data.Dataset", bucket_col: str, fold,
+                batch_format: str = "pandas") -> "ray.data.Dataset":
+    """ONE bucketed exchange + ONE vectorized ``fold`` pass per output block.
+
+    ``sort(bucket) + map_batches(fold, batch_size=None)`` instead of
+    ``groupby(bucket).map_groups(fold)``: the sort already guarantees a
+    bucket value never splits across output blocks (verified empirically —
+    Ray's range partitioner sends boundary-equal rows to one side), so the
+    fold sees unions of COMPLETE buckets and must be bucket-agnostic
+    (vectorized over its inner semantic keys — every fold in this repo
+    already is). Wins over map_groups: no per-group Python splitting loop
+    (one pandas pass per block, ~20-40%% faster measured at 1M rows), and
+    with the :func:`spread_num_buckets` domain there are no empty sort
+    partitions, hence none of Ray's schemaless empty blocks.
+    """
+    return ds.sort(bucket_col).map_batches(
+        fold, batch_size=None, batch_format=batch_format)
+
+
+def small_fold(partials: "ray.data.Dataset", fold,
+               batch_format: str = "pyarrow") -> "ray.data.Dataset":
+    """Final reduce for SMALL partials (≤ ~10⁷ rows after the combiner
+    level): ``repartition(1)`` + ONE vectorized ``fold`` pass.
+
+    Replaces ``groupby(keys).aggregate(...)`` where key cardinality is far
+    below the cluster's block count — there Ray's sort-based Aggregate
+    creates one reduce partition per input block, emits every surplus
+    partition as a schemaless EMPTY block (schema-divergence warnings,
+    fragile downstream unions) and pays its ~80 ms fixed cost per input
+    block. The combiner level above has already shrunk the stream to
+    O(#blocks × #groups) tiny rows, so one task folding them all is both
+    cheaper and schema-stable. NOT for high-cardinality finals — those use
+    :func:`bucket_fold`."""
+    return partials.repartition(1).map_batches(
+        fold, batch_format=batch_format, batch_size=None)
+
+
+def coalesce_blocks(ds: "ray.data.Dataset",
+                    batch_size: int = 1 << 16) -> "ray.data.Dataset":
+    """Fold many tiny blocks into few before an all-to-all. ``num_cpus=0``
+    BREAKS operator fusion — fused, a coalescing map inherits the upstream
+    task structure and its batch_size never crosses task boundaries, so
+    the downstream Aggregate still pays its ~80 ms/block fixed cost per
+    tiny partial block (and its sort emits empty partitions past the key
+    cardinality)."""
+    return ds.map_batches(lambda t: t, batch_format="pyarrow",
+                          batch_size=batch_size, num_cpus=0)
+
+
 def key_counts(ds: "ray.data.Dataset", key: str) -> "ray.data.Dataset":
     """Per-key row counts via per-batch partials (shuffles ≤ one row per key
     per batch — skew-safe)."""
@@ -70,7 +143,7 @@ def detect_hot_keys(ds: "ray.data.Dataset", key: str,
 def salted_span_durations(
     ds: "ray.data.Dataset",
     hot_threshold: int = 10_000,
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
     chunk: int = 8192,
     salt: int = 8,
 ) -> "ray.data.Dataset":
@@ -91,6 +164,8 @@ def salted_span_durations(
 
     from .stages.metrics import span_durations
 
+    if num_buckets is None:
+        num_buckets = spread_num_buckets()
     hot = detect_hot_keys(ds, "conv_id", hot_threshold)
     if not hot:
         return span_durations(ds)
@@ -108,7 +183,7 @@ def salted_span_durations(
                              "ts": pa.array([], type=pa.timestamp("us"))})
         df["chunk_id"] = (df["turn_idx"] // chunk).astype(np.int64)
         keep = df.loc[df.groupby(["conv_id", "chunk_id"])["turn_idx"].idxmin()]
-        return pa.Table.from_pandas(keep, preserve_index=False)
+        return pd_table(keep)
 
     bdf = cols.map_batches(boundary_partial, batch_format="pyarrow").to_pandas()
     bdf = bdf.loc[bdf.groupby(["conv_id", "chunk_id"])["turn_idx"].idxmin()]
@@ -146,11 +221,8 @@ def salted_span_durations(
         out = out[(out["role"] == "tool") & (out["tool"] != "")]
         return out[["conv_id", "turn_idx", "tool", "duration_s"]]
 
-    return (
-        cols.map_batches(tag, batch_format="pyarrow")
-        .groupby("_bucket")
-        .map_groups(per_bucket, batch_format="pandas")
-    )
+    return bucket_fold(cols.map_batches(tag, batch_format="pyarrow"),
+                       "_bucket", per_bucket)
 
 
 def salted_bucket(keys: np.ndarray, sub_id: np.ndarray, hot: set,

@@ -18,7 +18,20 @@ import pandas as pd
 import pyarrow as pa
 
 import ray.data
-from ray.data.aggregate import Sum
+
+from ..partitioning import small_fold
+
+
+def _sum_fold(keys: list[str], sums: list[str]):
+    """Vectorized grouped-sum pass usable as both the combiner level and
+    the :func:`small_fold` final (sorted by keys, like Ray's Aggregate)."""
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = t.group_by(keys).aggregate([(c, "sum") for c in sums])
+        return g.rename_columns([*keys, *sums]).sort_by(
+            [(k, "ascending") for k in keys])
+
+    return combine
 
 
 def _sum_combine(partials: "ray.data.Dataset", keys: list[str],
@@ -26,19 +39,15 @@ def _sum_combine(partials: "ray.data.Dataset", keys: list[str],
                  ) -> "ray.data.Dataset":
     """Second combiner level: coalesce many tiny partial blocks into few.
 
-    The Aggregate operator pays a fixed per-input-block cost (sort + hash
-    per block) that dominates when the input is thousands of tiny partial
-    blocks — measured ~80 ms/block on 65-row partials, i.e. tens of CPU
-    seconds for <1 MB of data at sf1.6. One coalescing map_batches with a
-    large batch_size folds ~1000 partial blocks into one before the
-    all-to-all, so the exchange sees O(#groups) rows per coalesced block.
+    A distributed final reduce pays a fixed per-input-block cost that
+    dominates when the input is thousands of tiny partial blocks —
+    measured ~80 ms/block on 65-row partials under the Aggregate operator,
+    i.e. tens of CPU seconds for <1 MB of data at sf1.6. One coalescing
+    map_batches with a large batch_size folds ~1000 partial blocks into
+    one, so the final fold sees O(#groups) rows per coalesced block.
     """
-
-    def combine(t: pa.Table) -> pa.Table:
-        g = t.group_by(keys).aggregate([(c, "sum") for c in sums])
-        return g.rename_columns([*keys, *sums])
-
-    return partials.map_batches(combine, batch_format="pyarrow",
+    return partials.map_batches(_sum_fold(keys, sums),
+                                batch_format="pyarrow",
                                 batch_size=batch_size)
 
 
@@ -53,7 +62,7 @@ def grouped_count(
 
     partials = _sum_combine(
         ds.map_batches(partial, batch_format="pyarrow"), keys, [alias])
-    return partials.groupby(keys).aggregate(Sum(alias, alias_name=alias))
+    return small_fold(partials, _sum_fold(keys, [alias]))
 
 
 def grouped_sum(
@@ -68,7 +77,7 @@ def grouped_sum(
 
     partials = _sum_combine(
         ds.map_batches(partial, batch_format="pyarrow"), keys, [alias])
-    return partials.groupby(keys).aggregate(Sum(alias, alias_name=alias))
+    return small_fold(partials, _sum_fold(keys, [alias]))
 
 
 def grouped_stats(
@@ -82,8 +91,6 @@ def grouped_stats(
     """
     import pyarrow.compute as pc
 
-    from ray.data.aggregate import Max, Min
-
     def partial(batch: pa.Table) -> pa.Table:
         g = batch.select([*keys, value]).group_by(keys).aggregate(
             [([], "count_all"), (value, "sum"), (value, "min"), (value, "max")])
@@ -94,11 +101,12 @@ def grouped_stats(
             [("n", "sum"), ("_sum", "sum"), ("_min", "min"), ("_max", "max")])
         return g.rename_columns([*keys, "n", "_sum", "_min", "_max"])
 
+    def final(t: pa.Table) -> pa.Table:
+        return coalesce(t).sort_by([(k, "ascending") for k in keys])
+
     partials = ds.map_batches(partial, batch_format="pyarrow").map_batches(
         coalesce, batch_format="pyarrow", batch_size=1 << 16)
-    combined = partials.groupby(keys).aggregate(
-        Sum("n", alias_name="n"), Sum("_sum", alias_name="_sum"),
-        Min("_min", alias_name="_min"), Max("_max", alias_name="_max"))
+    combined = small_fold(partials, final)
 
     def finalize(t: pa.Table) -> pa.Table:
         mean = pc.divide(pc.cast(t["_sum"], pa.float64()),
@@ -132,10 +140,11 @@ def grouped_topk(
         return pa.Table.from_pandas(out, preserve_index=False)
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(by, ascending=ascending, kind="mergesort").head(k)
+        return (g.sort_values(by, ascending=ascending, kind="mergesort")
+                .groupby(keys, sort=False).head(k))
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-    return partials.groupby(keys).map_groups(final, batch_format="pandas")
+    return small_fold(partials, final, batch_format="pandas")
 
 
 def grouped_count_sum(
@@ -153,9 +162,7 @@ def grouped_count_sum(
     partials = _sum_combine(
         ds.map_batches(partial, batch_format="pyarrow"), keys,
         [count_alias, sum_alias])
-    return partials.groupby(keys).aggregate(
-        Sum(count_alias, alias_name=count_alias), Sum(sum_alias, alias_name=sum_alias)
-    )
+    return small_fold(partials, _sum_fold(keys, [count_alias, sum_alias]))
 
 
 def grid_quantiles(ds: "ray.data.Dataset", group_col: str, value_col: str,

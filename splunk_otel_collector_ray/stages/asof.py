@@ -69,10 +69,10 @@ def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
     DuckDB's ``ASOF LEFT JOIN``). Ties on ``on`` are inclusive
     (``right.on <= left.on`` for backward).
     """
-    if num_buckets is None:
-        from ..partitioning import default_num_buckets
+    from ..partitioning import bucket_fold, spread_num_buckets
 
-        num_buckets = default_num_buckets()
+    if num_buckets is None:
+        num_buckets = spread_num_buckets()
 
     lsch, rsch = left.schema(), right.schema()
     types = dict(zip(lsch.names, lsch.types))
@@ -92,12 +92,10 @@ def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
         out = out.drop(columns=[on + "_r"])  # internal probe column
         return _restore_int_cols(out, left_cols, schema_types)
 
-    return (
+    return bucket_fold(
         both.map_batches(_make_add_bucket(by, num_buckets),
-                         batch_format="pyarrow")
-        .groupby("_hb")
-        .map_groups(bucket_asof, batch_format="pandas")
-    )
+                         batch_format="pyarrow"),
+        "_hb", bucket_asof)
 
 
 def range_join_count(left: "ray.data.Dataset", right: "ray.data.Dataset",
@@ -114,10 +112,10 @@ def range_join_count(left: "ray.data.Dataset", right: "ray.data.Dataset",
     ``count(t0, t1] = cum_at(t1) - cum_at(t0)`` where ``cum_at(x)`` is the
     per-key count of right rows with ``on <= x``. No per-key Python loop.
     """
-    if num_buckets is None:
-        from ..partitioning import default_num_buckets
+    from ..partitioning import bucket_fold, spread_num_buckets
 
-        num_buckets = default_num_buckets()
+    if num_buckets is None:
+        num_buckets = spread_num_buckets()
 
     lsch = left.schema()
     types = dict(zip(lsch.names, lsch.types))
@@ -151,9 +149,7 @@ def range_join_count(left: "ray.data.Dataset", right: "ray.data.Dataset",
         out[out_col] = (at_upper - at_t).astype(np.int64)
         return out
 
-    return (
+    return bucket_fold(
         both.map_batches(_make_add_bucket(by, num_buckets),
-                         batch_format="pyarrow")
-        .groupby("_hb")
-        .map_groups(bucket_count, batch_format="pandas")
-    )
+                         batch_format="pyarrow"),
+        "_hb", bucket_count)

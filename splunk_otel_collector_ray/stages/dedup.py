@@ -26,6 +26,8 @@ import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Count, Min
 
+from ..partitioning import bucket_fold, pd_table
+
 MERSENNE = (1 << 61) - 1
 FNV_BASIS = np.uint64(14695981039346656037)
 FNV_PRIME = np.uint64(1099511628211)
@@ -100,13 +102,13 @@ def exact_dedup(ds: "ray.data.Dataset", col: str = "text",
 
     Shape: per-batch content hash + local (hash → min_id, count) shrink,
     then ONE bucketed exchange on ``hash % B`` with a vectorized fold per
-    bucket — measured ~2× faster at 1M mostly-unique keys than a sort-based
-    ``groupby(content_hash)`` (the int32 bucket key sorts cheaper than the
-    64-bit hash, and the per-bucket pandas fold is one pass)."""
+    output block — measured ~2× faster at 1M mostly-unique keys than a
+    sort-based ``groupby(content_hash)`` (the int32 bucket key sorts
+    cheaper than the 64-bit hash, and the fold is one pandas pass)."""
     if num_buckets is None:
-        from ..partitioning import default_num_buckets
+        from ..partitioning import spread_num_buckets
 
-        num_buckets = default_num_buckets()
+        num_buckets = spread_num_buckets()
 
     def partial(t: pa.Table) -> pa.Table:
         t = add_content_hash(t, col)
@@ -118,16 +120,15 @@ def exact_dedup(ds: "ray.data.Dataset", col: str = "text",
         g["dupes"] = g["dupes"].astype(np.int64)
         g["_hb"] = (g["content_hash"].to_numpy() % num_buckets).astype(
             np.int32)
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pd_table(g)
 
     def fold(g: pd.DataFrame) -> pd.DataFrame:
         out = g.groupby("content_hash", as_index=False).agg(
             **{id_col: (id_col, "min"), "dupes": ("dupes", "sum")})
         return out[[id_col, "dupes"]].astype({"dupes": np.int64})
 
-    return (ds.map_batches(partial, batch_format="pyarrow")
-            .groupby("_hb")
-            .map_groups(fold, batch_format="pandas"))
+    return bucket_fold(ds.map_batches(partial, batch_format="pyarrow"),
+                       "_hb", fold)
 
 
 def exact_dedup_rows(ds: "ray.data.Dataset", col: str = "text",
@@ -139,13 +140,13 @@ def exact_dedup_rows(ds: "ray.data.Dataset", col: str = "text",
 
     Shape: vectorized content hash per batch, per-batch local first-per-hash
     shrink, then ONE bucketed exchange (hash(content_hash) % B) with a
-    vectorized per-bucket reduction — no per-content-group tasks, and full
+    vectorized per-block reduction — no per-content-group tasks, and full
     text moves at most once. B is cluster-derived by default.
     """
     if num_buckets is None:
-        from ..partitioning import default_num_buckets
+        from ..partitioning import spread_num_buckets
 
-        num_buckets = default_num_buckets()
+        num_buckets = spread_num_buckets()
 
     def local_first(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values([id_col], kind="mergesort")
@@ -158,14 +159,12 @@ def exact_dedup_rows(ds: "ray.data.Dataset", col: str = "text",
     def bucket_first(g: pd.DataFrame) -> pd.DataFrame:
         return local_first(g).drop(columns=["_hb", "content_hash"])
 
-    return (
+    return bucket_fold(
         ds.map_batches(lambda t: add_content_hash(t, col),
                        batch_format="pyarrow")
         .map_batches(local_first, batch_format="pandas")
-        .map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("_hb")
-        .map_groups(bucket_first, batch_format="pandas")
-    )
+        .map_batches(add_bucket, batch_format="pyarrow"),
+        "_hb", bucket_first)
 
 
 def frequent_content_hashes(ds: "ray.data.Dataset", col: str = "text",
@@ -183,9 +182,9 @@ def frequent_content_hashes(ds: "ray.data.Dataset", col: str = "text",
     to collect and broadcast for the removal pass.
     """
     if num_buckets is None:
-        from ..partitioning import default_num_buckets
+        from ..partitioning import spread_num_buckets
 
-        num_buckets = default_num_buckets()
+        num_buckets = spread_num_buckets()
 
     def pair_shrink(t: pa.Table) -> pa.Table:
         t = add_content_hash(t, col)
@@ -202,14 +201,12 @@ def frequent_content_hashes(ds: "ray.data.Dataset", col: str = "text",
         n = g.drop_duplicates(["content_hash", "k"]) \
              .groupby("content_hash").size()
         keep = n[n >= min_keys]
-        return pd.DataFrame({"content_hash": keep.index.to_numpy()})
+        return pd.DataFrame(
+            {"content_hash": keep.index.to_numpy().astype(np.int64)})
 
-    freq = (
-        ds.map_batches(pair_shrink, batch_format="pyarrow")
-        .groupby("_hb")
-        .map_groups(bucket_count, batch_format="pandas")
-        .to_pandas()
-    )
+    freq = bucket_fold(
+        ds.map_batches(pair_shrink, batch_format="pyarrow"),
+        "_hb", bucket_count).to_pandas()
     return np.sort(freq["content_hash"].to_numpy().astype(np.int64))
 
 
@@ -318,13 +315,13 @@ def minhash_duplicate_groups(
     Shape: the (band, band_hash, id) stream shrinks per batch to ≤ 1 row
     per (band, band_hash) — template-heavy corpora compress hard here —
     then ONE int32-bucketed exchange on ``band_hash % B`` with a
-    vectorized fold per bucket (the exact_dedup pattern; measured ~4×
+    vectorized fold per block (the exact_dedup pattern; measured ~4×
     faster than a sort groupby over the raw 16M-row band stream at 1M
     docs × 16 bands)."""
     if num_buckets is None:
-        from ..partitioning import default_num_buckets
+        from ..partitioning import spread_num_buckets
 
-        num_buckets = default_num_buckets()
+        num_buckets = spread_num_buckets()
     bands = ds.map_batches(MinHasher,
                            fn_constructor_kwargs={"id_col": id_col, **kw},
                            batch_format="pyarrow", concurrency=(1, 16))
@@ -338,7 +335,7 @@ def minhash_duplicate_groups(
             min_id=("min_id", "min"), size=("min_id", "size"))
         g["size"] = g["size"].astype(np.int64)
         g["_hb"] = (g["band_hash"].to_numpy() % num_buckets).astype(np.int32)
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pd_table(g)
 
     def fold(g: pd.DataFrame) -> pd.DataFrame:
         out = g.groupby(["band", "band_hash"], as_index=False).agg(
@@ -346,9 +343,8 @@ def minhash_duplicate_groups(
         out["size"] = out["size"].astype(np.int64)
         return out[out["size"] > 1]
 
-    return (bands.map_batches(partial, batch_format="pyarrow")
-            .groupby("_hb")
-            .map_groups(fold, batch_format="pandas"))
+    return bucket_fold(bands.map_batches(partial, batch_format="pyarrow"),
+                       "_hb", fold)
 
 
 def shingle_hash_rows(batch: pa.Table, id_col: str = "doc_id",
@@ -383,9 +379,9 @@ def candidate_pairs_from_bands(
     composite-key hash aggregate is ~20× slower at 10^5 pairs.
     """
     if num_buckets is None:
-        from ..partitioning import default_num_buckets
+        from ..partitioning import spread_num_buckets
 
-        num_buckets = default_num_buckets()
+        num_buckets = spread_num_buckets()
 
     def add_pb(t: pa.Table) -> pa.Table:
         h = (t["band_hash"].to_numpy(zero_copy_only=False)
@@ -418,11 +414,8 @@ def candidate_pairs_from_bands(
         return pd.DataFrame({"doc_a": np.concatenate(out_a),
                              "doc_b": np.concatenate(out_b)})
 
-    cand = (
-        bands.map_batches(add_pb, batch_format="pyarrow")
-        .groupby("_pb")
-        .map_groups(pairs_of_bucket, batch_format="pandas")
-    )
+    cand = bucket_fold(bands.map_batches(add_pb, batch_format="pyarrow"),
+                       "_pb", pairs_of_bucket)
 
     def local_dedup(g: pd.DataFrame) -> pd.DataFrame:
         return g.drop_duplicates(["doc_a", "doc_b"])
@@ -438,13 +431,10 @@ def candidate_pairs_from_bands(
                  + b.astype(np.int64)) % num_buckets
         return t.append_column("_pk", pa.array(h.astype(np.int32)))
 
-    return (
+    return bucket_fold(
         cand.map_batches(local_dedup, batch_format="pandas")
-        .map_batches(add_pk, batch_format="pyarrow")
-        .groupby("_pk")
-        .map_groups(local_dedup, batch_format="pandas")
-        .drop_columns(["_pk"])
-    )
+        .map_batches(add_pk, batch_format="pyarrow"),
+        "_pk", local_dedup).drop_columns(["_pk"])
 
 
 def neardup_pairs(

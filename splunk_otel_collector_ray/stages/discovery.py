@@ -103,10 +103,10 @@ def discovery_status(
     per-batch partial first (idxmin) + ONE bucketed exchange on endpoint
     hash — tiny rows only, never the full stream and never a driver set.
     """
-    from ..partitioning import default_num_buckets
+    from ..partitioning import bucket_fold, spread_num_buckets
 
     if num_buckets is None:
-        num_buckets = default_num_buckets()
+        num_buckets = spread_num_buckets()
     statuses = np.array([r.status for r in rules], dtype=object)
     patterns = np.array([r.pattern for r in rules], dtype=object)
     messages = np.array([r.message for r in rules], dtype=object)
@@ -138,12 +138,11 @@ def discovery_status(
             t["endpoint"].to_pandas().to_numpy(dtype=object)) % num_buckets
         return t.append_column("_bucket", pa.array(h.astype(np.int32)))
 
-    return (
+    from ..partitioning import pd_table
+
+    return bucket_fold(
         ds.map_batches(emit, batch_format="pyarrow")
-        .map_batches(lambda t: pa.Table.from_pandas(
-            local_first(t.to_pandas()), preserve_index=False),
-            batch_format="pyarrow")
-        .map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("_bucket")
-        .map_groups(local_first, batch_format="pandas")
-    )
+        .map_batches(lambda t: pd_table(local_first(t.to_pandas())),
+                     batch_format="pyarrow")
+        .map_batches(add_bucket, batch_format="pyarrow"),
+        "_bucket", local_first)

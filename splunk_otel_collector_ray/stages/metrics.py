@@ -29,6 +29,8 @@ import pyarrow.compute as pc
 
 import ray.data
 
+from ..partitioning import pd_table
+
 # sample line (expfmt): name{labels} value [timestamp] — all-named groups so
 # pyarrow's RE2 extract_regex can run it over the flattened line array
 _PROM_SAMPLE_RX = (
@@ -143,9 +145,9 @@ def prometheus_histograms(
                     pc.match_substring_regex(t["name"], "_bucket$"))
         return t.filter(m)
 
-    from ..partitioning import default_num_buckets
+    from ..partitioning import bucket_fold, spread_num_buckets
 
-    nb = default_num_buckets()
+    nb = spread_num_buckets()
 
     def add_bucket(t: pa.Table) -> pa.Table:
         h = t["src_row"].to_numpy(zero_copy_only=False) % nb
@@ -161,13 +163,11 @@ def prometheus_histograms(
         out["bucket_count"] = (g["value"] - lag.fillna(0.0)).to_numpy()
         return out
 
-    return (
+    return bucket_fold(
         ds.map_batches(fn, batch_format="pyarrow")
         .map_batches(buckets_only, batch_format="pyarrow")
-        .map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("_bucket")
-        .map_groups(per_bucket, batch_format="pandas")
-    )
+        .map_batches(add_bucket, batch_format="pyarrow"),
+        "_bucket", per_bucket)
 
 
 # statsd line (+dogstatsd tags): name:value|type[|@rate][|#tags]
@@ -404,9 +404,9 @@ def span_durations(ds: "ray.data.Dataset") -> "ray.data.Dataset":
     and each bucket's lead/shift runs as ONE vectorized pandas pass — same
     pattern as recombine; a conversation never spans buckets.
     """
-    from ..partitioning import default_num_buckets
+    from ..partitioning import bucket_fold, spread_num_buckets
 
-    nb = default_num_buckets()
+    nb = spread_num_buckets()
 
     def add_bucket(t: pa.Table) -> pa.Table:
         h = pd.util.hash_array(
@@ -421,12 +421,10 @@ def span_durations(ds: "ray.data.Dataset") -> "ray.data.Dataset":
         out = out[(out["role"] == "tool") & (out["tool"] != "")]
         return out[["conv_id", "turn_idx", "tool", "duration_s"]]
 
-    return (
+    return bucket_fold(
         ds.select_columns(["conv_id", "turn_idx", "role", "tool", "ts"])
-        .map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("_bucket")
-        .map_groups(per_bucket, batch_format="pandas")
-    )
+        .map_batches(add_bucket, batch_format="pyarrow"),
+        "_bucket", per_bucket)
 
 
 def calculate_metric(
@@ -448,15 +446,15 @@ def calculate_metric(
         df = t.select([*keys, name_col, value_col]).to_pandas()
         g = (df.groupby([*keys, name_col], sort=False)[value_col]
              .sum().reset_index())
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pd_table(g)
 
     reduced = (ds.map_batches(partial, batch_format="pyarrow")
                .groupby([*keys, name_col])
                .aggregate(Sum(value_col, alias_name="_sum")))
 
-    from ..partitioning import default_num_buckets
+    from ..partitioning import bucket_fold, spread_num_buckets
 
-    nb = default_num_buckets()
+    nb = spread_num_buckets()
 
     def add_bucket(t: pa.Table) -> pa.Table:
         h = np.zeros(t.num_rows, dtype=np.uint64)
@@ -488,10 +486,10 @@ def calculate_metric(
 
     # both metrics of a group co-locate via one bucketed exchange of the
     # tiny reduced rows (never repartition(1) — group cardinality can be
-    # 10^8 at corpus scale); one vectorized pivot per bucket
-    return (reduced.map_batches(add_bucket, batch_format="pyarrow")
-            .groupby("_bucket")
-            .map_groups(ratio_bucket, batch_format="pandas"))
+    # 10^8 at corpus scale); one vectorized pivot per output block
+    return bucket_fold(reduced.map_batches(add_bucket,
+                                           batch_format="pyarrow"),
+                       "_bucket", ratio_bucket)
 
 
 def span_duration_histogram(
@@ -557,14 +555,14 @@ def dimension_upsert(
     Scale shape: per-batch partial last-row (vectorized idxmax) shrinks each
     block to ≤ one row per key before the keyed shuffle.
     """
-    from ..partitioning import default_num_buckets
+    from ..partitioning import bucket_fold, spread_num_buckets
 
-    nb = default_num_buckets()
+    nb = spread_num_buckets()
 
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.select([key, order, *values]).to_pandas()
         keep = df.loc[df.groupby(key, sort=False)[order].idxmax()]
-        return pa.Table.from_pandas(keep, preserve_index=False)
+        return pd_table(keep)
 
     def add_bucket(t: pa.Table) -> pa.Table:
         kv = t[key].to_pandas().to_numpy()
@@ -578,13 +576,11 @@ def dimension_upsert(
         return keep.drop(columns=["_bucket"])
 
     # per-batch partials shrink to ≤1 row/key/batch; the final reduce runs
-    # per hash bucket (B vectorized pandas passes, not one task per key)
-    return (
+    # one vectorized pandas pass per block of complete hash buckets
+    return bucket_fold(
         ds.map_batches(partial, batch_format="pyarrow")
-        .map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("_bucket")
-        .map_groups(final_bucket, batch_format="pandas")
-    )
+        .map_batches(add_bucket, batch_format="pyarrow"),
+        "_bucket", final_bucket)
 
 
 # --- metricstransform aggregate operations ---------------------------------

@@ -61,10 +61,18 @@ def pack_documents(ds: "ray.data.Dataset", window: int = 512,
             "_bk", pa.array((ids // bucket_span).astype(np.int64)))
 
     def bucket_scan(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col, kind="mergesort")
+        # bucket-agnostic (a block may hold several COMPLETE range
+        # buckets): within-bucket exclusive cumsum + that bucket's
+        # broadcast absolute offset, all in one vectorized pass
+        g = g.sort_values(["_bk", id_col], kind="mergesort")
         n = g[count_col].to_numpy()
-        start = offsets[int(g["_bk"].iloc[0])] + np.concatenate(
-            ([0], np.cumsum(n)[:-1]))
+        bk = g["_bk"].to_numpy()
+        within = np.cumsum(n) - n  # running exclusive cumsum over the block
+        first = np.r_[True, bk[1:] != bk[:-1]]
+        seg = np.cumsum(first) - 1  # dense bucket index per row
+        base = np.asarray([offsets[int(b)] for b in bk[first]],
+                          dtype=np.int64)[seg]
+        start = base + (within - within[first][seg])
         return pd.DataFrame({
             id_col: g[id_col].to_numpy(),
             count_col: n,
@@ -72,8 +80,7 @@ def pack_documents(ds: "ray.data.Dataset", window: int = 512,
             "bin_id": start // window,
         })
 
-    return (
-        ds.map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("_bk")
-        .map_groups(bucket_scan, batch_format="pandas")
-    )
+    from ..partitioning import bucket_fold
+
+    return bucket_fold(ds.map_batches(add_bucket, batch_format="pyarrow"),
+                       "_bk", bucket_scan)

@@ -40,9 +40,9 @@ import pyarrow as pa
 import ray.data
 
 def _stitch_buckets() -> int:
-    from ..partitioning import default_num_buckets
+    from ..partitioning import spread_num_buckets
 
-    return default_num_buckets()
+    return spread_num_buckets()
 
 
 def _stitch_frame(g: pd.DataFrame, body_col: str, key: str, order: str
@@ -83,12 +83,12 @@ def recombine_fragments(
     def stitch_bucket(g: pd.DataFrame) -> pd.DataFrame:
         return _stitch_frame(g, body_col, key, order)
 
-    return (
+    from ..partitioning import bucket_fold
+
+    return bucket_fold(
         ds.select_columns([key, order, body_col])
-        .map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("_bucket")
-        .map_groups(stitch_bucket, batch_format="pandas")
-    )
+        .map_batches(add_bucket, batch_format="pyarrow"),
+        "_bucket", stitch_bucket)
 
 
 def multiline_frame(
@@ -142,11 +142,10 @@ def multiline_frame(
     def frame_bucket(g: pd.DataFrame) -> pd.DataFrame:
         return _frame_lines(g, text_col, key, order, exclusive)
 
-    return (
-        ds.map_batches(tag, batch_format="pyarrow")
-        .groupby("_bucket")
-        .map_groups(frame_bucket, batch_format="pandas")
-    )
+    from ..partitioning import bucket_fold
+
+    return bucket_fold(ds.map_batches(tag, batch_format="pyarrow"),
+                       "_bucket", frame_bucket)
 
 
 def _frame_lines(g: pd.DataFrame, text_col: str, key: str, order: str,

@@ -145,19 +145,25 @@ def hll_distinct(
         out_df = df.groupby([group_col, "bucket"], as_index=False)["rho"].max()
         return pa.Table.from_pandas(out_df, preserve_index=False)
 
-    from ray.data.aggregate import Max
+    def combine(t: pa.Table) -> pa.Table:
+        g = t.group_by([group_col, "bucket"]).aggregate([("rho", "max")])
+        return g.rename_columns([group_col, "bucket", "rho"])
 
-    registers = (ds.map_batches(partial, batch_format="pyarrow")
-                 .groupby([group_col, "bucket"])
-                 .aggregate(Max("rho", alias_name="rho")))
+    def estimate(df: pd.DataFrame) -> pd.DataFrame:
+        merged = df.groupby([group_col, "bucket"], as_index=False)["rho"].max()
+        rows = [(grp, hll_estimate(sub["rho"].to_numpy(), m))
+                for grp, sub in merged.groupby(group_col, sort=True)]
+        return pd.DataFrame(rows, columns=[group_col, out])
 
-    def estimate(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            group_col: [g[group_col].iloc[0]],
-            out: [hll_estimate(g["rho"].to_numpy(), m)]})
+    from ..partitioning import small_fold
 
-    return registers.groupby(group_col).map_groups(
-        estimate, batch_format="pandas")
+    # combiner level folds many ≤ groups×2^p partial blocks into few; the
+    # final merge+estimate is ONE task over ≤ groups×2^p tiny rows (group
+    # cardinality is small by contract here — it's a per-severity/sink
+    # distinct estimate, not a per-key one)
+    registers = ds.map_batches(partial, batch_format="pyarrow").map_batches(
+        combine, batch_format="pyarrow", batch_size=1 << 16)
+    return small_fold(registers, estimate, batch_format="pandas")
 
 
 # count-min row seeds: row 0 is plain mix64; rows 1-3 xor an odd 61-bit

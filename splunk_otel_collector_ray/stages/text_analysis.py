@@ -347,10 +347,10 @@ def repeated_ngram_stats(
     """
     from ray.data.aggregate import Sum
 
-    from ..partitioning import default_num_buckets
+    from ..partitioning import spread_num_buckets
 
     if num_buckets is None:
-        num_buckets = default_num_buckets()
+        num_buckets = spread_num_buckets()
 
     def pair_shrink(t: pa.Table) -> pa.Table:
         h, doc = _token_ngram_hashes(t[text_col].to_pandas(), n)
@@ -381,10 +381,11 @@ def repeated_ngram_stats(
             repeated_grams=("_r", "sum"), total_grams=("_r", "size"))
         return out.reset_index()
 
-    partials = (
-        ds.map_batches(pair_shrink, batch_format="pyarrow")
-        .groupby("_b").map_groups(bucket_stats, batch_format="pandas")
-    )
+    from ..partitioning import bucket_fold
+
+    partials = bucket_fold(
+        ds.map_batches(pair_shrink, batch_format="pyarrow"),
+        "_b", bucket_stats)
     return partials.groupby(id_col).aggregate(
         Sum("repeated_grams", alias_name="repeated_grams"),
         Sum("total_grams", alias_name="total_grams"))
@@ -544,9 +545,9 @@ def inverted_index(
     ``STRING_AGG(… ORDER BY …)`` in the oracle twin.
     """
     if num_buckets is None:
-        from ..partitioning import default_num_buckets
+        from ..partitioning import spread_num_buckets
 
-        num_buckets = default_num_buckets()
+        num_buckets = spread_num_buckets()
 
     pairs = ds.map_batches(
         lambda t: _tf_pairs(t, id_col, text_col).select([id_col, "token"]),
@@ -564,9 +565,10 @@ def inverted_index(
         out = df_counts.reset_index()
         return out[out["df"] >= min_df]
 
-    return (pairs.map_batches(add_bucket, batch_format="pyarrow")
-            .groupby("_hb")
-            .map_groups(fold, batch_format="pandas"))
+    from ..partitioning import bucket_fold
+
+    return bucket_fold(pairs.map_batches(add_bucket, batch_format="pyarrow"),
+                       "_hb", fold)
 
 
 # template mask: any ASCII digit run collapses to '#'. RE2 on both sides

@@ -26,6 +26,8 @@ import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Sum
 
+from ..partitioning import pd_table
+
 
 def tumbling_counts(
     ds: "ray.data.Dataset", keys: list[str], ts_col: str = "ts",
@@ -73,7 +75,7 @@ def sliding_counts(
         g = (big.groupby([*keys, "window_start"], observed=True)
              .size().reset_index(name="n"))
         g["window_start"] = pd.to_datetime(g["window_start"], unit="s")
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pd_table(g)
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     return partials.groupby([*keys, "window_start"]).aggregate(
@@ -92,9 +94,9 @@ def session_windows(
     in one vectorized pass.
     """
     if num_buckets is None:
-        from ..partitioning import default_num_buckets
+        from ..partitioning import spread_num_buckets
 
-        num_buckets = default_num_buckets()
+        num_buckets = spread_num_buckets()
 
     def add_bucket(t: pa.Table) -> pa.Table:
         kv = t[key].to_pandas().to_numpy()
@@ -117,8 +119,10 @@ def session_windows(
         out["n"] = out["n"].astype(np.int64)
         return out
 
-    return (ds.map_batches(add_bucket, batch_format="pyarrow")
-            .groupby("_bucket").map_groups(per_bucket, batch_format="pandas"))
+    from ..partitioning import bucket_fold
+
+    return bucket_fold(ds.map_batches(add_bucket, batch_format="pyarrow"),
+                       "_bucket", per_bucket)
 
 
 def drop_late(
