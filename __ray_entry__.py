@@ -1301,7 +1301,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             embedding_neardup_pairs)
 
         emb = _table(sf, "embeddings")
-        pairs = embedding_neardup_pairs(emb, threshold=0.45, num_blocks=4)
+        # .to_pandas() on the PAIR set only (bounded by #near-dup pairs,
+        # not the corpus) — union-find needs the edge list on the driver
+        pairs = embedding_neardup_pairs(
+            emb, threshold=0.45, num_blocks=4).to_pandas()
         return cluster_from_pairs(emb, pairs, "vec_id", "id_a", "id_b")
 
     def q_incremental_counts(sf):
@@ -2294,27 +2297,57 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow")
 
     def q_multimodal_features(sf):
+        # REAL payloads since r4: actual PNGs/WAVs (stdlib codecs), feature
+        # chunk-means computed from DECODED pixels/samples in the actor pool
         import ray.data
         from splunk_otel_collector_ray.stages.multimodal import (
             FeatureExtractStage,
-            make_fake_items,
+            make_real_items,
         )
 
-        ds = ray.data.from_arrow(make_fake_items(64))
+        ds = ray.data.from_arrow(make_real_items(64))
         out = ds.map_batches(FeatureExtractStage, batch_format="pyarrow",
                              batch_size=16, concurrency=(1, 2))
         return out.select_columns(["item_id", "mime", "width", "height"])
 
+    def q_multimodal_decode(sf):
+        # in-pipeline REAL PNG decode (r4): per-item pixel stats read from
+        # the decoded array — metadata (width/height) must round-trip
+        # through the codec, proving decode is real, not a byte heuristic
+        import ray.data
+        from splunk_otel_collector_ray.stages.imagecodecs import decode_png
+        from splunk_otel_collector_ray.stages.multimodal import (
+            make_real_items)
+
+        ds = ray.data.from_arrow(make_real_items(64)).filter(
+            lambda r: r["mime"] == "image/png")
+
+        def stats(t: pa.Table) -> pa.Table:
+            rows = []
+            for item_id, buf in zip(t["item_id"].to_pylist(),
+                                    t["payload"].to_pylist()):
+                img = decode_png(buf)
+                rows.append((item_id, img.shape[1], img.shape[0],
+                             float(img.mean()), int(img.min()),
+                             int(img.max())))
+            import pandas as pd
+            return pa.Table.from_pandas(pd.DataFrame(
+                rows, columns=["item_id", "dec_width", "dec_height",
+                               "px_mean", "px_min", "px_max"]),
+                preserve_index=False)
+
+        return ds.map_batches(stats, batch_format="pyarrow", batch_size=16)
+
     def q_multimodal_resize(sf):
-        # image-resize slot (deterministic stand-in, real decode stubbed):
-        # actor pool, small batches for the binary payloads (rows-only)
+        # image-resize slot: REAL nearest-neighbor resample + PNG re-encode
+        # for image rows, deterministic byte stand-in for audio (rows-only)
         import ray.data
         from splunk_otel_collector_ray.stages.multimodal import (
             ResizeStage,
-            make_fake_items,
+            make_real_items,
         )
 
-        ds = ray.data.from_arrow(make_fake_items(64))
+        ds = ray.data.from_arrow(make_real_items(64))
         out = ds.map_batches(
             ResizeStage, fn_constructor_kwargs={"target_width": 32,
                                                 "target_height": 32},
@@ -2454,6 +2487,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_neardup_lsh": q_emb_neardup_lsh,
         "stratified_sample": q_stratified_sample,
         "multimodal_features": q_multimodal_features,
+        "multimodal_decode": q_multimodal_decode,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frames": q_multimodal_frames,
         "hec_envelope": q_hec,

@@ -34,23 +34,27 @@ _PUNCT_RX = re.compile(r"[^0-9A-Za-z_ \t\n\f\r\v]")
 class LangIdStage:
     """Stopword-profile language ID: argmax of per-language stopword hits.
 
-    Fully vectorized: one compiled word-boundary alternation per language,
-    counted with a single str.count pass (no per-document Python loops)."""
+    Fully Arrow-native (r3 VERDICT item 6): one RE2 word-boundary
+    alternation per language via ``pc.count_substring_regex`` over the
+    zero-copy column — the same regex engine the DuckDB oracle runs, so
+    engine and twin share ``\\b`` semantics exactly (Python's ``re`` has
+    Unicode word boundaries; RE2's are ASCII)."""
 
     def __init__(self, text_col: str = "text") -> None:
         self.text_col = text_col
         self.langs = list(LANG_STOPWORDS)
-        self.rx = {
-            lang: re.compile(
-                r"\b(?:" + "|".join(sorted(LANG_STOPWORDS[lang])) + r")\b")
+        self.patterns = {
+            lang: r"\b(?:" + "|".join(sorted(LANG_STOPWORDS[lang])) + r")\b"
             for lang in self.langs
         }
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        low = batch[self.text_col].to_pandas().str.lower()
-        scores = np.zeros((batch.num_rows, len(self.langs)), dtype=np.int32)
+        low = pc.utf8_lower(batch[self.text_col])
+        scores = np.zeros((batch.num_rows, len(self.langs)), dtype=np.int64)
         for j, lang in enumerate(self.langs):
-            scores[:, j] = low.str.count(self.rx[lang]).fillna(0).to_numpy()
+            scores[:, j] = pc.fill_null(
+                pc.count_substring_regex(low, self.patterns[lang]), 0
+            ).to_numpy(zero_copy_only=False)
         best = scores.argmax(axis=1)
         pred = np.where(scores.max(axis=1) > 0,
                         np.array(self.langs, dtype=object)[best], "unk")

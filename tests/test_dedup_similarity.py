@@ -262,7 +262,8 @@ def test_embedding_neardup_block_sweep_equals_reference(ray_session, sf_dir):
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
     ref = _exact_pairs_reference(ds, 0.45)
     for nb in (1, 4):
-        got = embedding_neardup_pairs(ds, threshold=0.45, num_blocks=nb)
+        got = embedding_neardup_pairs(
+            ds, threshold=0.45, num_blocks=nb).to_pandas()
         pd.testing.assert_frame_equal(got, ref)
 
 
@@ -298,7 +299,7 @@ def test_embedding_neardup_more_blocks_than_rows(ray_session):
         "embedding": [[1.0, 0.0], [0.9, 0.1]],
     })
     out = embedding_neardup_pairs(ray.data.from_arrow(t), threshold=0.9,
-                                  num_blocks=4)
+                                  num_blocks=4).to_pandas()
     assert out[["id_a", "id_b"]].values.tolist() == [[0, 1]]
 
 

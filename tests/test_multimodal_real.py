@@ -1,0 +1,130 @@
+"""Real PNG/WAV decode path (r3 VERDICT item 7): stdlib codecs round-trip,
+feature extraction on decoded pixels/samples, real resize re-encode."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from splunk_otel_collector_ray.stages.imagecodecs import (
+    PNG_MAGIC,
+    decode_png,
+    decode_wav,
+    encode_png,
+    encode_wav,
+)
+from splunk_otel_collector_ray.stages.multimodal import (
+    FeatureExtractStage,
+    ResizeStage,
+    decode_image,
+    make_real_items,
+)
+
+
+def test_png_roundtrip_gray_rgb_rgba():
+    rng = np.random.default_rng(11)
+    for shape in [(5, 7), (9, 4, 3), (6, 6, 4), (1, 1), (2, 3, 3)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        out = decode_png(encode_png(img))
+        assert out.shape == img.shape
+        assert (out == img).all()
+
+
+def test_png_sub_and_up_filters_decode():
+    """The decoder must handle filtered scanlines (sub=1, up=2), not just
+    the filter-0 rows our encoder emits."""
+    import struct
+    import zlib
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (4, 5, 3), dtype=np.uint8)
+    rows, prev = [], np.zeros(15, np.int64)
+    for y in range(4):
+        line = img[y].reshape(-1).astype(np.int64)
+        if y % 2 == 0:  # sub
+            filt = np.empty(15, np.int64)
+            filt[:3] = line[:3]
+            filt[3:] = (line[3:] - line[:-3]) % 256
+            rows.append(bytes([1]) + bytes(filt.astype(np.uint8)))
+        else:  # up
+            rows.append(bytes([2]) + bytes(((line - prev) % 256)
+                                           .astype(np.uint8)))
+        prev = line
+
+    def chunk(t, d):
+        return (struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF))
+
+    png = (PNG_MAGIC
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 5, 4, 8, 2, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(b"".join(rows)))
+           + chunk(b"IEND", b""))
+    assert (decode_png(png) == img).all()
+
+
+def test_wav_roundtrip_mono_stereo():
+    rng = np.random.default_rng(5)
+    mono = rng.integers(-3000, 3000, 200).astype(np.int16)
+    d, rate = decode_wav(encode_wav(mono, 8000))
+    assert rate == 8000 and (d == mono).all()
+    stereo = rng.integers(-3000, 3000, (64, 2)).astype(np.int16)
+    d2, _ = decode_wav(encode_wav(stereo))
+    assert (d2 == stereo).all()
+
+
+def test_decode_image_png_real_jpeg_stub():
+    img = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    assert (decode_image(encode_png(img)) == img).all()
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0 fake jpeg")
+
+
+def test_feature_extract_uses_decoded_pixels():
+    """Real items: features equal chunk means of DECODED pixels/samples,
+    not of the compressed payload bytes."""
+    items = make_real_items(8)
+    out = FeatureExtractStage()(items).to_pandas()
+    k = FeatureExtractStage.FEAT_DIM
+    for i, (mime, buf) in enumerate(zip(items["mime"].to_pylist(),
+                                        items["payload"].to_pylist())):
+        flat = (decode_png(buf) if mime == "image/png"
+                else decode_wav(buf)[0]).astype(np.float64).ravel()
+        ref = [c.mean() for c in np.array_split(flat, k)]
+        assert np.allclose(out.features[i], np.array(ref, np.float32))
+
+
+def test_feature_extract_stub_fallback_unchanged():
+    """real_decode on non-decodable payloads must equal the pure stub."""
+    from splunk_otel_collector_ray.stages.multimodal import make_fake_items
+
+    items = make_fake_items(8)
+    a = FeatureExtractStage(real_decode=True)(items).to_pandas()
+    b = FeatureExtractStage(real_decode=False)(items).to_pandas()
+    for fa, fb in zip(a.features, b.features):
+        assert list(fa) == list(fb)
+
+
+def test_resize_real_png_reencodes_target_dims():
+    items = make_real_items(8)
+    out = ResizeStage(target_width=6, target_height=5)(items)
+    assert set(out["width"].to_pylist()) == {6}
+    assert set(out["height"].to_pylist()) == {5}
+    for mime, orig, new in zip(items["mime"].to_pylist(),
+                               items["payload"].to_pylist(),
+                               out["payload"].to_pylist()):
+        if mime != "image/png":
+            continue
+        img, small = decode_png(orig), decode_png(bytes(new))
+        assert small.shape[:2] == (5, 6)
+        h, w = img.shape[:2]
+        yy, xx = np.arange(5) * h // 5, np.arange(6) * w // 6
+        assert (small == img[np.ix_(yy, xx)]).all()
+
+
+def test_real_items_schema_matches_fake():
+    from splunk_otel_collector_ray.stages.multimodal import (
+        MULTIMODAL_SCHEMA,
+        make_fake_items,
+    )
+
+    assert make_real_items(4).schema.equals(MULTIMODAL_SCHEMA)
+    assert make_fake_items(4).schema.equals(MULTIMODAL_SCHEMA)
