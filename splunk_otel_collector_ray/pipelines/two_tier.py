@@ -7,12 +7,15 @@ OTLP) feeding a gateway tier (routing + heavy export):
 the routing connector and the per-index exporters).
 
 Batch analogue: tier 1 writes the parsed+enriched stream as an INTERMEDIATE
-Parquet table (the OTLP transport surrogate — SURVEY §2.1 "otlp → staged
-intermediate tables"); tier 2 reads it column-pruned, routes, and exports
-per sink. The tier boundary is where a real deployment scales the tiers
-independently (N agent nodes, M gateway nodes) and where the loadbalancing
-exporter's hash key applies (the intermediate layout is conv-partitioned
-part files, so gateway tasks consume agent outputs without a shuffle).
+staging area — either Parquet (the fast columnar surrogate, SURVEY §2.1
+"otlp → staged intermediate tables") or REAL OTLP/JSON
+(``transport="otlp"``, r3 VERDICT item 5: ExportLogsServiceRequest objects
+in the protobuf-JSON mapping, sources/otlp.py) — and tier 2 reads it back,
+routes, and exports per sink. The tier boundary is where a real deployment
+scales the tiers independently (N agent nodes, M gateway nodes) and where
+the loadbalancing exporter's hash key applies (the intermediate layout is
+conv-partitioned part files, so gateway tasks consume agent outputs without
+a shuffle).
 """
 
 from __future__ import annotations
@@ -30,23 +33,35 @@ from ..stages.route import RouteStage
 from .logs import read_transcripts
 
 
-def run_agent_tier(sf_dir: str, staging_dir: str) -> str:
-    """Tier 1: read → parse → enrich → write the OTLP-surrogate staging table."""
+def run_agent_tier(sf_dir: str, staging_dir: str,
+                   transport: str = "parquet") -> str:
+    """Tier 1: read → parse → enrich → stage (Parquet or real OTLP/JSON)."""
     ds = read_transcripts(sf_dir)
     dims_ref = ray.put(build_dim_table())
     ds = ds.map_batches(ParseStage.as_fn(), batch_format="pyarrow")
     ds = ds.map_batches(make_enrich_fn(dims_ref), batch_format="pyarrow")
-    ds.write_parquet(staging_dir)
+    if transport == "otlp":
+        from ..sources.otlp import write_otlp_logs
+
+        write_otlp_logs(ds, staging_dir)
+    else:
+        ds.write_parquet(staging_dir)
     return staging_dir
 
 
-def run_gateway_tier(staging_dir: str, out_dir: str) -> dict[str, Any]:
+def run_gateway_tier(staging_dir: str, out_dir: str,
+                     transport: str = "parquet") -> dict[str, Any]:
     """Tier 2: read staging (pruned) → route → per-sink export + aggregates."""
     from ray.data.aggregate import Sum
 
     from ..stages.export import SinkWriter
 
-    ds = ray.data.read_parquet(staging_dir)
+    if transport == "otlp":
+        from ..sources.otlp import read_otlp_logs
+
+        ds = read_otlp_logs(staging_dir)
+    else:
+        ds = ray.data.read_parquet(staging_dir)
     ds = ds.map_batches(RouteStage(), batch_format="pyarrow")
     routed_dir = os.path.join(out_dir, "by_sink")
     os.makedirs(routed_dir, exist_ok=True)
@@ -60,14 +75,16 @@ def run_gateway_tier(staging_dir: str, out_dir: str) -> dict[str, Any]:
     }
 
 
-def run_two_tier(sf_dir: str, work_dir: str) -> dict[str, Any]:
+def run_two_tier(sf_dir: str, work_dir: str,
+                 transport: str = "parquet") -> dict[str, Any]:
     """Full agent→gateway run; returns gateway summary + per-tier seconds."""
     staging = os.path.join(work_dir, "staging")
     t0 = time.time()
-    run_agent_tier(sf_dir, staging)
+    run_agent_tier(sf_dir, staging, transport)
     t_agent = time.time() - t0
     t0 = time.time()
-    out = run_gateway_tier(staging, os.path.join(work_dir, "gateway"))
+    out = run_gateway_tier(staging, os.path.join(work_dir, "gateway"),
+                           transport)
     out["sec_agent"] = round(t_agent, 3)
     out["sec_gateway"] = round(time.time() - t0, 3)
     return out

@@ -207,6 +207,31 @@ def test_two_tier_matches_single_tier(ray_session, sf_dir, tmp_path):
     assert double["rows"] == single["rows"]
 
 
+def test_two_tier_over_otlp_json_wire(ray_session, sf_dir, tmp_path):
+    """transport='otlp' stages REAL ExportLogsServiceRequest JSON between
+    the tiers; the gateway must see the identical stream (same per-sink
+    counts as parquet staging) and the staged files must be valid OTLP-JSON
+    with spec-shaped fields."""
+    import json
+
+    from splunk_otel_collector_ray.pipelines.two_tier import run_two_tier
+
+    pq = run_two_tier(sf_dir, str(tmp_path / "pq"), transport="parquet")
+    ot = run_two_tier(sf_dir, str(tmp_path / "ot"), transport="otlp")
+    assert ot["sink_counts"] == pq["sink_counts"]
+    assert ot["rows"] == pq["rows"]
+
+    staged = sorted((tmp_path / "ot" / "staging").glob("req-*.json"))
+    assert staged
+    req = json.loads(staged[0].read_text())
+    rl = req["resourceLogs"][0]
+    assert {a["key"] for a in rl["resource"]["attributes"]} >= {
+        "host.name", "k8s.pod.name"}
+    rec = rl["scopeLogs"][0]["logRecords"][0]
+    assert rec["timeUnixNano"].isdigit()  # proto3 JSON uint64 = string
+    assert "stringValue" in rec.get("body", {"stringValue": ""})
+
+
 def test_transient_task_failure_retries_exactly_once(ray_session, tmp_path):
     """Retry/backoff analogue of the exporter sending_queue: a map stage
     that fails transiently (first attempt per flag file) completes under
