@@ -2282,6 +2282,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return duplicate_clusters(_table(sf, "documents"),
                                   jaccard_threshold=0.8)
 
+    def q_docs_dup_clusters_bsp(sf):
+        # the SAME clustering through the DISTRIBUTED labeler (BSP
+        # min-label propagation, no driver union-find / broadcast map) —
+        # value-hash-compared against the identical recursive-CTE oracle
+        # as docs_dup_clusters, proving the scale path bit-equal
+        from splunk_otel_collector_ray.stages.dedup import duplicate_clusters
+
+        return duplicate_clusters(_table(sf, "documents"),
+                                  jaccard_threshold=0.8, distributed=True)
+
     def q_docs_cluster_keep_best(sf):
         # production dedup policy: of N near-duplicates keep the BEST by
         # quality-model score (ties → min id), not the min id — composes the
@@ -2543,6 +2553,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hot_convs": q_hot_convs,
         "neardup_pairs": q_neardup_pairs,
         "docs_dup_clusters": q_docs_dup_clusters,
+        "docs_dup_clusters_bsp": q_docs_dup_clusters_bsp,
         "docs_cluster_keep_best": q_docs_cluster_keep_best,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -2831,7 +2842,7 @@ def oracle_sql() -> dict[str, str]:
     C = _oracle_cte()
     # explicit ASCII classes, byte-identical to stages/text_analysis._TOKEN_RX
     bpe = r"[A-Za-z]{1,8}|[0-9]{1,3}|[^ \t\n\f\r\vA-Za-z0-9]"
-    return {
+    sql = {
         "parse_records": C + (
             "SELECT conv_id, turn_idx, log_format, body, severity_text, "
             "severity_number FROM parsed"),
@@ -3997,3 +4008,7 @@ def oracle_sql() -> dict[str, str]:
         # docs_fingerprint / docs_minhash_groups / multimodal_features:
         # no SQL equivalent → rows-only driver check
     }
+    # the distributed (BSP) labeler computes the SAME clustering — one
+    # oracle, two engine paths, both value-hash-compared
+    sql["docs_dup_clusters_bsp"] = sql["docs_dup_clusters"]
+    return sql

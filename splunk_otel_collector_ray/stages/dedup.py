@@ -524,9 +524,15 @@ def duplicate_clusters(
     only docs that HAVE a duplicate — is broadcast via ray.put once and
     applied to the doc stream per batch. No doc text moves, and the wide
     work (LSH bucketing, hash joins, verify) stays in the pair DAG.
+    ``distributed=True`` swaps the labeling for the BSP min-label
+    propagation (:func:`cluster_from_pairs_distributed`) — use it when a
+    loose threshold makes the pair list itself too large for one task.
     """
+    distributed = kw.pop("distributed", False)
     pairs = neardup_pairs(ds, jaccard_threshold, id_col, text_col, **kw)
-    return cluster_from_pairs(ds, pairs, id_col, "doc_a", "doc_b")
+    labeler = (cluster_from_pairs_distributed if distributed
+               else cluster_from_pairs)
+    return labeler(ds, pairs, id_col, "doc_a", "doc_b")
 
 
 def cluster_from_pairs(
@@ -567,6 +573,105 @@ def cluster_from_pairs(
 
     return ds.select_columns([id_col]).map_batches(
         label, batch_format="pyarrow")
+
+
+def cluster_from_pairs_distributed(
+    ds: "ray.data.Dataset", pairs, id_col: str,
+    a_col: str = "doc_a", b_col: str = "doc_b",
+    num_partitions: int | None = None, max_iters: int = 64,
+) -> "ray.data.Dataset":
+    """Distributed connected components over the pair graph — the scale
+    path next to :func:`cluster_from_pairs`'s driver union-find (which is
+    bounded by pair count and can cliff when a loose threshold makes the
+    pair list itself huge — r3 VERDICT scale-table caveat).
+
+    Min-label propagation (the standard BSP/Pregel formulation): labels
+    start at ``min(node, min neighbor)``, and each round every edge offers
+    its endpoint's label to the other side, folded with a grouped ``min``.
+    Labels are monotone non-increasing ints, so the total label sum is a
+    convergence certificate: one round with an unchanged sum IS the fixed
+    point. Rounds needed = graph diameter — near-dup clusters are
+    star-like (diameter ~2-3), so 3-4 rounds in practice.
+
+    Per round: one keyed join (zero-CPU aggregators, partitions capped per
+    the repo join rule) + one grouped min of (node, label) rows — the
+    driver only ever sees the scalar label sum. The final cluster map
+    applies to the doc stream with a keyed LEFT join (no driver-side or
+    broadcast map at any point), ``coalesce(label, id)`` for docs with no
+    duplicate.
+    """
+    import ray
+    import ray.data
+    from ray.data.aggregate import Min, Sum
+
+    if isinstance(pairs, pd.DataFrame):
+        pairs = ray.data.from_arrow(pa.table({
+            a_col: pa.array(pairs[a_col].to_numpy(), type=pa.int64()),
+            b_col: pa.array(pairs[b_col].to_numpy(), type=pa.int64())}))
+    if num_partitions is None:
+        num_partitions = max(1, int(
+            ray.cluster_resources().get("CPU", 8)) // 8)
+
+    def symmetrize(t: pa.Table) -> pa.Table:
+        a = t[a_col].to_numpy(zero_copy_only=False)
+        b = t[b_col].to_numpy(zero_copy_only=False)
+        return pa.table({"src": pa.array(np.concatenate([a, b])),
+                         "dst": pa.array(np.concatenate([b, a]))})
+
+    edges = pairs.map_batches(symmetrize,
+                              batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        return ds.select_columns([id_col]).map_batches(
+            lambda t: pa.table({
+                id_col: t[id_col],
+                "cluster_id": t[id_col].cast(pa.int64())}),
+            batch_format="pyarrow")
+
+    # init: label(x) = min(x, min neighbor) — one grouped min, saves a round
+    def self_offer(t: pa.Table) -> pa.Table:
+        m = pa.table({"node": t["src"], "label": t["dst"]})
+        return pa.concat_tables(
+            [m, pa.table({"node": t["src"], "label": t["src"]})])
+
+    labels = (edges.map_batches(self_offer, batch_format="pyarrow")
+              .groupby("node").aggregate(Min("label", alias_name="label"))
+              .materialize())
+    prev_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
+
+    for _ in range(max_iters):
+        offers = edges.join(
+            labels, join_type="inner", num_partitions=num_partitions,
+            on=("src",), right_on=("node",),
+            aggregator_ray_remote_args={"num_cpus": 0}
+        ).select_columns(["dst", "label"]).rename_columns(
+            {"dst": "node"})
+        labels = (offers.union(labels)
+                  .groupby("node")
+                  .aggregate(Min("label", alias_name="label"))
+                  .materialize())
+        cur_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+
+    def as_id(t: pa.Table) -> pa.Table:
+        return pa.table({id_col: t["node"],
+                         "cluster_id": t["label"].cast(pa.int64())})
+
+    cluster_map = labels.map_batches(as_id, batch_format="pyarrow")
+    joined = ds.select_columns([id_col]).join(
+        cluster_map, join_type="left_outer",
+        num_partitions=num_partitions, on=(id_col,),
+        aggregator_ray_remote_args={"num_cpus": 0})
+
+    def finalize(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        lab = pc.coalesce(t["cluster_id"], pc.cast(t[id_col], pa.int64()))
+        return pa.table({id_col: t[id_col],
+                         "cluster_id": lab.cast(pa.int64())})
+
+    return joined.map_batches(finalize, batch_format="pyarrow")
 
 
 def simhash64(text: pd.Series, shingle: int = 4) -> np.ndarray:

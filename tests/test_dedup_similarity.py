@@ -94,6 +94,66 @@ def test_duplicate_clusters_transitive_chain(ray_session):
     assert (solo["cluster_id"] == solo["doc_id"]).all()
 
 
+def test_distributed_cc_equals_union_find(ray_session):
+    """BSP min-label propagation (the scale path) must produce the exact
+    union-find labeling — including on a long CHAIN (worst-case diameter,
+    many propagation rounds) and with an empty pair graph."""
+    import ray.data
+
+    from splunk_otel_collector_ray.stages.dedup import (
+        cluster_from_pairs,
+        cluster_from_pairs_distributed,
+    )
+
+    def canon(out):
+        return (out.to_pandas().sort_values("doc_id")
+                .reset_index(drop=True))
+
+    rng = np.random.default_rng(17)
+    ids = np.arange(200, dtype=np.int64)
+    docs = ray.data.from_arrow(pa.table({"doc_id": pa.array(ids)}))
+    # random sparse graph + a 13-node chain (diameter 12 → multiple
+    # propagation rounds; label sum certifies the fixpoint) + a star
+    a = rng.integers(0, 120, 60)
+    b = rng.integers(0, 120, 60)
+    chain_a = np.arange(120, 132)
+    chain_b = np.arange(121, 133)
+    star_a = np.full(20, 150)
+    star_b = np.arange(151, 171)
+    pairs = pd.DataFrame({
+        "doc_a": np.concatenate([a, chain_a, star_a]),
+        "doc_b": np.concatenate([b, chain_b, star_b]),
+    }).query("doc_a != doc_b").astype("int64")
+
+    ref = canon(cluster_from_pairs(docs, pairs, "doc_id"))
+    got = canon(cluster_from_pairs_distributed(docs, pairs, "doc_id"))
+    pd.testing.assert_frame_equal(got, ref)
+
+    empty = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                          "doc_b": pd.Series([], dtype="int64")})
+    got0 = canon(cluster_from_pairs_distributed(docs, empty, "doc_id"))
+    assert (got0["cluster_id"] == got0["doc_id"]).all()
+
+
+def test_duplicate_clusters_distributed_path(ray_session, sf_dir):
+    """distributed=True end-to-end equals the driver union-find path on the
+    documents fixture."""
+    import ray.data
+
+    from splunk_otel_collector_ray.stages.dedup import duplicate_clusters
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+
+    def canon(out):
+        return (out.to_pandas().sort_values("doc_id")
+                .reset_index(drop=True))
+
+    ref = canon(duplicate_clusters(ds, jaccard_threshold=0.8))
+    got = canon(duplicate_clusters(ds, jaccard_threshold=0.8,
+                                   distributed=True))
+    pd.testing.assert_frame_equal(got, ref)
+
+
 def test_simhash_neardup_matches_bruteforce(ray_session, sf_dir):
     """Banded blocking + popcount verify must equal the exact O(N^2)
     driver-side sweep (pigeonhole recall guarantee, ham<=3 with 4 bands)."""
