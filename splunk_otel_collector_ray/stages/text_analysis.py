@@ -14,12 +14,18 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-# tiny per-language stopword profiles (n-gram/stopword heuristic language ID)
+# tiny per-language stopword profiles (n-gram/stopword heuristic language
+# ID). Dict ORDER is the argmax tiebreak axis and is replayed by the
+# generated SQL twin (__ray_entry__._langid_sql) — append new languages at
+# the END so existing predictions are stable.
 LANG_STOPWORDS: dict[str, frozenset[str]] = {
     "en": frozenset("the and of to a in is that it for".split()),
     "de": frozenset("der die das und ist nicht ein zu den von".split()),
     "fr": frozenset("le la les et de un une est pour que".split()),
     "es": frozenset("el la los y de un una es para que".split()),
+    "it": frozenset("il lo gli e di un una che per non".split()),
+    "pt": frozenset("o os as e de um uma que para com".split()),
+    "nl": frozenset("de het een en van is dat niet op te".split()),
 }
 
 _WORD_RX = re.compile(r"[a-zA-ZÀ-ÿ]+")
