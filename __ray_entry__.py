@@ -1658,6 +1658,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["ts", "host", "source", "sourcetype", "index", "body",
              "conv_id", "turn_idx", "tool"])
 
+    def q_kafka_parse(sf):
+        # kafka receiver analogue: the corpus staged as a kcat -J topic
+        # dump (one JSONL file per partition), read Arrow-native and
+        # decoded vectorized — payload→body, topic/partition/offset/key
+        # coordinates + headers → attributes, ms timestamp → ts. Oracle:
+        # the same projection off the transcript parquet with the
+        # SQL-replayable partition hash and ROW_NUMBER offsets.
+        from splunk_otel_collector_ray.sources.kafka import read_kafka_dump
+
+        path = corpus.ensure_kafka_dump(sf)
+        ds = read_kafka_dump(path)
+        return ds.select_columns(
+            ["topic", "partition", "offset", "ts", "key", "body",
+             "turn_idx", "role", "tool"])
+
     def q_docs_clean(sf):
         # composite cleaning gate: token bounds + quality ratios +
         # repetition caps + language allowlist in one fused actor-pool
@@ -2486,6 +2501,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_clean": q_docs_clean,
         "filelog_parse": q_filelog_parse,
         "hec_ingest": q_hec_ingest,
+        "kafka_parse": q_kafka_parse,
         "events_quantiles": q_events_quantiles,
         "emb_centroids": q_emb_centroids,
         "events_range_join": q_events_range_join,
@@ -2878,6 +2894,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT ts, conv_id AS host, role AS source, "
             "'httpevent' AS sourcetype, 'main' AS \"index\", text AS body, "
             "conv_id, turn_idx, tool FROM raw"),
+        "kafka_parse": C + (
+            # topic-dump staging: partition = conv hash mod 4 (the
+            # producer's key hash), offset = per-partition ROW_NUMBER in
+            # corpus order, ts truncated to Kafka's millisecond unit
+            "SELECT 'transcripts' AS topic, "
+            f"CAST({_BUCKET_SQL.replace('% 64', '% 4')} AS INTEGER) "
+            "AS partition, "
+            f"ROW_NUMBER() OVER (PARTITION BY {_BUCKET_SQL.replace('% 64', '% 4')} "
+            "ORDER BY conv_id, turn_idx) - 1 AS \"offset\", "
+            "date_trunc('milliseconds', ts) AS ts, conv_id AS key, "
+            "text AS body, turn_idx, role, tool FROM raw"),
         "events_quantiles": (
             "WITH b AS (SELECT event_type, CAST(floor(value * 100) AS "
             "BIGINT) AS bk, count(*) AS c FROM events GROUP BY 1, 2), "

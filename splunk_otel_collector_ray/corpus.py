@@ -716,3 +716,61 @@ def ensure_hec_jsonl(sf_dir_or_name: str, force: bool = False) -> str:
         import shutil
         shutil.rmtree(tmpdir, ignore_errors=True)
     return path
+
+
+KAFKA_PARTITIONS = 4
+
+
+def ensure_kafka_dump(sf_dir_or_name: str, force: bool = False) -> str:
+    """Stage the transcripts as a Kafka topic dump — kcat/kafkacat ``-J``
+    style JSONL, one ``{"topic", "partition", "offset", "ts", "key",
+    "payload", "headers"}`` object per record. Partition =
+    ``numeric(conv_id) % 4`` (keyed by conversation, like a producer
+    hashing the message key), offset = 0-based per-partition sequence in
+    corpus order, ts = epoch MILLISECONDS (Kafka's timestamp unit), the
+    turn identity carried in headers. SQL-replayable: partition is the
+    `_BUCKET_SQL` expression mod 4, offset a ROW_NUMBER window.
+    One file per partition — the per-partition consumption unit a real
+    consumer group owns."""
+    import json
+
+    tdir = ensure_transcripts(sf_dir_or_name)
+    path = os.path.join(FIXTURE_ROOT, sf_name(sf_dir_or_name), "kafka")
+    if os.path.isdir(path) and _version_ok(path) and not force:
+        return path
+    if os.path.isdir(path):
+        import shutil
+        shutil.rmtree(path, ignore_errors=True)
+    df = pq.read_table(
+        tdir, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    ).to_pandas()
+    conv_num = df["conv_id"].str.slice(5).astype("int64")
+    part = (conv_num % KAFKA_PARTITIONS).to_numpy()
+    offset = pd.DataFrame({"p": part}).groupby("p").cumcount().to_numpy()
+    ts_ms = (df["ts"].astype("int64") // 1000).to_numpy()
+    tmpdir = tempfile.mkdtemp(dir=os.path.dirname(path),
+                              prefix=".kafka.tmp")
+    files = {p: open(os.path.join(tmpdir, f"transcripts-{p}.jsonl"), "w",
+                     encoding="utf-8") for p in range(KAFKA_PARTITIONS)}
+    try:
+        for p, off, ms, conv, turn, role, text, tool in zip(
+                part, offset, ts_ms, df["conv_id"], df["turn_idx"],
+                df["role"], df["text"], df["tool"]):
+            files[int(p)].write(json.dumps({
+                "topic": "transcripts", "partition": int(p),
+                "offset": int(off), "ts": int(ms), "key": conv,
+                "payload": text,
+                "headers": {"turn_idx": int(turn), "role": role,
+                            "tool": tool},
+            }, ensure_ascii=False) + "\n")
+    finally:
+        for f in files.values():
+            f.close()
+    with open(os.path.join(tmpdir, ".version"), "w") as f:
+        f.write(CORPUS_VERSION)
+    try:
+        os.replace(tmpdir, path)
+    except OSError:
+        import shutil
+        shutil.rmtree(tmpdir, ignore_errors=True)
+    return path
