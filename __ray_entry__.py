@@ -2009,6 +2009,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["conv_id", "turn_idx", "severity_text", "severity_number",
              "body", "ts", "k8s.pod.name", "host.name"])
 
+    def q_otlp_pb_roundtrip(sf):
+        # BINARY protobuf form of the same hop (sources/otlp_pb.py —
+        # runtime descriptors with the public logs.proto field numbers,
+        # official protobuf runtime + json_format, zlib content-encoding);
+        # same single-tier oracle as otlp_roundtrip
+        from splunk_otel_collector_ray.pipelines.two_tier import (
+            run_agent_tier)
+        from splunk_otel_collector_ray.sources.otlp_pb import (
+            read_otlp_logs_pb)
+
+        staging = os.path.join(
+            "/tmp",
+            f"graft_otlppb_{os.path.basename(os.path.normpath(sf))}")
+        run_agent_tier(sf, staging, transport="otlp_pb")
+        ds = read_otlp_logs_pb(staging)
+        return ds.select_columns(
+            ["conv_id", "turn_idx", "severity_text", "severity_number",
+             "body", "ts", "k8s.pod.name", "host.name"])
+
     def q_prometheus_parse(sf):
         ds = _prom_dataset()
         from splunk_otel_collector_ray.stages.metrics import (
@@ -2550,6 +2569,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "yaml_pipeline": q_yaml_pipeline,
         "service_pipeline": q_service_pipeline,
         "otlp_roundtrip": q_otlp_roundtrip,
+        "otlp_pb_roundtrip": q_otlp_pb_roundtrip,
         "prometheus_parse": q_prometheus_parse,
         "prometheus_histogram": q_prometheus_histogram,
         "prometheus_errors": q_prometheus_errors,
@@ -4038,4 +4058,7 @@ def oracle_sql() -> dict[str, str]:
     # the distributed (BSP) labeler computes the SAME clustering — one
     # oracle, two engine paths, both value-hash-compared
     sql["docs_dup_clusters_bsp"] = sql["docs_dup_clusters"]
+    # binary-protobuf and JSON forms of the OTLP hop carry the same data —
+    # one single-tier oracle, two wire formats, both value-hash-compared
+    sql["otlp_pb_roundtrip"] = sql["otlp_roundtrip"]
     return sql

@@ -44,6 +44,10 @@ def run_agent_tier(sf_dir: str, staging_dir: str,
         from ..sources.otlp import write_otlp_logs
 
         write_otlp_logs(ds, staging_dir)
+    elif transport == "otlp_pb":
+        from ..sources.otlp_pb import write_otlp_logs_pb
+
+        write_otlp_logs_pb(ds, staging_dir)
     else:
         ds.write_parquet(staging_dir)
     return staging_dir
@@ -60,6 +64,10 @@ def run_gateway_tier(staging_dir: str, out_dir: str,
         from ..sources.otlp import read_otlp_logs
 
         ds = read_otlp_logs(staging_dir)
+    elif transport == "otlp_pb":
+        from ..sources.otlp_pb import read_otlp_logs_pb
+
+        ds = read_otlp_logs_pb(staging_dir)
     else:
         ds = ray.data.read_parquet(staging_dir)
     ds = ds.map_batches(RouteStage(), batch_format="pyarrow")

@@ -62,9 +62,12 @@ def encode_logs_request(t: pa.Table) -> dict:
     groups: dict[tuple, list] = {}
     for i in range(t.num_rows):
         rec: dict = {}
-        if ts_us[i] is not None:
+        # truthiness (not `is not None`): time_unix_nano == 0 means UNSET
+        # on the OTLP wire (proto3 default, dropped by binary
+        # serialization) — the zero-ts-passthrough semantic
+        if ts_us[i]:
             rec["timeUnixNano"] = str(ts_us[i] * 1000)
-        if obs_us[i] is not None:
+        if obs_us[i]:
             rec["observedTimeUnixNano"] = str(obs_us[i] * 1000)
         sevno = cols["severity_number"][i]
         if sevno:  # proto3 default 0 omitted
@@ -106,6 +109,8 @@ def _attr_value(v: dict):
         return float(v["doubleValue"])
     if "boolValue" in v:
         return bool(v["boolValue"])
+    if not v:  # proto3 drops defaults on the wire: empty AnyValue = ""
+        return ""
     raise ValueError(f"unsupported AnyValue {v}")
 
 
@@ -125,17 +130,19 @@ def decode_logs_request(req: dict) -> "list[dict]":
     """ExportLogsServiceRequest dict → engine-schema row dicts."""
     rows = []
     for rl in req.get("resourceLogs", []):
-        res = {a["key"]: _attr_value(a["value"])
+        res = {a["key"]: _attr_value(a.get("value", {}))
                for a in rl.get("resource", {}).get("attributes", [])}
         for sl in rl.get("scopeLogs", []):
             for rec in sl.get("logRecords", []):
-                attrs = {a["key"]: _attr_value(a["value"])
+                attrs = {a["key"]: _attr_value(a.get("value", {}))
                          for a in rec.get("attributes", [])}
                 promoted = {c: attrs.pop(c, "" if c not in _INT_ATTRS else 0)
                             for c in RECORD_ATTR_COLS}
                 row = {
                     "conv_id": promoted["conv_id"],
-                    "turn_idx": int(promoted["turn_idx"]),
+                    # "or 0": an intValue of 0 is a proto3 default — binary
+                    # serialization drops it and it decodes as empty
+                    "turn_idx": int(promoted["turn_idx"] or 0),
                     "role": promoted["role"],
                     "tool": promoted["tool"],
                     "ts": (int(rec["timeUnixNano"]) // 1000
@@ -144,8 +151,11 @@ def decode_logs_request(req: dict) -> "list[dict]":
                                     if "observedTimeUnixNano" in rec
                                     else None),
                     "log_format": promoted["log_format"],
-                    "body": rec.get("body", {}).get("stringValue")
-                    if "body" in rec else None,
+                    # _attr_value handles the empty-AnyValue case (binary
+                    # serialization drops string_value="" but keeps the
+                    # body submessage's presence)
+                    "body": (_attr_value(rec["body"])
+                             if "body" in rec else None),
                     "severity_text": rec.get("severityText", ""),
                     "severity_number": int(rec.get("severityNumber", 0)),
                     "attributes": [(k, str(v)) for k, v in attrs.items()],

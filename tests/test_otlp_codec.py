@@ -28,8 +28,10 @@ def record_tables(draw):
     def col(strategy):
         return [draw(strategy) for _ in range(n)]
 
-    ts = col(st.one_of(st.none(), st.integers(0, 2**53)))
-    obs = col(st.integers(0, 2**53))
+    # 0 is excluded: time_unix_nano == 0 means UNSET on the OTLP wire
+    # (proto3 default) and decodes as None — pinned separately below
+    ts = col(st.one_of(st.none(), st.integers(1, 2**53)))
+    obs = col(st.integers(1, 2**53))
     attrs = col(st.lists(
         st.tuples(st.text(min_size=1, max_size=8).filter(
             lambda k: k not in ("conv_id", "turn_idx", "role", "tool",
@@ -88,6 +90,26 @@ def test_otlp_roundtrip_property(t):
             [(k, v) for k, v in (r["attributes"] or [])])
 
 
+@settings(max_examples=25, deadline=None)
+@given(record_tables())
+def test_otlp_pb_binary_equals_json_mapping(t):
+    """The binary protobuf form must carry exactly what the JSON mapping
+    carries: dict → ParseDict → SerializeToString → ParseFromString →
+    MessageToDict → identical decoded rows. This cross-validates the
+    hand-written JSON mapping against the official protobuf runtime."""
+    from splunk_otel_collector_ray.sources.otlp_pb import (
+        pb_to_request_dict,
+        request_dict_to_pb,
+    )
+
+    req = encode_logs_request(t)
+    rows_json = decode_logs_request(json.loads(json.dumps(req)))
+    rows_pb = decode_logs_request(
+        pb_to_request_dict(request_dict_to_pb(req)))
+    key = lambda r: (r["conv_id"], r["turn_idx"])  # noqa: E731
+    assert sorted(rows_pb, key=key) == sorted(rows_json, key=key)
+
+
 def test_otlp_timestamp_exact_microseconds():
     t = pa.table({
         "conv_id": pa.array(["c"], type=pa.string()),
@@ -112,3 +134,11 @@ def test_otlp_timestamp_exact_microseconds():
     row = decode_logs_request(req)[0]
     assert row["ts"] == 123456789012345
     assert row["observed_ts"] == 987654321098765
+
+    # epoch-0 = unset on the wire (proto3 default): omitted, decodes None
+    t0 = t.set_column(t.column_names.index("ts"), "ts",
+                      pa.array([0], type=pa.timestamp("us")))
+    req0 = encode_logs_request(t0)
+    rec0 = req0["resourceLogs"][0]["scopeLogs"][0]["logRecords"][0]
+    assert "timeUnixNano" not in rec0
+    assert decode_logs_request(req0)[0]["ts"] is None

@@ -221,6 +221,10 @@ def test_two_tier_over_otlp_json_wire(ray_session, sf_dir, tmp_path):
     assert ot["sink_counts"] == pq["sink_counts"]
     assert ot["rows"] == pq["rows"]
 
+    # binary protobuf transport: same stream, same counts
+    pb = run_two_tier(sf_dir, str(tmp_path / "pb"), transport="otlp_pb")
+    assert pb["sink_counts"] == pq["sink_counts"]
+
     staged = sorted((tmp_path / "ot" / "staging").glob("req-*.json"))
     assert staged
     req = json.loads(staged[0].read_text())
