@@ -2028,6 +2028,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["conv_id", "turn_idx", "severity_text", "severity_number",
              "body", "ts", "k8s.pod.name", "host.name"])
 
+    def q_prw_roundtrip(sf):
+        # prometheus remote-write WIRE (sources/prw.py): events staged as
+        # snappy-compressed protobuf WriteRequests (one TimeSeries per
+        # (name, user_id) identity, __name__ label convention) and decoded
+        # back; oracle = the same projection off the events parquet with
+        # Kafka/PRW's millisecond timestamps. Proves exporter+receiver
+        # wire fidelity for the metrics path like otlp_pb does for logs.
+        import pyarrow.compute as pc
+
+        from splunk_otel_collector_ray.sources.prw import (read_prw,
+                                                           write_prw)
+
+        ev = _table(sf, "events")
+
+        def to_dp(t: pa.Table) -> pa.Table:
+            ms = pc.divide(t["ts"].cast(pa.int64()), 1000)
+            return pa.table({
+                "name": t["event_type"],
+                "value": t["value"],
+                "ts_ms": ms,
+                "user_id": t["user_id"],
+            })
+
+        staging = os.path.join(
+            "/tmp", f"graft_prw_{os.path.basename(os.path.normpath(sf))}")
+        write_prw(ev.map_batches(to_dp, batch_format="pyarrow"), staging,
+                  label_cols=("user_id",))
+        ds = read_prw(staging)
+
+        def flatten(t: pa.Table) -> pa.Table:
+            lab = t["labels"]
+            if isinstance(lab, pa.ChunkedArray):
+                lab = lab.combine_chunks()
+            import numpy as np
+            uid = np.asarray(
+                [dict(kv)["user_id"] for kv in lab.to_pylist()],
+                dtype=np.int64)
+            return pa.table({
+                "name": t["name"], "value": t["value"],
+                "ts_ms": t["ts_ms"],
+                "user_id": pa.array(uid),
+            })
+
+        return ds.map_batches(flatten, batch_format="pyarrow")
+
     def q_prometheus_parse(sf):
         ds = _prom_dataset()
         from splunk_otel_collector_ray.stages.metrics import (
@@ -2570,6 +2615,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "service_pipeline": q_service_pipeline,
         "otlp_roundtrip": q_otlp_roundtrip,
         "otlp_pb_roundtrip": q_otlp_pb_roundtrip,
+        "prw_roundtrip": q_prw_roundtrip,
         "prometheus_parse": q_prometheus_parse,
         "prometheus_histogram": q_prometheus_histogram,
         "prometheus_errors": q_prometheus_errors,
@@ -2914,6 +2960,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT ts, conv_id AS host, role AS source, "
             "'httpevent' AS sourcetype, 'main' AS \"index\", text AS body, "
             "conv_id, turn_idx, tool FROM raw"),
+        "prw_roundtrip": (
+            # PRW wire round trip: same rows, millisecond timestamps
+            "SELECT event_type AS name, value, "
+            "CAST(epoch_us(ts) // 1000 AS BIGINT) AS ts_ms, user_id "
+            "FROM events"),
         "kafka_parse": C + (
             # topic-dump staging: partition = conv hash mod 4 (the
             # producer's key hash), offset = per-partition ROW_NUMBER in
