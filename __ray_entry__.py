@@ -1673,6 +1673,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["topic", "partition", "offset", "ts", "key", "body",
              "turn_idx", "role", "tool"])
 
+    def q_kafka_roundtrip(sf):
+        # producer symmetry: read the dump, WRITE it back through the
+        # kafka producer analogue (bucket_fold partition ownership, offset
+        # order preserved), read the produced topic — same oracle as
+        # kafka_parse, proving receiver∘producer = identity
+        import shutil
+
+        from splunk_otel_collector_ray.sources.kafka import (
+            read_kafka_dump, write_kafka_dump)
+
+        src = corpus.ensure_kafka_dump(sf)
+        out = os.path.join(
+            "/tmp", f"graft_kafka_{os.path.basename(os.path.normpath(sf))}")
+        shutil.rmtree(out, ignore_errors=True)
+        write_kafka_dump(read_kafka_dump(src), out)
+        return read_kafka_dump(out).select_columns(
+            ["topic", "partition", "offset", "ts", "key", "body",
+             "turn_idx", "role", "tool"])
+
     def q_docs_clean(sf):
         # composite cleaning gate: token bounds + quality ratios +
         # repetition caps + language allowlist in one fused actor-pool
@@ -2566,6 +2585,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filelog_parse": q_filelog_parse,
         "hec_ingest": q_hec_ingest,
         "kafka_parse": q_kafka_parse,
+        "kafka_roundtrip": q_kafka_roundtrip,
         "events_quantiles": q_events_quantiles,
         "emb_centroids": q_emb_centroids,
         "events_range_join": q_events_range_join,
@@ -4112,4 +4132,6 @@ def oracle_sql() -> dict[str, str]:
     # binary-protobuf and JSON forms of the OTLP hop carry the same data —
     # one single-tier oracle, two wire formats, both value-hash-compared
     sql["otlp_pb_roundtrip"] = sql["otlp_roundtrip"]
+    # producer∘receiver identity: the re-produced topic equals the source
+    sql["kafka_roundtrip"] = sql["kafka_parse"]
     return sql

@@ -95,6 +95,61 @@ def commit_offsets(state_path: str, ds: "ray.data.Dataset") -> dict[int, int]:
     return marks
 
 
+def write_kafka_dump(ds: "ray.data.Dataset", out_dir: str,
+                     topic: str = "transcripts",
+                     assign_offsets: bool = False,
+                     header_cols: tuple[str, ...] = ("turn_idx", "role",
+                                                     "tool")) -> None:
+    """kafka PRODUCER analogue: write decoded records back as a topic dump
+    (one JSONL file per partition, offset-ordered — what a consumer of the
+    produced topic would observe).
+
+    Input rows carry (partition, ts, key, body) + ``header_cols``;
+    existing ``offset`` coordinates are preserved (dump copy), or with
+    ``assign_offsets=True`` fresh per-partition sequences are assigned in
+    (key, existing-order) order — the broker's append counter. Routing is
+    one ``bucket_fold`` exchange on the partition column (a partition's
+    records must serialize contiguously, exactly the producer→broker
+    partition-ownership shape); each fold pass writes the partitions it
+    holds and emits a tiny (partition, n) receipt."""
+    import json as _json
+
+    import pandas as pd
+
+    from ..partitioning import bucket_fold
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_partitions(g: "pd.DataFrame") -> "pd.DataFrame":
+        out = []
+        for p, rows in g.groupby("partition", sort=True):
+            rows = rows.sort_values(
+                ["offset"] if "offset" in rows and not assign_offsets
+                else ["key"], kind="mergesort")
+            offs = (rows["offset"].to_numpy() if not assign_offsets
+                    else np.arange(len(rows)))
+            ts_ms = (rows["ts"].astype("int64") // 1000).to_numpy()
+            path = os.path.join(out_dir, f"{topic}-{int(p)}.jsonl")
+            tmp = path + ".tmp"
+            keys, bodies = rows["key"].to_numpy(), rows["body"].to_numpy()
+            hdr = {c: rows[c].to_numpy() for c in header_cols}
+            with open(tmp, "w", encoding="utf-8") as f:
+                for i in range(len(rows)):
+                    f.write(_json.dumps({
+                        "topic": topic, "partition": int(p),
+                        "offset": int(offs[i]), "ts": int(ts_ms[i]),
+                        "key": keys[i], "payload": bodies[i],
+                        "headers": {c: (int(hdr[c][i]) if c == "turn_idx"
+                                        else hdr[c][i])
+                                    for c in header_cols},
+                    }, ensure_ascii=False) + "\n")
+            os.replace(tmp, path)
+            out.append((int(p), len(rows)))
+        return pd.DataFrame(out, columns=["partition", "n"])
+
+    bucket_fold(ds, "partition", write_partitions).materialize()
+
+
 def load_offsets(state_path: str) -> dict[int, int]:
     if not os.path.exists(state_path):
         return {}
