@@ -45,10 +45,15 @@ def _sum_combine(partials: "ray.data.Dataset", keys: list[str],
     i.e. tens of CPU seconds for <1 MB of data at sf1.6. One coalescing
     map_batches with a large batch_size folds ~1000 partial blocks into
     one, so the final fold sees O(#groups) rows per coalesced block.
+
+    ``num_cpus=0`` BREAKS FUSION with the upstream partial/parse chain
+    (r4): fused, this stage's large batch_size dictates the whole chain's
+    input bundling and collapses it to ~#rows/batch_size tasks (measured
+    14 tasks instead of 110 at sf0.1 — half the cluster idle).
     """
     return partials.map_batches(_sum_fold(keys, sums),
                                 batch_format="pyarrow",
-                                batch_size=batch_size)
+                                batch_size=batch_size, num_cpus=0)
 
 
 def grouped_count(
@@ -105,7 +110,8 @@ def grouped_stats(
         return coalesce(t).sort_by([(k, "ascending") for k in keys])
 
     partials = ds.map_batches(partial, batch_format="pyarrow").map_batches(
-        coalesce, batch_format="pyarrow", batch_size=1 << 16)
+        coalesce, batch_format="pyarrow", batch_size=1 << 16,
+        num_cpus=0)  # break fusion — see _sum_combine
     combined = small_fold(partials, final)
 
     def finalize(t: pa.Table) -> pa.Table:

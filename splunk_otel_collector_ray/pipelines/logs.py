@@ -70,8 +70,33 @@ def read_transcripts(sf_dir: str, parallelism: int | None = None,
         if not keep:
             raise ValueError(
                 f"include/exclude selected no files under {path!r}")
-        return ray.data.read_parquet(keep, columns=INPUT_COLUMNS)
-    return ray.data.read_parquet(path, columns=INPUT_COLUMNS)
+        return ray.data.read_parquet(
+            keep, columns=INPUT_COLUMNS,
+            override_num_blocks=parallelism)
+    return ray.data.read_parquet(path, columns=INPUT_COLUMNS,
+                                 override_num_blocks=parallelism)
+
+
+def flagship_num_blocks(sf_dir: str, rows_per_task: int = 1 << 16) -> int:
+    """Scale-adaptive input block count for the fused flagship chain:
+    ~``rows_per_task`` rows per task, floored at 2 tasks per CPU.
+
+    The fused read→parse→route→write chain inherits its task granularity
+    from the read blocks, and both failure modes are real (r4 measured):
+    per-row-group blocks at small scale → fewer tasks than CPUs when a
+    downstream batch_size re-bundles (14 tasks on 32 cpus, half the
+    cluster idle), and naive per-block tasks at large scale → thousands of
+    tiny tasks each paying scheduler + per-sink-file overhead. Row counts
+    come from parquet FOOTERS (no data read)."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    path = ensure_transcripts(sf_dir)
+    n_rows = sum(pq.read_metadata(f).num_rows
+                 for f in _glob.glob(os.path.join(path, "*.parquet")))
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    return max(2 * ncpu, n_rows // rows_per_task)
 
 
 def build_logs_dataset(
@@ -151,7 +176,9 @@ def run_flagship(sf_dir: str, out_dir: str) -> dict[str, Any]:
     # have — disable for the run, restore after
     ctx.op_resource_reservation_enabled = False
     try:
-        ds = build_logs_dataset(sf_dir)
+        ds = build_logs_dataset(
+            read_transcripts(sf_dir,
+                             parallelism=flagship_num_blocks(sf_dir)))
         routed_dir = os.path.join(out_dir, "by_sink")
         os.makedirs(routed_dir, exist_ok=True)
         partials = ds.map_batches(SinkWriter(routed_dir),
@@ -159,9 +186,13 @@ def run_flagship(sf_dir: str, out_dir: str) -> dict[str, Any]:
         # partial counts are bounded by #blocks × #groups; one coalescing
         # combine level folds ~2000 blocks into one, so the driver-side
         # final sum sees O(#groups) rows — the Aggregate all-to-all op paid
-        # ~80 ms/block on 65-row partials (≈6 s wall at sf1.6), pure waste
+        # ~80 ms/block on 65-row partials (≈6 s wall at sf1.6), pure waste.
+        # num_cpus=0 BREAKS FUSION (r4): fused, the combine's 65k-row
+        # batch_size dictates the whole chain's input bundling — the
+        # parse→write stage collapsed from 110 tasks to ~14 (14-way
+        # parallelism on 32 cpus; measured 2.1 s vs 1.4 s at sf0.1)
         pre = partials.map_batches(combine, batch_format="pyarrow",
-                                   batch_size=1 << 16)
+                                   batch_size=1 << 16, num_cpus=0)
         agg_pdf = pre.to_pandas()
         agg_pdf = agg_pdf.groupby(keys, as_index=False)["n"].sum()
     finally:

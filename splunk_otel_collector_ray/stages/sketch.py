@@ -162,7 +162,9 @@ def hll_distinct(
     # cardinality is small by contract here — it's a per-severity/sink
     # distinct estimate, not a per-key one)
     registers = ds.map_batches(partial, batch_format="pyarrow").map_batches(
-        combine, batch_format="pyarrow", batch_size=1 << 16)
+        combine, batch_format="pyarrow", batch_size=1 << 16,
+        num_cpus=0)  # break fusion — a fused 65k batch_size collapses the
+    #                upstream chain's task parallelism (see _sum_combine)
     return small_fold(registers, estimate, batch_format="pandas")
 
 
