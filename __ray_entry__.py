@@ -2446,8 +2446,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from splunk_otel_collector_ray.stages.multimodal import (
             make_real_items)
 
-        ds = ray.data.from_arrow(make_real_items(64)).filter(
-            lambda r: r["mime"] == "image/png")
+        ds = ray.data.from_arrow(make_real_items(64)).map_batches(
+            lambda t: t.filter(pc.equal(t["mime"], "image/png")),
+            batch_format="pyarrow")
 
         def stats(t: pa.Table) -> pa.Table:
             rows = []
