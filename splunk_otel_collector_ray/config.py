@@ -224,6 +224,29 @@ def build_pipeline(spec: dict[str, Any]) -> "ray.data.Dataset":
         # the source (configio.run_service_from_yaml splice=True) — the
         # in-process transport, no staging round-trip
         ds = src["dataset"]
+    elif "kafka_dump" in src:
+        # kafka receiver analogue: topic-dump JSONL + optional committed
+        # consumer-group offsets (restart-resume semantics)
+        from .sources.kafka import load_offsets, read_kafka_dump
+
+        committed = src.get("committed")
+        if isinstance(committed, str):  # offsets state file path
+            committed = load_offsets(committed)
+        ds = read_kafka_dump(src["kafka_dump"], committed=committed)
+    elif "hec_jsonl" in src:
+        from .sources.hec import read_hec_events
+
+        ds = read_hec_events(src["hec_jsonl"])
+    elif "otlp" in src:
+        # OTLP staging dir; encoding selects the wire form
+        if src.get("encoding") == "protobuf":
+            from .sources.otlp_pb import read_otlp_logs_pb
+
+            ds = read_otlp_logs_pb(src["otlp"])
+        else:
+            from .sources.otlp import read_otlp_logs
+
+            ds = read_otlp_logs(src["otlp"])
     else:
         raise ValueError(f"unknown source {src!r}")
     for scfg in spec.get("stages", []):

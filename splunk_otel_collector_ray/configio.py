@@ -176,11 +176,23 @@ def collector_to_spec(doc: dict) -> dict:
 
     recv_name = pipe["receivers"][0]
     recv_cfg = (doc.get("receivers") or {}).get(recv_name) or {}
-    if recv_name.split("/")[0] in ("filelog", "transcripts"):
+    recv_type = recv_name.split("/")[0]
+    if recv_type in ("filelog", "transcripts"):
         source = {"transcripts": recv_cfg["path"]}
         for k in ("include", "exclude"):  # filelog file-glob lists
             if recv_cfg.get(k):
                 source[k] = list(recv_cfg[k])
+    elif recv_type == "kafka":
+        # kafka receiver: topic-dump dir + optional consumer-group offsets
+        # state file (the group_id's committed marks)
+        source = {"kafka_dump": recv_cfg["path"]}
+        if recv_cfg.get("offsets_state"):
+            source["committed"] = recv_cfg["offsets_state"]
+    elif recv_type == "splunk_hec":
+        source = {"hec_jsonl": recv_cfg["path"]}
+    elif recv_type == "otlp":
+        source = {"otlp": recv_cfg["path"],
+                  "encoding": recv_cfg.get("encoding", "json")}
     else:
         source = {"parquet": recv_cfg["path"],
                   "columns": recv_cfg.get("columns")}

@@ -56,6 +56,46 @@ def test_collector_style_conversion():
     assert spec["sink"]["parquet"] == "/tmp/out"
 
 
+def test_collector_wire_receivers_build(ray_session, sf_dir, tmp_path):
+    """kafka / splunk_hec / otlp receiver types resolve through
+    collector_to_spec → build_pipeline to the real wire-format readers,
+    including kafka's consumer-group offsets_state resume."""
+    from splunk_otel_collector_ray import corpus
+    from splunk_otel_collector_ray.config import build_pipeline
+    from splunk_otel_collector_ray.sources.kafka import (commit_offsets,
+                                                         read_kafka_dump)
+
+    n_turns = corpus.n_turns_for(corpus.sf_name(sf_dir))
+    kpath = corpus.ensure_kafka_dump(sf_dir)
+
+    def build(recv_name, cfg):
+        doc = {"receivers": {recv_name: cfg},
+               "service": {"pipelines": {"logs": {
+                   "receivers": [recv_name], "processors": []}}}}
+        return build_pipeline(collector_to_spec(doc))
+
+    assert build("kafka/in", {"path": kpath}).count() == n_turns
+    hpath = corpus.ensure_hec_jsonl(sf_dir)
+    assert build("splunk_hec/in", {"path": hpath}).count() == n_turns
+
+    # kafka offsets_state: committed marks make the re-read empty
+    state = str(tmp_path / "g.offsets.json")
+    commit_offsets(state, read_kafka_dump(kpath))
+    assert build("kafka/in", {"path": kpath,
+                              "offsets_state": state}).count() == 0
+
+    # otlp (json + protobuf encodings) over a staged hop
+    from splunk_otel_collector_ray.pipelines.two_tier import run_agent_tier
+
+    jdir = str(tmp_path / "otlp_json")
+    run_agent_tier(sf_dir, jdir, transport="otlp")
+    assert build("otlp/in", {"path": jdir}).count() == n_turns
+    pdir = str(tmp_path / "otlp_pb")
+    run_agent_tier(sf_dir, pdir, transport="otlp_pb")
+    assert build("otlp/in", {"path": pdir,
+                             "encoding": "protobuf"}).count() == n_turns
+
+
 def test_collector_parquet_receiver_filter_pushdown(ray_session):
     """A collector-style parquet receiver's ``filter`` reaches the read as
     a pushed-down row predicate (prune-at-the-read; row groups that fail
