@@ -72,7 +72,8 @@ def pd_table(df: pd.DataFrame) -> pa.Table:
 
 
 def bucket_fold(ds: "ray.data.Dataset", bucket_col: str, fold,
-                batch_format: str = "pandas") -> "ray.data.Dataset":
+                batch_format: str = "pandas",
+                coalesce: int | None = None) -> "ray.data.Dataset":
     """ONE bucketed exchange + ONE vectorized ``fold`` pass per output block.
 
     ``sort(bucket) + map_batches(fold, batch_size=None)`` instead of
@@ -85,7 +86,17 @@ def bucket_fold(ds: "ray.data.Dataset", bucket_col: str, fold,
     (one pandas pass per block, ~20-40%% faster measured at 1M rows), and
     with the :func:`spread_num_buckets` domain there are no empty sort
     partitions, hence none of Ray's schemaless empty blocks.
+
+    ``coalesce``: for TINY-ROW exchanges (hash/pair/partial shrink streams
+    — fixed-width columns, no text payload), fold many small input blocks
+    into few before the sort: the Sort op pays per-block fixed costs that
+    dominate when the stream is thousands of ~250 KB blocks (measured:
+    exact_dedup 1.65 s → 0.94 s at 1M rows with ``coalesce=1<<17``).
+    Leave None when blocks carry text/binary payloads — there the copy
+    costs more than the per-block overhead saved (measured on recombine).
     """
+    if coalesce:
+        ds = coalesce_blocks(ds, coalesce)
     return ds.sort(bucket_col).map_batches(
         fold, batch_size=None, batch_format=batch_format)
 

@@ -128,7 +128,7 @@ def exact_dedup(ds: "ray.data.Dataset", col: str = "text",
         return out[[id_col, "dupes"]].astype({"dupes": np.int64})
 
     return bucket_fold(ds.map_batches(partial, batch_format="pyarrow"),
-                       "_hb", fold)
+                       "_hb", fold, coalesce=1 << 17)
 
 
 def exact_dedup_rows(ds: "ray.data.Dataset", col: str = "text",
@@ -206,7 +206,7 @@ def frequent_content_hashes(ds: "ray.data.Dataset", col: str = "text",
 
     freq = bucket_fold(
         ds.map_batches(pair_shrink, batch_format="pyarrow"),
-        "_hb", bucket_count).to_pandas()
+        "_hb", bucket_count, coalesce=1 << 17).to_pandas()
     return np.sort(freq["content_hash"].to_numpy().astype(np.int64))
 
 
@@ -344,7 +344,7 @@ def minhash_duplicate_groups(
         return out[out["size"] > 1]
 
     return bucket_fold(bands.map_batches(partial, batch_format="pyarrow"),
-                       "_hb", fold)
+                       "_hb", fold, coalesce=1 << 17)
 
 
 def shingle_hash_rows(batch: pa.Table, id_col: str = "doc_id",
@@ -415,7 +415,7 @@ def candidate_pairs_from_bands(
                              "doc_b": np.concatenate(out_b)})
 
     cand = bucket_fold(bands.map_batches(add_pb, batch_format="pyarrow"),
-                       "_pb", pairs_of_bucket)
+                       "_pb", pairs_of_bucket, coalesce=1 << 17)
 
     def local_dedup(g: pd.DataFrame) -> pd.DataFrame:
         return g.drop_duplicates(["doc_a", "doc_b"])
@@ -434,7 +434,7 @@ def candidate_pairs_from_bands(
     return bucket_fold(
         cand.map_batches(local_dedup, batch_format="pandas")
         .map_batches(add_pk, batch_format="pyarrow"),
-        "_pk", local_dedup).drop_columns(["_pk"])
+        "_pk", local_dedup, coalesce=1 << 17).drop_columns(["_pk"])
 
 
 def neardup_pairs(

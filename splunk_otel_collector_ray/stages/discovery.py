@@ -145,4 +145,4 @@ def discovery_status(
         .map_batches(lambda t: pd_table(local_first(t.to_pandas())),
                      batch_format="pyarrow")
         .map_batches(add_bucket, batch_format="pyarrow"),
-        "_bucket", local_first)
+        "_bucket", local_first, coalesce=1 << 17)

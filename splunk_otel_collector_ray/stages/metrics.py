@@ -167,7 +167,7 @@ def prometheus_histograms(
         ds.map_batches(fn, batch_format="pyarrow")
         .map_batches(buckets_only, batch_format="pyarrow")
         .map_batches(add_bucket, batch_format="pyarrow"),
-        "_bucket", per_bucket)
+        "_bucket", per_bucket, coalesce=1 << 17)
 
 
 # statsd line (+dogstatsd tags): name:value|type[|@rate][|#tags]
@@ -489,7 +489,7 @@ def calculate_metric(
     # 10^8 at corpus scale); one vectorized pivot per output block
     return bucket_fold(reduced.map_batches(add_bucket,
                                            batch_format="pyarrow"),
-                       "_bucket", ratio_bucket)
+                       "_bucket", ratio_bucket, coalesce=1 << 17)
 
 
 def span_duration_histogram(
@@ -580,7 +580,7 @@ def dimension_upsert(
     return bucket_fold(
         ds.map_batches(partial, batch_format="pyarrow")
         .map_batches(add_bucket, batch_format="pyarrow"),
-        "_bucket", final_bucket)
+        "_bucket", final_bucket, coalesce=1 << 17)
 
 
 # --- metricstransform aggregate operations ---------------------------------

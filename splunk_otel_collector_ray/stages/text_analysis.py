@@ -395,7 +395,7 @@ def repeated_ngram_stats(
 
     partials = bucket_fold(
         ds.map_batches(pair_shrink, batch_format="pyarrow"),
-        "_b", bucket_stats)
+        "_b", bucket_stats, coalesce=1 << 17)
     return partials.groupby(id_col).aggregate(
         Sum("repeated_grams", alias_name="repeated_grams"),
         Sum("total_grams", alias_name="total_grams"))
@@ -578,7 +578,7 @@ def inverted_index(
     from ..partitioning import bucket_fold
 
     return bucket_fold(pairs.map_batches(add_bucket, batch_format="pyarrow"),
-                       "_hb", fold)
+                       "_hb", fold, coalesce=1 << 17)
 
 
 # template mask: any ASCII digit run collapses to '#'. RE2 on both sides
