@@ -22,14 +22,16 @@ import ray.data
 from ..partitioning import small_fold
 
 
-def _sum_fold(keys: list[str], sums: list[str]):
-    """Vectorized grouped-sum pass usable as both the combiner level and
-    the :func:`small_fold` final (sorted by keys, like Ray's Aggregate)."""
+def _sum_fold(keys: list[str], sums: list[str], sort: bool = False):
+    """Vectorized grouped-sum pass usable as both the combiner level
+    (``sort=False`` — a combiner's order is discarded downstream) and the
+    :func:`small_fold` final (``sort=True``, sorted by keys like Ray's
+    Aggregate output)."""
 
     def combine(t: pa.Table) -> pa.Table:
         g = t.group_by(keys).aggregate([(c, "sum") for c in sums])
-        return g.rename_columns([*keys, *sums]).sort_by(
-            [(k, "ascending") for k in keys])
+        g = g.rename_columns([*keys, *sums])
+        return g.sort_by([(k, "ascending") for k in keys]) if sort else g
 
     return combine
 
@@ -67,7 +69,7 @@ def grouped_count(
 
     partials = _sum_combine(
         ds.map_batches(partial, batch_format="pyarrow"), keys, [alias])
-    return small_fold(partials, _sum_fold(keys, [alias]))
+    return small_fold(partials, _sum_fold(keys, [alias], sort=True))
 
 
 def grouped_sum(
@@ -82,7 +84,7 @@ def grouped_sum(
 
     partials = _sum_combine(
         ds.map_batches(partial, batch_format="pyarrow"), keys, [alias])
-    return small_fold(partials, _sum_fold(keys, [alias]))
+    return small_fold(partials, _sum_fold(keys, [alias], sort=True))
 
 
 def grouped_stats(
@@ -168,7 +170,9 @@ def grouped_count_sum(
     partials = _sum_combine(
         ds.map_batches(partial, batch_format="pyarrow"), keys,
         [count_alias, sum_alias])
-    return small_fold(partials, _sum_fold(keys, [count_alias, sum_alias]))
+    return small_fold(partials,
+                      _sum_fold(keys, [count_alias, sum_alias],
+                                sort=True))
 
 
 def grid_quantiles(ds: "ray.data.Dataset", group_col: str, value_col: str,

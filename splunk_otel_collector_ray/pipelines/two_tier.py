@@ -56,7 +56,7 @@ def run_agent_tier(sf_dir: str, staging_dir: str,
 def run_gateway_tier(staging_dir: str, out_dir: str,
                      transport: str = "parquet") -> dict[str, Any]:
     """Tier 2: read staging (pruned) → route → per-sink export + aggregates."""
-    from ray.data.aggregate import Sum
+    import pyarrow as pa
 
     from ..stages.export import SinkWriter
 
@@ -74,8 +74,18 @@ def run_gateway_tier(staging_dir: str, out_dir: str,
     routed_dir = os.path.join(out_dir, "by_sink")
     os.makedirs(routed_dir, exist_ok=True)
     partials = ds.map_batches(SinkWriter(routed_dir), batch_format="pyarrow")
-    agg = partials.groupby(["sink", "severity_text", "tool"]).aggregate(
-        Sum("n", alias_name="n")).to_pandas()
+    keys = ["sink", "severity_text", "tool"]
+
+    def combine(t: "pa.Table") -> "pa.Table":
+        g = t.group_by(keys).aggregate([("n", "sum")])
+        return g.rename_columns([*keys, "n"])
+
+    # same partial-coalescing shape as run_flagship (CLAUDE.md rule: never
+    # feed thousands of tiny partial blocks to an Aggregate; num_cpus=0
+    # breaks fusion so the 65k batch_size doesn't re-bundle the chain)
+    pre = partials.map_batches(combine, batch_format="pyarrow",
+                               batch_size=1 << 16, num_cpus=0)
+    agg = pre.to_pandas().groupby(keys, as_index=False)["n"].sum()
     return {
         "rows": int(agg["n"].sum()),
         "sink_counts": agg.groupby("sink")["n"].sum().astype(int).to_dict(),

@@ -39,6 +39,8 @@ def decode_kafka_batch(batch: pa.Table) -> pa.Table:
     if isinstance(headers, pa.ChunkedArray):
         headers = headers.combine_chunks()
     for i, f in enumerate(headers.type):
+        if f.name in cols:  # coordinates/payload are authoritative — a
+            continue  # producer header named 'key'/'offset'/… never wins
         cols[f.name] = headers.field(i)  # splat headers → attributes
     return pa.table(cols)
 
@@ -121,13 +123,15 @@ def write_kafka_dump(ds: "ray.data.Dataset", out_dir: str,
     os.makedirs(out_dir, exist_ok=True)
 
     def write_partitions(g: "pd.DataFrame") -> "pd.DataFrame":
+        # offset-less input (fresh produce) always gets broker-assigned
+        # sequences; explicit offsets are preserved only when present
+        assign = assign_offsets or "offset" not in g.columns
         out = []
         for p, rows in g.groupby("partition", sort=True):
             rows = rows.sort_values(
-                ["offset"] if "offset" in rows and not assign_offsets
-                else ["key"], kind="mergesort")
-            offs = (rows["offset"].to_numpy() if not assign_offsets
-                    else np.arange(len(rows)))
+                ["key"] if assign else ["offset"], kind="mergesort")
+            offs = (np.arange(len(rows)) if assign
+                    else rows["offset"].to_numpy())
             ts_ms = (rows["ts"].astype("int64") // 1000).to_numpy()
             path = os.path.join(out_dir, f"{topic}-{int(p)}.jsonl")
             tmp = path + ".tmp"

@@ -178,7 +178,12 @@ def _rows_to_table(rows: list[dict]) -> pa.Table:
 def write_otlp_logs(ds: "ray.data.Dataset", out_dir: str) -> int:
     """Agent-tier exporter: one OTLP-JSON request file per block,
     content-hash filenames (idempotent rewrite — the sending_queue/retry
-    discipline of the export path). Returns the record count."""
+    discipline of the export path). Returns the record count.
+
+    Content-hash filenames make task RETRIES idempotent but require the
+    staged stream to carry unique record identities — two byte-identical
+    BLOCKS would collapse to one file. Every caller satisfies this (log
+    records carry conv_id + turn_idx)."""
     shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)
 

@@ -171,7 +171,9 @@ def write_otlp_logs_pb(ds: "ray.data.Dataset", out_dir: str,
                        compress: bool = True) -> int:
     """Agent-tier exporter, binary form: one serialized (optionally
     zlib-compressed — the OTLP/HTTP gzip content-encoding analogue)
-    ExportLogsServiceRequest per block, content-hash filenames."""
+    ExportLogsServiceRequest per block, content-hash filenames (retry-
+    idempotent; requires unique record identities per block — see
+    sources/otlp.write_otlp_logs)."""
     from .otlp import encode_logs_request
 
     shutil.rmtree(out_dir, ignore_errors=True)

@@ -128,7 +128,9 @@ def _snappy() -> "pa.Codec":
 def write_prw(ds: "ray.data.Dataset", out_dir: str, **encode_kw) -> int:
     """PRW exporter: one snappy-compressed WriteRequest per block
     (8-byte LE uncompressed-length prefix + raw snappy body),
-    content-hash filenames (idempotent retries)."""
+    content-hash filenames (retry-idempotent; requires the staged stream
+    to carry unique record identities per block, or two byte-identical
+    blocks would collapse to one file — see sources/otlp)."""
     shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)
 

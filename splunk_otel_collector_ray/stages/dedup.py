@@ -638,6 +638,7 @@ def cluster_from_pairs_distributed(
               .materialize())
     prev_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
 
+    converged = False
     for _ in range(max_iters):
         offers = edges.join(
             labels, join_type="inner", num_partitions=num_partitions,
@@ -651,8 +652,15 @@ def cluster_from_pairs_distributed(
                   .materialize())
         cur_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # returning partial labels would silently split components —
+        # diameter > max_iters means the graph needs more rounds
+        raise RuntimeError(
+            f"connected components did not converge in {max_iters} rounds "
+            "(pair-graph diameter exceeds max_iters — raise it)")
 
     def as_id(t: pa.Table) -> pa.Table:
         return pa.table({id_col: t["node"],

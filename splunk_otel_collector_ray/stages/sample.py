@@ -30,12 +30,6 @@ import ray.data
 KNUTH = 2654435761
 
 
-def sample_mask(conv_seq: np.ndarray, turn_idx: np.ndarray, pct: int) -> np.ndarray:
-    """Deterministic keep-mask: (conv*KNUTH + turn*97) % 100 < pct."""
-    h = (conv_seq * KNUTH + turn_idx.astype(np.int64) * 97) % 100
-    return h < pct
-
-
 def string_fold64(vals) -> np.ndarray:
     """Fold a string id column into uint64: the last 8 UTF-8 bytes read
     big-endian (right-NUL-padded for shorter ids), xor'd with the byte

@@ -21,7 +21,6 @@ from splunk_otel_collector_ray.stages.multimodal import (
     decode_image,
     make_fake_items,
 )
-from splunk_otel_collector_ray.stages.sample import sample_mask
 from splunk_otel_collector_ray.stages.text_analysis import (
     LangIdStage,
     quality_scores,
@@ -84,13 +83,6 @@ def test_extra_dimensions_override():
     assert out.host.tolist() == ["forced", "forced"]
     assert out.new.tolist() == ["v", "v"]
 
-
-def test_sample_mask_deterministic_rate():
-    conv = np.arange(100_000, dtype=np.int64)
-    turn = np.zeros(100_000, dtype=np.int64)
-    m = sample_mask(conv, turn, 25)
-    assert m.mean() == pytest.approx(0.25, abs=0.01)
-    assert (m == sample_mask(conv, turn, 25)).all()
 
 
 def test_minhash_similar_docs_share_buckets():

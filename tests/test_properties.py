@@ -89,21 +89,6 @@ def test_severity_table_is_consistent():
         SEVERITY_NUMBER["ERROR"] < SEVERITY_NUMBER["FATAL"]
 
 
-@settings(max_examples=30, deadline=None)
-@given(st.integers(min_value=0, max_value=100))
-def test_sample_mask_rate_monotone(pct):
-    from splunk_otel_collector_ray.stages.sample import sample_mask
-
-    conv = np.arange(20_000, dtype=np.int64)
-    turn = np.zeros(20_000, dtype=np.int64)
-    rate = sample_mask(conv, turn, pct).mean()
-    assert abs(rate - pct / 100) < 0.02
-    if pct > 0:
-        # keep-set is nested: raising pct never drops a previously kept row
-        assert (sample_mask(conv, turn, pct) >= sample_mask(
-            conv, turn, max(0, pct - 10))).all()
-
-
 @settings(max_examples=40, deadline=None)
 @given(st.text(alphabet="abcdef.*", min_size=1, max_size=8))
 def test_string_filter_negation_is_complement(item):
