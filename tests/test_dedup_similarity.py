@@ -134,6 +134,14 @@ def test_distributed_cc_equals_union_find(ray_session):
     got0 = canon(cluster_from_pairs_distributed(docs, empty, "doc_id"))
     assert (got0["cluster_id"] == got0["doc_id"]).all()
 
+    # exhausting max_iters must raise, never return split components
+    import pytest
+
+    chain = pd.DataFrame({"doc_a": chain_a, "doc_b": chain_b}).astype(
+        "int64")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        cluster_from_pairs_distributed(docs, chain, "doc_id", max_iters=2)
+
 
 def test_duplicate_clusters_distributed_path(ray_session, sf_dir):
     """distributed=True end-to-end equals the driver union-find path on the
