@@ -2664,15 +2664,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "union_sources": q_union_sources,
     }
     # The driver samples the FIRST ~50 entries per round (r3 VERDICT item
-    # 8): rotate so queries never driver-sampled in r2/r3 come first —
-    # CORRECTNESS_r04 then covers a set disjoint from r02/r03's, and every
-    # query has driver-level evidence across the rounds. Local parity
-    # (scripts/check_parity.py) still runs ALL of them every round.
+    # 8): rotate so queries never driver-sampled in any prior round come
+    # first — CORRECTNESS_r05 then covers the 22 queries r02/r03/r04 never
+    # reached, and every query has driver-level evidence across the rounds.
+    # Local parity (scripts/check_parity.py) still runs ALL of them.
     head = [k for k in registry if k not in _DRIVER_SAMPLED_R2R3]
     return {**{k: registry[k] for k in head}, **registry}
 
 
-# dict-order keys the driver sampled in CORRECTNESS_r02/r03 (union)
+# dict-order keys the driver sampled in CORRECTNESS_r02/r03/r04 (union)
 _DRIVER_SAMPLED_R2R3 = frozenset({
     "parse_records", "parse_ts", "route_rows", "route_counts",
     "sink_aggregate", "enrich", "sanitize", "severity_transform",
@@ -2695,6 +2695,22 @@ _DRIVER_SAMPLED_R2R3 = frozenset({
     "docs_minhash_groups", "docs_simhash", "docs_token_stats", "emb_neardup",
     "emb_ann_topk", "docs_langid", "docs_fingerprint", "docs_quality",
     "multimodal_features", "lineitem_pricing",
+    # r04-sampled (CORRECTNESS_r04.json keys)
+    "events_props_extract", "events_kv_parse", "events_trace_parse",
+    "events_json_array", "events_csv_parse", "events_uri_parse",
+    "docs_normalize", "docs_reservoir", "metrics_pipeline",
+    "events_rate_limit", "cardinality_limit", "schema_union",
+    "docs_weighted_sample", "docs_epochs", "emb_dup_clusters",
+    "incremental_counts", "emb_kmeans", "sql_datapoints",
+    "metric_agg_values", "docs_repetition", "docs_clean", "filelog_parse",
+    "hec_ingest", "kafka_parse", "kafka_roundtrip", "events_quantiles",
+    "emb_centroids", "events_range_join", "training_pipeline",
+    "fluent_parse", "docs_pack", "journald_parse", "hec_roundtrip",
+    "events_asof", "docs_decontaminate", "docs_chunks", "docs_model_score",
+    "docs_familiarity", "docs_ccnet_familiarity", "docs_ccnet_buckets",
+    "boilerplate_turns", "docs_simhash_neardup", "docs_split",
+    "docs_mixture", "docs_repeated_grams", "pii_signals", "emb_neardup_lsh",
+    "multimodal_decode", "multimodal_resize", "multimodal_frames",
 })
 
 
