@@ -437,22 +437,21 @@ def candidate_pairs_from_bands(
         "_pk", local_dedup, coalesce=1 << 17).drop_columns(["_pk"])
 
 
-def neardup_pairs(
+def neardup_pairs_ds(
     ds: "ray.data.Dataset", jaccard_threshold: float = 0.5,
     id_col: str = "doc_id", text_col: str = "text",
     num_partitions: int | None = None, **kw
-) -> pd.DataFrame:
+) -> "ray.data.Dataset":
     """End-to-end near-dup detection: MinHash → LSH buckets → candidate
-    pairs → exact n-gram-Jaccard verification. Returns (doc_a, doc_b) with
-    doc_a < doc_b, verified ≥ threshold.
+    pairs → exact n-gram-Jaccard verification. Yields (doc_a, doc_b) with
+    doc_a < doc_b, verified ≥ threshold — as a DATASET, never touching the
+    driver (the input to the distributed cluster/keep-best paths).
 
     Scale shape (fully distributed — no doc text ever reaches the driver):
     candidate pairs come only from same-bucket LSH groups (bounded by band
     width) and stay a Dataset; per-doc shingle-hash sets are computed once in
     map_batches and hash-JOINED back onto the pairs by doc id (two keyed
-    joins, no broadcast); the Jaccard verify runs per joined batch. Only the
-    verified (doc_a, doc_b) id pairs — by construction a small set — are
-    collected at the end.
+    joins, no broadcast); the Jaccard verify runs per joined batch.
     """
     import ray
 
@@ -501,7 +500,19 @@ def neardup_pairs(
             keep[i] = (inter / union if union else 1.0) >= jaccard_threshold
         return batch.select(["doc_a", "doc_b"]).filter(pa.array(keep))
 
-    out = joined.map_batches(verify, batch_format="pyarrow").to_pandas()
+    return joined.map_batches(verify, batch_format="pyarrow")
+
+
+def neardup_pairs(
+    ds: "ray.data.Dataset", jaccard_threshold: float = 0.5,
+    id_col: str = "doc_id", text_col: str = "text",
+    num_partitions: int | None = None, **kw
+) -> pd.DataFrame:
+    """Driver-side collect of :func:`neardup_pairs_ds` — valid when the
+    verified pair set is known-small (the cheap common case; the
+    distributed consumers take the Dataset form directly)."""
+    out = neardup_pairs_ds(ds, jaccard_threshold, id_col, text_col,
+                           num_partitions, **kw).to_pandas()
     if out.empty:  # an empty Dataset collects with no columns at all
         return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
                              "doc_b": pd.Series([], dtype="int64")})
@@ -575,31 +586,18 @@ def cluster_from_pairs(
         label, batch_format="pyarrow")
 
 
-def cluster_from_pairs_distributed(
-    ds: "ray.data.Dataset", pairs, id_col: str,
-    a_col: str = "doc_a", b_col: str = "doc_b",
-    num_partitions: int | None = None, max_iters: int = 64,
-) -> "ray.data.Dataset":
-    """Distributed connected components over the pair graph — the scale
-    path next to :func:`cluster_from_pairs`'s driver union-find (which is
-    bounded by pair count and can cliff when a loose threshold makes the
-    pair list itself huge — r3 VERDICT scale-table caveat).
-
-    Min-label propagation (the standard BSP/Pregel formulation): labels
-    start at ``min(node, min neighbor)``, and each round every edge offers
-    its endpoint's label to the other side, folded with a grouped ``min``.
-    Labels are monotone non-increasing ints, so the total label sum is a
-    convergence certificate: one round with an unchanged sum IS the fixed
-    point. Rounds needed = graph diameter — near-dup clusters are
-    star-like (diameter ~2-3), so 3-4 rounds in practice.
-
-    Per round: one keyed join (zero-CPU aggregators, partitions capped per
-    the repo join rule) + one grouped min of (node, label) rows — the
-    driver only ever sees the scalar label sum. The final cluster map
-    applies to the doc stream with a keyed LEFT join (no driver-side or
-    broadcast map at any point), ``coalesce(label, id)`` for docs with no
-    duplicate.
-    """
+def _cc_labels_distributed(
+    pairs, a_col: str, b_col: str, num_partitions: int,
+    max_iters: int = 64,
+) -> "ray.data.Dataset | None":
+    """BSP min-label propagation over the pair graph — the shared core of
+    :func:`cluster_from_pairs_distributed` and the distributed keep-best
+    path. Returns a (node:int64, label:int64) Dataset covering ONLY the
+    nodes that appear in the pair graph (bounded by the verified pair
+    count, not the corpus), or None for an empty graph. Labels are the
+    component min-id fixpoint, certified by an unchanged label sum; raises
+    if ``max_iters`` rounds don't converge (partial labels would silently
+    split components)."""
     import ray
     import ray.data
     from ray.data.aggregate import Min, Sum
@@ -608,9 +606,6 @@ def cluster_from_pairs_distributed(
         pairs = ray.data.from_arrow(pa.table({
             a_col: pa.array(pairs[a_col].to_numpy(), type=pa.int64()),
             b_col: pa.array(pairs[b_col].to_numpy(), type=pa.int64())}))
-    if num_partitions is None:
-        num_partitions = max(1, int(
-            ray.cluster_resources().get("CPU", 8)) // 8)
 
     def symmetrize(t: pa.Table) -> pa.Table:
         a = t[a_col].to_numpy(zero_copy_only=False)
@@ -621,11 +616,7 @@ def cluster_from_pairs_distributed(
     edges = pairs.map_batches(symmetrize,
                               batch_format="pyarrow").materialize()
     if edges.count() == 0:
-        return ds.select_columns([id_col]).map_batches(
-            lambda t: pa.table({
-                id_col: t[id_col],
-                "cluster_id": t[id_col].cast(pa.int64())}),
-            batch_format="pyarrow")
+        return None
 
     # init: label(x) = min(x, min neighbor) — one grouped min, saves a round
     def self_offer(t: pa.Table) -> pa.Table:
@@ -661,6 +652,47 @@ def cluster_from_pairs_distributed(
         raise RuntimeError(
             f"connected components did not converge in {max_iters} rounds "
             "(pair-graph diameter exceeds max_iters — raise it)")
+    return labels
+
+
+def cluster_from_pairs_distributed(
+    ds: "ray.data.Dataset", pairs, id_col: str,
+    a_col: str = "doc_a", b_col: str = "doc_b",
+    num_partitions: int | None = None, max_iters: int = 64,
+) -> "ray.data.Dataset":
+    """Distributed connected components over the pair graph — the scale
+    path next to :func:`cluster_from_pairs`'s driver union-find (which is
+    bounded by pair count and can cliff when a loose threshold makes the
+    pair list itself huge — r3 VERDICT scale-table caveat).
+
+    Min-label propagation (the standard BSP/Pregel formulation): labels
+    start at ``min(node, min neighbor)``, and each round every edge offers
+    its endpoint's label to the other side, folded with a grouped ``min``.
+    Labels are monotone non-increasing ints, so the total label sum is a
+    convergence certificate: one round with an unchanged sum IS the fixed
+    point. Rounds needed = graph diameter — near-dup clusters are
+    star-like (diameter ~2-3), so 3-4 rounds in practice.
+
+    Per round: one keyed join (zero-CPU aggregators, partitions capped per
+    the repo join rule) + one grouped min of (node, label) rows — the
+    driver only ever sees the scalar label sum. The final cluster map
+    applies to the doc stream with a keyed LEFT join (no driver-side or
+    broadcast map at any point), ``coalesce(label, id)`` for docs with no
+    duplicate.
+    """
+    import ray
+
+    if num_partitions is None:
+        num_partitions = max(1, int(
+            ray.cluster_resources().get("CPU", 8)) // 8)
+    labels = _cc_labels_distributed(pairs, a_col, b_col,
+                                    num_partitions, max_iters)
+    if labels is None:  # empty pair graph — every id is its own cluster
+        return ds.select_columns([id_col]).map_batches(
+            lambda t: pa.table({
+                id_col: t[id_col],
+                "cluster_id": t[id_col].cast(pa.int64())}),
+            batch_format="pyarrow")
 
     def as_id(t: pa.Table) -> pa.Table:
         return pa.table({id_col: t["node"],
@@ -805,7 +837,8 @@ def ngram_jaccard(a: str, b: str, n: int = 5) -> float:
 def cluster_keep_best(
     ds: "ray.data.Dataset", score_fn, jaccard_threshold: float = 0.8,
     id_col: str = "doc_id", text_col: str = "text",
-    score_col: str = "logit", **kw,
+    score_col: str = "logit", max_broadcast_pairs: int = 1_000_000,
+    num_partitions: int | None = None, **kw,
 ) -> "ray.data.Dataset":
     """Per-duplicate-cluster winner selection by QUALITY, not min id — the
     production dedup policy (of N near-identical copies keep the best one,
@@ -815,18 +848,44 @@ def cluster_keep_best(
     emits (id_col, score_col) — e.g. text_analysis.model_score. Winner of a
     cluster = max score, ties broken by min id; singletons keep themselves.
 
-    Scale shape: the verified near-dup pair graph is orders of magnitude
-    smaller than the corpus (same premise as cluster_from_pairs —
-    union-find over pairs runs on the driver and the component map
-    broadcasts once). Scores are computed in ONE distributed pass and kept
-    as a 16 B/row (id, score) projection; only the rows belonging to a
-    multi-doc cluster — bounded by the pair count — are pulled to pick
-    winners. The final pass labels the full stream per batch with
-    (cluster_id, score, keep); no text ever shuffles.
+    Two shapes behind a pair-count threshold (the semi_join_keys idiom —
+    the pair graph must not become a driver-side frame when a loose
+    threshold makes it huge):
+
+    - ``count ≤ max_broadcast_pairs``: union-find over the collected pairs
+      on the driver, component map + winner set broadcast once via
+      ray.put, one labeling pass over the (id, score) projection — the
+      cheap common case (verified near-dup pairs are orders of magnitude
+      fewer than docs).
+    - past the threshold: fully distributed — BSP min-label connected
+      components over the pair Dataset (:func:`_cc_labels_distributed`),
+      member scores attached by keyed join, per-cluster winner via ONE
+      ``bucket_fold`` grouped max-by-(score, -id), and the full stream
+      labeled with a keyed LEFT join. The driver only ever sees the pair
+      count and the BSP convergence scalar.
+
+    Both paths emit the identical (id_col, cluster_id, score_col, keep)
+    schema and are pinned row-equal by test on the same input.
+
+    Scale shape: scores are computed in ONE distributed pass and kept as a
+    16 B/row (id, score) projection; doc text never shuffles on either
+    path (the wide work lives in the LSH/verify pair DAG).
     """
     import ray
 
-    pairs = neardup_pairs(ds, jaccard_threshold, id_col, text_col, **kw)
+    pairs_ds = neardup_pairs_ds(
+        ds, jaccard_threshold, id_col, text_col,
+        num_partitions=num_partitions, **kw).materialize()
+    scores = ds.map_batches(score_fn, batch_format="pyarrow").select_columns(
+        [id_col, score_col]).materialize()
+    if pairs_ds.count() > max_broadcast_pairs:
+        return _keep_best_distributed(scores, pairs_ds, id_col, score_col,
+                                      num_partitions)
+
+    pairs = pairs_ds.to_pandas()
+    if pairs.empty:  # an empty Dataset collects with no columns at all
+        pairs = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                              "doc_b": pd.Series([], dtype="int64")})
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -846,9 +905,6 @@ def cluster_keep_best(
     mem_ids = np.fromiter(comp.keys(), np.int64, len(comp))
     mem_ids.sort()
     mem_ref = ray.put(mem_ids)
-
-    scores = ds.map_batches(score_fn, batch_format="pyarrow").select_columns(
-        [id_col, score_col]).materialize()
 
     def members(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_numpy(zero_copy_only=False)
@@ -880,3 +936,85 @@ def cluster_keep_best(
                          "keep": pa.array(keep)})
 
     return scores.map_batches(label, batch_format="pyarrow")
+
+
+def _keep_best_distributed(
+    scores: "ray.data.Dataset", pairs_ds: "ray.data.Dataset",
+    id_col: str, score_col: str, num_partitions: int | None,
+) -> "ray.data.Dataset":
+    """The past-the-threshold keep-best path: no pair, member or winner
+    frame ever reaches the driver.
+
+    1. BSP connected components label every pair-graph node with its
+       component min id (``_cc_labels_distributed`` — the same certified
+       fixpoint the docs_dup_clusters_bsp oracle pins).
+    2. Member scores attach via ONE keyed inner join (bounded by the
+       pair-graph node count, zero-CPU aggregators per the repo join rule).
+    3. Per-cluster winner = max score, tie min id: one ``bucket_fold``
+       (cluster-hash bucketed sort + a bucket-agnostic global
+       sort/drop_duplicates pass — first row per label in (score desc,
+       id asc) order IS the argmax).
+    4. Winners join back onto members (member-bounded), then the full
+       (id, score) stream takes ONE LEFT join against the member table;
+       unmatched rows are singletons (cluster = own id, keep = True).
+    """
+    import pyarrow.compute as pc
+
+    import ray
+
+    from ..partitioning import pd_table, spread_num_buckets
+
+    if num_partitions is None:
+        num_partitions = max(1, int(
+            ray.cluster_resources().get("CPU", 8)) // 8)
+    agg_args = {"num_cpus": 0}
+    labels = _cc_labels_distributed(pairs_ds, "doc_a", "doc_b",
+                                    num_partitions)
+    # pair count > threshold > 0, so the graph is non-empty
+    mem = labels.join(scores, join_type="inner",
+                      num_partitions=num_partitions,
+                      on=("node",), right_on=(id_col,),
+                      aggregator_ray_remote_args=agg_args)
+
+    nb = spread_num_buckets()
+
+    def tag(t: pa.Table) -> pa.Table:
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = (lab * 0x9E3779B9) % nb  # int64 wraparound then non-neg mod
+        return t.append_column("_kb", pa.array(b.astype(np.int32)))
+
+    def pick_winner(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values([score_col, "node"], ascending=[False, True],
+                          kind="mergesort")
+        w = g.drop_duplicates("label", keep="first")
+        return pd_table(w[["label", "node"]].rename(
+            columns={"node": "winner_id"}))
+
+    winners = bucket_fold(mem.map_batches(tag, batch_format="pyarrow"),
+                          "_kb", pick_winner)
+
+    memw = mem.join(winners, join_type="inner",
+                    num_partitions=num_partitions, on=("label",),
+                    aggregator_ray_remote_args=agg_args)
+
+    def member_flags(t: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: t["node"],
+            "cluster_id": t["label"].cast(pa.int64()),
+            "_keep_m": pc.equal(t["node"], t["winner_id"])})
+
+    member_tbl = memw.map_batches(member_flags, batch_format="pyarrow")
+    final = scores.join(member_tbl, join_type="left_outer",
+                        num_partitions=num_partitions, on=(id_col,),
+                        aggregator_ray_remote_args=agg_args)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        cid = pc.coalesce(t["cluster_id"],
+                          pc.cast(t[id_col], pa.int64()))
+        keep = pc.coalesce(t["_keep_m"], pa.scalar(True))
+        return pa.table({id_col: t[id_col],
+                         "cluster_id": cid.cast(pa.int64()),
+                         score_col: t[score_col],
+                         "keep": keep.cast(pa.bool_())})
+
+    return final.map_batches(finalize, batch_format="pyarrow")

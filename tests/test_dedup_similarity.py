@@ -562,3 +562,28 @@ def test_cluster_keep_best_prefers_quality_over_min_id(ray_session):
         and not bool(out.loc[2, "keep"])
     # singletons keep themselves
     assert out.loc[[3, 4, 5], "keep"].all()
+
+
+def test_cluster_keep_best_distributed_path_equals_driver(
+        ray_session, sf_dir):
+    """Past the pair-count threshold keep-best switches to BSP connected
+    components + bucket-folded winner selection (no driver-side pair,
+    member or winner frame) — must be row-equal to the broadcast path on
+    the documents fixture (the tail_sample path-equality pattern)."""
+    import ray.data
+    from splunk_otel_collector_ray.stages.dedup import cluster_keep_best
+    from splunk_otel_collector_ray.stages.text_analysis import model_score
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+
+    def canon(out):
+        return (out.to_pandas().sort_values("doc_id")
+                .reset_index(drop=True))
+
+    ref = canon(cluster_keep_best(docs, model_score,
+                                  jaccard_threshold=0.8))
+    # max_broadcast_pairs=0 forces every pair over the threshold
+    got = canon(cluster_keep_best(docs, model_score, jaccard_threshold=0.8,
+                                  max_broadcast_pairs=0))
+    assert (~ref["keep"]).sum() > 0  # fixture must exercise real clusters
+    pd.testing.assert_frame_equal(got, ref)
