@@ -2959,7 +2959,7 @@ def _simhash_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     C = _oracle_cte()
-    # explicit ASCII classes, byte-identical to stages/text_analysis._TOKEN_RX
+    # explicit ASCII classes, byte-identical to stages/text_analysis._TOKEN_PAT
     bpe = r"[A-Za-z]{1,8}|[0-9]{1,3}|[^ \t\n\f\r\vA-Za-z0-9]"
     sql = {
         "parse_records": C + (

@@ -55,6 +55,20 @@ def main() -> None:
         for f in frag if f.num_rows)
     stitch_s = time.perf_counter() - t0
 
+    # doc-stats kernels (token_stats + quality_scores + model_score over
+    # the documents table) — the most-called doc kernels at corpus scale;
+    # Arrow-RE2-native since r5 (was pandas str.count / Python re)
+    from splunk_otel_collector_ray.stages import text_analysis as ta
+
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+    for fn in (ta.token_stats, ta.quality_scores, ta.model_score):
+        fn(docs.slice(0, 1000))  # warm
+    t0 = time.perf_counter()
+    ta.token_stats(docs)
+    ta.quality_scores(docs)
+    ta.model_score(docs)
+    doc_s = time.perf_counter() - t0
+
     print(json.dumps({
         "metric": "single-threaded kernel seconds (no Ray)",
         "sf": corpus.sf_name(sf_dir), "rows": n_rows,
@@ -62,6 +76,8 @@ def main() -> None:
         "parse_rows_per_sec": round(n_rows / parse_s, 1),
         "stitch_kernel_sec": round(stitch_s, 3),
         "stitch_rows": n_stitch,
+        "doc_stats_kernel_sec": round(doc_s, 3),
+        "doc_rows": docs.num_rows,
     }))
 
 

@@ -28,13 +28,31 @@ LANG_STOPWORDS: dict[str, frozenset[str]] = {
     "nl": frozenset("de het een en van is dat niet op te".split()),
 }
 
-_WORD_RX = re.compile(r"[a-zA-ZÀ-ÿ]+")
+_WORD_PAT = r"[a-zA-ZÀ-ÿ]+"
 # BPE-ish token estimate: word pieces + digits + punctuation runs.
 # ASCII classes only (match the DuckDB/RE2 oracle exactly — Python's \d/\s
 # are Unicode-aware and would diverge on NBSP or Unicode digits).
-_TOKEN_RX = re.compile(r"[A-Za-z]{1,8}|[0-9]{1,3}|[^ \t\n\f\r\vA-Za-z0-9]")
-_WS_TOKEN_RX = re.compile(r"[^ \t\n]+")
-_PUNCT_RX = re.compile(r"[^0-9A-Za-z_ \t\n\f\r\v]")
+_TOKEN_PAT = r"[A-Za-z]{1,8}|[0-9]{1,3}|[^ \t\n\f\r\vA-Za-z0-9]"
+_WS_TOKEN_PAT = r"[^ \t\n]+"
+_PUNCT_PAT = r"[^0-9A-Za-z_ \t\n\f\r\v]"
+# compiled form only where a kernel still needs findall (token EXTRACTION);
+# all COUNTING goes through _rx_count (Arrow RE2, no Python re on the
+# full stream — r4 VERDICT item 3)
+_WS_TOKEN_RX = re.compile(_WS_TOKEN_PAT)
+
+
+def _rx_count(arr, pattern: str) -> np.ndarray:
+    """Per-row count of RE2 ``pattern`` matches over the zero-copy Arrow
+    column (null → 0) — the doc-stats counting kernel. Same engine as the
+    DuckDB oracle, so class/alternation semantics match by construction."""
+    return pc.fill_null(pc.count_substring_regex(arr, pattern), 0) \
+        .to_numpy(zero_copy_only=False)
+
+
+def _utf8_len(arr) -> np.ndarray:
+    """Per-row character count (null → 0), Arrow-native."""
+    return pc.fill_null(pc.utf8_length(arr), 0) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
 
 
 class LangIdStage:
@@ -68,27 +86,28 @@ class LangIdStage:
 
 
 def token_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """Whitespace tokens, BPE-ish token estimate, char count — vectorized."""
-    s = batch[text_col].to_pandas().fillna("")
-    ws_tokens = s.str.count(_WS_TOKEN_RX).astype(np.int64)
-    bpe_tokens = s.str.count(_TOKEN_RX).astype(np.int64)
+    """Whitespace tokens, BPE-ish token estimate, char count — Arrow RE2
+    over the zero-copy column (no pandas/Python `re` on the stream)."""
+    col = batch[text_col]
+    ws_tokens = _rx_count(col, _WS_TOKEN_PAT).astype(np.int64)
+    bpe_tokens = _rx_count(col, _TOKEN_PAT).astype(np.int64)
     return (
         batch.append_column("n_ws_tokens", pa.array(ws_tokens))
         .append_column("n_bpe_tokens", pa.array(bpe_tokens))
-        .append_column("n_chars_actual", pa.array(s.str.len().astype(np.int64)))
+        .append_column("n_chars_actual", pa.array(_utf8_len(col)))
     )
 
 
 def quality_scores(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Length / punctuation / stopword-ratio quality features + a 0..1 score."""
-    s = batch[text_col].to_pandas().fillna("")
-    length = s.str.len().astype(np.float64)
-    n_alpha = s.str.count(r"[A-Za-z]").astype(np.float64)
-    n_punct = s.str.count(_PUNCT_RX).astype(np.float64)
-    low = s.str.lower()
-    n_words = low.str.count(_WORD_RX).astype(np.float64)
+    col = batch[text_col]
+    length = _utf8_len(col).astype(np.float64)
+    n_alpha = _rx_count(col, r"[A-Za-z]").astype(np.float64)
+    n_punct = _rx_count(col, _PUNCT_PAT).astype(np.float64)
+    low = pc.utf8_lower(col)
+    n_words = _rx_count(low, _WORD_PAT).astype(np.float64)
     stop_rx = r"\b(?:" + "|".join(sorted(LANG_STOPWORDS["en"])) + r")\b"
-    n_stop = low.str.count(stop_rx).astype(np.float64)
+    n_stop = _rx_count(low, stop_rx).astype(np.float64)
     with np.errstate(divide="ignore", invalid="ignore"):
         alpha_ratio = np.where(length > 0, n_alpha / length, 0.0)
         punct_ratio = np.where(length > 0, n_punct / length, 0.0)
@@ -450,11 +469,11 @@ def model_score(batch: pa.Table, text_col: str = "text",
     same left-associative order as the SQL twin, so the emitted logit is
     bit-identical — no independent rounding on either side.
     """
-    s = batch[text_col].to_pandas().fillna("")
-    length = s.str.len().astype(np.float64).to_numpy()
-    n_alpha = s.str.count(r"[A-Za-z]").astype(np.float64).to_numpy()
-    n_punct = s.str.count(_PUNCT_RX).astype(np.float64).to_numpy()
-    n_ws = s.str.count(_WS_TOKEN_RX).astype(np.float64).to_numpy()
+    col = batch[text_col]
+    length = _utf8_len(col).astype(np.float64)
+    n_alpha = _rx_count(col, r"[A-Za-z]").astype(np.float64)
+    n_punct = _rx_count(col, _PUNCT_PAT).astype(np.float64)
+    n_ws = _rx_count(col, _WS_TOKEN_PAT).astype(np.float64)
     with np.errstate(divide="ignore", invalid="ignore"):
         alpha_ratio = np.where(length > 0, n_alpha / length, 0.0)
         punct_ratio = np.where(length > 0, n_punct / length, 0.0)
