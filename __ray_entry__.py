@@ -310,9 +310,12 @@ def _routed(sf_dir: str):
 
 
 def _table(sf_dir: str, name: str):
-    import ray.data
+    # read with the file's pandas schema metadata stripped — the testdata
+    # parquet is pandas-written, and the metadata dict would make every
+    # downstream join/shuffle schema unhashable (slow unify path + warning)
+    from splunk_otel_collector_ray.partitioning import read_parquet_clean
 
-    return ray.data.read_parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return read_parquet_clean(os.path.join(sf_dir, f"{name}.parquet"))
 
 
 # --- prometheus expfmt fixture (shared between query + oracle SQL) ---------

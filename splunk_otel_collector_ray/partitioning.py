@@ -71,6 +71,25 @@ def pd_table(df: pd.DataFrame) -> pa.Table:
         .replace_schema_metadata(None)
 
 
+def read_parquet_clean(path: str, **kw) -> "ray.data.Dataset":
+    """``ray.data.read_parquet`` with the file's ``b'pandas'`` schema
+    metadata stripped at the source (same rationale as :func:`pd_table` —
+    pandas-written parquet carries a metadata dict that makes every
+    downstream shuffle/join schema unhashable). Passing the stripped
+    schema through ``read_parquet(schema=...)`` keeps projection pushdown
+    intact, unlike a post-read map_batches."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    if "schema" not in kw:
+        p = path if os.path.isfile(path) else sorted(
+            glob.glob(os.path.join(path, "*.parquet")))[0]
+        kw["schema"] = pq.read_schema(p).remove_metadata()
+    return ray.data.read_parquet(path, **kw)
+
+
 def bucket_fold(ds: "ray.data.Dataset", bucket_col: str, fold,
                 batch_format: str = "pandas",
                 coalesce: int | None = None) -> "ray.data.Dataset":

@@ -420,6 +420,12 @@ def candidate_pairs_from_bands(
     def local_dedup(g: pd.DataFrame) -> pd.DataFrame:
         return g.drop_duplicates(["doc_a", "doc_b"])
 
+    def local_dedup_arrow(g: pd.DataFrame) -> pa.Table:
+        # this fold's blocks feed Dataset.join hash shuffles downstream —
+        # emit metadata-free Arrow (pd_table) or every aggregator pays the
+        # unhashable-schema slow path ("Failed to hash the schemas")
+        return pd_table(local_dedup(g))
+
     def add_pk(t: pa.Table) -> pa.Table:
         a = t["doc_a"].to_numpy(zero_copy_only=False)
         b = t["doc_b"].to_numpy(zero_copy_only=False)
@@ -434,7 +440,7 @@ def candidate_pairs_from_bands(
     return bucket_fold(
         cand.map_batches(local_dedup, batch_format="pandas")
         .map_batches(add_pk, batch_format="pyarrow"),
-        "_pk", local_dedup, coalesce=1 << 17).drop_columns(["_pk"])
+        "_pk", local_dedup_arrow, coalesce=1 << 17).drop_columns(["_pk"])
 
 
 def neardup_pairs_ds(
