@@ -1625,6 +1625,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _table(sf, "documents").map_batches(
             ta.model_score, batch_format="pyarrow")
 
+    def q_docs_langid_model(sf):
+        # TRAINED language classifier (fasttext-style shape, corpus-trained
+        # — no external weights): per-language char-bigram profiles with
+        # integer ppm weights over the hash-train split, argmax scoring of
+        # the full stream; the oracle replays training AND scoring
+        # relationally, so the model is hash-exact end to end
+        from splunk_otel_collector_ray.stages.text_analysis import (
+            langid_model_predict,
+            train_langid_profiles,
+        )
+
+        docs = _table(sf, "documents")
+        return langid_model_predict(docs, train_langid_profiles(docs))
+
     def q_docs_ccnet_buckets(sf):
         # CCNet-style head/middle/tail corpus split: exact global NTILE(3)
         # over (quality-model logit, doc_id) WITHOUT a global sort —
@@ -2604,6 +2618,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_model_score": q_docs_model_score,
         "docs_familiarity": q_docs_familiarity,
         "docs_ccnet_familiarity": q_docs_ccnet_familiarity,
+        "docs_langid_model": q_docs_langid_model,
         "docs_ccnet_buckets": q_docs_ccnet_buckets,
         "boilerplate_turns": q_boilerplate_turns,
         "docs_langid": q_docs_langid,
@@ -3739,6 +3754,38 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY dq.doc_id) "
             "SELECT d.doc_id, COALESCE(CAST(sc.s AS DOUBLE) / sc.nb, 0.0) "
             "AS familiarity FROM documents d LEFT JOIN sc USING (doc_id)"),
+        "docs_langid_model": (
+            # trained per-language bigram profiles replayed relationally:
+            # hash-train split → per-(lang, bigram) counts → integer ppm
+            # weights (count * 1e6 // lang_total, floor division on
+            # positive ints both sides) → per-(doc, lang) weight sums →
+            # argmax with (score DESC, lang ASC) tie-break, all-zero/'no
+            # bigram' docs → 'unk'/0 — same integers end to end
+            "WITH tr AS (SELECT lang, text FROM documents WHERE "
+            "(doc_id * 2654435761) % 10000 < 9000), "
+            "refb AS MATERIALIZED (SELECT lang, substr(text, i, 2) AS b, "
+            "count(*) AS c FROM tr, unnest(range(1, "
+            "greatest(length(text) - 1, 0) + 1)) t(i) "
+            "WHERE length(text) >= 2 GROUP BY lang, b), "
+            "tot AS (SELECT lang, sum(c) AS tc FROM refb GROUP BY lang), "
+            "w AS MATERIALIZED (SELECT refb.lang, refb.b, "
+            "(refb.c * 1000000 // tot.tc) AS w "
+            "FROM refb JOIN tot USING (lang) "
+            "WHERE (refb.c * 1000000 // tot.tc) > 0), "
+            "dq AS MATERIALIZED (SELECT doc_id, substr(text, i, 2) AS b "
+            "FROM documents, unnest(range(1, "
+            "greatest(length(text) - 1, 0) + 1)) t(i) "
+            "WHERE length(text) >= 2), "
+            "sc AS (SELECT dq.doc_id, w.lang, "
+            "CAST(SUM(w.w) AS BIGINT) AS s "
+            "FROM dq JOIN w USING (b) GROUP BY dq.doc_id, w.lang), "
+            "best AS (SELECT doc_id, lang, s, row_number() OVER ("
+            "PARTITION BY doc_id ORDER BY s DESC, lang ASC) AS rn "
+            "FROM sc WHERE s > 0) "
+            "SELECT d.doc_id, COALESCE(b.lang, 'unk') AS pred_lang, "
+            "CAST(COALESCE(b.s, 0) AS BIGINT) AS model_hits "
+            "FROM documents d LEFT JOIN (SELECT doc_id, lang, s "
+            "FROM best WHERE rn = 1) b USING (doc_id)"),
         "docs_model_score": (
             # identical left-associative IEEE expression as model_score —
             # the logit is bit-identical, so keep cannot diverge at the

@@ -165,3 +165,58 @@ def test_familiarity_score_hand_corpus(ray_session):
         "doc_id": pa.array([7], pa.int64()), "text": ["x"]}))
     assert familiarity_score(tiny, ref).to_pandas()[
         "familiarity"].iloc[0] == 0.0
+
+
+def test_langid_model_trains_and_beats_stopword_heuristic(ray_session):
+    """Corpus-trained char-bigram language profiles must classify held-out
+    (hash-test-split) docs at least as well as the stopword heuristic —
+    including content-word-only docs the heuristic can only call 'unk'."""
+    import numpy as np
+    import pandas as pd
+
+    import ray.data
+    from splunk_otel_collector_ray.partitioning import pd_table
+    from splunk_otel_collector_ray.stages.text_analysis import (
+        LangIdStage,
+        langid_model_predict,
+        train_langid_profiles,
+    )
+
+    pools = {
+        "en": ("quick brown fox jumps lazy dog evening river mountain "
+               "yellow through knowledge weather brought thought"),
+        "de": ("schneller brauner fuchs springt fauler hund abend fluss "
+               "berg gelb durch wissen wetter brachte gedanke über"),
+        "fr": ("renard brun rapide saute chien paresseux soirée rivière "
+               "montagne jaune à travers connaissance météo pensée déjà"),
+        "es": ("zorro marrón rápido salta perro perezoso tarde río "
+               "montaña amarillo través conocimiento tiempo pensó año"),
+    }
+    rng = np.random.default_rng(3)
+    rows, doc_id = [], 0
+    for lang, pool in pools.items():
+        words = pool.split()
+        for _ in range(60):
+            n = int(rng.integers(8, 20))
+            rows.append((doc_id, " ".join(rng.choice(words, n)), lang))
+            doc_id += 1
+    df = pd.DataFrame(rows, columns=["doc_id", "text", "lang"])
+    ds = ray.data.from_arrow(pd_table(df))
+
+    model = train_langid_profiles(ds)
+    assert set(model["lang"]) == set(pools) and (model["w"] > 0).all()
+    pred = langid_model_predict(ds, model).to_pandas().set_index("doc_id")
+    heur = ds.map_batches(
+        LangIdStage, batch_format="pyarrow",
+        concurrency=1).to_pandas().set_index("doc_id")
+
+    K, m = 2654435761, 10000
+    held = df[(df["doc_id"].to_numpy() * K) % m >= 9000]
+    assert len(held) >= 10  # the split must actually hold docs out
+    truth = held["lang"].to_numpy()
+    model_acc = (pred.loc[held["doc_id"], "pred_lang"].to_numpy()
+                 == truth).mean()
+    heur_acc = (heur.loc[held["doc_id"], "pred_lang"].to_numpy()
+                == truth).mean()
+    assert model_acc >= heur_acc
+    assert model_acc >= 0.9
