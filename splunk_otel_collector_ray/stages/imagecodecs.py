@@ -135,3 +135,455 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
             raise NotImplementedError(f"only 16-bit PCM supported, got {sw*8}")
         a = np.frombuffer(f.readframes(nframes), dtype=np.int16)
     return (a if nch == 1 else a.reshape(-1, nch)), rate
+
+
+# --- baseline JPEG (ITU-T T.81, sequential DCT, Huffman) -------------------
+# Everything below transcribes PUBLIC spec constants: Annex K quantization
+# and Huffman example tables, the zigzag scan of Figure 5, and the JFIF
+# YCbCr matrices. Entropy coding is per-block sequential by nature (the
+# honest per-payload loop); DCT/IDCT, quantization and color transforms are
+# numpy-vectorized over all blocks of a component at once.
+
+JPEG_MAGIC = b"\xff\xd8"
+
+_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63])
+
+_QT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64).reshape(8, 8)
+
+_QT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64).reshape(8, 8)
+
+_DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_LUMA_VALS = list(range(12))
+_DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_CHROMA_VALS = list(range(12))
+_AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA]
+_AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA]
+
+# orthonormal 8-point DCT-II matrix: dct2d(B) = T @ B @ T.T
+_DCT_T = np.array([[
+    (np.sqrt(1 / 8) if k == 0 else np.sqrt(2 / 8))
+    * np.cos((2 * n + 1) * k * np.pi / 16)
+    for n in range(8)] for k in range(8)])
+
+
+def _huff_encode_table(bits: list[int], vals: list[int]) -> dict:
+    """value → (code, length) per T.81 C.2 canonical code assignment."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode_table(bits: list[int], vals: list[int]) -> dict:
+    return {(length, code): v
+            for v, (code, length) in _huff_encode_table(bits, vals).items()}
+
+
+def _quality_qt(base: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg quality → table scaling convention (public)."""
+    q = min(max(int(quality), 1), 100)
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    return np.clip((base * scale + 50) // 100, 1, 255)
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.nbits -= 8
+            self.out.append(b)
+            if b == 0xFF:          # byte stuffing
+                self.out.append(0x00)
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            self.put(0x7F, 8 - self.nbits)  # pad with 1-bits
+
+
+class _BitReader:
+    """Entropy-segment reader with 0xFF00 unstuffing. Restart intervals
+    (DRI/RSTn) are handled by the caller via :meth:`expect_restart` at the
+    spec-defined MCU boundaries (T.81 E.2.4), so _fill treats any
+    non-stuffing marker as end-of-scan."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+        self.done = False
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            else:                        # RST/EOI/next marker
+                self.done = True
+                self.acc = (self.acc << 8)
+                self.nbits += 8
+                return
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def expect_restart(self) -> None:
+        """Discard padding bits and consume the RSTn marker at a restart
+        boundary."""
+        self.acc, self.nbits, self.done = 0, 0, False
+        while self.data[self.pos] != 0xFF:
+            self.pos += 1
+        if not (0xD0 <= self.data[self.pos + 1] <= 0xD7):
+            raise ValueError("expected RST marker at restart interval")
+        self.pos += 2
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def huff(self, table: dict) -> int:
+        code, length = 0, 0
+        while length <= 16:
+            code = (code << 1) | self.bit()
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+def _blocks_of(plane: np.ndarray) -> np.ndarray:
+    """(H, W) → (H//8 * W//8, 8, 8) row-major blocks (H, W multiples of 8)."""
+    h, w = plane.shape
+    return (plane.reshape(h // 8, 8, w // 8, 8)
+            .transpose(0, 2, 1, 3).reshape(-1, 8, 8))
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
+    """Baseline JFIF encoder: 8-bit gray or RGB, 4:4:4 (no subsampling),
+    Annex K Huffman tables. DCT + quantization vectorized over all blocks;
+    the entropy loop is per-block by nature."""
+    a = np.ascontiguousarray(img)
+    if a.dtype != np.uint8:
+        raise ValueError("encode_jpeg expects uint8 pixels")
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, nc = a.shape
+    if nc == 1:
+        planes = [a[:, :, 0].astype(np.float64) - 128.0]
+    elif nc == 3:
+        r, g, b = (a[:, :, i].astype(np.float64) for i in range(3))
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b - 128.0,
+            -0.168736 * r - 0.331264 * g + 0.5 * b,
+            0.5 * r - 0.418688 * g - 0.081312 * b,
+        ]
+    else:
+        raise ValueError("encode_jpeg expects gray or RGB")
+
+    qts = [_quality_qt(_QT_LUMA, quality)]
+    if nc == 3:
+        qts.append(_quality_qt(_QT_CHROMA, quality))
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    dc_tabs = [_huff_encode_table(_DC_LUMA_BITS, _DC_LUMA_VALS),
+               _huff_encode_table(_DC_CHROMA_BITS, _DC_CHROMA_VALS)]
+    ac_tabs = [_huff_encode_table(_AC_LUMA_BITS, _AC_LUMA_VALS),
+               _huff_encode_table(_AC_CHROMA_BITS, _AC_CHROMA_VALS)]
+
+    # quantized zigzag coefficients per component, all blocks vectorized
+    comp_z = []
+    for ci, p in enumerate(planes):
+        pad = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+        blocks = _blocks_of(pad)
+        coef = np.einsum("ij,njk,lk->nil", _DCT_T, blocks, _DCT_T)
+        q = np.round(coef / qts[min(ci, len(qts) - 1)]).astype(np.int64)
+        # baseline AC amplitudes are limited to category 10 (±1023);
+        # reachable only at quality≈100 on adversarial patterns
+        q = q.reshape(-1, 64)
+        q[:, 1:] = np.clip(q[:, 1:], -1023, 1023)
+        comp_z.append(q[:, _ZIGZAG])
+
+    bw = _BitWriter()
+    pred = [0] * nc
+    bx, by = pw // 8, ph // 8
+    for mcu in range(bx * by):
+        for ci in range(nc):
+            z = comp_z[ci][mcu]
+            ti = min(ci, 1)
+            diff = int(z[0]) - pred[ci]
+            pred[ci] = int(z[0])
+            cat = _category(diff)
+            code, ln = dc_tabs[ti][cat]
+            bw.put(code, ln)
+            if cat:
+                bw.put(diff if diff > 0 else diff + (1 << cat) - 1, cat)
+            run = 0
+            nz = np.flatnonzero(z[1:])
+            last = nz[-1] + 1 if len(nz) else 0
+            for k in range(1, last + 1):
+                v = int(z[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_tabs[ti][0xF0]
+                    bw.put(code, ln)
+                    run -= 16
+                cat = _category(v)
+                code, ln = ac_tabs[ti][(run << 4) | cat]
+                bw.put(code, ln)
+                bw.put(v if v > 0 else v + (1 << cat) - 1, cat)
+                run = 0
+            if last < 63:
+                code, ln = ac_tabs[ti][0x00]
+                bw.put(code, ln)
+    bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(JPEG_MAGIC)
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for i, qt in enumerate(qts):
+        out += seg(0xFFDB, bytes([i]) + bytes(
+            qt.reshape(-1)[_ZIGZAG].astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for ci in range(nc):
+        sof += bytes([ci + 1, 0x11, min(ci, 1)])
+    out += seg(0xFFC0, sof)
+    for cls, i, bits, vals in (
+            (0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS),
+            (1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS),
+            (0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS),
+            (1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS)):
+        if i == 1 and nc == 1:
+            continue
+        out += seg(0xFFC4, bytes([(cls << 4) | i] + bits + vals))
+    sos = bytes([nc])
+    for ci in range(nc):
+        ti = min(ci, 1)
+        sos += bytes([ci + 1, (ti << 4) | ti])
+    out += seg(0xFFDA, sos + b"\x00\x3f\x00")
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline sequential-DCT JFIF decoder (SOF0, Huffman, optional
+    restart markers, subsampling factors 1-2 incl. 4:2:0). Returns (h, w)
+    uint8 for grayscale, (h, w, 3) RGB otherwise. Progressive (SOF2),
+    arithmetic coding and 12-bit precision raise NotImplementedError —
+    those genuinely need a full codec."""
+    if payload[:2] != JPEG_MAGIC:
+        raise ValueError("not a JPEG payload (bad SOI)")
+    pos = 2
+    qts: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    comps = None
+    scan = None
+    h = w = 0
+    ri = 0  # restart interval in MCUs (DRI)
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        (ln,) = struct.unpack(">H", payload[pos + 2:pos + 4])
+        data = payload[pos + 4:pos + 2 + ln]
+        if marker == 0xDB:
+            p = 0
+            while p < len(data):
+                pq, tq = data[p] >> 4, data[p] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                t = np.zeros(64, np.int64)
+                t[_ZIGZAG] = np.frombuffer(
+                    data[p + 1:p + 65], np.uint8).astype(np.int64)
+                qts[tq] = t.reshape(8, 8)
+                p += 65
+        elif marker == 0xC4:
+            p = 0
+            while p < len(data):
+                tc, th = data[p] >> 4, data[p] & 0xF
+                bits = list(data[p + 1:p + 17])
+                n = sum(bits)
+                vals = list(data[p + 17:p + 17 + n])
+                huff[(tc, th)] = _huff_decode_table(bits, vals)
+                p += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:
+            prec, h, w, nc = struct.unpack(">BHHB", data[:6])
+            if prec != 8:
+                raise NotImplementedError("only 8-bit precision")
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = data[6 + 3 * ci:9 + 3 * ci]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF,
+                              "tq": tq})
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "only baseline sequential DCT (SOF0/SOF1) is supported")
+        elif marker == 0xDD:
+            (ri,) = struct.unpack(">H", data[:2])
+        elif marker == 0xDA:
+            ns = data[0]
+            for si in range(ns):
+                cid, tt = data[1 + 2 * si], data[2 + 2 * si]
+                for c in comps:
+                    if c["id"] == cid:
+                        c["td"], c["ta"] = tt >> 4, tt & 0xF
+            scan = pos + 2 + ln
+            break
+        pos += 2 + ln
+    if comps is None or scan is None:
+        raise ValueError("truncated JPEG (no SOF/SOS)")
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    for c in comps:
+        c["bw"] = mcux * c["h"]
+        c["bh"] = mcuy * c["v"]
+        c["coef"] = np.zeros((c["bh"] * c["bw"], 64), np.int64)
+
+    br = _BitReader(payload, scan)
+    pred = [0] * len(comps)
+    mcu_i = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if ri and mcu_i and mcu_i % ri == 0:
+                br.expect_restart()
+                pred = [0] * len(comps)
+            mcu_i += 1
+            for ci, c in enumerate(comps):
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        z = np.zeros(64, np.int64)
+                        sym = br.huff(huff[(0, c["td"])])
+                        if sym:
+                            r = br.bits(sym)
+                            diff = (r if r >= (1 << (sym - 1))
+                                    else r - (1 << sym) + 1)
+                        else:
+                            diff = 0
+                        pred[ci] += diff
+                        z[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            sym = br.huff(huff[(1, c["ta"])])
+                            if sym == 0x00:
+                                break
+                            run, cat = sym >> 4, sym & 0xF
+                            k += run
+                            if cat:
+                                r = br.bits(cat)
+                                v = (r if r >= (1 << (cat - 1))
+                                     else r - (1 << cat) + 1)
+                                if k > 63:
+                                    raise ValueError("AC index overflow")
+                                z[k] = v
+                                k += 1
+                            elif run != 15:
+                                raise ValueError("bad AC symbol")
+                            else:
+                                k += 1
+                        row = (my * c["v"] + by) * c["bw"]
+                        c["coef"][row + mx * c["h"] + bx] = z
+
+    planes = []
+    for c in comps:
+        blocks = np.zeros((len(c["coef"]), 8, 8), np.float64)
+        dez = np.zeros((len(c["coef"]), 64), np.int64)
+        dez[:, _ZIGZAG] = c["coef"]
+        blocks = dez.reshape(-1, 8, 8) * qts[c["tq"]].astype(np.float64)
+        pix = np.einsum("ji,njk,kl->nil", _DCT_T, blocks, _DCT_T) + 128.0
+        ph, pw = c["bh"] * 8, c["bw"] * 8
+        plane = (pix.reshape(c["bh"], c["bw"], 8, 8)
+                 .transpose(0, 2, 1, 3).reshape(ph, pw))
+        plane = np.repeat(np.repeat(plane, vmax // c["v"], axis=0),
+                          hmax // c["h"], axis=1)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    # planes carry the +128 level-shift undo, so chroma sits at 128-center
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    out = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)

@@ -1,5 +1,6 @@
-"""Real PNG/WAV decode path (r3 VERDICT item 7): stdlib codecs round-trip,
-feature extraction on decoded pixels/samples, real resize re-encode."""
+"""Real PNG/JPEG/WAV decode path (r3 VERDICT item 7 + r4 stretch JPEG):
+pure-numpy codecs round-trip, feature extraction on decoded pixels/samples,
+real resize re-encode."""
 
 import numpy as np
 import pyarrow as pa
@@ -7,8 +8,10 @@ import pytest
 
 from splunk_otel_collector_ray.stages.imagecodecs import (
     PNG_MAGIC,
+    decode_jpeg,
     decode_png,
     decode_wav,
+    encode_jpeg,
     encode_png,
     encode_wav,
 )
@@ -71,22 +74,60 @@ def test_wav_roundtrip_mono_stereo():
     assert (d2 == stereo).all()
 
 
-def test_decode_image_png_real_jpeg_stub():
+def test_decode_image_png_and_jpeg_real_other_stub():
     img = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
     assert (decode_image(encode_png(img)) == img).all()
+    # JPEG is lossy: decode through the SAME entry point, bounded error
+    yy, xx = np.mgrid[0:16, 0:24]
+    smooth = np.stack([(yy * 7) % 256, (xx * 5) % 256,
+                       ((yy + xx) * 3) % 256], axis=2).astype(np.uint8)
+    dec = decode_image(encode_jpeg(smooth, 90))
+    assert dec.shape == smooth.shape
+    assert np.abs(dec.astype(int) - smooth.astype(int)).max() <= 24
     with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff\xe0 fake jpeg")
+        decode_image(b"GIF89a not an image we can decode")
+
+
+def test_jpeg_roundtrip_quality_and_shapes():
+    """Baseline JPEG codec: gray + RGB, non-multiple-of-8 dims, error
+    shrinking as quality rises; progressive (SOF2) honestly refused."""
+    rng = np.random.default_rng(11)
+    yy, xx = np.mgrid[0:40, 0:56]
+    rgb = np.stack([(yy * 4) % 256, (xx * 3) % 256,
+                    ((yy + xx) * 2) % 256], axis=2).astype(np.uint8)
+    errs = []
+    for q in (60, 85, 95):
+        dec = decode_jpeg(encode_jpeg(rgb, q))
+        assert dec.shape == rgb.shape and dec.dtype == np.uint8
+        errs.append(np.abs(dec.astype(int) - rgb.astype(int)).mean())
+    assert errs[0] >= errs[1] >= errs[2] and errs[2] < 1.0
+
+    gray = ((yy * 2 + xx) % 256).astype(np.uint8)
+    decg = decode_jpeg(encode_jpeg(gray, 90))
+    assert decg.shape == gray.shape and decg.ndim == 2
+
+    odd = rng.integers(0, 256, (13, 21, 3), dtype=np.uint8)
+    assert decode_jpeg(encode_jpeg(odd, 85)).shape == (13, 21, 3)
+
+    # flip SOF0 to SOF2 (progressive) in a real stream → refused
+    buf = bytearray(encode_jpeg(gray, 85))
+    buf[buf.index(b"\xff\xc0")+1] = 0xC2
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(buf))
 
 
 def test_feature_extract_uses_decoded_pixels():
     """Real items: features equal chunk means of DECODED pixels/samples,
     not of the compressed payload bytes."""
-    items = make_real_items(8)
+    items = make_real_items(16)
+    mimes = items["mime"].to_pylist()
+    assert "image/jpeg" in mimes  # the fixture must exercise real JPEG
     out = FeatureExtractStage()(items).to_pandas()
     k = FeatureExtractStage.FEAT_DIM
-    for i, (mime, buf) in enumerate(zip(items["mime"].to_pylist(),
+    for i, (mime, buf) in enumerate(zip(mimes,
                                         items["payload"].to_pylist())):
         flat = (decode_png(buf) if mime == "image/png"
+                else decode_jpeg(buf) if mime == "image/jpeg"
                 else decode_wav(buf)[0]).astype(np.float64).ravel()
         ref = [c.mean() for c in np.array_split(flat, k)]
         assert np.allclose(out.features[i], np.array(ref, np.float32))
@@ -104,20 +145,26 @@ def test_feature_extract_stub_fallback_unchanged():
 
 
 def test_resize_real_png_reencodes_target_dims():
-    items = make_real_items(8)
+    items = make_real_items(16)
     out = ResizeStage(target_width=6, target_height=5)(items)
     assert set(out["width"].to_pylist()) == {6}
     assert set(out["height"].to_pylist()) == {5}
     for mime, orig, new in zip(items["mime"].to_pylist(),
                                items["payload"].to_pylist(),
                                out["payload"].to_pylist()):
-        if mime != "image/png":
-            continue
-        img, small = decode_png(orig), decode_png(bytes(new))
-        assert small.shape[:2] == (5, 6)
-        h, w = img.shape[:2]
-        yy, xx = np.arange(5) * h // 5, np.arange(6) * w // 6
-        assert (small == img[np.ix_(yy, xx)]).all()
+        if mime == "image/png":
+            img, small = decode_png(orig), decode_png(bytes(new))
+            assert small.shape[:2] == (5, 6)
+            h, w = img.shape[:2]
+            yy, xx = np.arange(5) * h // 5, np.arange(6) * w // 6
+            assert (small == img[np.ix_(yy, xx)]).all()
+        elif mime == "image/jpeg":  # lossy re-encode: dims + bounded error
+            img, small = decode_jpeg(orig), decode_jpeg(bytes(new))
+            assert small.shape[:2] == (5, 6)
+            h, w = img.shape[:2]
+            yy, xx = np.arange(5) * h // 5, np.arange(6) * w // 6
+            ref = img[np.ix_(yy, xx)].astype(int)
+            assert np.abs(small.astype(int) - ref).mean() < 64
 
 
 def test_real_items_schema_matches_fake():
