@@ -116,7 +116,7 @@ def bucket_fold(ds: "ray.data.Dataset", bucket_col: str, fold,
     """
     if coalesce:
         ds = coalesce_blocks(ds, coalesce)
-    return ds.sort(bucket_col).map_batches(
+    return _strip_md(ds).sort(bucket_col).map_batches(
         fold, batch_size=None, batch_format=batch_format)
 
 
@@ -134,8 +134,17 @@ def small_fold(partials: "ray.data.Dataset", fold,
     O(#blocks × #groups) tiny rows, so one task folding them all is both
     cheaper and schema-stable. NOT for high-cardinality finals — those use
     :func:`bucket_fold`."""
-    return partials.repartition(1).map_batches(
+    return _strip_md(partials).repartition(1).map_batches(
         fold, batch_format=batch_format, batch_size=None)
+
+
+def _strip_md(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Fused zero-copy metadata strip ahead of an all-to-all: pandas
+    blocks upstream convert to Arrow WITH the ``b'pandas'`` schema
+    metadata, which makes every shuffle schema unhashable (the pd_table
+    rationale, applied at the exchange boundary for all folds at once)."""
+    return ds.map_batches(lambda t: t.replace_schema_metadata(None),
+                          batch_format="pyarrow", batch_size=None)
 
 
 def coalesce_blocks(ds: "ray.data.Dataset",

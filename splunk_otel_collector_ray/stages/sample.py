@@ -27,6 +27,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from ..partitioning import pd_table
+
 KNUTH = 2654435761
 
 
@@ -357,7 +359,7 @@ def tail_sample_policies(
         for j, p in enumerate(lat_pols):
             out[f"_lmin{j}"] = df[p.ts_col].groupby(gk, sort=False).min()
             out[f"_lmax{j}"] = df[p.ts_col].groupby(gk, sort=False).max()
-        return pa.Table.from_pandas(out.reset_index(), preserve_index=False)
+        return pd_table(out.reset_index())
 
     aggs = [Max(f"_f{i}", alias_name=f"_f{i}")
             for i in range(len(flag_pols))]

@@ -24,6 +24,8 @@ import pyarrow as pa
 
 import ray.data
 
+from ..partitioning import pd_table
+
 # SQL-replayable 64-bit mix: two rounds of 32-bit-limb multiply-accumulate
 # (mod 2^64) + xorshift. Multipliers are < 2^61 so the oracle twin's HUGEINT
 # products (2^32 limb × 2^61 constant = 2^93) stay far inside int128 — the
@@ -143,7 +145,7 @@ def hll_distinct(
         df = pd.DataFrame({group_col: t[group_col].to_pandas(),
                            "bucket": bucket, "rho": _rho(w, width)})
         out_df = df.groupby([group_col, "bucket"], as_index=False)["rho"].max()
-        return pa.Table.from_pandas(out_df, preserve_index=False)
+        return pd_table(out_df)
 
     def combine(t: pa.Table) -> pa.Table:
         g = t.group_by([group_col, "bucket"]).aggregate([("rho", "max")])
@@ -266,8 +268,7 @@ def cm_heavy_hitters(
 
     def partial(t: pa.Table) -> pa.Table:
         vals = t[value_col].to_numpy(zero_copy_only=False)
-        return pa.Table.from_pandas(
-            cm_partial_counts(vals, depth, width), preserve_index=False)
+        return pd_table(cm_partial_counts(vals, depth, width))
 
     cm = (ds.map_batches(partial, batch_format="pyarrow")
           .groupby(["d", "bucket"])

@@ -18,6 +18,8 @@ import pandas as pd
 import pyarrow as pa
 
 import ray.data
+
+from ..partitioning import pd_table
 from ray.data.aggregate import Sum
 
 
@@ -46,7 +48,7 @@ def zscore_flags(
                            "_n": np.ones(len(x), dtype=np.int64),
                            "_s": x, "_q": x * x})
         g = df.groupby(group_col, as_index=False).sum()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pd_table(g)
 
     moments = (ds.map_batches(partial, batch_format="pyarrow")
                .groupby(group_col)
