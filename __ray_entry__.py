@@ -1196,9 +1196,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         def stage(t):
             p = parse_prometheus_text(t, id_col="blob_id")
             p = p.filter(pc.invert(pc.is_nan(p["value"])))
+            from splunk_otel_collector_ray.partitioning import pd_table
+
             df = p.to_pandas()  # FilterSet masks operate on pandas
-            kept = pa.Table.from_pandas(df[fs.keep_mask(df, "name")],
-                                        preserve_index=False)
+            kept = pd_table(df[fs.keep_mask(df, "name")])
             return extra_dimensions_merge(chain(kept),
                                           {"plugin": "prometheus"})
 
@@ -2476,10 +2477,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              float(img.mean()), int(img.min()),
                              int(img.max())))
             import pandas as pd
-            return pa.Table.from_pandas(pd.DataFrame(
+
+            from splunk_otel_collector_ray.partitioning import pd_table
+
+            return pd_table(pd.DataFrame(
                 rows, columns=["item_id", "dec_width", "dec_height",
-                               "px_mean", "px_min", "px_max"]),
-                preserve_index=False)
+                               "px_mean", "px_min", "px_max"]))
 
         return ds.map_batches(stats, batch_format="pyarrow", batch_size=16)
 

@@ -19,7 +19,7 @@ import pyarrow as pa
 
 import ray.data
 
-from ..partitioning import small_fold
+from ..partitioning import pd_table, small_fold
 
 
 def _sum_fold(keys: list[str], sums: list[str], sort: bool = False):
@@ -145,7 +145,7 @@ def grouped_topk(
         df = batch.to_pandas()
         out = df.sort_values(by, ascending=ascending,
                              kind="mergesort").groupby(keys, sort=False).head(k)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pd_table(out)
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
         return (g.sort_values(by, ascending=ascending, kind="mergesort")
@@ -201,7 +201,7 @@ def grid_quantiles(ds: "ray.data.Dataset", group_col: str, value_col: str,
         bk = np.floor(v * grid).astype(np.int64)
         out = pd.DataFrame({group_col: g, "bk": bk}) \
             .groupby([group_col, "bk"], as_index=False).size()
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pd_table(out)
 
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
     hist = parts.groupby([group_col, "bk"], as_index=False)["size"].sum()

@@ -542,14 +542,20 @@ def duplicate_clusters(
     applied to the doc stream per batch. No doc text moves, and the wide
     work (LSH bucketing, hash joins, verify) stays in the pair DAG.
     ``distributed=True`` swaps the labeling for the BSP min-label
-    propagation (:func:`cluster_from_pairs_distributed`) — use it when a
-    loose threshold makes the pair list itself too large for one task.
+    propagation (:func:`cluster_from_pairs_distributed`) over the pair
+    DATASET — the pair list never reaches the driver; use it when a
+    loose threshold makes the list too large for one task.
     """
     distributed = kw.pop("distributed", False)
+    if distributed:
+        # the BSP path consumes the pair DATASET directly — the pair list
+        # never touches the driver at any size
+        pairs_ds = neardup_pairs_ds(ds, jaccard_threshold, id_col,
+                                    text_col, **kw)
+        return cluster_from_pairs_distributed(ds, pairs_ds, id_col,
+                                              "doc_a", "doc_b")
     pairs = neardup_pairs(ds, jaccard_threshold, id_col, text_col, **kw)
-    labeler = (cluster_from_pairs_distributed if distributed
-               else cluster_from_pairs)
-    return labeler(ds, pairs, id_col, "doc_a", "doc_b")
+    return cluster_from_pairs(ds, pairs, id_col, "doc_a", "doc_b")
 
 
 def cluster_from_pairs(
