@@ -495,16 +495,29 @@ def neardup_pairs_ds(
     )
 
     def verify(batch: pa.Table) -> pa.Table:
+        # ONE vectorized pass for the whole batch of candidate pairs:
+        # concat every pair's two (already sorted-unique) hash sets tagged
+        # with the pair index, lexsort, count adjacent equal values within
+        # a pair (each set is unique, so every duplicate is one element of
+        # the intersection) — no per-pair Python loop / re-sort
         ha = batch["hashes_a"].to_pandas()
         hb = batch["hashes"].to_pandas()
-        keep = np.empty(batch.num_rows, dtype=bool)
-        for i in range(batch.num_rows):  # per CANDIDATE pair, not per doc
-            a = np.frombuffer(ha[i], dtype="<u8")
-            b = np.frombuffer(hb[i], dtype="<u8")
-            inter = np.intersect1d(a, b, assume_unique=True).size
-            union = a.size + b.size - inter
-            keep[i] = (inter / union if union else 1.0) >= jaccard_threshold
-        return batch.select(["doc_a", "doc_b"]).filter(pa.array(keep))
+        n = batch.num_rows
+        la = np.fromiter((len(x) for x in ha), np.int64, n) // 8
+        lb = np.fromiter((len(x) for x in hb), np.int64, n) // 8
+        if n == 0:
+            return batch.select(["doc_a", "doc_b"])
+        flat = np.frombuffer(b"".join(list(ha) + list(hb)), dtype="<u8")
+        pair = np.repeat(np.arange(2 * n) % n, np.concatenate([la, lb]))
+        order = np.lexsort((flat, pair))
+        p_s, f_s = pair[order], flat[order]
+        dup = (p_s[1:] == p_s[:-1]) & (f_s[1:] == f_s[:-1])
+        inter = np.bincount(p_s[1:][dup], minlength=n).astype(np.float64)
+        union = (la + lb).astype(np.float64) - inter
+        with np.errstate(divide="ignore", invalid="ignore"):
+            jac = np.where(union > 0, inter / union, 1.0)
+        return batch.select(["doc_a", "doc_b"]).filter(
+            pa.array(jac >= jaccard_threshold))
 
     return joined.map_batches(verify, batch_format="pyarrow")
 
