@@ -114,7 +114,13 @@ def build_logs_dataset(
     the right shape when per-worker init is genuinely expensive (models,
     large dim caches; SURVEY.md §7.3).
     """
-    ds = read_transcripts(src) if isinstance(src, str) else src
+    # A string source gets the flagship's scale-adaptive read-block count:
+    # the fused read→parse→enrich→route chain inherits task granularity
+    # from the read blocks, and default per-row-group blocks underfill the
+    # cluster at sf0.1 (measured 2.4 s vs 1.0 s for route_aggregate at 32
+    # cpus) and swarm it at sf1.6+ — same rationale as run_flagship.
+    ds = (read_transcripts(src, parallelism=flagship_num_blocks(src))
+          if isinstance(src, str) else src)
     dims_ref = ray.put(build_dim_table())  # broadcast ONCE, read per worker
     if use_actors:
         if concurrency is None:
