@@ -69,6 +69,16 @@ def main() -> None:
     ta.model_score(docs)
     doc_s = time.perf_counter() - t0
 
+    # explode-family kernels (repetition signals + n-gram hashing) — the
+    # token-EXTRACTION hot path (Arrow C++ explode since r5; was pandas
+    # str.findall / Python re per row)
+    ta.repetition_stats(docs.slice(0, 1000))  # warm
+    ta._token_ngram_hashes(docs.slice(0, 1000)["text"])
+    t0 = time.perf_counter()
+    ta.repetition_stats(docs)
+    ta._token_ngram_hashes(docs["text"])
+    explode_s = time.perf_counter() - t0
+
     print(json.dumps({
         "metric": "single-threaded kernel seconds (no Ray)",
         "sf": corpus.sf_name(sf_dir), "rows": n_rows,
@@ -77,6 +87,7 @@ def main() -> None:
         "stitch_kernel_sec": round(stitch_s, 3),
         "stitch_rows": n_stitch,
         "doc_stats_kernel_sec": round(doc_s, 3),
+        "doc_explode_kernel_sec": round(explode_s, 3),
         "doc_rows": docs.num_rows,
     }))
 

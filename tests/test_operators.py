@@ -139,6 +139,41 @@ def test_repetition_stats():
     assert out.top_bigram_frac.tolist() == [3 / 5, 2 / 3, 0.0, 0.0]
 
 
+def test_ws_token_explode_matches_findall():
+    # the Arrow split tokenizer must be bit-identical to the historical
+    # findall(r"[^ \t\n]+") semantics — adversarial whitespace/null cases
+    import re
+
+    import numpy as np
+
+    from splunk_otel_collector_ray.stages.text_analysis import (
+        _token_ngram_hashes, _ws_token_explode)
+
+    texts = ["a b  c", " lead", "trail ", "\t\ttabs\tx", "a\nb\n\nc",
+             "", " ", "\n", None, "one", "a b" * 50, "Ünïcode  wörds"]
+    col = pa.array(texts, type=pa.string())
+    toks, doc = _ws_token_explode(col)
+    rx = re.compile(r"[^ \t\n]+")
+    want_toks, want_doc = [], []
+    for i, s in enumerate(texts):
+        for w in rx.findall(s or ""):
+            want_toks.append(w)
+            want_doc.append(i)
+    assert toks.to_pylist() == want_toks
+    assert doc.tolist() == want_doc
+    # ngram hashes keyed off the dictionary gather must equal hashing the
+    # flat token sequence directly (cross-batch/run comparability)
+    import pandas as pd
+
+    h, _ = _token_ngram_hashes(col, n=2)
+    th = pd.util.hash_array(np.array(want_toks, dtype=object)).astype(np.uint64)
+    P = np.uint64(1099511628211)
+    wd = np.array(want_doc)
+    ref = [th[i] * P + th[i + 1] for i in range(len(th) - 1)
+           if wd[i] == wd[i + 1]]
+    assert h.tolist() == ref
+
+
 def test_clean_stage_each_filter_fires():
     from splunk_otel_collector_ray.stages.text_analysis import CleanStage
 
