@@ -79,6 +79,7 @@ def main() -> None:
             out = f"/tmp/soak_out_{sf}"
             shutil.rmtree(out, ignore_errors=True)
             os.sync()
+            os.environ["GRAFT_FLAGSHIP_STATS"] = f"/tmp/soak_stats_{sf}.txt"
             t0 = time.time()
             r = run_flagship(sf, out)
             wall = time.time() - t0
@@ -91,6 +92,7 @@ def main() -> None:
             "wall_sec": round(best, 2),
             "turns_per_sec": round(n_turns / best, 1),
             "spill_log_lines": spill_lines(),
+            "stats_file": f"/tmp/soak_stats_{sf}.txt",
             "sink_counts": counts,
         }
         print(f"# {sf}: {best:.2f}s  {n_turns / best / 1e6:.3f}M turns/s  "

@@ -201,6 +201,10 @@ def run_flagship(sf_dir: str, out_dir: str) -> dict[str, Any]:
                                    batch_size=1 << 16, num_cpus=0)
         agg_pdf = pre.to_pandas()
         agg_pdf = agg_pdf.groupby(keys, as_index=False)["n"].sum()
+        stats_path = os.environ.get("GRAFT_FLAGSHIP_STATS")
+        if stats_path:  # archive the executed chain's ds.stats() (soak
+            with open(stats_path, "w") as f:  # evidence, SCALE.md audits)
+                f.write(pre.stats())
     finally:
         ctx.op_resource_reservation_enabled = prev_reserve
     t_route = time.time() - t0
