@@ -295,15 +295,20 @@ class FrameSampleStage:
     def __init__(self, frame_bytes: int = 256, stride: int = 4) -> None:
         self.frame_bytes, self.stride = int(frame_bytes), int(stride)
 
-    def _sample_avi(self, batch: pa.Table) -> pa.Table:
+    def _sample_avi(self, batch: pa.Table) -> "tuple[pa.Table, list[int]]":
+        """Demux AVI rows; rows that fail (truncated container, non-MJPEG
+        stream) are returned as fallback indices for the slicing path."""
         from .videocodecs import decode_avi_mjpeg
 
         payloads = batch["payload"]
         ids = batch["item_id"].to_numpy(zero_copy_only=False)
-        out_ids, out_idx, out_frames = [], [], []
+        out_ids, out_idx, out_frames, failed = [], [], [], []
         for row in range(batch.num_rows):  # per-payload loop: container
-            frames, _, _, _ = decode_avi_mjpeg(  # edge, like wire decoders
-                payloads[row].as_py())
+            try:                           # edge, like the wire decoders
+                frames, _, _, _ = decode_avi_mjpeg(payloads[row].as_py())
+            except ValueError:
+                failed.append(row)
+                continue
             for k in range(0, len(frames), self.stride):
                 out_ids.append(ids[row])
                 out_idx.append(k)
@@ -312,20 +317,31 @@ class FrameSampleStage:
             "item_id": pa.array(out_ids, type=pa.int64()),
             "frame_idx": pa.array(np.asarray(out_idx, dtype=np.int32)),
             "frame": pa.array(out_frames, type=pa.large_binary()),
-        })
+        }), failed
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from .videocodecs import AVI_MAGIC
+        # dispatch on the full 12-byte signature (RIFF....AVI ), not the
+        # RIFF magic alone — WAV clips are RIFF too and must take the
+        # slicing fallback, not crash the demuxer
+        looks_avi = pc.and_(
+            pc.fill_null(pc.equal(
+                pc.binary_slice(batch["payload"], 0, 4), b"RIFF"), False),
+            pc.fill_null(pc.equal(
+                pc.binary_slice(batch["payload"], 8, 12), b"AVI "), False),
+        ) if batch.num_rows else pa.array([], type=pa.bool_())
+        if batch.num_rows and pc.any(looks_avi).as_py():
+            avi_rows = batch.filter(looks_avi)
+            avi_part, failed = self._sample_avi(avi_rows)
+            parts = [avi_part]
+            if failed:
+                parts.append(self._sample_fixed(avi_rows.take(failed)))
+            rest = batch.filter(pc.invert(looks_avi))
+            if rest.num_rows:
+                parts.append(self._sample_fixed(rest))
+            return pa.concat_tables(parts)
+        return self._sample_fixed(batch)
 
-        is_avi = pc.fill_null(
-            pc.equal(pc.binary_slice(batch["payload"], 0, 4), AVI_MAGIC),
-            False) if batch.num_rows else pa.array([])
-        if batch.num_rows and pc.any(is_avi).as_py():
-            avi_part = self._sample_avi(batch.filter(is_avi))
-            rest = batch.filter(pc.invert(is_avi))
-            if rest.num_rows == 0:
-                return avi_part
-            return pa.concat_tables([avi_part, self(rest)])
+    def _sample_fixed(self, batch: pa.Table) -> pa.Table:
         fb, st = self.frame_bytes, self.stride
         off, data = _payload_parts(batch)
         starts = off[:-1]

@@ -855,11 +855,14 @@ def train_langid_profiles(
                           "n": pa.array([], pa.int64())})
         if not len(big):
             return empty
-        codes, uniq = pd.factorize(
-            pd.Series(labels[doc], dtype=object).fillna(""))
+        # factorize the PER-DOC labels (#kept docs), then gather integer
+        # codes onto the bigram axis — never an object array per bigram
+        doc_codes, uniq = pd.factorize(
+            pd.Series(labels, dtype=object).fillna(""))
+        codes = doc_codes.astype(np.int64)[doc]
         # injective combined key: bigram_id < 0x110000² ≈ 1.2e12, so a
         # lang-code multiplier of 2^41 keeps the key inside int64
-        key = codes.astype(np.int64) * (1 << 41) + big
+        key = codes * (1 << 41) + big
         u, c = np.unique(key, return_counts=True)
         return pa.table({
             "lang": pa.array(uniq[(u >> 41)].astype(object),

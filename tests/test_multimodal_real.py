@@ -186,7 +186,9 @@ def test_avi_mjpeg_roundtrip_bit_exact():
     rng = np.random.default_rng(3)
     frames = [encode_jpeg(rng.integers(0, 256, (16, 24, 3), dtype=np.uint8))
               for _ in range(5)]
-    assert any(len(f) % 2 for f in frames) or True  # alignment still covered
+    if not any(len(f) % 2 for f in frames):  # force the RIFF word-alignment
+        frames[2] += b"\x00"                 # (pad) path to be exercised
+    assert any(len(f) % 2 for f in frames)
     avi = encode_avi_mjpeg(frames, 24, 16, fps=30)
     got, w, h, fps = decode_avi_mjpeg(avi)
     assert (w, h, fps) == (24, 16, 30)
@@ -231,3 +233,28 @@ def test_frame_sample_demuxes_real_avi():
     assert 99 in mids and 0 in mids
     sliced = m.filter(pa.array(mids == 99))
     assert all(len(p) == 64 for p in sliced["frame"].to_pylist())
+
+
+def test_frame_sample_riff_but_not_avi_falls_back():
+    """RIFF payloads that are NOT MJPEG AVIs (WAV clips, truncated AVIs)
+    must take the fixed-size slicing path, never crash the demuxer."""
+    from splunk_otel_collector_ray.stages.imagecodecs import encode_wav
+    from splunk_otel_collector_ray.stages.multimodal import (
+        FrameSampleStage, make_video_items)
+
+    t = make_video_items(2, seed=1)
+    wav = encode_wav(np.arange(-500, 500, dtype=np.int16), 16000)
+    truncated_avi = t["payload"][0].as_py()[:40]
+    mixed = pa.table({
+        "item_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "mime": pa.array(["video/x-msvideo", "audio/wav",
+                          "video/x-msvideo", "application/octet-stream"]),
+        "payload": pa.array(
+            [t["payload"][0].as_py(), wav, truncated_avi, b"\x02" * 300],
+            type=pa.large_binary()),
+        "width": pa.array([0] * 4, pa.int32()),
+        "height": pa.array([0] * 4, pa.int32()),
+    })
+    out = FrameSampleStage(frame_bytes=16, stride=2)(mixed)
+    ids = set(out["item_id"].to_numpy(zero_copy_only=False))
+    assert ids == {0, 1, 2, 3}  # 0 demuxed; 1-3 sliced, none crashed
