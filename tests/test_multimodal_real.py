@@ -258,3 +258,31 @@ def test_frame_sample_riff_but_not_avi_falls_back():
     out = FrameSampleStage(frame_bytes=16, stride=2)(mixed)
     ids = set(out["item_id"].to_numpy(zero_copy_only=False))
     assert ids == {0, 1, 2, 3}  # 0 demuxed; 1-3 sliced, none crashed
+
+
+def test_avi_demux_fuzz_never_crashes_unexpectedly():
+    """Adversarial inputs: the demuxer must either return frames or raise
+    ValueError — never IndexError/struct.error/hang (the fallback contract
+    FrameSampleStage relies on)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from splunk_otel_collector_ray.stages.videocodecs import (
+        decode_avi_mjpeg, encode_avi_mjpeg)
+
+    base = encode_avi_mjpeg([b"\xff\xd8fakejpeg\xff\xd9"] * 3, 8, 8)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(max_size=64),
+           st.integers(0, len(base) - 1), st.integers(0, 255))
+    def run(junk, pos, byte):
+        corrupted = base[:pos] + bytes([byte]) + base[pos + 1:]
+        for payload in (junk, b"RIFF" + junk, corrupted,
+                        base[:pos]):
+            try:
+                frames, w, h, fps = decode_avi_mjpeg(payload)
+                assert isinstance(frames, list) and frames
+            except ValueError:
+                pass  # the contracted failure mode
+
+    run()
