@@ -1710,6 +1710,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["topic", "partition", "offset", "ts", "key", "body",
              "turn_idx", "role", "tool"])
 
+    def q_pubsub_parse(sf):
+        # pubsub receiver analogue: the corpus staged as a subscription-
+        # pull dump (REST ReceivedMessage JSONL, data base64, string
+        # attributes), decoded vectorized — base64 data→body, attributes
+        # splat as strings, messageId/orderingKey/publishTime coordinates.
+        # Oracle: the same projection off the transcript parquet.
+        from splunk_otel_collector_ray.sources.pubsub import read_pubsub_dump
+
+        path = corpus.ensure_pubsub_dump(sf)
+        return read_pubsub_dump(path).select_columns(
+            ["message_id", "ordering_key", "publish_ts", "body",
+             "turn_idx", "role", "tool"])
+
+    def q_pubsub_roundtrip(sf):
+        # publisher symmetry: read the dump, WRITE it back through the
+        # pubsub publisher analogue (ordering-key-sharded JSONL, b64
+        # re-encode), read the published subscription — same oracle as
+        # pubsub_parse, proving subscriber∘publisher = identity
+        import shutil
+
+        from splunk_otel_collector_ray.sources.pubsub import (
+            read_pubsub_dump, write_pubsub_dump)
+
+        src = corpus.ensure_pubsub_dump(sf)
+        out = os.path.join(
+            "/tmp", f"graft_pubsub_{os.path.basename(os.path.normpath(sf))}")
+        shutil.rmtree(out, ignore_errors=True)
+        write_pubsub_dump(read_pubsub_dump(src), out)
+        return read_pubsub_dump(out).select_columns(
+            ["message_id", "ordering_key", "publish_ts", "body",
+             "turn_idx", "role", "tool"])
+
     def q_docs_clean(sf):
         # composite cleaning gate: token bounds + quality ratios +
         # repetition caps + language allowlist in one fused actor-pool
@@ -2636,6 +2668,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hec_ingest": q_hec_ingest,
         "kafka_parse": q_kafka_parse,
         "kafka_roundtrip": q_kafka_roundtrip,
+        "pubsub_parse": q_pubsub_parse,
+        "pubsub_roundtrip": q_pubsub_roundtrip,
         "events_quantiles": q_events_quantiles,
         "emb_centroids": q_emb_centroids,
         "events_range_join": q_events_range_join,
@@ -3064,6 +3098,14 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY conv_id, turn_idx) - 1 AS \"offset\", "
             "date_trunc('milliseconds', ts) AS ts, conv_id AS key, "
             "text AS body, turn_idx, role, tool FROM raw"),
+        "pubsub_parse": C + (
+            # subscription-dump staging: messageId = conv_id || '/' ||
+            # turn_idx, orderingKey = conv_id, publishTime carries the
+            # full µs ts; attributes are STRINGS (Pub/Sub's data model)
+            "SELECT conv_id || '/' || CAST(turn_idx AS VARCHAR) "
+            "AS message_id, conv_id AS ordering_key, ts AS publish_ts, "
+            "text AS body, CAST(turn_idx AS VARCHAR) AS turn_idx, "
+            "role, tool FROM raw"),
         "events_quantiles": (
             "WITH b AS (SELECT event_type, CAST(floor(value * 100) AS "
             "BIGINT) AS bk, count(*) AS c FROM events GROUP BY 1, 2), "
@@ -4234,4 +4276,5 @@ def oracle_sql() -> dict[str, str]:
     sql["otlp_pb_roundtrip"] = sql["otlp_roundtrip"]
     # producer∘receiver identity: the re-produced topic equals the source
     sql["kafka_roundtrip"] = sql["kafka_parse"]
+    sql["pubsub_roundtrip"] = sql["pubsub_parse"]
     return sql

@@ -774,3 +774,55 @@ def ensure_kafka_dump(sf_dir_or_name: str, force: bool = False) -> str:
         import shutil
         shutil.rmtree(tmpdir, ignore_errors=True)
     return path
+
+
+def ensure_pubsub_dump(sf_dir_or_name: str, force: bool = False) -> str:
+    """Stage the transcripts as a Pub/Sub subscription-pull dump — one
+    REST ``ReceivedMessage`` JSON object per line (``data`` base64,
+    ``attributes`` string→string, ``messageId``/``orderingKey``/
+    ``publishTime`` coordinates). messageId = ``conv_id || '/' ||
+    turn_idx`` (SQL-replayable), orderingKey = conv_id, publishTime =
+    RFC3339 microseconds of ts. Sharded into one file per
+    ``numeric(conv_id) % 4`` (file-layout parallelism only — Pub/Sub has
+    no partitions; an ordering key's messages stay in one shard, the
+    ordered-delivery guarantee)."""
+    from .sources.pubsub import PUBSUB_SHARDS, encode_pubsub_record
+
+    tdir = ensure_transcripts(sf_dir_or_name)
+    path = os.path.join(FIXTURE_ROOT, sf_name(sf_dir_or_name), "pubsub")
+    if os.path.isdir(path) and _version_ok(path) and not force:
+        return path
+    if os.path.isdir(path):
+        import shutil
+        shutil.rmtree(path, ignore_errors=True)
+    import json
+
+    df = pq.read_table(
+        tdir, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    ).to_pandas()
+    conv_num = df["conv_id"].str.slice(5).astype("int64")
+    shard = (conv_num % PUBSUB_SHARDS).to_numpy()
+    ts_us = df["ts"].astype("int64").to_numpy()
+    tmpdir = tempfile.mkdtemp(dir=os.path.dirname(path),
+                              prefix=".pubsub.tmp")
+    files = {s: open(os.path.join(tmpdir, f"subscription-{s}.jsonl"), "w",
+                     encoding="utf-8") for s in range(PUBSUB_SHARDS)}
+    try:
+        for s, us, conv, turn, role, text, tool in zip(
+                shard, ts_us, df["conv_id"], df["turn_idx"], df["role"],
+                df["text"], df["tool"]):
+            files[int(s)].write(json.dumps(encode_pubsub_record(
+                f"{conv}/{int(turn)}", conv, int(us), text,
+                {"turn_idx": str(int(turn)), "role": role, "tool": tool}),
+                ensure_ascii=False) + "\n")
+    finally:
+        for f in files.values():
+            f.close()
+    with open(os.path.join(tmpdir, ".version"), "w") as f:
+        f.write(CORPUS_VERSION)
+    try:
+        os.replace(tmpdir, path)
+    except OSError:
+        import shutil
+        shutil.rmtree(tmpdir, ignore_errors=True)
+    return path
