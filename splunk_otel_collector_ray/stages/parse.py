@@ -249,14 +249,158 @@ _FAST_LAYOUTS = {
 }
 
 
-def _fast_strptime(raw: np.ndarray, layout: str) -> pd.Series:
-    """Fast vectorized parse for the %b-month layouts; returns naive-UTC."""
-    s = pd.Series(raw, dtype=object).fillna("").astype(str)
+_MONTH_NAMES_ARR = pa.array(list(_MONTH_NUM))
+_MONTH_NUMS_ARR = pa.array(list(_MONTH_NUM.values()))
+
+
+def _fast_strptime(raw, layout: str) -> pd.Series:
+    """Fast vectorized parse for the %b-month layouts; returns naive-UTC.
+
+    Arrow-kernel path (utf8 slices + dictionary month map + null-joining
+    concat + ``pc.strptime(error_is_null=True)`` — no per-row Python, r5)
+    with the original pandas construction as a whole-batch fallback when
+    a slice is so mis-shaped the numeric casts fail; per-row mis-reads
+    (non-padded days etc.) still drop to real strptime row-wise."""
+    if isinstance(raw, np.ndarray):
+        arr = pa.array(pd.Series(raw, dtype=object).fillna("").astype(str),
+                       type=pa.string())
+    else:
+        arr = raw if not isinstance(raw, pa.ChunkedArray) \
+            else raw.combine_chunks()
+    try:
+        return _fast_strptime_arrow(arr, layout)
+    except (pa.lib.ArrowInvalid, pa.lib.ArrowNotImplementedError):
+        return _fast_strptime_pandas(
+            pd.Series(_np(arr), dtype=object), layout)
+
+
+def _fast_strptime_arrow(arr: pa.Array, layout: str) -> pd.Series:
+    s = pc.fill_null(arr, "")
+
+    def sl(a: int, b: int | None) -> pa.Array:
+        return pc.utf8_slice_codeunits(s, a, b if b is not None else 2**30)
+
+    def mon(a: int, b: int) -> pa.Array:
+        return pc.take(_MONTH_NUMS_ARR,
+                       pc.index_in(sl(a, b), value_set=_MONTH_NAMES_ARR))
+
+    def iso_of(y, m, d, hms) -> pa.Array:  # null month → null iso → null ts
+        ymd = pc.binary_join_element_wise(y, m, d, "-")
+        return pc.binary_join_element_wise(ymd, hms, " ")
+
+    def parse(iso: pa.Array) -> pd.Series:
+        return pc.strptime(iso, format="%Y-%m-%d %H:%M:%S", unit="us",
+                           error_is_null=True).to_pandas() \
+            .astype("datetime64[ns]")  # match the historical pandas dtype
+
+    def num(piece: pa.Array) -> np.ndarray:  # "" → 0; garbage raises →
+        z = pc.if_else(pc.equal(piece, ""), "0", piece)  # pandas fallback
+        return pc.cast(z, pa.int64()).to_numpy(zero_copy_only=False)
+
+    if layout == "%d/%b/%Y:%H:%M:%S %z":
+        out = parse(iso_of(sl(7, 11), mon(3, 6), sl(0, 2), sl(12, 20)))
+        sign = np.where(_np(pc.equal(sl(21, 22), "-")), -1, 1)
+        mins = num(sl(22, 24)) * 60 + num(sl(24, 26))
+        out = out - pd.to_timedelta(sign * mins, unit="m")
+    elif layout == "%a %b %d %H:%M:%S %Y":
+        out = parse(iso_of(sl(20, 24), mon(4, 7), sl(8, 10), sl(11, 19)))
+    elif layout == "%d %b %Y %H:%M:%S.%f":
+        out = parse(iso_of(sl(7, 11), mon(3, 6), sl(0, 2), sl(12, 20)))
+        frac = pc.utf8_rpad(sl(21, 27), 6, "0")  # ".%f" → exact µs
+        out = out + pd.to_timedelta(num(frac), unit="us")
+    elif layout == "%d-%b-%Y %H:%M:%S":
+        out = parse(iso_of(sl(7, 11), mon(3, 6), sl(0, 2), sl(12, 20)))
+    else:  # pragma: no cover - guarded by _FAST_LAYOUTS
+        raise ValueError(layout)
+
+    svals = pd.Series(_np(s), dtype=object)
+    bad = out.isna() & (svals != "")
+    if bad.any():  # slicing mis-read (non-padded day etc.) → real strptime
+        slow = pd.to_datetime(svals[bad], format=layout, errors="coerce",
+                              utc="%z" in layout)
+        if getattr(slow.dt, "tz", None) is not None:
+            slow = slow.dt.tz_convert("UTC").dt.tz_localize(None)
+        out = out.copy()
+        out[bad] = slow
+    return out
+
+
+def _rendered_len(fmt: str) -> int:
+    """Character width of a fixed-width numeric strftime layout."""
+    return len(fmt.replace("%Y", "####").replace("%y", "##")
+               .replace("%m", "##").replace("%d", "##").replace("%H", "##")
+               .replace("%M", "##").replace("%S", "##"))
+
+
+def _numeric_strptime(tarr, fmt: str) -> pd.Series:
+    """Arrow-kernel strptime for fixed-width NUMERIC layouts, with a
+    trailing ``.%f`` fraction (and optional literal ``Z``) handled by a
+    prefix/fraction split — bit-equal to ``pd.to_datetime(format=fmt,
+    errors="coerce")`` including its reject-on-trailing-garbage rule
+    (pinned by test). Falls back to pandas when a fraction slice is so
+    mis-shaped the int cast fails."""
+    arr = tarr if not isinstance(tarr, pa.ChunkedArray) \
+        else tarr.combine_chunks()
+    try:
+        return _numeric_strptime_arrow(arr, fmt)
+    except (pa.lib.ArrowInvalid, pa.lib.ArrowNotImplementedError):
+        return pd.to_datetime(pd.Series(_np(arr), dtype=object), format=fmt,
+                              errors="coerce")
+
+
+def _numeric_strptime_arrow(arr: pa.Array, fmt: str) -> pd.Series:
+    full = pc.fill_null(arr, "")
+    base, z_req = fmt, False
+    if base.endswith("Z"):
+        base, z_req = base[:-1], True
+    frac_sub = None
+    sub_unit = "us"
+    bad = None
+    s = full
+    if base.endswith(".%f"):
+        base = base[:-3]
+        ln = _rendered_len(base)
+        lens = _np(pc.utf8_length(full))
+        # pandas %f demands '.' then 1-6 digits then END (then the literal
+        # Z when the layout carries one) — replicate the reject rule
+        dot = _np(pc.equal(pc.utf8_slice_codeunits(full, ln, ln + 1), "."))
+        if z_req:
+            # pandas' ISO fast-path accepts 1-9 fraction digits (ns) when
+            # the layout ends in a literal — replicate, in nanoseconds
+            bad = ~(dot & _np(pc.ends_with(full, "Z"))
+                    & (lens >= ln + 3) & (lens <= ln + 11))
+            frac = pc.replace_substring(
+                pc.utf8_slice_codeunits(full, ln + 1, ln + 10), "Z", "")
+            width = 9
+        else:
+            bad = ~(dot & (lens >= ln + 2) & (lens <= ln + 7))
+            frac = pc.utf8_slice_codeunits(full, ln + 1, ln + 7)
+            width = 6
+        sub_unit = "ns" if width == 9 else "us"
+        frac_sub = pc.cast(pc.utf8_rpad(frac, width, "0"),
+                           pa.int64()).to_numpy(zero_copy_only=False)
+        s = pc.utf8_slice_codeunits(full, 0, ln)
+    elif z_req:
+        bad = ~_np(pc.ends_with(full, "Z"))
+        s = pc.utf8_slice_codeunits(full, 0, _rendered_len(base))
+    out = pc.strptime(s, format=base, unit="us",
+                      error_is_null=True).to_pandas() \
+        .astype("datetime64[ns]")
+    if frac_sub is not None:
+        out = out + pd.to_timedelta(frac_sub, unit=sub_unit)
+    if bad is not None and bad.any():
+        out = out.copy()
+        out[bad] = pd.NaT
+    return out
+
+
+def _fast_strptime_pandas(s: pd.Series, layout: str) -> pd.Series:
+    s = s.fillna("").astype(str)
+    s.index = pd.RangeIndex(len(s))
 
     def mon(a: int, b: int) -> pd.Series:
         return s.str.slice(a, b).map(_MONTH_NUM)
 
-    off = None
     if layout == "%d/%b/%Y:%H:%M:%S %z":
         iso = (s.str.slice(7, 11) + "-" + mon(3, 6) + "-" + s.str.slice(0, 2)
                + " " + s.str.slice(12, 20))
@@ -264,8 +408,7 @@ def _fast_strptime(raw: np.ndarray, layout: str) -> pd.Series:
         sign = np.where(s.str.slice(21, 22) == "-", -1, 1)
         mins = (pd.to_numeric(s.str.slice(22, 24), errors="coerce") * 60
                 + pd.to_numeric(s.str.slice(24, 26), errors="coerce"))
-        off = pd.to_timedelta(sign * mins, unit="m")
-        out = out - off
+        out = out - pd.to_timedelta(sign * mins, unit="m")
     elif layout == "%a %b %d %H:%M:%S %Y":
         iso = (s.str.slice(20, 24) + "-" + mon(4, 7) + "-"
                + s.str.slice(8, 10) + " " + s.str.slice(11, 19))
@@ -283,7 +426,7 @@ def _fast_strptime(raw: np.ndarray, layout: str) -> pd.Series:
         raise ValueError(layout)
 
     bad = out.isna() & (s != "")
-    if bad.any():  # slicing mis-read (non-padded day etc.) → real strptime
+    if bad.any():
         slow = pd.to_datetime(s[bad], format=layout, errors="coerce",
                               utc="%z" in layout)
         if getattr(slow.dt, "tz", None) is not None:
@@ -394,11 +537,11 @@ class ParseStage:
 
             if family == "apache_access":
                 put_ts(idx, _fast_strptime(
-                    _np(f["time"]), "%d/%b/%Y:%H:%M:%S %z"))
+                    f["time"], "%d/%b/%Y:%H:%M:%S %z"))
                 attrs_of(family, f, idx)
             elif family == "apache_error":
                 put_ts(idx, _fast_strptime(
-                    _np(f["time"]), "%a %b %d %H:%M:%S %Y"))
+                    f["time"], "%a %b %d %H:%M:%S %Y"))
                 put_sev(idx, f["level"], APACHE_ERROR_LEVELS)
                 put_body(mask, sub, f["log"])
                 attrs_of(family, f, idx)
@@ -413,13 +556,13 @@ class ParseStage:
                 put_body(mask, sub, f["log"])
                 attrs_of(family, f, idx)
             elif family == "docker":
-                put_ts(idx, pd.to_datetime(
-                    _np(f["time"]), format="%Y-%m-%dT%H:%M:%S.%fZ", errors="coerce"))
+                put_ts(idx, _numeric_strptime(
+                    f["time"], "%Y-%m-%dT%H:%M:%S.%fZ"))
                 put_body(mask, sub, pc.replace_substring(f["log"], "\\n", "\n"))
                 attrs_of(family, f, idx)
             elif family == "redis_server":
                 put_ts(idx, _fast_strptime(
-                    _np(f["time"]), "%d %b %Y %H:%M:%S.%f"))
+                    f["time"], "%d %b %Y %H:%M:%S.%f"))
                 put_sev(idx, f["level"], REDIS_LEVELS)
                 put_body(mask, sub, f["log"])
                 attrs_of(family, f, idx)
@@ -439,8 +582,8 @@ class ParseStage:
                 put_body(mask, sub, f["log"])
                 attrs_of(family, f, idx)
             elif family == "etcd":
-                put_ts(idx, pd.to_datetime(
-                    _np(f["time"]), format="%Y-%m-%d %H:%M:%S", errors="coerce"))
+                put_ts(idx, _numeric_strptime(
+                    f["time"], "%Y-%m-%d %H:%M:%S"))
                 put_sev(idx, f["level"], ETCD_LEVELS)
                 put_body(mask, sub, f["log"])
             elif family == "json_level":
@@ -458,12 +601,13 @@ class ParseStage:
                 if strip:
                     tarr = pc.replace_substring(tarr, strip, "")
                 if ts_fmt in _FAST_LAYOUTS:
-                    parsed = _fast_strptime(_np(tarr), ts_fmt)
+                    parsed = _fast_strptime(tarr, ts_fmt)
+                elif not tz:  # fixed-width numeric layout → Arrow kernels
+                    parsed = _numeric_strptime(tarr, ts_fmt)
                 else:
                     parsed = pd.to_datetime(
                         _np(tarr), format=ts_fmt, errors="coerce", utc=tz)
-                    if tz:
-                        parsed = parsed.tz_localize(None)
+                    parsed = parsed.tz_localize(None)
                 put_ts(idx, parsed)
                 if sev_table is not None:
                     tok = pc.utf8_lower(f["level"]) if sev_lower else f["level"]

@@ -288,3 +288,75 @@ def test_json_array_parse_flat_subset():
     assert out["a"] == ["7", "8", "9", ""]
     assert out["b"] == ["purchase", "with, comma", 'esc \\" quote', ""]
     assert out["c"] == ["12", "0", "1", ""]
+
+
+def test_numeric_strptime_matches_pandas_coerce():
+    """The Arrow numeric-layout strptime must be bit-equal to
+    pd.to_datetime(format=..., errors='coerce') — including the
+    reject-on-trailing-garbage rule, variable 1-6 digit fractions,
+    pandas' 1-9-digit ns fast-path for the trailing-Z layout, and
+    empty/null/garbage rows."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from splunk_otel_collector_ray.stages.parse import _numeric_strptime
+
+    cases = {
+        "%Y-%m-%d %H:%M:%S": [
+            "2026-01-05 13:04:05", "2026-1-5 13:04:05", "", None,
+            "2026-01-05 13:04:05 extra", "garbage", "2026-13-40 99:99:99"],
+        "%Y/%m/%d %H:%M:%S": ["2026/01/05 13:04:05", "", None, "x"],
+        "%y%m%d %H:%M:%S": ["260105 13:04:05", "", None, "26010 13:04:05"],
+        "%Y-%m-%d %H:%M:%S.%f": [
+            "2026-01-05 13:04:05.123", "2026-01-05 13:04:05.123456",
+            "2026-01-05 13:04:05.1", "2026-01-05 13:04:05",
+            "2026-01-05 13:04:05.", "2026-01-05 13:04:05.1234567",
+            "", None, "junk", "2026-01-05 13:04:05.12Z"],
+        "%Y-%m-%dT%H:%M:%S.%fZ": [
+            "2026-01-05T13:04:05.123Z", "2026-01-05T13:04:05.123456Z",
+            "2026-01-05T13:04:05.1Z", "2026-01-05T13:04:05.123",
+            "2026-01-05T13:04:05.Z", "", None, "junk",
+            "2026-01-05T13:04:05.1234567Z",
+            "2026-01-05T13:04:05.123456789Z",
+            "2026-01-05T13:04:05.1234567890Z", "2026-01-05T13:04:05Z"],
+    }
+    for fmt, vals in cases.items():
+        raw = pd.Series(np.array(vals, dtype=object),
+                        dtype=object).fillna("").astype(str)
+        new = _numeric_strptime(
+            pa.array(raw, type=pa.string()), fmt).reset_index(drop=True)
+        old = pd.to_datetime(raw, format=fmt,
+                             errors="coerce").reset_index(drop=True)
+        assert new.equals(old), fmt
+
+
+def test_fast_strptime_matches_pandas_construction():
+    """The Arrow %b-month fast path must equal the historical pandas
+    slice construction on padded, non-padded, empty, null and garbage."""
+    import numpy as np
+    import pandas as pd
+
+    from splunk_otel_collector_ray.stages.parse import (
+        _fast_strptime, _fast_strptime_pandas)
+
+    cases = {
+        "%d/%b/%Y:%H:%M:%S %z": [
+            "01/Jan/2026:00:00:01 +0000", "15/Mar/2026:23:59:59 -0530",
+            "1/Jan/2026:00:00:01 +0000", "", "garbage", None,
+            "31/Dec/2025:12:00:00 +1400"],
+        "%a %b %d %H:%M:%S %Y": [
+            "Mon Jan 05 13:04:05 2026", "Tue Feb 17 00:00:00 2026",
+            "Mon Jan  5 13:04:05 2026", "", None, "xx"],
+        "%d %b %Y %H:%M:%S.%f": [
+            "05 Jan 2026 13:04:05.123", "17 Feb 2026 00:00:00.1",
+            "05 Jan 2026 13:04:05.123456", "", None, "junk"],
+        "%d-%b-%Y %H:%M:%S": [
+            "05-Jan-2026 13:04:05", "17-Feb-2026 00:00:00", "", None, "no"],
+    }
+    for layout, vals in cases.items():
+        raw = np.array(vals, dtype=object)
+        new = _fast_strptime(raw, layout).reset_index(drop=True)
+        old = _fast_strptime_pandas(
+            pd.Series(raw, dtype=object), layout).reset_index(drop=True)
+        assert new.equals(old), layout
