@@ -1742,6 +1742,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["message_id", "ordering_key", "publish_ts", "body",
              "turn_idx", "role", "tool"])
 
+    def q_eventhub_parse(sf):
+        # azureeventhub receiver analogue: the corpus staged as an Event
+        # Hubs Capture dump (one event per conversation, Body = Azure
+        # resource-log {"records":[...]} export), decoded with the
+        # one-event→many-records explode and the Azure level→OTel
+        # severity mapping. Oracle: the same projection off the
+        # transcript parquet (sequence = per-partition conv rank,
+        # enqueued = conversation min ts, level cycles turn_idx % 4).
+        from splunk_otel_collector_ray.sources.eventhub import (
+            read_eventhub_capture)
+
+        path = corpus.ensure_eventhub_dump(sf)
+        return read_eventhub_capture(path)
+
+    def q_eventhub_roundtrip(sf):
+        # producer symmetry: read the capture, WRITE it back through the
+        # producer analogue (records regrouped per partition key,
+        # sequences reassigned per partition), read the produced capture
+        # — same oracle as eventhub_parse, processor∘producer = identity
+        import shutil
+
+        from splunk_otel_collector_ray.sources.eventhub import (
+            read_eventhub_capture, write_eventhub_capture)
+
+        src = corpus.ensure_eventhub_dump(sf)
+        out = os.path.join(
+            "/tmp",
+            f"graft_eventhub_{os.path.basename(os.path.normpath(sf))}")
+        shutil.rmtree(out, ignore_errors=True)
+        write_eventhub_capture(read_eventhub_capture(src), out)
+        return read_eventhub_capture(out)
+
     def q_docs_clean(sf):
         # composite cleaning gate: token bounds + quality ratios +
         # repetition caps + language allowlist in one fused actor-pool
@@ -2670,6 +2702,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kafka_roundtrip": q_kafka_roundtrip,
         "pubsub_parse": q_pubsub_parse,
         "pubsub_roundtrip": q_pubsub_roundtrip,
+        "eventhub_parse": q_eventhub_parse,
+        "eventhub_roundtrip": q_eventhub_roundtrip,
         "events_quantiles": q_events_quantiles,
         "emb_centroids": q_emb_centroids,
         "events_range_join": q_events_range_join,
@@ -3106,6 +3140,29 @@ def oracle_sql() -> dict[str, str]:
             "AS message_id, conv_id AS ordering_key, ts AS publish_ts, "
             "text AS body, CAST(turn_idx AS VARCHAR) AS turn_idx, "
             "role, tool FROM raw"),
+        "eventhub_parse": C + (
+            # Capture staging: partition = conv hash mod 4 (the service's
+            # partition-key hash), sequence = per-partition conversation
+            # rank, enqueued = the conversation's earliest turn, level
+            # cycles the Azure ladder on turn_idx % 4 with the receiver's
+            # OTel severity mapping (Verbose 5 / Informational 9 /
+            # Warning 13 / Error 17)
+            f"SELECT CAST({_BUCKET_SQL.replace('% 64', '% 4')} AS INTEGER)"
+            " AS partition, "
+            "DENSE_RANK() OVER ("
+            f"PARTITION BY {_BUCKET_SQL.replace('% 64', '% 4')} "
+            "ORDER BY conv_id) - 1 AS sequence_number, "
+            "conv_id AS partition_key, "
+            "MIN(ts) OVER (PARTITION BY conv_id) AS enqueued_ts, ts, "
+            "'/subscriptions/sub0/resourceGroups/transcripts/providers/"
+            "Microsoft.Chat/conversations/' || conv_id AS resource_id, "
+            "role AS category, tool AS operation_name, "
+            "CASE (turn_idx % 4) WHEN 0 THEN 'Informational' "
+            "WHEN 1 THEN 'Warning' WHEN 2 THEN 'Error' "
+            "ELSE 'Verbose' END AS level, "
+            "CAST(CASE (turn_idx % 4) WHEN 0 THEN 9 WHEN 1 THEN 13 "
+            "WHEN 2 THEN 17 ELSE 5 END AS TINYINT) AS severity_number, "
+            "CAST(turn_idx AS BIGINT) AS turn_idx, text AS body FROM raw"),
         "events_quantiles": (
             "WITH b AS (SELECT event_type, CAST(floor(value * 100) AS "
             "BIGINT) AS bk, count(*) AS c FROM events GROUP BY 1, 2), "
@@ -4277,4 +4334,5 @@ def oracle_sql() -> dict[str, str]:
     # producer∘receiver identity: the re-produced topic equals the source
     sql["kafka_roundtrip"] = sql["kafka_parse"]
     sql["pubsub_roundtrip"] = sql["pubsub_parse"]
+    sql["eventhub_roundtrip"] = sql["eventhub_parse"]
     return sql

@@ -776,6 +776,67 @@ def ensure_kafka_dump(sf_dir_or_name: str, force: bool = False) -> str:
     return path
 
 
+def ensure_eventhub_dump(sf_dir_or_name: str, force: bool = False) -> str:
+    """Stage the transcripts as an Event Hubs Capture-style dump — one
+    JSONL file per partition, one event per CONVERSATION whose ``Body``
+    is the Azure resource-log export ``{"records": [...]}`` (one record
+    per turn, ordered by ``turn_idx``). Partition = ``numeric(conv_id) %
+    4`` (the service's partition-key hash), SequenceNumber = 0-based
+    rank of the conversation within its partition in ``conv_id`` order,
+    EnqueuedTimeUtc = the conversation's earliest turn ``ts``. Record
+    ``level`` cycles the Azure severity ladder deterministically
+    (``turn_idx % 4`` → Informational/Warning/Error/Verbose) so the
+    receiver's severity mapping is exercised and SQL-replayable."""
+    import json
+
+    from .sources.eventhub import (EVENTHUB_PARTITIONS,
+                                   encode_eventhub_event, make_azure_record)
+
+    tdir = ensure_transcripts(sf_dir_or_name)
+    path = os.path.join(FIXTURE_ROOT, sf_name(sf_dir_or_name), "eventhub")
+    if os.path.isdir(path) and _version_ok(path) and not force:
+        return path
+    if os.path.isdir(path):
+        import shutil
+        shutil.rmtree(path, ignore_errors=True)
+    df = pq.read_table(
+        tdir, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    ).to_pandas().sort_values(["conv_id", "turn_idx"], kind="mergesort")
+    conv_num = df["conv_id"].str.slice(5).astype("int64")
+    df["_part"] = (conv_num % EVENTHUB_PARTITIONS).to_numpy()
+    df["_us"] = df["ts"].astype("int64")
+    levels = ("Informational", "Warning", "Error", "Verbose")
+    tmpdir = tempfile.mkdtemp(dir=os.path.dirname(path),
+                              prefix=".eventhub.tmp")
+    files = {p: open(os.path.join(tmpdir, f"partition-{p}.jsonl"), "w",
+                     encoding="utf-8") for p in range(EVENTHUB_PARTITIONS)}
+    seq = {p: 0 for p in range(EVENTHUB_PARTITIONS)}
+    try:
+        for conv, rows in df.groupby("conv_id", sort=True):
+            p = int(rows["_part"].iloc[0])
+            recs = [make_azure_record(
+                int(us), conv, role, tool, levels[int(turn) % 4],
+                int(turn), text)
+                for us, role, tool, turn, text in zip(
+                    rows["_us"], rows["role"], rows["tool"],
+                    rows["turn_idx"], rows["text"])]
+            files[p].write(json.dumps(encode_eventhub_event(
+                p, seq[p], conv, int(rows["_us"].min()), recs),
+                ensure_ascii=False) + "\n")
+            seq[p] += 1
+    finally:
+        for f in files.values():
+            f.close()
+    with open(os.path.join(tmpdir, ".version"), "w") as f:
+        f.write(CORPUS_VERSION)
+    try:
+        os.replace(tmpdir, path)
+    except OSError:
+        import shutil
+        shutil.rmtree(tmpdir, ignore_errors=True)
+    return path
+
+
 def ensure_pubsub_dump(sf_dir_or_name: str, force: bool = False) -> str:
     """Stage the transcripts as a Pub/Sub subscription-pull dump — one
     REST ``ReceivedMessage`` JSON object per line (``data`` base64,
