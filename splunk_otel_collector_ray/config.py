@@ -233,6 +233,15 @@ def build_pipeline(spec: dict[str, Any]) -> "ray.data.Dataset":
         if isinstance(committed, str):  # offsets state file path
             committed = load_offsets(committed)
         ds = read_kafka_dump(src["kafka_dump"], committed=committed)
+    elif "eventhub_capture" in src:
+        # azureeventhub receiver analogue: Capture dump + optional
+        # per-partition sequence checkpoint (Event Processor resume)
+        from .sources.eventhub import load_checkpoint, read_eventhub_capture
+
+        ckpt = src.get("checkpoint")
+        if isinstance(ckpt, str):  # checkpoint-store state file path
+            ckpt = load_checkpoint(ckpt)
+        ds = read_eventhub_capture(src["eventhub_capture"], checkpoint=ckpt)
     elif "hec_jsonl" in src:
         from .sources.hec import read_hec_events
 

@@ -188,6 +188,12 @@ def collector_to_spec(doc: dict) -> dict:
         source = {"kafka_dump": recv_cfg["path"]}
         if recv_cfg.get("offsets_state"):
             source["committed"] = recv_cfg["offsets_state"]
+    elif recv_type == "azureeventhub":
+        # event hub receiver: Capture dump dir + optional checkpoint-store
+        # state file (per-partition sequence marks)
+        source = {"eventhub_capture": recv_cfg["path"]}
+        if recv_cfg.get("checkpoint_state"):
+            source["checkpoint"] = recv_cfg["checkpoint_state"]
     elif recv_type == "splunk_hec":
         source = {"hec_jsonl": recv_cfg["path"]}
     elif recv_type == "otlp":

@@ -84,6 +84,18 @@ def test_collector_wire_receivers_build(ray_session, sf_dir, tmp_path):
     assert build("kafka/in", {"path": kpath,
                               "offsets_state": state}).count() == 0
 
+    # azureeventhub: Capture dump resolves to the record-explode reader;
+    # checkpoint_state makes the re-read empty (processor resume)
+    from splunk_otel_collector_ray.sources.eventhub import (
+        checkpoint_sequences, read_eventhub_capture)
+
+    epath = corpus.ensure_eventhub_dump(sf_dir)
+    assert build("azureeventhub/in", {"path": epath}).count() == n_turns
+    estate = str(tmp_path / "eh.checkpoint.json")
+    checkpoint_sequences(estate, read_eventhub_capture(epath))
+    assert build("azureeventhub/in", {
+        "path": epath, "checkpoint_state": estate}).count() == 0
+
     # otlp (json + protobuf encodings) over a staged hop
     from splunk_otel_collector_ray.pipelines.two_tier import run_agent_tier
 
