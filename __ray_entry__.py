@@ -1774,6 +1774,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
         write_eventhub_capture(read_eventhub_capture(src), out)
         return read_eventhub_capture(out)
 
+    def q_pulsar_parse(sf):
+        # pulsar receiver analogue: the corpus staged as a partition dump
+        # of batch ENTRIES (one per conversation; ledger rollover every
+        # 100 entries), decoded with the batch explode and the
+        # (ledger, entry, batchIndex) coordinate scheme plus pulsar's
+        # two-timestamp model (publishTime vs eventTime). Oracle: the
+        # same projection off the transcript parquet (rank via
+        # DENSE_RANK, ledger/entry = rank divmod 100).
+        from splunk_otel_collector_ray.sources.pulsar import (
+            read_pulsar_dump)
+
+        path = corpus.ensure_pulsar_dump(sf)
+        return read_pulsar_dump(path)
+
+    def q_pulsar_roundtrip(sf):
+        # producer symmetry: read the dump, WRITE it back through the
+        # producer analogue (messages regrouped into batch entries,
+        # ledger/entry reassigned per partition with rollover), read the
+        # produced dump — same oracle, consumer∘producer = identity
+        import shutil
+
+        from splunk_otel_collector_ray.sources.pulsar import (
+            read_pulsar_dump, write_pulsar_dump)
+
+        src = corpus.ensure_pulsar_dump(sf)
+        out = os.path.join(
+            "/tmp",
+            f"graft_pulsar_{os.path.basename(os.path.normpath(sf))}")
+        shutil.rmtree(out, ignore_errors=True)
+        write_pulsar_dump(read_pulsar_dump(src), out)
+        return read_pulsar_dump(out)
+
     def q_docs_clean(sf):
         # composite cleaning gate: token bounds + quality ratios +
         # repetition caps + language allowlist in one fused actor-pool
@@ -2704,6 +2736,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pubsub_roundtrip": q_pubsub_roundtrip,
         "eventhub_parse": q_eventhub_parse,
         "eventhub_roundtrip": q_eventhub_roundtrip,
+        "pulsar_parse": q_pulsar_parse,
+        "pulsar_roundtrip": q_pulsar_roundtrip,
         "events_quantiles": q_events_quantiles,
         "emb_centroids": q_emb_centroids,
         "events_range_join": q_events_range_join,
@@ -3163,6 +3197,22 @@ def oracle_sql() -> dict[str, str]:
             "CAST(CASE (turn_idx % 4) WHEN 0 THEN 9 WHEN 1 THEN 13 "
             "WHEN 2 THEN 17 ELSE 5 END AS TINYINT) AS severity_number, "
             "CAST(turn_idx AS BIGINT) AS turn_idx, text AS body FROM raw"),
+        "pulsar_parse": C + (
+            # partition-dump staging: one batch entry per conversation,
+            # append rank per partition in conv_id order, ledger rollover
+            # every 100 entries (ledger/entry = rank divmod 100),
+            # batchIndex = turn_idx, publishTime = the entry's earliest
+            # turn (broker receive) vs eventTime = the turn's own ts
+            "SELECT CAST(p AS INTEGER) AS partition, "
+            "r // 100 AS ledger_id, r % 100 AS entry_id, "
+            "CAST(turn_idx AS BIGINT) AS batch_index, conv_id AS key, "
+            "pub AS publish_ts, ts AS event_ts, text AS body, role, tool "
+            "FROM (SELECT raw.*, "
+            f"{_BUCKET_SQL.replace('% 64', '% 4')} AS p, "
+            "DENSE_RANK() OVER ("
+            f"PARTITION BY {_BUCKET_SQL.replace('% 64', '% 4')} "
+            "ORDER BY conv_id) - 1 AS r, "
+            "MIN(ts) OVER (PARTITION BY conv_id) AS pub FROM raw)"),
         "events_quantiles": (
             "WITH b AS (SELECT event_type, CAST(floor(value * 100) AS "
             "BIGINT) AS bk, count(*) AS c FROM events GROUP BY 1, 2), "
@@ -4335,4 +4385,5 @@ def oracle_sql() -> dict[str, str]:
     sql["kafka_roundtrip"] = sql["kafka_parse"]
     sql["pubsub_roundtrip"] = sql["pubsub_parse"]
     sql["eventhub_roundtrip"] = sql["eventhub_parse"]
+    sql["pulsar_roundtrip"] = sql["pulsar_parse"]
     return sql

@@ -242,6 +242,15 @@ def build_pipeline(spec: dict[str, Any]) -> "ray.data.Dataset":
         if isinstance(ckpt, str):  # checkpoint-store state file path
             ckpt = load_checkpoint(ckpt)
         ds = read_eventhub_capture(src["eventhub_capture"], checkpoint=ckpt)
+    elif "pulsar_dump" in src:
+        # pulsar receiver analogue: partition dump + optional subscription
+        # cursor state dir (markDelete + individually-deleted resume)
+        from .sources.pulsar import load_cursor, read_pulsar_dump
+
+        cur = src.get("cursor")
+        if isinstance(cur, str):  # cursor state directory
+            cur = load_cursor(cur)
+        ds = read_pulsar_dump(src["pulsar_dump"], cursor=cur)
     elif "hec_jsonl" in src:
         from .sources.hec import read_hec_events
 

@@ -194,6 +194,12 @@ def collector_to_spec(doc: dict) -> dict:
         source = {"eventhub_capture": recv_cfg["path"]}
         if recv_cfg.get("checkpoint_state"):
             source["checkpoint"] = recv_cfg["checkpoint_state"]
+    elif recv_type == "pulsar":
+        # pulsar receiver: partition dump dir + optional subscription
+        # cursor state dir (hybrid markDelete/individual resume)
+        source = {"pulsar_dump": recv_cfg["path"]}
+        if recv_cfg.get("cursor_state"):
+            source["cursor"] = recv_cfg["cursor_state"]
     elif recv_type == "splunk_hec":
         source = {"hec_jsonl": recv_cfg["path"]}
     elif recv_type == "otlp":

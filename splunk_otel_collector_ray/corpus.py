@@ -837,6 +837,65 @@ def ensure_eventhub_dump(sf_dir_or_name: str, force: bool = False) -> str:
     return path
 
 
+def ensure_pulsar_dump(sf_dir_or_name: str, force: bool = False) -> str:
+    """Stage the transcripts as a pulsar partition dump — one JSONL file
+    per partition, one batch ENTRY per conversation (messages = the
+    conversation's turns, ``batchIndex`` = ``turn_idx``). Partition =
+    ``numeric(conv_id) % 4``; entries append per partition in ``conv_id``
+    order with ledger rollover every ``LEDGER_ENTRIES`` entries
+    (``ledgerId`` = rank // 100, ``entryId`` = rank % 100 — both
+    SQL-replayable from a DENSE_RANK). ``publishTime`` = the entry's
+    earliest turn ``ts`` (broker receive), ``eventTime`` = the turn's own
+    ``ts`` (producer-set) — pulsar's two-timestamp model."""
+    import json
+
+    from .sources.pulsar import (LEDGER_ENTRIES, PULSAR_PARTITIONS,
+                                 encode_pulsar_entry, make_pulsar_message)
+
+    tdir = ensure_transcripts(sf_dir_or_name)
+    path = os.path.join(FIXTURE_ROOT, sf_name(sf_dir_or_name), "pulsar")
+    if os.path.isdir(path) and _version_ok(path) and not force:
+        return path
+    if os.path.isdir(path):
+        import shutil
+        shutil.rmtree(path, ignore_errors=True)
+    df = pq.read_table(
+        tdir, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    ).to_pandas().sort_values(["conv_id", "turn_idx"], kind="mergesort")
+    conv_num = df["conv_id"].str.slice(5).astype("int64")
+    df["_part"] = (conv_num % PULSAR_PARTITIONS).to_numpy()
+    df["_us"] = df["ts"].astype("int64")
+    tmpdir = tempfile.mkdtemp(dir=os.path.dirname(path),
+                              prefix=".pulsar.tmp")
+    files = {p: open(os.path.join(tmpdir, f"partition-{p}.jsonl"), "w",
+                     encoding="utf-8") for p in range(PULSAR_PARTITIONS)}
+    rank = {p: 0 for p in range(PULSAR_PARTITIONS)}
+    try:
+        for conv, rows in df.groupby("conv_id", sort=True):
+            p = int(rows["_part"].iloc[0])
+            msgs = [make_pulsar_message(
+                int(turn), int(us), text, {"role": role, "tool": tool})
+                for us, role, tool, turn, text in zip(
+                    rows["_us"], rows["role"], rows["tool"],
+                    rows["turn_idx"], rows["text"])]
+            files[p].write(json.dumps(encode_pulsar_entry(
+                p, rank[p] // LEDGER_ENTRIES, rank[p] % LEDGER_ENTRIES,
+                conv, int(rows["_us"].min()), msgs),
+                ensure_ascii=False) + "\n")
+            rank[p] += 1
+    finally:
+        for f in files.values():
+            f.close()
+    with open(os.path.join(tmpdir, ".version"), "w") as f:
+        f.write(CORPUS_VERSION)
+    try:
+        os.replace(tmpdir, path)
+    except OSError:
+        import shutil
+        shutil.rmtree(tmpdir, ignore_errors=True)
+    return path
+
+
 def ensure_pubsub_dump(sf_dir_or_name: str, force: bool = False) -> str:
     """Stage the transcripts as a Pub/Sub subscription-pull dump — one
     REST ``ReceivedMessage`` JSON object per line (``data`` base64,

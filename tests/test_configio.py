@@ -96,6 +96,20 @@ def test_collector_wire_receivers_build(ray_session, sf_dir, tmp_path):
     assert build("azureeventhub/in", {
         "path": epath, "checkpoint_state": estate}).count() == 0
 
+    # pulsar: partition dump resolves to the batch-entry reader; a fully
+    # acked cursor_state makes the re-read empty (subscription resume)
+    from splunk_otel_collector_ray.sources.pulsar import (ack_entries,
+                                                          compact_cursor,
+                                                          read_pulsar_dump)
+
+    ppath = corpus.ensure_pulsar_dump(sf_dir)
+    assert build("pulsar/in", {"path": ppath}).count() == n_turns
+    pstate = str(tmp_path / "pulsar_cursor")
+    ack_entries(pstate, read_pulsar_dump(ppath))
+    compact_cursor(pstate, ppath)
+    assert build("pulsar/in", {"path": ppath,
+                               "cursor_state": pstate}).count() == 0
+
     # otlp (json + protobuf encodings) over a staged hop
     from splunk_otel_collector_ray.pipelines.two_tier import run_agent_tier
 
