@@ -41,6 +41,9 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .wire import iso_us as _iso_us
+from .wire import repeat_per, ts_us
+
 EVENTHUB_PARTITIONS = 4
 
 # Azure resource-log severity ladder → OTel severity numbers, the mapping
@@ -56,16 +59,6 @@ AZURE_SEVERITY: dict[str, int] = {
 
 RESOURCE_PREFIX = ("/subscriptions/sub0/resourceGroups/transcripts/"
                    "providers/Microsoft.Chat/conversations/")
-
-
-def _iso_us(us: int) -> str:
-    """Epoch microseconds → RFC3339 with exact-µs fraction (the resource-
-    log ``time`` / Capture ``EnqueuedTimeUtc`` wire format)."""
-    import datetime
-
-    dt = (datetime.datetime(1970, 1, 1)
-          + datetime.timedelta(microseconds=int(us)))
-    return dt.strftime("%Y-%m-%dT%H:%M:%S") + ".%06dZ" % dt.microsecond
 
 
 def encode_eventhub_event(partition: int, sequence: int, partition_key: str,
@@ -107,15 +100,9 @@ def decode_eventhub_batch(batch: pa.Table) -> pa.Table:
                          count=len(recs_per_event))
 
     def rep(col: "pa.ChunkedArray | pa.Array") -> pa.Array:
-        arr = (col.combine_chunks() if isinstance(col, pa.ChunkedArray)
-               else col)
-        return arr.take(pa.array(np.repeat(np.arange(len(arr)), counts)))
+        return repeat_per(col, counts)
 
-    et = batch["EnqueuedTimeUtc"]
-    et = (et.combine_chunks() if isinstance(et, pa.ChunkedArray) else et)
-    if not pa.types.is_timestamp(et.type):  # JSON reader may pre-infer
-        et = pc.cast(pc.utf8_slice_codeunits(et, 0, 26), pa.timestamp("us"))
-
+    et = ts_us(batch["EnqueuedTimeUtc"])
     flat = [r for recs in recs_per_event for r in recs]
     times = pa.array([r["time"][:26] for r in flat], type=pa.string())
     levels = [r["level"] for r in flat]
@@ -184,8 +171,11 @@ def checkpoint_sequences(state_path: str, ds: "ray.data.Dataset"
 
     hw = small_fold(
         ds.map_batches(partial, batch_format="pyarrow"), partial).to_pandas()
-    marks = {int(p): int(s)
-             for p, s in zip(hw["partition"], hw["sequence_number"])}
+    marks = ({int(p): int(s)
+              for p, s in zip(hw["partition"], hw["sequence_number"])}
+             if "partition" in hw.columns else {})  # empty stream (e.g.
+    #            a restarted processor re-committing with no new events)
+    #            folds to a schemaless frame — commit is then a no-op
     prev = load_checkpoint(state_path)
     for p, s in prev.items():
         marks[p] = max(marks.get(p, -1), s)

@@ -38,11 +38,9 @@ def encode_pubsub_record(message_id: str, ordering_key: str,
                          publish_ts_us: int, body: str,
                          attributes: "dict[str, str]") -> dict:
     """One ReceivedMessage envelope (REST JSON shape, data base64)."""
-    import datetime
+    from .wire import iso_us
 
-    dt = (datetime.datetime(1970, 1, 1)
-          + datetime.timedelta(microseconds=int(publish_ts_us)))  # exact µs
-    iso = dt.strftime("%Y-%m-%dT%H:%M:%S") + ".%06dZ" % dt.microsecond
+    iso = iso_us(publish_ts_us)
     return {
         "ackId": "ack:" + message_id,
         "message": {
@@ -69,11 +67,9 @@ def decode_pubsub_batch(batch: pa.Table) -> pa.Table:
     body = pa.array(
         [base64.b64decode(v).decode("utf-8") if v is not None else None
          for v in data.to_pylist()], type=pa.string())
-    pt = msg.field("publishTime")
-    ts = (pc.cast(pt, pa.timestamp("us"))  # JSON reader may pre-infer it
-          if pa.types.is_timestamp(pt.type)
-          else pc.cast(pc.utf8_slice_codeunits(pt, 0, 26),
-                       pa.timestamp("us")))
+    from .wire import ts_us
+
+    ts = ts_us(msg.field("publishTime"))
     cols: dict[str, pa.Array] = {
         "message_id": msg.field("messageId"),
         "ordering_key": msg.field("orderingKey"),

@@ -43,16 +43,11 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .wire import iso_us as _iso_us
+from .wire import repeat_per, ts_us
+
 PULSAR_PARTITIONS = 4
 LEDGER_ENTRIES = 100  # BookKeeper-style ledger rollover interval
-
-
-def _iso_us(us: int) -> str:
-    import datetime
-
-    dt = (datetime.datetime(1970, 1, 1)
-          + datetime.timedelta(microseconds=int(us)))
-    return dt.strftime("%Y-%m-%dT%H:%M:%S") + ".%06dZ" % dt.microsecond
 
 
 def entry_rank(ledger_id, entry_id):
@@ -89,23 +84,16 @@ def decode_pulsar_batch(batch: pa.Table) -> pa.Table:
     """Entries → one log row PER BATCHED MESSAGE. Entry coordinates
     replicate via one ``np.repeat``; eventTime strings parse in one
     Arrow cast after the explode; only the batch JSON is per entry."""
-    msgs_col = batch["messages"]
-    if isinstance(msgs_col, pa.ChunkedArray):
-        msgs_col = msgs_col.combine_chunks()
-    per_entry = msgs_col.to_pylist()
+    from .wire import combined
+
+    per_entry = combined(batch["messages"]).to_pylist()
     counts = np.fromiter((len(m) for m in per_entry), dtype=np.int64,
                          count=len(per_entry))
 
     def rep(col):
-        arr = (col.combine_chunks() if isinstance(col, pa.ChunkedArray)
-               else col)
-        return arr.take(pa.array(np.repeat(np.arange(len(arr)), counts)))
+        return repeat_per(col, counts)
 
-    pt = batch["publishTime"]
-    pt = (pt.combine_chunks() if isinstance(pt, pa.ChunkedArray) else pt)
-    if not pa.types.is_timestamp(pt.type):  # JSON reader may pre-infer
-        pt = pc.cast(pc.utf8_slice_codeunits(pt, 0, 26), pa.timestamp("us"))
-
+    pt = ts_us(batch["publishTime"])
     flat = [m for ms in per_entry for m in ms]
     ev = pa.array([m["eventTime"][:26] for m in flat], type=pa.string())
     cols: dict[str, pa.Array] = {
@@ -115,7 +103,7 @@ def decode_pulsar_batch(batch: pa.Table) -> pa.Table:
         "batch_index": pa.array([m["batchIndex"] for m in flat],
                                 type=pa.int64()),
         "key": rep(batch["key"]),
-        "publish_ts": pc.cast(rep(pt), pa.timestamp("us")),
+        "publish_ts": rep(pt),
         "event_ts": pc.cast(ev, pa.timestamp("us")),
         "body": pa.array([m["payload"] for m in flat], type=pa.string()),
     }
@@ -165,8 +153,6 @@ def read_pulsar_dump(path: str, cursor: "dict | None" = None
     if ind_dir and os.path.isdir(ind_dir) and any(
             f.endswith(".parquet") for _, _, fs in os.walk(ind_dir)
             for f in fs):
-        import ray.data
-
         from ..stages.sample import anti_join_keys
 
         def add_coord(t: pa.Table) -> pa.Table:
@@ -193,7 +179,9 @@ def ack_entries(state_dir: str, ds: "ray.data.Dataset") -> None:
     written by the cluster — the driver never holds the set). Mark
     advancement happens lazily in :func:`load_cursor`."""
     acks_root = os.path.join(state_dir, "acks")
-    part = (len(os.listdir(acks_root)) if os.path.isdir(acks_root) else 0)
+    part = 0
+    while os.path.exists(os.path.join(acks_root, f"ack-{part:04d}")):
+        part += 1
     sub = os.path.join(acks_root, f"ack-{part:04d}")
     ds.map_batches(
         lambda t: pa.table({"partition": t["partition"],
@@ -204,18 +192,29 @@ def ack_entries(state_dir: str, ds: "ray.data.Dataset") -> None:
 def compact_cursor(state_dir: str, dump_path: str) -> dict:
     """Advance each partition's markDeletePosition over the now-contiguous
     acked prefix (the broker's cursor compaction): mark = the entry just
-    below the partition's LOWEST UNACKED entry; acked entries above the
-    mark stay in the individually-deleted set. Unacked ranks come from an
-    ``anti_join_keys`` of the dump's entry universe against the acked set;
-    per-partition mins fold via ``small_fold`` — nothing materializes to
-    the driver beyond #partitions rows. Writes ``cursor.json`` + a
-    compacted ``individuals/`` parquet dir and returns the cursor."""
+    below the partition's LOWEST UNACKED live entry, or the HIGHEST acked
+    entry when the partition is fully consumed (never a +inf sentinel —
+    entries appended to the dump later must still deliver). Commits are
+    monotone against the prior cursor. The ack history is PRUNED at each
+    compaction: entries at/below the new mark are redundant by the
+    cursor's own semantics, so the acks dir is atomically rewritten to
+    exactly the individually-deleted set — state stays bounded by the
+    out-of-order ack gap, not by total messages ever consumed. All
+    per-partition extrema fold via ``small_fold`` over combiner-shrunk
+    partials; nothing beyond #partitions rows reaches the driver."""
     import shutil
 
     import ray.data
 
     from ..partitioning import small_fold
     from ..stages.sample import anti_join_keys
+
+    prev = load_cursor(state_dir) or {"mark_delete": {},
+                                      "individuals_dir": None}
+    prev_marks: dict[int, int] = prev["mark_delete"]
+    acks_root = os.path.join(state_dir, "acks")
+    if not os.path.isdir(acks_root) or not os.listdir(acks_root):
+        return prev  # nothing acked since the last compaction
 
     entries = ray.data.read_json(
         dump_path, file_extensions=["jsonl"]).map_batches(
@@ -226,30 +225,61 @@ def compact_cursor(state_dir: str, dump_path: str) -> dict:
         }), batch_format="pyarrow").map_batches(
         lambda t: t.append_column("_coord", _coord_col(t)),
         batch_format="pyarrow")
-    acks_root = os.path.join(state_dir, "acks")
-    if not os.path.isdir(acks_root) or not os.listdir(acks_root):
-        return {"mark_delete": {}, "individuals_dir": None}
-    acked = ray.data.read_parquet(acks_root, columns=["_coord"])
-    unacked = anti_join_keys(entries, acked, "_coord")
+    if prev_marks:
+        # everything at/below the prior mark is acked by definition —
+        # this pre-filter is what lets the ack history be pruned to the
+        # individuals set at each compaction
+        pmax = max(prev_marks) + 1
+        pmk = np.full(pmax, -1, dtype=np.int64)
+        for p, r in prev_marks.items():
+            pmk[p] = r
 
-    def min_unacked(t: pa.Table) -> pa.Table:
-        g = t.select(["partition", "_coord"]).group_by(
-            "partition").aggregate([("_coord", "min")])
-        return g.rename_columns(["partition", "_coord"])
+        def live(t: pa.Table) -> pa.Table:
+            part = t["partition"].to_numpy(zero_copy_only=False)
+            rank = entry_rank(
+                t["ledger_id"].to_numpy(zero_copy_only=False),
+                t["entry_id"].to_numpy(zero_copy_only=False))
+            keep = np.where(part < pmax,
+                            rank > pmk[np.clip(part, 0, pmax - 1)], True)
+            return t.filter(pa.array(keep))
 
-    lows = small_fold(unacked.map_batches(
-        min_unacked, batch_format="pyarrow"), min_unacked).to_pandas()
-    low_by_part = ({int(p): int(c) & ((1 << 48) - 1)
-                    for p, c in zip(lows["partition"], lows["_coord"])}
-                   if "partition" in lows.columns else {})  # all acked →
-    #                 the unacked stream folded to a schemaless empty frame
-    # a partition with no unacked entries is fully consumed: mark = +inf
-    marks = {}
-    for p in range(PULSAR_PARTITIONS):
-        marks[p] = (low_by_part[p] - 1 if p in low_by_part
-                    else (1 << 47))
+        entries = entries.map_batches(live, batch_format="pyarrow")
+    acked = ray.data.read_parquet(acks_root,
+                                  columns=["partition", "_coord"])
+    unacked = anti_join_keys(entries, acked.select_columns(["_coord"]),
+                             "_coord")
+
+    def _extreme(agg: str):
+        def fold(t: pa.Table) -> pa.Table:
+            g = t.select(["partition", "_coord"]).group_by(
+                "partition").aggregate([("_coord", agg)])
+            return g.rename_columns(["partition", "_coord"])
+        return fold
+
+    def _by_part(ds, agg: str) -> dict[int, int]:
+        fold = _extreme(agg)
+        df = small_fold(ds.map_batches(fold, batch_format="pyarrow"),
+                        fold).to_pandas()
+        if "partition" not in df.columns:  # empty stream → schemaless
+            return {}
+        return {int(p): int(c) & ((1 << 48) - 1)
+                for p, c in zip(df["partition"], df["_coord"])}
+
+    low_unacked = _by_part(unacked, "min")
+    high_acked = _by_part(acked, "max")
+    # partition universe comes from the data + prior state, never a
+    # module constant — dumps may carry any partition ids
+    marks: dict[int, int] = {}
+    for p in set(low_unacked) | set(high_acked) | set(prev_marks):
+        if p in low_unacked:
+            computed = low_unacked[p] - 1
+        else:  # fully consumed: mark = highest acked, NOT +inf — a later
+            #   append must still deliver
+            computed = high_acked.get(p, -1)
+        marks[p] = max(computed, prev_marks.get(p, -1))
     # individuals = acked entries ABOVE the new mark (vectorized filter)
-    mk = np.full(max(marks) + 1, -1, dtype=np.int64)
+    mmax = max(marks) + 1
+    mk = np.full(mmax, -1, dtype=np.int64)
     for p, r in marks.items():
         mk[p] = r
 
@@ -257,16 +287,19 @@ def compact_cursor(state_dir: str, dump_path: str) -> dict:
         coord = t["_coord"].to_numpy(zero_copy_only=False)
         part = (coord >> 48).astype(np.int64)
         rank = coord & ((1 << 48) - 1)
-        return t.filter(pa.array(rank > mk[part]))
+        keep = np.where(part < mmax,
+                        rank > mk[np.clip(part, 0, mmax - 1)], True)
+        return t.filter(pa.array(keep))
 
-    ind_dir = os.path.join(state_dir, "individuals")
-    tmp = ind_dir + ".tmp"
+    # prune: the compacted acks dir IS the individually-deleted set
+    tmp = acks_root + ".compact.tmp"
     shutil.rmtree(tmp, ignore_errors=True)
     acked.map_batches(above_mark,
                       batch_format="pyarrow").write_parquet(tmp)
-    shutil.rmtree(ind_dir, ignore_errors=True)
+    shutil.rmtree(acks_root, ignore_errors=True)
     if os.path.isdir(tmp):
-        os.replace(tmp, ind_dir)
+        os.replace(tmp, acks_root)
+        ind_dir = acks_root
     else:  # zero surviving individuals → write_parquet created nothing
         ind_dir = None
     cursor = {"mark_delete": marks, "individuals_dir": ind_dir}

@@ -1,0 +1,42 @@
+"""Shared wire-format helpers for the queue-transport dump codecs
+(kafka/pubsub/eventhub/pulsar) — one copy of the RFC3339 formatter and
+the envelope-explode primitives so the dump formats can't silently
+drift apart."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def iso_us(us: int) -> str:
+    """Epoch microseconds → RFC3339 with exact-µs fraction — the wire
+    timestamp format every queue dump in this package emits."""
+    import datetime
+
+    dt = (datetime.datetime(1970, 1, 1)
+          + datetime.timedelta(microseconds=int(us)))
+    return dt.strftime("%Y-%m-%dT%H:%M:%S") + ".%06dZ" % dt.microsecond
+
+
+def combined(col: "pa.ChunkedArray | pa.Array") -> pa.Array:
+    return (col.combine_chunks() if isinstance(col, pa.ChunkedArray)
+            else col)
+
+
+def repeat_per(col: "pa.ChunkedArray | pa.Array",
+               counts: np.ndarray) -> pa.Array:
+    """Replicate an envelope-level column once per exploded inner record
+    (one ``take`` over a ``np.repeat`` index — no Python loop)."""
+    arr = combined(col)
+    return arr.take(pa.array(np.repeat(np.arange(len(arr)), counts)))
+
+
+def ts_us(col: "pa.ChunkedArray | pa.Array") -> pa.Array:
+    """ISO8601 string column → ``timestamp[us]`` (Z suffix sliced off);
+    passes through columns the JSON reader already inferred."""
+    arr = combined(col)
+    if pa.types.is_timestamp(arr.type):
+        return pc.cast(arr, pa.timestamp("us"))
+    return pc.cast(pc.utf8_slice_codeunits(arr, 0, 26), pa.timestamp("us"))

@@ -73,6 +73,12 @@ def test_eventhub_checkpoint_resume(ray_session, sf_dir, tmp_path):
     checkpoint_sequences(state, head)
     assert read_eventhub_capture(
         path, checkpoint=load_checkpoint(state)).count() == 0
+    # re-committing an EMPTY resumed stream (restarted processor, no new
+    # events) is a no-op, not a crash
+    before = load_checkpoint(state)
+    checkpoint_sequences(state, read_eventhub_capture(
+        path, checkpoint=before))
+    assert load_checkpoint(state) == before
 
 
 def test_eventhub_producer_roundtrip(ray_session, sf_dir, tmp_path):

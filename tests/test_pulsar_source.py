@@ -90,6 +90,45 @@ def test_pulsar_cursor_resume(ray_session, sf_dir, tmp_path):
     assert read_pulsar_dump(path, cursor=load_cursor(state)).count() == 0
 
 
+def test_pulsar_append_after_full_consume(ray_session, sf_dir, tmp_path):
+    """A fully-consumed partition's markDeletePosition is the highest
+    ACKED rank, never +inf: entries appended to the topic afterwards
+    still deliver, and the pruned ack state stays sufficient."""
+    import shutil
+
+    from splunk_otel_collector_ray.sources.pulsar import (
+        LEDGER_ENTRIES, encode_pulsar_entry, make_pulsar_message)
+
+    src = corpus.ensure_pulsar_dump(sf_dir)
+    dump = str(tmp_path / "topic")
+    shutil.copytree(src, dump)
+    state = str(tmp_path / "cursor_state")
+    ds = read_pulsar_dump(dump)
+    total = ds.count()
+    ack_entries(state, ds)
+    compact_cursor(state, dump)
+    assert read_pulsar_dump(dump, cursor=load_cursor(state)).count() == 0
+    # broker appends one new entry to partition 0 after the checkpoint
+    with open(os.path.join(dump, "partition-0.jsonl")) as f:
+        last = json.loads(f.readlines()[-1])
+    rank = last["ledgerId"] * LEDGER_ENTRIES + last["entryId"] + 1
+    with open(os.path.join(dump, "partition-0.jsonl"), "a") as f:
+        f.write(json.dumps(encode_pulsar_entry(
+            0, rank // LEDGER_ENTRIES, rank % LEDGER_ENTRIES,
+            "conv-late", 1, [make_pulsar_message(
+                0, 1, "late message", {"role": "user", "tool": ""})]))
+            + "\n")
+    resumed = read_pulsar_dump(dump, cursor=load_cursor(state))
+    rdf = resumed.to_pandas()
+    assert len(rdf) == 1 and rdf["key"].iloc[0] == "conv-late"
+    # acking it advances the cursor past it again; history stays pruned
+    ack_entries(state, resumed)
+    cur = compact_cursor(state, dump)
+    assert cur["mark_delete"][0] == rank
+    assert read_pulsar_dump(dump, cursor=load_cursor(state)).count() == 0
+    assert read_pulsar_dump(dump).count() == total + 1  # dump intact
+
+
 def test_pulsar_producer_roundtrip(ray_session, sf_dir, tmp_path):
     """consumer∘producer = identity; produced partitions carry dense
     append ranks with ledger rollover and one entry per key."""
