@@ -1806,6 +1806,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         write_pulsar_dump(read_pulsar_dump(src), out)
         return read_pulsar_dump(out)
 
+    def q_solace_parse(sf):
+        # solace receiver analogue: the corpus staged as a broker-
+        # telemetry queue dump (one receive-family + one egress-family
+        # SpanData message per turn), decoded into TRACE SPANS with the
+        # topic-dispatched dual-family unmarshal — the fifth queue
+        # envelope shape (payload = telemetry about messaging itself).
+        # Oracle: the same span projection rebuilt from the transcript
+        # parquet (hex ids via printf, ns times via to_microseconds).
+        from splunk_otel_collector_ray.sources.solace import (
+            read_solace_dump)
+
+        return read_solace_dump(corpus.ensure_solace_dump(sf))
+
+    def q_solace_delivery_lag(sf):
+        # broker delivery-latency analysis: join each egress span to its
+        # receive parent through the shared replication-group message id
+        # (one bucket_fold exchange + small_fold final) and aggregate
+        # lag per egress queue. Oracle: the literal SQL join twin.
+        from splunk_otel_collector_ray.sources.solace import (
+            delivery_lag, read_solace_dump)
+
+        return delivery_lag(read_solace_dump(corpus.ensure_solace_dump(sf)))
+
     def q_docs_clean(sf):
         # composite cleaning gate: token bounds + quality ratios +
         # repetition caps + language allowlist in one fused actor-pool
@@ -2738,6 +2761,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "eventhub_roundtrip": q_eventhub_roundtrip,
         "pulsar_parse": q_pulsar_parse,
         "pulsar_roundtrip": q_pulsar_roundtrip,
+        "solace_parse": q_solace_parse,
+        "solace_delivery_lag": q_solace_delivery_lag,
         "events_quantiles": q_events_quantiles,
         "emb_centroids": q_emb_centroids,
         "events_range_join": q_events_range_join,
@@ -2865,6 +2890,42 @@ _DRIVER_SAMPLED_R2R3 = frozenset({
     "docs_mixture", "docs_repeated_grams", "pii_signals", "emb_neardup_lsh",
     "multimodal_decode", "multimodal_resize", "multimodal_frames",
 })
+
+
+def _solace_sql_ctes() -> str:
+    """CTE chain rebuilding the solace telemetry-dump span projection
+    from the transcript corpus (corpus.ensure_solace_dump's documented
+    derivations): n = numeric conv_id, p = n % 4, L = length(text),
+    queue delay d = (31n + 7·turn_idx) % 1000 + 1; hex ids via printf,
+    span times via to_microseconds. MATERIALIZED because the
+    delivery-lag twin references ``sp`` twice (CLAUDE.md CTE rule)."""
+    return (
+        ", b AS (SELECT *, (31 * n + 7 * turn_idx) % 1000 + 1 AS d, "
+        "printf('rmid1:%05x-%012x-%05x-00000', p, n, turn_idx) AS rgmid, "
+        "CASE turn_idx % 3 WHEN 0 THEN 'smf' WHEN 1 THEN 'mqtt' "
+        "ELSE 'amqp' END AS protocol, "
+        "CASE turn_idx % 3 WHEN 0 THEN '3.0' WHEN 1 THEN '5.0' "
+        "ELSE '1.0' END AS protocol_version FROM "
+        "(SELECT raw.*, CAST(substr(conv_id, 6) AS BIGINT) AS n, "
+        "CAST(substr(conv_id, 6) AS BIGINT) % 4 AS p, "
+        "length(text) AS L FROM raw)), "
+        "sp AS MATERIALIZED (SELECT 'receive' AS family, "
+        "printf('%032x', n) AS trace_id, "
+        "printf('%016x', n * 65536 + turn_idx * 2) AS span_id, "
+        "'' AS parent_span_id, "
+        "'chat/' || conv_id || ' receive' AS name, 'consumer' AS kind, "
+        "ts AS start_ts, ts + to_microseconds(L) AS end_ts, "
+        "'chat/' || conv_id AS destination, rgmid, protocol, "
+        "protocol_version, role AS client_username, "
+        "'q/' || CAST(p AS VARCHAR) AS enqueue_queue FROM b "
+        "UNION ALL SELECT 'egress', printf('%032x', n), "
+        "printf('%016x', n * 65536 + turn_idx * 2 + 1), "
+        "printf('%016x', n * 65536 + turn_idx * 2), "
+        "'q/' || CAST(p AS VARCHAR) || ' send', 'producer', "
+        "ts + to_microseconds(L + d), ts + to_microseconds(2 * L + d), "
+        "'q/' || CAST(p AS VARCHAR), rgmid, protocol, protocol_version, "
+        "'subscriber-' || CAST(p AS VARCHAR), '' FROM b) "
+    )
 
 
 def _shingle_sql(n: int) -> str:
@@ -3213,6 +3274,23 @@ def oracle_sql() -> dict[str, str]:
             f"PARTITION BY {_BUCKET_SQL.replace('% 64', '% 4')} "
             "ORDER BY conv_id) - 1 AS r, "
             "MIN(ts) OVER (PARTITION BY conv_id) AS pub FROM raw)"),
+        "solace_parse": C + _solace_sql_ctes() + (
+            "SELECT family, trace_id, span_id, parent_span_id, name, "
+            "kind, start_ts, end_ts, destination, rgmid, protocol, "
+            "protocol_version, client_username, enqueue_queue FROM sp"),
+        "solace_delivery_lag": C + _solace_sql_ctes() + (
+            # the literal join twin of sources/solace.delivery_lag:
+            # egress → receive through the shared rgmid, lag per queue
+            ", recv AS (SELECT rgmid, end_ts FROM sp "
+            "WHERE family = 'receive'), "
+            "eg AS (SELECT rgmid, destination, start_ts FROM sp "
+            "WHERE family = 'egress') "
+            "SELECT destination, count(*) AS n_deliveries, "
+            "avg(epoch_us(eg.start_ts) - epoch_us(recv.end_ts)) "
+            "AS avg_lag_us, "
+            "CAST(max(epoch_us(eg.start_ts) - epoch_us(recv.end_ts)) "
+            "AS BIGINT) AS max_lag_us "
+            "FROM eg JOIN recv USING (rgmid) GROUP BY destination"),
         "events_quantiles": (
             "WITH b AS (SELECT event_type, CAST(floor(value * 100) AS "
             "BIGINT) AS bk, count(*) AS c FROM events GROUP BY 1, 2), "

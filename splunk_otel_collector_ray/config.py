@@ -251,6 +251,14 @@ def build_pipeline(spec: dict[str, Any]) -> "ray.data.Dataset":
         if isinstance(cur, str):  # cursor state directory
             cur = load_cursor(cur)
         ds = read_pulsar_dump(src["pulsar_dump"], cursor=cur)
+    elif "solace_dump" in src:
+        # solace receiver analogue: broker-telemetry queue dump →
+        # trace spans + optional settled-message state dir (the
+        # settlement/redelivery resume semantics)
+        from .sources.solace import read_solace_dump
+
+        ds = read_solace_dump(src["solace_dump"],
+                              settled_dir=src.get("settled"))
     elif "hec_jsonl" in src:
         from .sources.hec import read_hec_events
 

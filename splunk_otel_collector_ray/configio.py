@@ -200,6 +200,12 @@ def collector_to_spec(doc: dict) -> dict:
         source = {"pulsar_dump": recv_cfg["path"]}
         if recv_cfg.get("cursor_state"):
             source["cursor"] = recv_cfg["cursor_state"]
+    elif recv_type == "solace":
+        # solace receiver: telemetry queue dump dir + optional settled-
+        # message state dir (settlement/redelivery resume)
+        source = {"solace_dump": recv_cfg["path"]}
+        if recv_cfg.get("settled_state"):
+            source["settled"] = recv_cfg["settled_state"]
     elif recv_type == "splunk_hec":
         source = {"hec_jsonl": recv_cfg["path"]}
     elif recv_type == "otlp":

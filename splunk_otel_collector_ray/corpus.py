@@ -946,3 +946,86 @@ def ensure_pubsub_dump(sf_dir_or_name: str, force: bool = False) -> str:
         import shutil
         shutil.rmtree(tmpdir, ignore_errors=True)
     return path
+
+
+def ensure_solace_dump(sf_dir_or_name: str, force: bool = False) -> str:
+    """Stage the transcripts as a Solace broker-telemetry queue dump —
+    per turn, ONE receive-family span message (the broker accepting the
+    turn's publish) and ONE egress-family span message (delivery to the
+    subscriber), each a ``{"topic": _telemetry/…/<family>/v1,
+    "payload": SpanData JSON}`` line (sources/solace.py layout).
+
+    Every field is SQL-replayable from the corpus (n = numeric conv_id,
+    L = length(text), p = n % 4):
+
+    - trace_id = ``%032x``(n); receive span_id = ``%016x``(n·2¹⁶ +
+      2·turn_idx), egress span_id = +1 with parentSpanId = the receive id
+    - receive start = ts, end = ts + L µs (proportional broker work);
+      egress start = receive end + d, end = start + L, where the queue
+      delay d = (31·n + 7·turn_idx) % 1000 + 1 µs — the value
+      :func:`sources.solace.delivery_lag` recovers through the join
+    - rgmid = ``rmid1:%05x-%012x-%05x-00000``(p, n, turn_idx), shared by
+      the pair (the traced USER message's identity)
+    - receive destination = ``chat/<conv_id>`` topic (publish side),
+      egress destination = queue ``q/<p>``; enqueue event on the receive
+      span names the same queue
+    - protocol cycles (smf 3.0 / mqtt 5.0 / amqp 1.0) on turn_idx % 3;
+      client_username = role on receive, ``subscriber-<p>`` on egress
+
+    Sharded into ``SOLACE_SHARDS`` files for read parallelism only."""
+    import json as _json
+
+    from .sources.solace import (SOLACE_SHARDS, encode_egress_span,
+                                 encode_receive_span)
+
+    tdir = ensure_transcripts(sf_dir_or_name)
+    path = os.path.join(FIXTURE_ROOT, sf_name(sf_dir_or_name), "solace")
+    if os.path.isdir(path) and _version_ok(path) and not force:
+        return path
+    if os.path.isdir(path):
+        import shutil
+        shutil.rmtree(path, ignore_errors=True)
+    df = pq.read_table(
+        tdir, columns=["conv_id", "turn_idx", "role", "text", "ts"]
+    ).to_pandas()
+    n = df["conv_id"].str.slice(5).astype("int64").to_numpy()
+    turn = df["turn_idx"].astype("int64").to_numpy()
+    p = n % SOLACE_SHARDS
+    ts_us = df["ts"].astype("int64").to_numpy()
+    ln = df["text"].str.len().astype("int64").to_numpy()
+    d = (31 * n + 7 * turn) % 1000 + 1
+    protos = [("smf", "3.0"), ("mqtt", "5.0"), ("amqp", "1.0")]
+    tmpdir = tempfile.mkdtemp(dir=os.path.dirname(path),
+                              prefix=".solace.tmp")
+    files = {s: open(os.path.join(tmpdir, f"telemetry-{s}.jsonl"), "w",
+                     encoding="utf-8") for s in range(SOLACE_SHARDS)}
+    try:
+        for i, (conv, role) in enumerate(zip(df["conv_id"], df["role"])):
+            ni, ti, pi, li, di, us = (int(n[i]), int(turn[i]), int(p[i]),
+                                      int(ln[i]), int(d[i]), int(ts_us[i]))
+            trace = f"{ni:032x}"
+            rsp = f"{ni * 65536 + ti * 2:016x}"
+            rgmid = f"rmid1:{pi:05x}-{ni:012x}-{ti:05x}-00000"
+            proto, ver = protos[ti % 3]
+            queue = f"q/{pi}"
+            f = files[pi]
+            f.write(_json.dumps(encode_receive_span(
+                trace, rsp, us * 1000, (us + li) * 1000,
+                f"chat/{conv}", rgmid, proto, ver, role, queue),
+                ensure_ascii=False) + "\n")
+            f.write(_json.dumps(encode_egress_span(
+                trace, f"{ni * 65536 + ti * 2 + 1:016x}", rsp,
+                (us + li + di) * 1000, (us + 2 * li + di) * 1000,
+                queue, rgmid, proto, ver, f"subscriber-{pi}"),
+                ensure_ascii=False) + "\n")
+    finally:
+        for f in files.values():
+            f.close()
+    with open(os.path.join(tmpdir, ".version"), "w") as f:
+        f.write(CORPUS_VERSION)
+    try:
+        os.replace(tmpdir, path)
+    except OSError:
+        import shutil
+        shutil.rmtree(tmpdir, ignore_errors=True)
+    return path

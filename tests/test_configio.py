@@ -110,6 +110,18 @@ def test_collector_wire_receivers_build(ray_session, sf_dir, tmp_path):
     assert build("pulsar/in", {"path": ppath,
                                "cursor_state": pstate}).count() == 0
 
+    # solace: telemetry queue dump resolves to the span reader (two
+    # spans per turn); a fully settled settled_state empties the re-read
+    from splunk_otel_collector_ray.sources.solace import (
+        read_solace_dump, settle_spans)
+
+    spath = corpus.ensure_solace_dump(sf_dir)
+    assert build("solace/in", {"path": spath}).count() == 2 * n_turns
+    sstate = str(tmp_path / "solace_settled")
+    settle_spans(sstate, read_solace_dump(spath))
+    assert build("solace/in", {"path": spath,
+                               "settled_state": sstate}).count() == 0
+
     # otlp (json + protobuf encodings) over a staged hop
     from splunk_otel_collector_ray.pipelines.two_tier import run_agent_tier
 
