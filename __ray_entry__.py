@@ -2897,10 +2897,12 @@ def _solace_sql_ctes() -> str:
     from the transcript corpus (corpus.ensure_solace_dump's documented
     derivations): n = numeric conv_id, p = n % 4, L = length(text),
     queue delay d = (31n + 7·turn_idx) % 1000 + 1; hex ids via printf,
-    span times via to_microseconds. MATERIALIZED because the
-    delivery-lag twin references ``sp`` twice (CLAUDE.md CTE rule)."""
+    span times via to_microseconds. Both CTEs MATERIALIZED (CLAUDE.md
+    CTE rule): ``sp``'s UNION ALL references ``b`` twice and the
+    delivery-lag twin references ``sp`` twice."""
     return (
-        ", b AS (SELECT *, (31 * n + 7 * turn_idx) % 1000 + 1 AS d, "
+        ", b AS MATERIALIZED (SELECT *, "
+        "(31 * n + 7 * turn_idx) % 1000 + 1 AS d, "
         "printf('rmid1:%05x-%012x-%05x-00000', p, n, turn_idx) AS rgmid, "
         "CASE turn_idx % 3 WHEN 0 THEN 'smf' WHEN 1 THEN 'mqtt' "
         "ELSE 'amqp' END AS protocol, "

@@ -149,10 +149,10 @@ def read_pulsar_dump(path: str, cursor: "dict | None" = None
             return t.filter(pa.array(keep))
 
         out = out.map_batches(skip_marked, batch_format="pyarrow")
+    from .wire import has_parquet
+
     ind_dir = cursor.get("individuals_dir")
-    if ind_dir and os.path.isdir(ind_dir) and any(
-            f.endswith(".parquet") for _, _, fs in os.walk(ind_dir)
-            for f in fs):
+    if has_parquet(ind_dir):
         from ..stages.sample import anti_join_keys
 
         def add_coord(t: pa.Table) -> pa.Table:
@@ -178,11 +178,9 @@ def ack_entries(state_dir: str, ds: "ray.data.Dataset") -> None:
     """Record the consumed stream's entries as acked (appended parquet,
     written by the cluster — the driver never holds the set). Mark
     advancement happens lazily in :func:`load_cursor`."""
-    acks_root = os.path.join(state_dir, "acks")
-    part = 0
-    while os.path.exists(os.path.join(acks_root, f"ack-{part:04d}")):
-        part += 1
-    sub = os.path.join(acks_root, f"ack-{part:04d}")
+    from .wire import next_state_subdir
+
+    sub = next_state_subdir(os.path.join(state_dir, "acks"), "ack")
     ds.map_batches(
         lambda t: pa.table({"partition": t["partition"],
                             "_coord": _coord_col(t)}),

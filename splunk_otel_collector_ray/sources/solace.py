@@ -38,8 +38,12 @@ message, ``{"topic": "_telemetry/broker/trace/<family>/v1",
 parallelism only (a Solace queue has no partitions). The payload JSON
 carries the public SpanData fields (hex ids, nanosecond times, topic or
 queue name, rgmid, protocol/version, client username, enqueue events).
-Envelope topics decode vectorized; the per-message payload parse is the
-wire-codec edge (same as fluent/OTLP/kafka payload decoding).
+Unknown-family messages are refused by one vectorized topic filter; the
+per-message payload parse and field extraction are the wire-codec edge
+(same as fluent/OTLP/kafka payload decoding), and a message whose
+payload is unparsable or missing required SpanData fields is refused
+too — :func:`count_refused` is the dump analogue of the contrib
+receiver's dropped-telemetry counter.
 
 Span mapping follows OTel messaging semconv the way the contrib
 unmarshallers do: span name = ``<destination> <operation>``, operation
@@ -57,7 +61,12 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-SOLACE_SHARDS = 4  # file-layout parallelism only — queues have no partitions
+# Shard count AND queue-identity modulus: corpus.ensure_solace_dump derives
+# the egress queue name q/<p>, subscriber username and the rgmid's first hex
+# group from n % SOLACE_SHARDS, and the oracle twin
+# (__ray_entry__._solace_sql_ctes) hardcodes the matching % 4 — changing
+# this requires changing the SQL and bumping CORPUS_VERSION together.
+SOLACE_SHARDS = 4
 
 RECEIVE_TOPIC = "_telemetry/broker/trace/receive/v1"
 EGRESS_TOPIC = "_telemetry/broker/trace/egress/v1"
@@ -96,64 +105,91 @@ def encode_egress_span(trace_id: str, span_id: str, parent_span_id: str,
     }, ensure_ascii=False)}
 
 
-def decode_solace_batch(batch: pa.Table) -> pa.Table:
-    """Telemetry messages → one SPAN row each, unified across families.
+def _decode_rows(batch: pa.Table) -> "tuple[pa.Table, int]":
+    """Shared decode core: (span table, refused count).
 
-    The family dispatch is the envelope topic (vectorized equality);
-    messages with an unknown telemetry topic or an unparsable payload
-    are REFUSED — dropped from the stream the way the contrib receiver
-    drops and counts them — never raised. Payload JSON parse is the
-    per-message codec edge; everything after it builds columns in one
-    pass."""
-    topics = batch["topic"].to_pylist()
-    payloads = batch["payload"].to_pylist()
-    fam: list[str] = []
-    spans: list[dict] = []
-    for t, p in zip(topics, payloads):
-        if t == RECEIVE_TOPIC:
-            f = "receive"
-        elif t == EGRESS_TOPIC:
-            f = "egress"
-        else:  # unknown telemetry family → refused, counted not crashed
-            continue
+    Family dispatch is ONE vectorized topic filter (unknown telemetry
+    families refused up front); the surviving payloads parse and
+    extract per message — the codec edge — inside a guard, so a
+    payload that is unparsable, non-object, or missing required
+    SpanData fields is REFUSED like the contrib receiver refuses it,
+    never raised out of the read task."""
+    topic = batch["topic"]
+    known = pc.or_(pc.equal(topic, RECEIVE_TOPIC),
+                   pc.equal(topic, EGRESS_TOPIC))
+    known = pc.fill_null(known, False)
+    kept = batch.filter(known)
+    refused = batch.num_rows - kept.num_rows
+    is_recv = pc.equal(kept["topic"], RECEIVE_TOPIC).to_pylist()
+    cols: "dict[str, list]" = {k: [] for k in (
+        "family", "trace_id", "span_id", "parent_span_id", "name", "kind",
+        "destination", "rgmid", "protocol", "protocol_version",
+        "client_username", "enqueue_queue")}
+    start_ns: "list[int]" = []
+    end_ns: "list[int]" = []
+    for r, p in zip(is_recv, kept["payload"].to_pylist()):
         try:
             d = json.loads(p)
-        except (TypeError, ValueError):
+            row = (
+                d["traceId"], d["spanId"], d.get("parentSpanId", ""),
+                int(d["startTimeUnixNano"]),
+                int(d["completionTimeUnixNano"]),
+                d["replicationGroupMessageId"], d["protocol"],
+                d["protocolVersion"], d["clientUsername"],
+                d["topic"] if r else d["queueName"],
+                (d["enqueueEvents"][0]["queueName"]
+                 if r and d.get("enqueueEvents") else ""),
+            )
+        except (KeyError, TypeError, ValueError, IndexError):
+            refused += 1  # malformed SpanData → refused, not crashed
             continue
-        fam.append(f)
-        spans.append(d)
-
-    recv = np.fromiter((f == "receive" for f in fam), dtype=bool,
-                       count=len(fam))
-    dest = [d["topic"] if r else d["queueName"]
-            for r, d in zip(recv, spans)]
+        (trace, span, parent, st, en, rgm, proto, ver, user, dest,
+         enq) = row
+        cols["family"].append("receive" if r else "egress")
+        cols["trace_id"].append(trace)
+        cols["span_id"].append(span)
+        cols["parent_span_id"].append(parent)
+        cols["name"].append(f"{dest} receive" if r else f"{dest} send")
+        cols["kind"].append("consumer" if r else "producer")
+        cols["destination"].append(dest)
+        cols["rgmid"].append(rgm)
+        cols["protocol"].append(proto)
+        cols["protocol_version"].append(ver)
+        cols["client_username"].append(user)
+        cols["enqueue_queue"].append(enq)
+        start_ns.append(st)
+        end_ns.append(en)
     s = pa.string()
-    return pa.table({
-        "family": pa.array(fam, type=s),
-        "trace_id": pa.array([d["traceId"] for d in spans], type=s),
-        "span_id": pa.array([d["spanId"] for d in spans], type=s),
-        "parent_span_id": pa.array(
-            [d.get("parentSpanId", "") for d in spans], type=s),
-        "name": pa.array(
-            [f"{x} receive" if r else f"{x} send"
-             for r, x in zip(recv, dest)], type=s),
-        "kind": pa.array(
-            ["consumer" if r else "producer" for r in recv], type=s),
-        "start_ts": _ns_to_ts([d["startTimeUnixNano"] for d in spans]),
-        "end_ts": _ns_to_ts([d["completionTimeUnixNano"] for d in spans]),
-        "destination": pa.array(dest, type=s),
-        "rgmid": pa.array([d["replicationGroupMessageId"] for d in spans],
-                          type=s),
-        "protocol": pa.array([d["protocol"] for d in spans], type=s),
-        "protocol_version": pa.array(
-            [d["protocolVersion"] for d in spans], type=s),
-        "client_username": pa.array(
-            [d["clientUsername"] for d in spans], type=s),
-        "enqueue_queue": pa.array(
-            [d["enqueueEvents"][0]["queueName"]
-             if r and d.get("enqueueEvents") else ""
-             for r, d in zip(recv, spans)], type=s),
-    })
+    out = {k: pa.array(v, type=s) for k, v in cols.items()}
+    out["start_ts"] = _ns_to_ts(start_ns)
+    out["end_ts"] = _ns_to_ts(end_ns)
+    order = ("family", "trace_id", "span_id", "parent_span_id", "name",
+             "kind", "start_ts", "end_ts", "destination", "rgmid",
+             "protocol", "protocol_version", "client_username",
+             "enqueue_queue")
+    return pa.table({k: out[k] for k in order}), refused
+
+
+def decode_solace_batch(batch: pa.Table) -> pa.Table:
+    """Telemetry messages → one SPAN row each, unified across families;
+    refused messages (unknown family / bad payload) drop silently here —
+    :func:`count_refused` surfaces the counter."""
+    return _decode_rows(batch)[0]
+
+
+def count_refused(path: str) -> int:
+    """Total refused telemetry messages in a dump — the analogue of the
+    contrib receiver's dropped-telemetry counter (it reports refused
+    unmarshals instead of crashing the consumer). Counted by the same
+    decode core the reader uses, summed distributed."""
+    import ray.data
+
+    return int(ray.data.read_json(path, file_extensions=["jsonl"])
+               .map_batches(
+                   lambda t: pa.table(
+                       {"refused": pa.array([_decode_rows(t)[1]],
+                                            type=pa.int64())}),
+                   batch_format="pyarrow").sum("refused") or 0)
 
 
 def _ns_to_ts(ns: "list[int]") -> pa.Array:
@@ -171,16 +207,14 @@ def read_solace_dump(path: str, settled_dir: "str | None" = None
     not — the driver never materializes it."""
     import ray.data
 
+    from .wire import has_parquet
+
     out = ray.data.read_json(path, file_extensions=["jsonl"]).map_batches(
         decode_solace_batch, batch_format="pyarrow")
-    if settled_dir and os.path.isdir(settled_dir) and any(
-            f.endswith(".parquet") for _, _, fs in os.walk(settled_dir)
-            for f in fs):
-        import ray.data as rd
-
+    if has_parquet(settled_dir):
         from ..stages.sample import anti_join_keys
 
-        settled = rd.read_parquet(settled_dir, columns=["span_id"])
+        settled = ray.data.read_parquet(settled_dir, columns=["span_id"])
         out = anti_join_keys(out, settled, "span_id")
     return out
 
@@ -191,11 +225,9 @@ def settle_spans(state_dir: str, ds: "ray.data.Dataset") -> None:
     A later :func:`read_solace_dump` with this directory skips them;
     everything unsettled redelivers, the at-least-once contract the
     contrib receiver implements by settling only after forwarding."""
-    os.makedirs(state_dir, exist_ok=True)
-    part = 0
-    while os.path.exists(os.path.join(state_dir, f"settle-{part:04d}")):
-        part += 1
-    sub = os.path.join(state_dir, f"settle-{part:04d}")
+    from .wire import next_state_subdir
+
+    sub = next_state_subdir(state_dir, "settle")
     ds.map_batches(lambda t: t.select(["span_id"]),
                    batch_format="pyarrow").write_parquet(sub)
 

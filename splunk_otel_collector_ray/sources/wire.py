@@ -33,6 +33,31 @@ def repeat_per(col: "pa.ChunkedArray | pa.Array",
     return arr.take(pa.array(np.repeat(np.arange(len(arr)), counts)))
 
 
+def next_state_subdir(root: str, prefix: str) -> str:
+    """Next append-slot path for a resume-state directory (``<root>/
+    <prefix>-0000``, ``-0001``, …) — the shared numbering rule for the
+    queue sources' cluster-written ack/settle stores, so the resume
+    stores can't drift apart either."""
+    import os
+
+    os.makedirs(root, exist_ok=True)
+    part = 0
+    while os.path.exists(os.path.join(root, f"{prefix}-{part:04d}")):
+        part += 1
+    return os.path.join(root, f"{prefix}-{part:04d}")
+
+
+def has_parquet(path: "str | None") -> bool:
+    """True when ``path`` is a directory holding at least one parquet
+    file — the guard every queue source applies before anti-joining a
+    possibly-empty resume store."""
+    import os
+
+    return bool(path) and os.path.isdir(path) and any(
+        f.endswith(".parquet")
+        for _, _, fs in os.walk(path) for f in fs)
+
+
 def ts_us(col: "pa.ChunkedArray | pa.Array") -> pa.Array:
     """ISO8601 string column → ``timestamp[us]`` (Z suffix sliced off);
     passes through columns the JSON reader already inferred."""

@@ -62,22 +62,36 @@ def test_solace_dump_decode(ray_session, sf_dir):
 
 
 def test_solace_refuses_unknown_telemetry(ray_session, sf_dir, tmp_path):
-    """Messages with an unknown telemetry topic or an unparsable payload
-    are dropped (the contrib receiver's refused-telemetry counter), not
-    crashed on — the rest of the file still decodes."""
+    """Messages with an unknown telemetry topic, an unparsable payload,
+    a non-object payload, or SpanData missing required fields are all
+    REFUSED — dropped and counted (the contrib receiver's
+    dropped-telemetry counter), never raised — and the rest of the file
+    still decodes."""
+    from splunk_otel_collector_ray.sources.solace import count_refused
+
     src = corpus.ensure_solace_dump(sf_dir)
     dump = str(tmp_path / "queue")
     os.makedirs(dump)
     with open(os.path.join(src, "telemetry-0.jsonl")) as f:
         good = f.readlines()[:10]
+    junk = [
+        {"topic": "_telemetry/broker/trace/move/v1", "payload": "{}"},
+        {"topic": EGRESS_TOPIC, "payload": "not json {"},
+        {"topic": EGRESS_TOPIC, "payload": "{}"},     # missing fields
+        {"topic": RECEIVE_TOPIC, "payload": "123"},   # non-object
+        {"topic": RECEIVE_TOPIC,
+         "payload": json.dumps({"traceId": "00", "spanId": "01",
+                                "startTimeUnixNano": "not a number",
+                                "completionTimeUnixNano": 2})},
+    ]
     with open(os.path.join(dump, "telemetry-0.jsonl"), "w") as f:
         f.writelines(good[:5])
-        f.write(json.dumps({"topic": "_telemetry/broker/trace/move/v1",
-                            "payload": "{}"}) + "\n")
-        f.write(json.dumps({"topic": EGRESS_TOPIC,
-                            "payload": "not json {"}) + "\n")
+        for j in junk:
+            f.write(json.dumps(j) + "\n")
         f.writelines(good[5:])
     assert read_solace_dump(dump).count() == 10
+    assert count_refused(dump) == len(junk)
+    assert count_refused(src) == 0  # the staged dump is clean
 
 
 def test_solace_settlement_resume(ray_session, sf_dir, tmp_path):
