@@ -93,9 +93,11 @@ def read_pubsub_dump(path: str, ack_state: str | None = None
     """
     import ray.data
 
+    from .wire import has_parquet
+
     out = ray.data.read_json(path, file_extensions=["jsonl"]).map_batches(
         decode_pubsub_batch, batch_format="pyarrow")
-    if not ack_state or not os.path.isdir(ack_state):
+    if not has_parquet(ack_state):
         return out
     from ..stages.sample import anti_join_keys
 
@@ -106,12 +108,12 @@ def read_pubsub_dump(path: str, ack_state: str | None = None
 def ack_messages(state_path: str, ds: "ray.data.Dataset") -> None:
     """Persist the consumed stream's message ids as the acked set —
     written distributed (one parquet shard per block union), appended to
-    any prior state; the driver never holds the ids."""
-    part = 0
-    if os.path.isdir(state_path):
-        part = len(os.listdir(state_path))
-    # write under a per-ack-call subdir so repeated acks append atomically
-    sub = os.path.join(state_path, f"ack-{part:04d}")
+    any prior state via the shared queue-source numbering rule
+    (:func:`..sources.wire.next_state_subdir`); the driver never holds
+    the ids."""
+    from .wire import next_state_subdir
+
+    sub = next_state_subdir(state_path, "ack")
     ds.select_columns(["message_id"]).write_parquet(sub)
 
 

@@ -105,15 +105,8 @@ def encode_egress_span(trace_id: str, span_id: str, parent_span_id: str,
     }, ensure_ascii=False)}
 
 
-def _decode_rows(batch: pa.Table) -> "tuple[pa.Table, int]":
-    """Shared decode core: (span table, refused count).
-
-    Family dispatch is ONE vectorized topic filter (unknown telemetry
-    families refused up front); the surviving payloads parse and
-    extract per message — the codec edge — inside a guard, so a
-    payload that is unparsable, non-object, or missing required
-    SpanData fields is REFUSED like the contrib receiver refuses it,
-    never raised out of the read task."""
+def _filter_known(batch: pa.Table) -> "tuple[pa.Table, int, list]":
+    """Vectorized family dispatch: (kept rows, refused count, is_recv)."""
     topic = batch["topic"]
     known = pc.or_(pc.equal(topic, RECEIVE_TOPIC),
                    pc.equal(topic, EGRESS_TOPIC))
@@ -121,6 +114,47 @@ def _decode_rows(batch: pa.Table) -> "tuple[pa.Table, int]":
     kept = batch.filter(known)
     refused = batch.num_rows - kept.num_rows
     is_recv = pc.equal(kept["topic"], RECEIVE_TOPIC).to_pylist()
+    return kept, refused, is_recv
+
+
+def _parse_payload(r: bool, p) -> "tuple | None":
+    """One telemetry payload → the 11-field span row, or None (refused).
+
+    The codec edge: a payload that is unparsable, non-object, missing
+    required SpanData fields, OR carries a wrong-typed field (a numeric
+    protocolVersion, a null traceId) is refused — never raised out of
+    the read task, and never allowed to poison the Arrow column build
+    for the rest of the batch."""
+    try:
+        d = json.loads(p)
+        row = (
+            d["traceId"], d["spanId"], d.get("parentSpanId", ""),
+            int(d["startTimeUnixNano"]),
+            int(d["completionTimeUnixNano"]),
+            d["replicationGroupMessageId"], d["protocol"],
+            d["protocolVersion"], d["clientUsername"],
+            d["topic"] if r else d["queueName"],
+            (d["enqueueEvents"][0]["queueName"]
+             if r and d.get("enqueueEvents") else ""),
+        )
+    except (KeyError, TypeError, ValueError, IndexError):
+        return None
+    # Type-check the string fields (indexes 3/4 are the ns times): an
+    # explicit null or non-string value must refuse THIS message, not
+    # blow up pa.array(..., type=string) for the whole batch.
+    if any(not isinstance(v, str)
+           for i, v in enumerate(row) if i not in (3, 4)):
+        return None
+    return row
+
+
+def _decode_rows(batch: pa.Table) -> "tuple[pa.Table, int]":
+    """Shared decode core: (span table, refused count).
+
+    Family dispatch is ONE vectorized topic filter (unknown telemetry
+    families refused up front); the surviving payloads parse and
+    extract per message via :func:`_parse_payload`."""
+    kept, refused, is_recv = _filter_known(batch)
     cols: "dict[str, list]" = {k: [] for k in (
         "family", "trace_id", "span_id", "parent_span_id", "name", "kind",
         "destination", "rgmid", "protocol", "protocol_version",
@@ -128,19 +162,8 @@ def _decode_rows(batch: pa.Table) -> "tuple[pa.Table, int]":
     start_ns: "list[int]" = []
     end_ns: "list[int]" = []
     for r, p in zip(is_recv, kept["payload"].to_pylist()):
-        try:
-            d = json.loads(p)
-            row = (
-                d["traceId"], d["spanId"], d.get("parentSpanId", ""),
-                int(d["startTimeUnixNano"]),
-                int(d["completionTimeUnixNano"]),
-                d["replicationGroupMessageId"], d["protocol"],
-                d["protocolVersion"], d["clientUsername"],
-                d["topic"] if r else d["queueName"],
-                (d["enqueueEvents"][0]["queueName"]
-                 if r and d.get("enqueueEvents") else ""),
-            )
-        except (KeyError, TypeError, ValueError, IndexError):
+        row = _parse_payload(r, p)
+        if row is None:
             refused += 1  # malformed SpanData → refused, not crashed
             continue
         (trace, span, parent, st, en, rgm, proto, ver, user, dest,
@@ -180,16 +203,22 @@ def decode_solace_batch(batch: pa.Table) -> pa.Table:
 def count_refused(path: str) -> int:
     """Total refused telemetry messages in a dump — the analogue of the
     contrib receiver's dropped-telemetry counter (it reports refused
-    unmarshals instead of crashing the consumer). Counted by the same
-    decode core the reader uses, summed distributed."""
+    unmarshals instead of crashing the consumer). Uses the same topic
+    filter and per-row validator the reader uses, but never builds the
+    14 span columns it would throw away — count-only, summed
+    distributed."""
     import ray.data
 
+    def count(batch: pa.Table) -> pa.Table:
+        kept, refused, is_recv = _filter_known(batch)
+        refused += sum(
+            _parse_payload(r, p) is None
+            for r, p in zip(is_recv, kept["payload"].to_pylist()))
+        return pa.table({"refused": pa.array([refused], type=pa.int64())})
+
     return int(ray.data.read_json(path, file_extensions=["jsonl"])
-               .map_batches(
-                   lambda t: pa.table(
-                       {"refused": pa.array([_decode_rows(t)[1]],
-                                            type=pa.int64())}),
-                   batch_format="pyarrow").sum("refused") or 0)
+               .map_batches(count, batch_format="pyarrow")
+               .sum("refused") or 0)
 
 
 def _ns_to_ts(ns: "list[int]") -> pa.Array:
@@ -261,12 +290,29 @@ def delivery_lag(spans: "ray.data.Dataset") -> "ray.data.Dataset":
                 t["rgmid"].combine_chunks(), nb)),
         })
 
+    # Explicit schemas for the no-pairs case: an all-refused-egress or
+    # settled-away bucket makes the pandas groupby emit an EMPTY frame
+    # whose object columns pd_table would type null, diverging from the
+    # populated partials at the small_fold concat boundary.
+    empty_partial = pa.table({
+        "destination": pa.array([], type=pa.string()),
+        "n": pa.array([], type=pa.int64()),
+        "s": pa.array([], type=pa.int64()),
+        "mx": pa.array([], type=pa.int64())})
+    empty_final = pa.table({
+        "destination": pa.array([], type=pa.string()),
+        "n_deliveries": pa.array([], type=pa.int64()),
+        "avg_lag_us": pa.array([], type=pa.float64()),
+        "max_lag_us": pa.array([], type=pa.int64())})
+
     def pair_and_shrink(df: "pd.DataFrame") -> pa.Table:
         recv = df.loc[df["family"].to_numpy() == "receive",
                       ["rgmid", "end_us"]]
         eg = df.loc[df["family"].to_numpy() == "egress",
                     ["rgmid", "destination", "start_us"]]
         m = eg.merge(recv, on="rgmid", how="inner")
+        if m.empty:
+            return empty_partial
         m["lag_us"] = m["start_us"] - m["end_us"]
         g = m.groupby("destination", sort=False)["lag_us"].agg(
             n="size", s="sum", mx="max").reset_index()
@@ -274,6 +320,8 @@ def delivery_lag(spans: "ray.data.Dataset") -> "ray.data.Dataset":
 
     def combine(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
+        if df.empty:
+            return empty_final
         g = df.groupby("destination", sort=True).agg(
             n=("n", "sum"), s=("s", "sum"), mx=("mx", "max")).reset_index()
         out = pd_table(g)

@@ -11,6 +11,8 @@ from splunk_otel_collector_ray.sources.solace import (
     RECEIVE_TOPIC,
     SOLACE_SHARDS,
     delivery_lag,
+    encode_egress_span,
+    encode_receive_span,
     read_solace_dump,
     settle_spans,
 )
@@ -83,6 +85,20 @@ def test_solace_refuses_unknown_telemetry(ray_session, sf_dir, tmp_path):
          "payload": json.dumps({"traceId": "00", "spanId": "01",
                                 "startTimeUnixNano": "not a number",
                                 "completionTimeUnixNano": 2})},
+        # wrong-TYPED fields must refuse the one message, not crash the
+        # batch's Arrow column build (numeric protocolVersion, null id)
+        {"topic": EGRESS_TOPIC,
+         "payload": json.dumps(dict(
+             json.loads(encode_egress_span(
+                 "t0", "s0", "p0", 1, 2, "q/0", "rm", "smf", "3.0",
+                 "user")["payload"]),
+             protocolVersion=3.0))},
+        {"topic": RECEIVE_TOPIC,
+         "payload": json.dumps(dict(
+             json.loads(encode_receive_span(
+                 "t1", "s1", 1, 2, "top", "rm", "smf", "3.0", "user",
+                 "q/1")["payload"]),
+             traceId=None))},
     ]
     with open(os.path.join(dump, "telemetry-0.jsonl"), "w") as f:
         f.writelines(good[:5])
@@ -135,3 +151,22 @@ def test_solace_delivery_lag_matches_join(ray_session, sf_dir):
         want, check_dtype=False)
     # the staged delay formula caps at 1000 µs
     assert int(got["max_lag_us"].max()) <= 1000
+
+
+def test_solace_delivery_lag_unpaired_stream(ray_session, sf_dir,
+                                             tmp_path):
+    """A stream with no pairable spans (egress spans settled away — the
+    shape settlement resume itself produces) folds to an EMPTY result
+    without raising: every fold partial carries the explicit partial
+    schema (never a null-typed destination from an empty pandas
+    groupby), and Ray's drop-empty-blocks convention yields a clean
+    zero-row dataset (the same schemaless-empty contract pulsar's
+    cursor loader guards for)."""
+    path = corpus.ensure_solace_dump(sf_dir)
+    state = str(tmp_path / "settled")
+    settle_spans(state, read_solace_dump(path).map_batches(
+        lambda t: t.filter(
+            t["family"].to_pandas().eq("egress").to_numpy()),
+        batch_format="pyarrow"))
+    receives_only = read_solace_dump(path, settled_dir=state)
+    assert delivery_lag(receives_only).count() == 0
