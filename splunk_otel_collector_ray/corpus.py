@@ -154,18 +154,44 @@ def _conv_layout(n_turns: int, rng: np.random.Generator) -> tuple[np.ndarray, np
     return conv_seq, turn_idx.astype(np.int32)
 
 
-def build_transcripts(sf: str) -> pa.Table:
-    """Build the transcript table for scale name ``sf`` (e.g. 'sf0.01')."""
+def _layout_and_roles(sf: str) -> "tuple[np.ndarray, np.ndarray, np.ndarray]":
+    """The two rng-dependent full-length draws, in their fixed order.
+
+    Everything else in the corpus is a pure per-row function of
+    (conv_seq, turn_idx, global row index), so rendering can proceed in
+    conversation-aligned chunks (see :func:`_render_transcripts`) without
+    perturbing the rng stream — the chunked and monolithic paths are
+    bit-identical by construction (pinned by test)."""
     n = n_turns_for(sf)
     # NOTE: rng draws below are order-sensitive; the layout draw comes first.
     rng = np.random.default_rng(int(float(sf.removeprefix("sf")) * 1e6) + 42)
     conv_seq, turn_idx = _conv_layout(n, rng)
-    gidx = np.arange(n, dtype=np.int64)
+    role = rng.choice(ROLES, size=n, p=ROLE_W)
+    return conv_seq, turn_idx, role
+
+
+def build_transcripts(sf: str) -> pa.Table:
+    """Build the transcript table for scale name ``sf`` (e.g. 'sf0.01')."""
+    conv_seq, turn_idx, role = _layout_and_roles(sf)
+    return _render_transcripts(conv_seq, turn_idx, role, 0, len(conv_seq))
+
+
+def _render_transcripts(conv_seq: np.ndarray, turn_idx: np.ndarray,
+                        role: np.ndarray, lo: int, hi: int) -> pa.Table:
+    """Render rows ``[lo, hi)`` of the corpus whose full layout is given.
+
+    ``lo`` must sit on a conversation boundary (the per-conv timestamp
+    cumsum restarts per conversation, so a conv-aligned slice reproduces
+    the global values exactly); the global row index feeds the ms field."""
+    conv_seq = conv_seq[lo:hi]
+    turn_idx = turn_idx[lo:hi]
+    role = role[lo:hi]
+    n = hi - lo
+    gidx = np.arange(lo, hi, dtype=np.int64)
 
     conv_id = pd.Series(conv_seq).map(lambda i: f"conv-{i:08d}").to_numpy()
     fmt = (conv_seq * 1000003 + turn_idx.astype(np.int64) * 7919) % N_FORMATS
 
-    role = rng.choice(ROLES, size=n, p=ROLE_W)
     tool = np.where(role == "tool", TOOLS[(conv_seq + turn_idx) % len(TOOLS)], "")
 
     # timestamps: in-order per conversation, deterministic
@@ -417,6 +443,7 @@ def build_transcripts(sf: str) -> pa.Table:
 
 
 ROWS_PER_FILE = 100_000
+RENDER_CHUNK = 8_000_000  # rows per render super-chunk (~3 GB transient)
 CORPUS_VERSION = "3"  # bump when the generator's output changes → regenerate
 
 
@@ -443,27 +470,42 @@ def ensure_transcripts(sf_dir_or_name: str, force: bool = False) -> str:
     if os.path.isdir(path):
         import shutil
         shutil.rmtree(path, ignore_errors=True)
-    table = build_transcripts(sf_name(sf_dir_or_name))
+    conv_seq, turn_idx, role = _layout_and_roles(sf_name(sf_dir_or_name))
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmpdir = tempfile.mkdtemp(dir=os.path.dirname(path), prefix=".transcripts.tmp")
-    n = table.num_rows
+    n = len(conv_seq)
     n_files = max(1, round(n / ROWS_PER_FILE))
     # split points aligned to conversation boundaries
-    conv = table.column("conv_id").to_pandas().to_numpy()
     bounds = [0]
     for k in range(1, n_files):
         i = k * n // n_files
-        while i < n and conv[i] == conv[i - 1]:
+        while i < n and conv_seq[i] == conv_seq[i - 1]:
             i += 1
         if i > bounds[-1] and i < n:
             bounds.append(i)
     bounds.append(n)
-    for k in range(len(bounds) - 1):
-        pq.write_table(
-            table.slice(bounds[k], bounds[k + 1] - bounds[k]),
-            os.path.join(tmpdir, f"part-{k:03d}.parquet"),
-            row_group_size=50_000,
-        )
+    # Render in conversation-aligned SUPER-CHUNKS of ~RENDER_CHUNK rows,
+    # writing each file's slice as we go: the rendered text column is
+    # ~10× the numeric layout's footprint, so a monolithic render
+    # OOM-kills past ~150M turns while the layout arrays alone scale to
+    # billions — chunked and monolithic outputs are bit-identical
+    # (pinned by test_corpus_chunked_render_identical).
+    k = 0
+    while k < len(bounds) - 1:
+        j = k + 1
+        while (j < len(bounds) - 1
+               and bounds[j + 1] - bounds[k] <= RENDER_CHUNK):
+            j += 1
+        chunk = _render_transcripts(conv_seq, turn_idx, role,
+                                    bounds[k], bounds[j])
+        for f in range(k, j):
+            pq.write_table(
+                chunk.slice(bounds[f] - bounds[k],
+                            bounds[f + 1] - bounds[f]),
+                os.path.join(tmpdir, f"part-{f:03d}.parquet"),
+                row_group_size=50_000,
+            )
+        k = j
     with open(os.path.join(tmpdir, ".version"), "w") as f:
         f.write(CORPUS_VERSION)
     try:

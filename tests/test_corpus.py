@@ -67,3 +67,24 @@ def test_tool_only_on_tool_role():
     df = corpus.build_transcripts("sf0.001").to_pandas()
     assert (df.loc[df.role != "tool", "tool"] == "").all()
     assert (df.loc[df.role == "tool", "tool"] != "").all()
+
+
+def test_corpus_chunked_render_identical(tmp_path, monkeypatch):
+    """The memory-bounded super-chunk writer emits the SAME files as a
+    monolithic render: same conv-aligned split points, same values — so
+    large scales (where one in-memory render would OOM) share a lineage
+    with every cached fixture."""
+    monkeypatch.setattr(corpus, "RENDER_CHUNK", 700)  # many tiny chunks
+    monkeypatch.setattr(corpus, "ROWS_PER_FILE", 2_000)  # and many files
+    monkeypatch.setattr(corpus, "FIXTURE_ROOT", str(tmp_path))
+    path = corpus.ensure_transcripts("sf0.001")
+    files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    assert len(files) == 5  # 10k rows / 2k per file
+    got = pa.concat_tables([pq.read_table(f) for f in files])
+    want = corpus.build_transcripts("sf0.001")
+    assert got.combine_chunks().equals(want.combine_chunks())
+    # chunk boundaries stay conversation-aligned
+    for i in range(1, len(files)):
+        a = pq.read_table(files[i - 1], columns=["conv_id"])["conv_id"]
+        b = pq.read_table(files[i], columns=["conv_id"])["conv_id"]
+        assert a[-1].as_py() != b[0].as_py()
