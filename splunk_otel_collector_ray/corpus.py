@@ -1027,39 +1027,51 @@ def ensure_solace_dump(sf_dir_or_name: str, force: bool = False) -> str:
     if os.path.isdir(path):
         import shutil
         shutil.rmtree(path, ignore_errors=True)
-    df = pq.read_table(
-        tdir, columns=["conv_id", "turn_idx", "role", "text", "ts"]
-    ).to_pandas()
-    n = df["conv_id"].str.slice(5).astype("int64").to_numpy()
-    turn = df["turn_idx"].astype("int64").to_numpy()
-    p = n % SOLACE_SHARDS
-    ts_us = df["ts"].astype("int64").to_numpy()
-    ln = df["text"].str.len().astype("int64").to_numpy()
-    d = (31 * n + 7 * turn) % 1000 + 1
     protos = [("smf", "3.0"), ("mqtt", "5.0"), ("amqp", "1.0")]
     tmpdir = tempfile.mkdtemp(dir=os.path.dirname(path),
                               prefix=".solace.tmp")
     files = {s: open(os.path.join(tmpdir, f"telemetry-{s}.jsonl"), "w",
                      encoding="utf-8") for s in range(SOLACE_SHARDS)}
     try:
-        for i, (conv, role) in enumerate(zip(df["conv_id"], df["role"])):
-            ni, ti, pi, li, di, us = (int(n[i]), int(turn[i]), int(p[i]),
-                                      int(ln[i]), int(d[i]), int(ts_us[i]))
-            trace = f"{ni:032x}"
-            rsp = f"{ni * 65536 + ti * 2:016x}"
-            rgmid = f"rmid1:{pi:05x}-{ni:012x}-{ti:05x}-00000"
-            proto, ver = protos[ti % 3]
-            queue = f"q/{pi}"
-            f = files[pi]
-            f.write(_json.dumps(encode_receive_span(
-                trace, rsp, us * 1000, (us + li) * 1000,
-                f"chat/{conv}", rgmid, proto, ver, role, queue),
-                ensure_ascii=False) + "\n")
-            f.write(_json.dumps(encode_egress_span(
-                trace, f"{ni * 65536 + ti * 2 + 1:016x}", rsp,
-                (us + li + di) * 1000, (us + 2 * li + di) * 1000,
-                queue, rgmid, proto, ver, f"subscriber-{pi}"),
-                ensure_ascii=False) + "\n")
+        # One transcript PART FILE at a time (~100k turns): the text
+        # column is ~10x the numeric footprint, and only its LENGTH is
+        # needed — the monolithic read_table(...).to_pandas() here was
+        # the same unbounded shape the chunked transcript render
+        # removed. Sorted filename order == global row order, so the
+        # shard-file bytes are identical to the monolithic build.
+        for part in sorted(os.listdir(tdir)):
+            if not part.endswith(".parquet"):
+                continue
+            df = pq.read_table(
+                os.path.join(tdir, part),
+                columns=["conv_id", "turn_idx", "role", "text", "ts"]
+            ).to_pandas()
+            n = df["conv_id"].str.slice(5).astype("int64").to_numpy()
+            turn = df["turn_idx"].astype("int64").to_numpy()
+            p = n % SOLACE_SHARDS
+            ts_us = df["ts"].astype("int64").to_numpy()
+            ln = df["text"].str.len().astype("int64").to_numpy()
+            d = (31 * n + 7 * turn) % 1000 + 1
+            for i, (conv, role) in enumerate(zip(df["conv_id"],
+                                                 df["role"])):
+                ni, ti, pi, li, di, us = (
+                    int(n[i]), int(turn[i]), int(p[i]),
+                    int(ln[i]), int(d[i]), int(ts_us[i]))
+                trace = f"{ni:032x}"
+                rsp = f"{ni * 65536 + ti * 2:016x}"
+                rgmid = f"rmid1:{pi:05x}-{ni:012x}-{ti:05x}-00000"
+                proto, ver = protos[ti % 3]
+                queue = f"q/{pi}"
+                f = files[pi]
+                f.write(_json.dumps(encode_receive_span(
+                    trace, rsp, us * 1000, (us + li) * 1000,
+                    f"chat/{conv}", rgmid, proto, ver, role, queue),
+                    ensure_ascii=False) + "\n")
+                f.write(_json.dumps(encode_egress_span(
+                    trace, f"{ni * 65536 + ti * 2 + 1:016x}", rsp,
+                    (us + li + di) * 1000, (us + 2 * li + di) * 1000,
+                    queue, rgmid, proto, ver, f"subscriber-{pi}"),
+                    ensure_ascii=False) + "\n")
     finally:
         for f in files.values():
             f.close()

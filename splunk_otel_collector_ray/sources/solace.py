@@ -137,13 +137,19 @@ def _parse_payload(r: bool, p) -> "tuple | None":
             (d["enqueueEvents"][0]["queueName"]
              if r and d.get("enqueueEvents") else ""),
         )
-    except (KeyError, TypeError, ValueError, IndexError):
-        return None
+    except (KeyError, TypeError, ValueError, IndexError, OverflowError):
+        return None  # OverflowError: int(float('inf')) from a JSON 1e400
     # Type-check the string fields (indexes 3/4 are the ns times): an
     # explicit null or non-string value must refuse THIS message, not
     # blow up pa.array(..., type=string) for the whole batch.
     if any(not isinstance(v, str)
            for i, v in enumerate(row) if i not in (3, 4)):
+        return None
+    # The ns times must fit int64 (the protobuf sfixed64 domain): a huge
+    # JSON integer passes int() here but would overflow the numpy int64
+    # build in _ns_to_ts and poison the WHOLE batch.
+    if not (-(1 << 63) <= row[3] < (1 << 63)
+            and -(1 << 63) <= row[4] < (1 << 63)):
         return None
     return row
 
@@ -257,8 +263,7 @@ def settle_spans(state_dir: str, ds: "ray.data.Dataset") -> None:
     from .wire import next_state_subdir
 
     sub = next_state_subdir(state_dir, "settle")
-    ds.map_batches(lambda t: t.select(["span_id"]),
-                   batch_format="pyarrow").write_parquet(sub)
+    ds.select_columns(["span_id"]).write_parquet(sub)
 
 
 def delivery_lag(spans: "ray.data.Dataset") -> "ray.data.Dataset":

@@ -99,6 +99,21 @@ def test_solace_refuses_unknown_telemetry(ray_session, sf_dir, tmp_path):
                  "t1", "s1", 1, 2, "top", "rm", "smf", "3.0", "user",
                  "q/1")["payload"]),
              traceId=None))},
+        # out-of-int64-domain times: Infinity overflows int() itself;
+        # a huge JSON integer passes int() but would overflow the numpy
+        # int64 timestamp build for the WHOLE batch downstream
+        {"topic": EGRESS_TOPIC,
+         "payload": json.dumps(dict(
+             json.loads(encode_egress_span(
+                 "t2", "s2", "p2", 1, 2, "q/0", "rm", "smf", "3.0",
+                 "user")["payload"]),
+             startTimeUnixNano=1e400))},
+        {"topic": RECEIVE_TOPIC,
+         "payload": json.dumps(dict(
+             json.loads(encode_receive_span(
+                 "t3", "s3", 1, 2, "top", "rm", "smf", "3.0", "user",
+                 "q/1")["payload"]),
+             completionTimeUnixNano=10**30))},
     ]
     with open(os.path.join(dump, "telemetry-0.jsonl"), "w") as f:
         f.writelines(good[:5])
