@@ -112,3 +112,47 @@ def test_correlation_store(ray_session):
     # emit-once LoadOrStore semantics (evaluator.go:110-113)
     assert ray.get(store.emit_once.remote("k")) is True
     assert ray.get(store.emit_once.remote("k")) is False
+
+
+@pytest.mark.parametrize("seed,n_blocks,domain", [
+    (0, 37, 64 * 64),   # production-shaped: spread domain >> blocks
+    (1, 128, 256),      # domain barely above block count
+    (2, 5, 4096),       # few fat blocks
+])
+def test_bucket_fold_never_splits_a_bucket(ray_session, seed, n_blocks,
+                                           domain):
+    """THE bucket_fold correctness assumption, pinned directly: after the
+    sort exchange, every bucket value lands WHOLE in exactly one output
+    block (Ray's range partitioner sends boundary-equal keys to one
+    side), so a bucket-agnostic fold sees unions of complete buckets.
+    The fold here emits one (bucket, n, s) row per bucket IN ITS BLOCK —
+    a bucket split across blocks would surface as duplicate bucket rows.
+    Also checks the folded per-bucket sums against ground truth."""
+    import pandas as pd
+    import ray
+
+    from splunk_otel_collector_ray.partitioning import bucket_fold, pd_table
+
+    rng = np.random.default_rng(seed)
+    n = 60_000
+    # skewed bucket distribution (zipf-ish) over a configurable domain
+    bucket = (rng.zipf(1.3, n) * 2654435761 % domain).astype("int64")
+    val = rng.integers(0, 1000, n, dtype="int64")
+    df = pd.DataFrame({"bucket": bucket, "val": val})
+    ds = ray.data.from_pandas(
+        [df.iloc[i::n_blocks].reset_index(drop=True)
+         for i in range(n_blocks)])
+
+    def fold(d: "pd.DataFrame"):
+        g = d.groupby("bucket", sort=False)["val"].agg(
+            n="size", s="sum").reset_index()
+        return pd_table(g)
+
+    out = bucket_fold(ds, "bucket", fold).to_pandas()
+    # exactly one fold row per distinct bucket value == no bucket ever
+    # straddled an output-block boundary
+    assert out["bucket"].is_unique
+    truth = df.groupby("bucket")["val"].agg(n="size", s="sum")
+    got = out.set_index("bucket").sort_index()
+    assert (got["n"] == truth["n"]).all() and (got["s"] == truth["s"]).all()
+    assert len(got) == len(truth)
