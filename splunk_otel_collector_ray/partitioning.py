@@ -161,22 +161,31 @@ def coalesce_blocks(ds: "ray.data.Dataset",
 
 def key_counts(ds: "ray.data.Dataset", key: str) -> "ray.data.Dataset":
     """Per-key row counts via per-batch partials (shuffles ≤ one row per key
-    per batch — skew-safe)."""
+    per batch — skew-safe). The partials coalesce before the Aggregate
+    (CLAUDE.md rule: its ~80 ms/input-block fixed cost dominates on
+    thousands of tiny partial blocks)."""
 
     def partial(t: pa.Table) -> pa.Table:
         g = t.select([key]).group_by([key]).aggregate([([], "count_all")])
         return g.rename_columns([key, "n"])
 
-    return ds.map_batches(partial, batch_format="pyarrow").groupby(key).aggregate(
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return coalesce_blocks(partials).groupby(key).aggregate(
         Sum("n", alias_name="n"))
 
 
 def detect_hot_keys(ds: "ray.data.Dataset", key: str,
                     threshold_rows: int) -> set:
-    """Keys owning more than ``threshold_rows`` rows (driver-side small set —
-    by definition there can be at most total_rows/threshold of them)."""
-    pdf = key_counts(ds, key).to_pandas()
-    return set(pdf.loc[pdf["n"] > threshold_rows, key])
+    """Keys owning more than ``threshold_rows`` rows. The threshold filter
+    runs DISTRIBUTED, so only the hot set itself reaches the driver — by
+    pigeonhole at most total_rows/threshold keys, never the full
+    O(#distinct keys) count table."""
+    import pyarrow.compute as pc
+
+    hot = key_counts(ds, key).map_batches(
+        lambda t: t.filter(pc.greater(t["n"], threshold_rows)),
+        batch_format="pyarrow").to_pandas()
+    return set(hot[key])
 
 
 def salted_span_durations(
@@ -205,11 +214,16 @@ def salted_span_durations(
 
     if num_buckets is None:
         num_buckets = spread_num_buckets()
-    hot = detect_hot_keys(ds, "conv_id", hot_threshold)
+    # Three executions of the PRUNED 5-column projection (counts,
+    # boundary, compute) — the hot set gates the boundary build and the
+    # broadcast boundary table gates the compute, so each pass depends on
+    # the previous one's driver-side result. All three re-read only the
+    # projected columns; callers passing an expensive derived chain
+    # should materialize the projection first.
+    cols = ds.select_columns(["conv_id", "turn_idx", "role", "tool", "ts"])
+    hot = detect_hot_keys(cols, "conv_id", hot_threshold)
     if not hot:
         return span_durations(ds)
-
-    cols = ds.select_columns(["conv_id", "turn_idx", "role", "tool", "ts"])
 
     # boundary table: first (min-turn) ts of every (hot conv, chunk)
     def boundary_partial(t: pa.Table) -> pa.Table:
@@ -274,8 +288,9 @@ def salted_bucket(keys: np.ndarray, sub_id: np.ndarray, hot: set,
          ).astype(np.int64)
     bucket = h % num_buckets
     if hot:
-        is_hot = np.fromiter((k in hot for k in keys), dtype=bool,
-                             count=len(keys))
+        # C-level membership — a per-row Python set lookup here runs on
+        # every row of the stream (the repo's hot-path rule)
+        is_hot = pd.Series(keys).isin(hot).to_numpy()
         sub = np.asarray(sub_id, dtype=np.int64)[is_hot] % salt
         bucket[is_hot] = (h[is_hot] + sub) % num_buckets
     return bucket.astype(np.int32)

@@ -161,17 +161,12 @@ def run_flagship(sf_dir: str, out_dir: str) -> dict[str, Any]:
     the only shuffled rows are those partials (collector exporter+obsreport
     coupling, see stages/export.py). Aggregates land next to the sink dirs.
     """
-    import pyarrow as pa
-
     from ray.data import DataContext
 
     from ..stages.export import SinkWriter
+    from .aggregate import _sum_combine
 
     keys = ["sink", "severity_text", "tool"]
-
-    def combine(t: "pa.Table") -> "pa.Table":
-        g = t.group_by(keys).aggregate([("n", "sum")])
-        return g.rename_columns([*keys, "n"])
 
     t0 = time.time()
     ctx = DataContext.get_current()
@@ -189,16 +184,12 @@ def run_flagship(sf_dir: str, out_dir: str) -> dict[str, Any]:
         os.makedirs(routed_dir, exist_ok=True)
         partials = ds.map_batches(SinkWriter(routed_dir),
                                   batch_format="pyarrow")
-        # partial counts are bounded by #blocks × #groups; one coalescing
-        # combine level folds ~2000 blocks into one, so the driver-side
-        # final sum sees O(#groups) rows — the Aggregate all-to-all op paid
-        # ~80 ms/block on 65-row partials (≈6 s wall at sf1.6), pure waste.
-        # num_cpus=0 BREAKS FUSION (r4): fused, the combine's 65k-row
-        # batch_size dictates the whole chain's input bundling — the
-        # parse→write stage collapsed from 110 tasks to ~14 (14-way
-        # parallelism on 32 cpus; measured 2.1 s vs 1.4 s at sf0.1)
-        pre = partials.map_batches(combine, batch_format="pyarrow",
-                                   batch_size=1 << 16, num_cpus=0)
+        # partial counts are bounded by #blocks × #groups; the shared
+        # coalescing combine level (aggregate._sum_combine — carries the
+        # num_cpus=0 fusion break and the 65k batch_size rationale) folds
+        # ~2000 blocks into one, so the driver-side final sum sees
+        # O(#groups) rows
+        pre = _sum_combine(partials, keys, ["n"])
         agg_pdf = pre.to_pandas()
         agg_pdf = agg_pdf.groupby(keys, as_index=False)["n"].sum()
         stats_path = os.environ.get("GRAFT_FLAGSHIP_STATS")
@@ -211,10 +202,11 @@ def run_flagship(sf_dir: str, out_dir: str) -> dict[str, Any]:
 
     agg_dir = os.path.join(out_dir, "aggregates")
     os.makedirs(agg_dir, exist_ok=True)
-    import pyarrow as pa
     import pyarrow.parquet as pq
 
-    pq.write_table(pa.Table.from_pandas(agg_pdf, preserve_index=False),
+    from ..partitioning import pd_table
+
+    pq.write_table(pd_table(agg_pdf),
                    os.path.join(agg_dir, "sink_severity_tool.parquet"))
     counts = agg_pdf.groupby("sink")["n"].sum().astype(int).to_dict()
     return {
@@ -238,10 +230,19 @@ def run_resumable(sf_dir: str, out_dir: str) -> dict[str, Any]:
     ``sf_dir`` may be a testdata scale dir (corpus generated on demand) or a
     directory that already contains ``*.parquet`` part files.
     """
-    is_corpus_dir = os.path.isdir(sf_dir) and any(
-        f.startswith("part-") and f.endswith(".parquet")
-        for f in os.listdir(sf_dir))
-    src = sf_dir if is_corpus_dir else ensure_transcripts(sf_dir)
+    # A directory is a ready corpus when its parquet files carry the
+    # transcript schema — name-based detection ("part-" prefix) silently
+    # rerouted validly-named user part files to fixture generation.
+    def _is_corpus_dir(d: str) -> bool:
+        if not os.path.isdir(d):
+            return False
+        import pyarrow.parquet as pq
+        return any(
+            set(INPUT_COLUMNS) <=
+            set(pq.read_schema(os.path.join(d, f)).names)
+            for f in sorted(os.listdir(d)) if f.endswith(".parquet"))
+
+    src = sf_dir if _is_corpus_dir(sf_dir) else ensure_transcripts(sf_dir)
     parts = sorted(
         os.path.join(src, f) for f in os.listdir(src) if f.endswith(".parquet")
     )
@@ -279,22 +280,22 @@ def run_resumable(sf_dir: str, out_dir: str) -> dict[str, Any]:
             SinkWriter(out_dir, partition_col="part"), batch_format="pyarrow")
         pkeys = ["part", "sink", "severity_text", "tool"]
 
-        def combine(t: "pa.Table") -> "pa.Table":
-            g = t.group_by(pkeys).aggregate([("n", "sum")])
-            return g.rename_columns([*pkeys, "n"])
+        from .aggregate import _sum_combine
 
-        # num_cpus=0 keeps combine a SEPARATE zero-cost operator: fused, its
-        # batch_size would re-batch SinkWriter's input across file
-        # boundaries, breaking the batch-per-partition invariant asserted in
-        # export.py; unfused it coalesces tiny partial blocks across tasks
+        # _sum_combine's num_cpus=0 keeps the combine a SEPARATE zero-cost
+        # operator: fused, its batch_size would re-batch SinkWriter's input
+        # across file boundaries, breaking the batch-per-partition
+        # invariant asserted in export.py
         cpdf = (
-            partials.map_batches(combine, batch_format="pyarrow",
-                                 batch_size=1 << 16, num_cpus=0)
+            _sum_combine(partials, pkeys, ["n"])
             .to_pandas()
             .groupby(pkeys, as_index=False)["n"].sum()
         )
+        # one pass over the combined frame, not one full scan per part
+        by_part = dict(tuple(cpdf.groupby("part")))
+        empty = cpdf.iloc[0:0]
         for part_id, p, fp in todo:
-            sub = cpdf[cpdf["part"] == part_id]
+            sub = by_part.get(part_id, empty)
             sinks = sub.groupby("sink")["n"].sum().astype(int)
             payload = {
                 "partition": part_id,

@@ -42,10 +42,23 @@ def _read_pointer(out_dir: str) -> dict[str, Any]:
         return {"version": 0, "shards": []}
 
 
+def _fsync_file(path: str) -> None:
+    fd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
 def _flip_pointer(out_dir: str, payload: dict[str, Any]) -> None:
+    """Durable atomic pointer flip (the manifest.write_manifest idiom):
+    fsync the payload BEFORE the rename — a pointer that survives a crash
+    must never name a state file whose bytes didn't."""
     fd, tmp = tempfile.mkstemp(dir=out_dir, suffix=".tmp")
     with os.fdopen(fd, "w") as f:
         json.dump(payload, f)
+        f.flush()
+        os.fsync(f.fileno())
     os.replace(tmp, os.path.join(out_dir, "CURRENT.json"))
 
 
@@ -76,8 +89,13 @@ def run_incremental(
         state = (pd.concat([state, part], ignore_index=True)
                  .groupby(keys, as_index=False)[alias].sum())
         version = cur["version"] + 1
-        state.to_parquet(os.path.join(out_dir, f"state-v{version}.parquet"),
-                         index=False)
+        state_path = os.path.join(out_dir, f"state-v{version}.parquet")
+        state.to_parquet(state_path, index=False)
+        # the state bytes must be durable BEFORE the pointer names them —
+        # otherwise a crash after the (durable) pointer rename leaves a
+        # committed version whose parquet is truncated, with the shard
+        # marked done (silent loss + permanent read failure on restart)
+        _fsync_file(state_path)
         cur = {"version": version, "shards": sorted(done | {shard_id})}
         _flip_pointer(out_dir, cur)
         done.add(shard_id)

@@ -30,13 +30,17 @@ import ray.data
 from ..stages.enrich import build_dim_table, make_enrich_fn
 from ..stages.parse import ParseStage
 from ..stages.route import RouteStage
-from .logs import read_transcripts
+from .logs import flagship_num_blocks, read_transcripts
 
 
 def run_agent_tier(sf_dir: str, staging_dir: str,
                    transport: str = "parquet") -> str:
-    """Tier 1: read → parse → enrich → stage (Parquet or real OTLP/JSON)."""
-    ds = read_transcripts(sf_dir)
+    """Tier 1: read → parse → enrich → stage (Parquet or real OTLP/JSON).
+
+    Read granularity is footer-derived like the flagship's — the fused
+    parse/enrich chain inherits its task structure from the read blocks
+    (don't let it be an accident at either scale extreme)."""
+    ds = read_transcripts(sf_dir, parallelism=flagship_num_blocks(sf_dir))
     dims_ref = ray.put(build_dim_table())
     ds = ds.map_batches(ParseStage.as_fn(), batch_format="pyarrow")
     ds = ds.map_batches(make_enrich_fn(dims_ref), batch_format="pyarrow")
@@ -55,10 +59,13 @@ def run_agent_tier(sf_dir: str, staging_dir: str,
 
 def run_gateway_tier(staging_dir: str, out_dir: str,
                      transport: str = "parquet") -> dict[str, Any]:
-    """Tier 2: read staging (pruned) → route → per-sink export + aggregates."""
-    import pyarrow as pa
+    """Tier 2: read staging → route → per-sink export + aggregates.
 
+    The staging area is already column-pruned (the agent tier wrote
+    exactly the parse/enrich output the gateway consumes), so the read
+    carries no projection of its own."""
     from ..stages.export import SinkWriter
+    from .aggregate import _sum_combine
 
     if transport == "otlp":
         from ..sources.otlp import read_otlp_logs
@@ -75,16 +82,9 @@ def run_gateway_tier(staging_dir: str, out_dir: str,
     os.makedirs(routed_dir, exist_ok=True)
     partials = ds.map_batches(SinkWriter(routed_dir), batch_format="pyarrow")
     keys = ["sink", "severity_text", "tool"]
-
-    def combine(t: "pa.Table") -> "pa.Table":
-        g = t.group_by(keys).aggregate([("n", "sum")])
-        return g.rename_columns([*keys, "n"])
-
-    # same partial-coalescing shape as run_flagship (CLAUDE.md rule: never
-    # feed thousands of tiny partial blocks to an Aggregate; num_cpus=0
-    # breaks fusion so the 65k batch_size doesn't re-bundle the chain)
-    pre = partials.map_batches(combine, batch_format="pyarrow",
-                               batch_size=1 << 16, num_cpus=0)
+    # same partial-coalescing shape as run_flagship, via the shared
+    # combiner level (carries the num_cpus=0 fusion break)
+    pre = _sum_combine(partials, keys, ["n"])
     agg = pre.to_pandas().groupby(keys, as_index=False)["n"].sum()
     return {
         "rows": int(agg["n"].sum()),

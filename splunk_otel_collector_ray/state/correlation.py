@@ -25,7 +25,7 @@ class CorrelationStore:
 
     def __init__(self) -> None:
         self._items: dict[str, tuple[float, object]] = {}  # key -> (ts, value)
-        self._emitted: set[str] = set()
+        self._emitted: dict[str, float] = {}  # key -> emit ts
 
     def upsert(self, key: str, value, ts: float) -> None:
         cur = self._items.get(key)
@@ -37,21 +37,27 @@ class CorrelationStore:
         return None if cur is None else cur[1]
 
     def reap(self, ttl_seconds: float, now: float) -> int:
-        """Drop entries older than ttl; returns number reaped
-        (endpoint_tracker's interval loop)."""
+        """Drop entries older than ttl; returns number of reaped
+        endpoints (endpoint_tracker's interval loop). Emit-once keys that
+        were never upserted as endpoints age out by their own emit time —
+        otherwise a long-running stream of one-shot status keys grows the
+        dedup set without bound."""
         stale = [k for k, (ts, _) in self._items.items()
                  if now - ts > ttl_seconds]
         for k in stale:
             self._items.pop(k, None)
-            self._emitted.discard(k)
+            self._emitted.pop(k, None)
+        for k in [k for k, ts in self._emitted.items()
+                  if k not in self._items and now - ts > ttl_seconds]:
+            self._emitted.pop(k, None)
         return len(stale)
 
-    def emit_once(self, key: str) -> bool:
+    def emit_once(self, key: str, now: float = 0.0) -> bool:
         """LoadOrStore dedup (evaluator.go:110-113): True only the first
-        time a key is seen."""
+        time a key is seen. ``now`` stamps the entry for TTL reaping."""
         if key in self._emitted:
             return False
-        self._emitted.add(key)
+        self._emitted[key] = now
         return True
 
     def size(self) -> int:

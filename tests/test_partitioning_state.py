@@ -112,6 +112,16 @@ def test_correlation_store(ray_session):
     # emit-once LoadOrStore semantics (evaluator.go:110-113)
     assert ray.get(store.emit_once.remote("k")) is True
     assert ray.get(store.emit_once.remote("k")) is False
+    # never-upserted emit-once keys reap by their own emit time (bounded
+    # memory over a long stream of one-shot status keys) …
+    assert ray.get(store.emit_once.remote("s1", now=100.0)) is True
+    ray.get(store.reap.remote(ttl_seconds=60.0, now=200.0))
+    assert ray.get(store.emit_once.remote("s1", now=200.0)) is True
+    # … while a key backed by a FRESH endpoint stays deduped across reaps
+    ray.get(store.upsert.remote("ep3", "v", ts=200.0))
+    assert ray.get(store.emit_once.remote("ep3", now=100.0)) is True
+    ray.get(store.reap.remote(ttl_seconds=60.0, now=220.0))
+    assert ray.get(store.emit_once.remote("ep3", now=220.0)) is False
 
 
 @pytest.mark.parametrize("seed,n_blocks,domain", [
