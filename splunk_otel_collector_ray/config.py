@@ -288,23 +288,49 @@ def build_pipeline(spec: dict[str, Any]) -> "ray.data.Dataset":
     return ds
 
 
-def run_pipeline(spec: dict[str, Any]) -> Any:
+def run_pipeline(spec: dict[str, Any], append: bool = False) -> Any:
     """Build and consume per the spec's sink ({'parquet': dir} or
-    {'count': True})."""
+    {'count': True}). ``append=True`` skips the staging clear — fan-in,
+    where a later producer adds files to a path an earlier producer of
+    the SAME service run already cleared (run_service_from_yaml)."""
     ds = build_pipeline(spec)
     sink = spec.get("sink", {"count": True})
     if "parquet" in sink:
-        # clear the staging dir first: Ray write_parquet appends uniquely
-        # named files, so a rerun into a stale dir would double-count in any
-        # consumer pipeline (ADVICE r2). Guarded: refuse to delete a dir
-        # holding anything but parquet output (a mistyped path must not
-        # recursively destroy user data). Resumable export with
-        # skip-completed semantics lives in pipelines.logs (manifest-gated).
-        _clear_parquet_staging(sink["parquet"])
+        # a sink pointed at (or inside) the pipeline's own source would
+        # destroy the input before the LAZY read executes — the
+        # all-parquet clear guard below can't catch that case because the
+        # source data IS parquet
+        _guard_sink_vs_source(spec.get("source") or {}, sink["parquet"])
+        if not append:
+            # clear the staging dir first: Ray write_parquet appends
+            # uniquely named files, so a rerun into a stale dir would
+            # double-count in any consumer pipeline (ADVICE r2). Guarded:
+            # refuse to delete a dir holding anything but parquet output
+            # (a mistyped path must not recursively destroy user data).
+            # Resumable export with skip-completed semantics lives in
+            # pipelines.logs (manifest-gated).
+            _clear_parquet_staging(sink["parquet"])
         ds.write_parquet(sink["parquet"],
                          partition_cols=sink.get("partition_cols"))
         return sink["parquet"]
     return ds.count()
+
+
+def _guard_sink_vs_source(src: dict[str, Any], sink_path: str) -> None:
+    """Refuse a parquet sink that overlaps any source path in the spec."""
+    import os
+
+    sp = os.path.realpath(sink_path)
+    for v in src.values():
+        if not isinstance(v, str):
+            continue
+        vp = os.path.realpath(v)
+        if sp == vp or sp.startswith(vp + os.sep) or \
+                vp.startswith(sp + os.sep):
+            raise ValueError(
+                f"sink path {sink_path!r} overlaps source path {v!r} — "
+                "writing (and clearing) the pipeline's own input would "
+                "destroy it before the lazy read runs")
 
 
 def _clear_parquet_staging(path: str) -> None:

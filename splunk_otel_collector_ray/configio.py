@@ -25,7 +25,10 @@ import re
 from collections.abc import Callable
 from typing import Any
 
-_INTERP_RX = re.compile(r"\$\{(\w+):([^}:]+)(?::-([^}]*))?\}")
+# Selector is lazy `[^}]+?` (not `[^}:]+`) so colon-bearing selectors —
+# URLs, store paths — interpolate instead of silently passing through as
+# literal text; the FIRST ':-' still starts the default.
+_INTERP_RX = re.compile(r"\$\{(\w+):([^}]+?)(?::-([^}]*))?\}")
 
 # --- pluggable config-source registry (r2 VERDICT item 7) -------------------
 # The reference's ConfigSource surface is a factory registry keyed by source
@@ -429,12 +432,29 @@ def service_specs(doc: dict) -> list[tuple[str, dict]]:
                  for name, cfg in (doc.get("exporters") or {}).items()
                  if name.split("/")[0] == "file"}
 
+    # a consumer depends on a producer when its receiver names the
+    # producer's exporter COMPONENT, or when its receiver's configured
+    # path equals the producer's file-exporter PATH (splice matching is
+    # by path, so ordering must be too — a name-only dependency would let
+    # a path-matched consumer run before its producer)
+    recv_cfgs = doc.get("receivers") or {}
+
+    def _recv_path(recv: str) -> "str | None":
+        if recv in exp_paths:
+            return exp_paths[recv]
+        cfg = recv_cfgs.get(recv)
+        return cfg.get("path") if isinstance(cfg, dict) else None
+
     deps: dict[str, set] = {}
     for pname, pipe in pipelines.items():
         recv = pipe["receivers"][0]
+        rpath = _recv_path(recv)
         deps[pname] = {
             other for other, op in pipelines.items() if other != pname
-            and recv in (op.get("exporters") or [])
+            and (recv in (op.get("exporters") or [])
+                 or (rpath is not None and any(
+                     exp_paths.get(e) == rpath
+                     for e in (op.get("exporters") or []))))
         }
 
     ordered: list[str] = []
@@ -461,6 +481,11 @@ def service_specs(doc: dict) -> list[tuple[str, dict]]:
         }
         if recv in exp_paths and recv not in sub["receivers"]:
             # receiver IS another pipeline's file exporter → read its staging
+            if exp_paths[recv] is None:
+                raise ValueError(
+                    f"file exporter {recv!r} is consumed by pipeline "
+                    f"{pname!r} but has no 'path' — the staging transport "
+                    "needs one")
             sub["receivers"] = dict(sub["receivers"])
             sub["receivers"][recv] = {"path": exp_paths[recv]}
         out.append((pname, collector_to_spec(sub)))
@@ -490,8 +515,15 @@ def run_service_from_yaml(path: str, env=None, splice: bool = False) -> dict:
     spec_list = service_specs(doc)
     results: dict = {}
     if not splice:
+        # fan-in: two producers exporting to one path must both land —
+        # only the FIRST clears the staging dir, later ones append
+        cleared: set[str] = set()
         for pname, spec in spec_list:
-            results[pname] = run_pipeline(spec)
+            sinkp = (spec.get("sink") or {}).get("parquet")
+            results[pname] = run_pipeline(spec,
+                                          append=sinkp in cleared)
+            if sinkp is not None:
+                cleared.add(sinkp)
         return results
 
     consumer_counts: dict[str, int] = {}
@@ -503,17 +535,31 @@ def run_service_from_yaml(path: str, env=None, splice: bool = False) -> dict:
     for pname, spec in spec_list:
         src = spec["source"]
         if src.get("parquet") in staged:
+            ds0 = staged[src["parquet"]]
+            # the staged-read path applies these AT THE READ; the splice
+            # must apply them too or the two modes diverge
+            if src.get("columns"):
+                ds0 = ds0.select_columns(src["columns"])
+            if src.get("filter"):
+                from .functions.expr import compile_arrow_filter
+
+                flt = compile_arrow_filter(src["filter"])
+                ds0 = ds0.map_batches(lambda t, _f=flt: t.filter(_f),
+                                      batch_format="pyarrow")
             spec = dict(spec)
-            spec["source"] = {"dataset": staged[src["parquet"]]}
+            spec["source"] = {"dataset": ds0}
         sink = spec.get("sink") or {}
         if sink.get("parquet") in consumer_counts:
             ds = build_pipeline(
                 {k: v for k, v in spec.items() if k != "sink"})
-            if consumer_counts[sink["parquet"]] > 1:
+            key = sink["parquet"]
+            if key in staged:  # fan-in: merge producers, don't clobber
+                ds = staged[key].union(ds)
+            if consumer_counts[key] > 1:
                 # >1 consumer would re-execute the producer's whole lazy
                 # DAG per consumer — pin the blocks once instead
                 ds = ds.materialize()
-            staged[sink["parquet"]] = ds
+            staged[key] = ds
             results[pname] = "spliced"
         else:
             results[pname] = run_pipeline(spec)

@@ -42,9 +42,13 @@ def next_state_subdir(root: str, prefix: str) -> str:
 
     os.makedirs(root, exist_ok=True)
     part = 0
-    while os.path.exists(os.path.join(root, f"{prefix}-{part:04d}")):
-        part += 1
-    return os.path.join(root, f"{prefix}-{part:04d}")
+    while True:
+        p = os.path.join(root, f"{prefix}-{part:04d}")
+        try:
+            os.makedirs(p)  # atomic claim — exists-then-return would let
+            return p        # two concurrent writers share one slot
+        except FileExistsError:
+            part += 1
 
 
 def has_parquet(path: "str | None") -> bool:
@@ -59,9 +63,28 @@ def has_parquet(path: "str | None") -> bool:
 
 
 def ts_us(col: "pa.ChunkedArray | pa.Array") -> pa.Array:
-    """ISO8601 string column → ``timestamp[us]`` (Z suffix sliced off);
-    passes through columns the JSON reader already inferred."""
+    """ISO8601 string column → ``timestamp[us]``; passes through columns
+    the JSON reader already inferred. Handles any fraction width and
+    zone form (none, Z, ±hh:mm) — a foreign dump's timestamps need not
+    match this package's own 26-digit-µs ``iso_us`` shape."""
     arr = combined(col)
     if pa.types.is_timestamp(arr.type):
         return pc.cast(arr, pa.timestamp("us"))
-    return pc.cast(pc.utf8_slice_codeunits(arr, 0, 26), pa.timestamp("us"))
+    # Arrow refuses both zone mismatches (naive target vs Z/offset) and
+    # precision loss (µs target vs ns fractions) at parse time, so try
+    # the four shapes from cheapest to most general, then normalize:
+    # drop the zone (instants stay UTC) and truncate sub-µs fractions.
+    last: Exception | None = None
+    for typ in (pa.timestamp("us"), pa.timestamp("us", "UTC"),
+                pa.timestamp("ns"), pa.timestamp("ns", "UTC")):
+        try:
+            t = pc.cast(arr, typ)
+            break
+        except pa.ArrowInvalid as e:
+            last = e
+    else:
+        raise last
+    if t.type.tz is not None:
+        t = pc.cast(t, pa.timestamp(t.type.unit))
+    return t if t.type.unit == "us" else pc.cast(
+        t, pa.timestamp("us"), safe=False)

@@ -63,13 +63,25 @@ class SinkWriter:
         if batch.num_rows == 0:  # filtered-empty upstream: no files, no counts
             counts = batch.group_by(group_keys).aggregate([("sink", "count")])
             return counts.rename_columns([*group_keys, "n"])
+        if batch["sink"].null_count:
+            # a null sink would silently vanish: pc.equal(col, null) masks
+            # to no rows, so the export would drop the rows while creating
+            # a phantom sink=None dir — fail loudly instead (the routing
+            # stage always assigns a sink; null means an upstream bug)
+            raise ValueError(
+                f"{batch['sink'].null_count} rows with a null 'sink' "
+                "reached SinkWriter — the routing stage must assign every "
+                "row a sink (use an explicit default route)")
         fp = self._fingerprint(batch)
         subdirs = [""]
         if self.partition_col is not None:
             parts = pc.unique(batch[self.partition_col])
-            assert len(parts) == 1, (
-                "a batch must not span input partitions (blocks never span "
-                f"files): saw {parts}")
+            if len(parts) != 1:  # not assert: must hold under python -O —
+                # a silent miss would file rows under the wrong partition
+                # while the counts stay keyed correctly, breaking resume
+                raise RuntimeError(
+                    "a batch must not span input partitions (blocks never "
+                    f"span files): saw {parts}")
             subdirs = [f"{self.partition_col}={parts[0]}"]
         for sink in pc.unique(batch["sink"]):
             part = batch.filter(pc.equal(batch["sink"], sink))

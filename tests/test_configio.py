@@ -591,3 +591,134 @@ def test_run_service_cli_dry_run(tmp_path):
     doc = yaml.safe_load(out)
     assert doc["exporters"]["file/s"]["path"] == "/tmp/y"
     assert "agent" in doc["service"]["pipelines"]
+
+
+def test_interpolation_selector_with_colons(tmp_path):
+    """Colon-bearing selectors (URLs, store paths) interpolate instead of
+    silently passing through; the FIRST ':-' still starts the default."""
+    from splunk_otel_collector_ray.configio import (interpolate,
+                                                    register_config_source)
+
+    register_config_source("echo2", lambda sel, env: f"<{sel}>")
+    assert interpolate("${echo2:http://host:8080/x}") == "<http://host:8080/x>"
+    assert interpolate("${echo2:a:b:c:-dflt}") == "<a:b:c>"
+    register_config_source("never", lambda sel, env: None)
+    assert interpolate("${never:u:v:-dflt}") == "dflt"
+
+
+def test_sink_overlapping_source_refused(ray_session, tmp_path):
+    """A parquet sink pointed at (or inside) the pipeline's own source is
+    refused BEFORE anything is cleared — the lazy read would otherwise
+    consume a directory the sink just destroyed."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pt
+
+    from splunk_otel_collector_ray.config import run_pipeline
+
+    src = tmp_path / "data"
+    src.mkdir()
+    pq.write_table(pa.table({"a": [1, 2]}), src / "part-0.parquet")
+    for sink in (src, src / "nested"):
+        with _pt.raises(ValueError, match="overlaps source"):
+            run_pipeline({"source": {"parquet": str(src)},
+                          "sink": {"parquet": str(sink)}})
+    assert (src / "part-0.parquet").exists()  # nothing was deleted
+
+
+def test_fan_in_two_producers_merge(ray_session, tmp_path):
+    """Two pipelines exporting to ONE file-exporter path fan IN: the
+    consumer sees both producers' rows — staged mode must not let the
+    second producer's clear delete the first's output, splice mode must
+    union rather than clobber, and a consumer whose receiver matches by
+    PATH (different component name) still orders after its producers."""
+    import textwrap
+
+    from splunk_otel_collector_ray.configio import run_service_from_yaml
+
+    staging = tmp_path / "stage"
+    yml = tmp_path / "svc.yaml"
+    yml.write_text(textwrap.dedent(f"""
+        receivers:
+          filelog/a:
+            path: /root/testdata/sf0.001
+          filelog/b:
+            path: /root/testdata/sf0.001
+          file/in:
+            path: {staging}
+        exporters:
+          file/stage:
+            path: {staging}
+        service:
+          pipelines:
+            consumer:
+              receivers: [file/in]
+              processors: [route]
+            prod_a:
+              receivers: [filelog/a]
+              processors: [parse, enrich]
+              exporters: [file/stage]
+            prod_b:
+              receivers: [filelog/b]
+              processors: [parse, enrich]
+              exporters: [file/stage]
+    """))
+    res = run_service_from_yaml(str(yml))
+    assert list(res).index("consumer") == 2   # path-matched deps order it last
+    assert res["consumer"] == 20_000          # both producers' rows
+    res2 = run_service_from_yaml(str(yml), splice=True)
+    assert res2["prod_a"] == res2["prod_b"] == "spliced"
+    assert res2["consumer"] == 20_000
+
+
+def test_splice_applies_consumer_filter_and_columns(ray_session, tmp_path):
+    """splice=True must apply the consumer receiver's pushed-down filter
+    and column pruning — otherwise spliced and staged runs of the same
+    YAML diverge."""
+    import textwrap
+
+    from splunk_otel_collector_ray.configio import run_service_from_yaml
+
+    staging = tmp_path / "stage"
+    yml = tmp_path / "svc.yaml"
+    yml.write_text(textwrap.dedent(f"""
+        receivers:
+          filelog/in:
+            path: /root/testdata/sf0.001
+          file/stage:
+            path: {staging}
+            filter: "severity_number >= 13"
+            columns: [conv_id, severity_number]
+        exporters:
+          file/stage:
+            path: {staging}
+        service:
+          pipelines:
+            consumer:
+              receivers: [file/stage]
+            producer:
+              receivers: [filelog/in]
+              processors: [parse]
+              exporters: [file/stage]
+    """))
+    staged = run_service_from_yaml(str(yml))
+    spliced = run_service_from_yaml(str(yml), splice=True)
+    assert staged["consumer"] == spliced["consumer"] > 0
+    assert spliced["consumer"] < 10_000  # the filter actually dropped rows
+
+
+def test_sinkwriter_refuses_null_sink(tmp_path):
+    """Rows with a null sink fail LOUDLY instead of silently vanishing
+    from both the export and the counts."""
+    import pyarrow as pa
+    import pytest as _pt
+
+    from splunk_otel_collector_ray.stages.export import SinkWriter
+
+    w = SinkWriter(str(tmp_path))
+    batch = pa.table({
+        "conv_id": ["c1", "c2"], "turn_idx": [0, 1],
+        "sink": pa.array(["s1", None]),
+        "severity_text": ["INFO", "WARN"], "tool": ["", ""]})
+    with _pt.raises(ValueError, match="null 'sink'"):
+        w(batch)

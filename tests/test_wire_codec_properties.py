@@ -117,3 +117,39 @@ def test_prw_write_request_roundtrip(rows):
         (n, (("instance", inst), ("job", job)), struct.pack(">d", v), ts)
         for n, job, inst, v, ts in rows)
     assert got == want
+
+
+def test_ts_us_accepts_foreign_iso_forms():
+    """A dump not produced by this package's own iso_us writer still
+    decodes: any fraction width (incl. sub-µs, truncated), zone-less,
+    Z, and numeric-offset forms."""
+    from splunk_otel_collector_ray.sources.wire import ts_us
+
+    got = ts_us(pa.array([
+        "2024-01-01T00:00:00Z",
+        "2024-01-01T00:00:00.123Z",
+        "2024-01-01T05:30:00.000001+05:30",
+    ])).to_pylist()
+    assert [g.isoformat() for g in got] == [
+        "2024-01-01T00:00:00",
+        "2024-01-01T00:00:00.123000",
+        "2024-01-01T00:00:00.000001",
+    ]
+    ns = ts_us(pa.array(["2024-01-01T00:00:00.123456789Z"])).to_pylist()
+    assert ns[0].microsecond == 123456  # sub-µs truncates, not errors
+    naive = ts_us(pa.array(["2024-01-01 00:00:00.5"])).to_pylist()
+    assert naive[0].microsecond == 500000
+
+
+def test_next_state_subdir_claims_atomically(tmp_path):
+    """Each call claims a DISTINCT slot (the dir is created at
+    reservation time), so concurrent settle/ack writers can't share one."""
+    import os
+
+    from splunk_otel_collector_ray.sources.wire import next_state_subdir
+
+    a = next_state_subdir(str(tmp_path), "settle")
+    b = next_state_subdir(str(tmp_path), "settle")
+    assert a != b and os.path.isdir(a) and os.path.isdir(b)
+    assert sorted(os.path.basename(p) for p in (a, b)) == [
+        "settle-0000", "settle-0001"]
