@@ -21,6 +21,9 @@ import os
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
+
+from .wire import combined
 
 
 def discover_files(include: list[str],
@@ -54,11 +57,16 @@ def read_log_lines(include: list[str],
     ts = np.datetime64(observed_ts, "us")
 
     def stamp(batch: pa.Table) -> pa.Table:
-        paths = batch["path"].to_pandas()
+        # the path column is constant per file block — basename the few
+        # DICTIONARY values in Python, never the full line stream (a
+        # pandas str.rpartition here ran a per-row object loop)
+        enc = pc.dictionary_encode(combined(batch["path"]))
+        names = pa.array([os.path.basename(p)
+                          for p in enc.dictionary.to_pylist()],
+                         type=pa.string())
         return pa.table({
             "text": batch["text"],
-            "log.file.name": pa.array(
-                paths.str.rpartition("/")[2], type=pa.string()),
+            "log.file.name": pc.take(names, enc.indices),
             "log.file.path": batch["path"],
             "ts": pa.array(np.full(batch.num_rows, ts),
                            type=pa.timestamp("us")),

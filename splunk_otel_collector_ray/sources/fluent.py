@@ -40,7 +40,7 @@ def pack(obj, out: bytearray) -> None:
         out.append(0xC2)
     elif isinstance(obj, EventTime):
         out += b"\xd7\x00" + struct.pack(">II", obj.sec, obj.nsec)
-    elif isinstance(obj, int):
+    elif isinstance(obj, (int, np.integer)):
         if 0 <= obj <= 0x7F:
             out.append(obj)
         elif -32 <= obj < 0:
@@ -241,10 +241,18 @@ def decode_forward_payload(data: "bytes | memoryview"
     return tags, times, records
 
 
-def read_fluent_forward(paths: "list[str] | str") -> "ray.data.Dataset":
+def read_fluent_forward(paths: "list[str] | str",
+                        record_columns: "list[str] | None" = None
+                        ) -> "ray.data.Dataset":
     """Read Forward-mode msgpack files into records: one input file per
     block (read_binary_files), each decoded once per batch; record map
-    keys become columns, ``tag`` and ``ts`` ride along."""
+    keys become columns, ``tag`` and ``ts`` ride along.
+
+    Record columns are inferred per batch from that batch's record maps,
+    so files whose key sets drift — or a batch whose Forward messages
+    carry ZERO entries (spec-legal) — would emit divergent block schemas.
+    ``record_columns`` pins the schema: every block carries exactly those
+    record columns (missing keys null-filled, extras dropped)."""
     import ray.data
 
     ds = ray.data.read_binary_files(paths, file_extensions=["msgpack"])
@@ -265,8 +273,15 @@ def read_fluent_forward(paths: "list[str] | str") -> "ray.data.Dataset":
         }
         if all_recs:
             rec_tbl = pa.Table.from_pylist(all_recs)
-            for name in rec_tbl.column_names:
-                cols[name] = rec_tbl[name]
+            names = record_columns if record_columns is not None \
+                else rec_tbl.column_names
+            for name in names:
+                cols[name] = (rec_tbl[name]
+                              if name in rec_tbl.column_names
+                              else pa.nulls(len(all_recs)))
+        elif record_columns is not None:
+            for name in record_columns:
+                cols[name] = pa.nulls(0)
         return pa.table(cols)
 
     return ds.map_batches(decode, batch_format="pyarrow")

@@ -43,7 +43,11 @@ def decode_hec_batch(batch: pa.Table) -> pa.Table:
     if isinstance(fields, pa.ChunkedArray):
         fields = fields.combine_chunks()
     for i, f in enumerate(fields.type):
-        cols[f.name] = fields.field(i)  # splat custom fields → attributes
+        # splat custom fields → attributes; envelope names are reserved,
+        # so a colliding field lands under fields.<name> instead of
+        # silently replacing the envelope column
+        name = f.name if f.name not in cols else f"fields.{f.name}"
+        cols[name] = fields.field(i)
     return pa.table(cols)
 
 
@@ -79,10 +83,20 @@ def write_hec_events(ds: "ray.data.Dataset", out_dir: str) -> None:
 
     def envelope(t: pa.Table) -> pa.Table:
         n = t.num_rows
+        if t["ts"].null_count:
+            raise ValueError(
+                "HEC envelope needs a time for every record — "
+                f"{t['ts'].null_count} null ts rows reached write_hec_events"
+            )  # a null would otherwise float-promote the µs array to NaN
         us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        sec, frac = us // 1_000_000, us % 1_000_000
+        # sign handled explicitly: floor-div + zero-padded concat is only
+        # a decimal rendering for NON-negative µs (-1 µs must serialize
+        # as "-0.000001", not "-1.999999")
+        a = np.abs(us)
+        sec, frac = a // 1_000_000, a % 1_000_000
         time_str = np.char.add(
-            np.char.add(sec.astype("U"), "."),
+            np.char.add(np.where(us < 0, "-", "").astype("U1"),
+                        np.char.add(sec.astype("U"), ".")),
             np.char.zfill(frac.astype("U"), 6))
         fields = pa.StructArray.from_arrays(
             [_chunkless(t["conv_id"]),

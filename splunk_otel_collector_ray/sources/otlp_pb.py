@@ -209,6 +209,10 @@ def read_otlp_logs_pb(staging_dir: str,
     from .otlp import _OUT_SCHEMA, _rows_to_table, decode_logs_request
 
     files = sorted(glob.glob(os.path.join(staging_dir, "req-*.pb")))
+    if not files:
+        raise FileNotFoundError(
+            f"no req-*.pb request files under {staging_dir!r} — empty or "
+            "mistyped staging dir (did the agent tier write here?)")
 
     def decode(batch: dict) -> pa.Table:
         rows = []

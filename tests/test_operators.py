@@ -1014,3 +1014,98 @@ def test_anti_join_keyed_path_equals_broadcast(ray_session):
     key = lambda df: df.sort_values(["k", "v"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(key(a)[["k", "v"]], key(b)[["k", "v"]])
     assert not a["k"].isin(block["k"]).any()
+
+
+def test_hec_export_negative_and_null_ts(ray_session, tmp_path):
+    """Pre-epoch timestamps serialize with an explicit sign (-1 µs is
+    '-0.000001', not '-1.999999') and round-trip µs-exactly; null ts
+    fails loudly instead of emitting NaN time strings."""
+    import pyarrow as pa
+    import pytest as _pt
+    import ray
+    import ray.data
+
+    from splunk_otel_collector_ray.sources.hec import (read_hec_events,
+                                                       write_hec_events)
+
+    def tbl(us_values):
+        n = len(us_values)
+        return pa.table({
+            "ts": pa.array(us_values, type=pa.timestamp("us")),
+            "conv_id": [f"c{i}" for i in range(n)],
+            "turn_idx": pa.array(range(n), type=pa.int32()),
+            "tool": [""] * n, "role": ["user"] * n, "text": ["x"] * n})
+
+    us = [-1, -999_999, -1_999_999, 0, 1, 1_234_567]
+    out = tmp_path / "hec"
+    write_hec_events(ray.data.from_arrow(tbl(us)), str(out))
+    got = read_hec_events(str(out)).to_pandas()
+    back = sorted(int(v) for v in
+                  got["ts"].to_numpy().astype("datetime64[us]")
+                  .astype("int64"))
+    assert back == sorted(us)
+    with _pt.raises(ray.exceptions.RayTaskError,
+                    match="null ts|needs a time"):
+        write_hec_events(ray.data.from_arrow(tbl([None, 5])),
+                         str(tmp_path / "hec2"))
+
+
+def test_hec_fields_do_not_clobber_envelope(ray_session, tmp_path):
+    """A custom `fields` key colliding with an envelope column lands
+    under fields.<name> instead of silently replacing the envelope."""
+    import json
+
+    from splunk_otel_collector_ray.sources.hec import read_hec_events
+
+    p = tmp_path / "events.jsonl"
+    p.write_text(json.dumps({
+        "time": "1.000000", "host": "realhost", "source": "s",
+        "sourcetype": "st", "index": "main", "event": "body",
+        "fields": {"host": "fieldhost", "custom": "v"}}) + "\n")
+    got = read_hec_events(str(p)).to_pandas()
+    assert got["host"].tolist() == ["realhost"]
+    assert got["fields.host"].tolist() == ["fieldhost"]
+    assert got["custom"].tolist() == ["v"]
+
+
+def test_align_to_schema_refuses_lossy_narrowing(ray_session):
+    """Safe casts: a wide shard whose values FIT still narrows; one whose
+    values overflow raises instead of silently wrapping group keys."""
+    import pyarrow as pa
+    import pytest as _pt
+
+    from splunk_otel_collector_ray.sources.evolution import align_to_schema
+
+    target = pa.schema([("k", pa.int32())])
+    fn = align_to_schema(target)
+    ok = fn(pa.table({"k": pa.array([1, 2], type=pa.int64())}))
+    assert ok["k"].type == pa.int32()
+    with _pt.raises(pa.ArrowInvalid):
+        fn(pa.table({"k": pa.array([2**31 + 5], type=pa.int64())}))
+
+
+def test_fluent_zero_entry_message_and_pinned_columns(ray_session,
+                                                      tmp_path):
+    """A Forward message with zero entries (spec-legal) plus
+    record_columns= yields a STABLE schema across blocks; numpy scalars
+    pack without manual int() wrapping."""
+    from splunk_otel_collector_ray.sources.fluent import (
+        EventTime,
+        pack,
+        pack_forward_message,
+        read_fluent_forward,
+    )
+
+    empty = tmp_path / "a.msgpack"
+    empty.write_bytes(pack_forward_message("tag.empty", []))
+    full = tmp_path / "b.msgpack"
+    full.write_bytes(pack_forward_message(
+        "tag.full", [(EventTime(1, 0), {"message": "m1"})]))
+    ds = read_fluent_forward([str(empty), str(full)],
+                             record_columns=["message", "missing"])
+    got = ds.to_pandas()
+    assert got["message"].tolist() == ["m1"]
+    assert got["missing"].isna().all()
+    buf = bytearray()
+    pack(np.int64(5), buf)
+    pack({"k": np.uint64(2**63)}, buf)  # numpy scalars pack directly
