@@ -88,15 +88,20 @@ def flagship_num_blocks(sf_dir: str, rows_per_task: int = 1 << 16) -> int:
     cluster idle), and naive per-block tasks at large scale → thousands of
     tiny tasks each paying scheduler + per-sink-file overhead. Row counts
     come from parquet FOOTERS (no data read)."""
+    n_rows = corpus_row_count(sf_dir)
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    return max(2 * ncpu, n_rows // rows_per_task)
+
+
+def corpus_row_count(sf_dir: str) -> int:
+    """Total transcript rows for a scale dir, from parquet FOOTERS only."""
     import glob as _glob
 
     import pyarrow.parquet as pq
 
     path = ensure_transcripts(sf_dir)
-    n_rows = sum(pq.read_metadata(f).num_rows
-                 for f in _glob.glob(os.path.join(path, "*.parquet")))
-    ncpu = int(ray.cluster_resources().get("CPU", 8))
-    return max(2 * ncpu, n_rows // rows_per_task)
+    return sum(pq.read_metadata(f).num_rows
+               for f in _glob.glob(os.path.join(path, "*.parquet")))
 
 
 def build_logs_dataset(
@@ -174,8 +179,19 @@ def run_flagship(sf_dir: str, out_dir: str) -> dict[str, Any]:
     # map-only chain (read → fused map → combine): per-operator resource
     # reservation idles ~45% of CPUs here (measured 15.5 s vs 13.3 s at
     # sf1.6/32) and exists to protect all-to-all ops this pipeline doesn't
-    # have — disable for the run, restore after
-    ctx.op_resource_reservation_enabled = False
+    # have — disable for the run, restore after. BUT reservation is also
+    # what bounds the read op's buffering: with it off and a stream
+    # LARGER than the object store, the read runs ahead of the fused map,
+    # fills the store, and spills the overflow to disk (measured at
+    # sf51.2: 56 GB stream vs 37.6 GB store → ~40 GB spill → OutOfDisk).
+    # Scope it off only when the footer-estimated decoded stream
+    # (~115 B/turn measured across soaks) fits in the store with headroom
+    # — i.e. even a fully-run-ahead read cannot overflow it (sf25.6's
+    # 29 GB stream ran spill-free in 37.6 GB under exactly that regime).
+    est_stream = corpus_row_count(sf_dir) * 115
+    store = int(ray.cluster_resources().get("object_store_memory", 0))
+    if est_stream < 0.8 * (store or float("inf")):
+        ctx.op_resource_reservation_enabled = False
     try:
         ds = build_logs_dataset(
             read_transcripts(sf_dir,

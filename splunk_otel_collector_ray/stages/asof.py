@@ -49,11 +49,14 @@ def _make_add_bucket(by: str, num_buckets: int):
 
 def _restore_int_cols(df: pd.DataFrame, cols, schema_types) -> pd.DataFrame:
     """The union stage nulls left payloads on right-side rows, promoting
-    int columns to float64 in pandas; left rows are never null there, so
-    restore the declared integer dtype."""
+    int columns to float64 in pandas; restore integer dtype via pandas
+    NULLABLE Int64 so every block emits the same Arrow type (int64)
+    regardless of whether it happens to contain a null — a conditional
+    all-non-null cast made block dtype data-dependent (int64 vs float64),
+    breaking schema unification whenever one bucket held a null."""
     for c in cols:
-        if pa.types.is_integer(schema_types[c]) and df[c].notna().all():
-            df[c] = df[c].astype(np.int64)
+        if pa.types.is_integer(schema_types[c]):
+            df[c] = df[c].astype("Int64")
     return df
 
 
@@ -69,7 +72,7 @@ def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
     DuckDB's ``ASOF LEFT JOIN``). Ties on ``on`` are inclusive
     (``right.on <= left.on`` for backward).
     """
-    from ..partitioning import bucket_fold, spread_num_buckets
+    from ..partitioning import bucket_fold, pd_table, spread_num_buckets
 
     if num_buckets is None:
         num_buckets = spread_num_buckets()
@@ -90,7 +93,10 @@ def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
             rt[[by, on] + list(right_cols)].rename(columns={on: on + "_r"}),
             left_on=on, right_on=on + "_r", by=by, direction=direction)
         out = out.drop(columns=[on + "_r"])  # internal probe column
-        return _restore_int_cols(out, left_cols, schema_types)
+        # emit ARROW (int64 with nulls), so block schemas are stable
+        # and the driver-facing to_pandas decides int64-vs-float64
+        # once per whole column, like the SQL oracle
+        return pd_table(_restore_int_cols(out, left_cols, schema_types))
 
     return bucket_fold(
         both.map_batches(_make_add_bucket(by, num_buckets),
@@ -112,7 +118,7 @@ def range_join_count(left: "ray.data.Dataset", right: "ray.data.Dataset",
     ``count(t0, t1] = cum_at(t1) - cum_at(t0)`` where ``cum_at(x)`` is the
     per-key count of right rows with ``on <= x``. No per-key Python loop.
     """
-    from ..partitioning import bucket_fold, spread_num_buckets
+    from ..partitioning import bucket_fold, pd_table, spread_num_buckets
 
     if num_buckets is None:
         num_buckets = spread_num_buckets()
@@ -147,7 +153,7 @@ def range_join_count(left: "ray.data.Dataset", right: "ray.data.Dataset",
         out = lf[[by, on] + list(left_cols)].copy()
         out = _restore_int_cols(out, left_cols, schema_types)
         out[out_col] = (at_upper - at_t).astype(np.int64)
-        return out
+        return pd_table(out)
 
     return bucket_fold(
         both.map_batches(_make_add_bucket(by, num_buckets),

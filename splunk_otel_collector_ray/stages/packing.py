@@ -39,8 +39,9 @@ def pack_documents(ds: "ray.data.Dataset", window: int = 512,
     """
     # two passes are inherent to a scan (partial sums, then the offset
     # apply); pin the narrow (id, count) projection once so the upstream
-    # pipeline — possibly a full clean/dedup chain — does not re-execute
-    ds = ds.materialize()
+    # pipeline — possibly a full clean/dedup chain — does not re-execute,
+    # and PROJECT BEFORE pinning: the scan needs 16 B/row, not the text
+    ds = ds.select_columns([id_col, count_col]).materialize()
 
     def partial_sums(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_numpy(zero_copy_only=False)

@@ -53,8 +53,13 @@ def key_hash_mod(col, modulus: int) -> np.ndarray:
     (r3 VERDICT fix — samplers/splits must not assume a corpus id format):
 
     - integer ids keep the historical Knuth multiplicative path
-      ``(id * KNUTH) % m`` (SQL twin: ``(id * 2654435761) % m``), so every
-      existing int-keyed oracle stays bit-identical;
+      ``(id * KNUTH) % m``, computed in uint64 so the product is
+      WELL-DEFINED (wraps mod 2^64) for ids ≥ ⌈2^63/KNUTH⌉ ≈ 3.47e9 —
+      the 100-TB id regime — instead of silently overflowing int64. SQL
+      twin: ``(id * 2654435761) % m`` for ids below the wrap point (every
+      existing oracle — bit-identical to before), or the exact
+      ``(CAST(id AS HUGEINT) * 2654435761) % 18446744073709551616 % m``
+      beyond it (DuckDB BIGINT would raise on the overflow);
     - string ids hash via mix64 over :func:`string_fold64` (SQL twin:
       ``mix64_sql_ctes`` over ``string_fold64_sql`` — sketch.py), crashing
       on NO id format, unlike the old ``str.slice(5).astype(int64)`` parse.
@@ -63,15 +68,18 @@ def key_hash_mod(col, modulus: int) -> np.ndarray:
     """
     from .sketch import mix64
 
+    def int_path(ids: np.ndarray) -> np.ndarray:
+        u = ids.astype(np.int64).astype(np.uint64) * np.uint64(KNUTH)
+        return (u % np.uint64(modulus)).astype(np.int64)
+
     if isinstance(col, (pa.Array, pa.ChunkedArray)):
         if pa.types.is_integer(col.type):
-            ids = col.to_numpy(zero_copy_only=False).astype(np.int64)
-            return (ids * KNUTH) % modulus
+            return int_path(col.to_numpy(zero_copy_only=False))
         return (mix64(string_fold64(col))
                 % np.uint64(modulus)).astype(np.int64)
     arr = np.asarray(pd.Series(col).to_numpy())
     if np.issubdtype(arr.dtype, np.integer):
-        return (arr.astype(np.int64) * KNUTH) % modulus
+        return int_path(arr)
     return (mix64(string_fold64(col)) % np.uint64(modulus)).astype(np.int64)
 
 
@@ -178,8 +186,11 @@ def mixture_sample(ds: "ray.data.Dataset", source_col: str, id_col: str,
         if not len(names):  # no per-source rates: everything at the default
             return batch.filter(pa.array(h < default_t))
         src = batch[source_col].to_pandas().to_numpy(dtype=object)
+        null = pd.isna(src)
+        if null.any():  # None would TypeError inside searchsorted before
+            src = np.where(null, names[0], src)  # the known-fallback ran
         idx = np.clip(np.searchsorted(names, src), 0, len(names) - 1)
-        known = names[idx] == src
+        known = (names[idx] == src) & ~null  # null source → default rate
         thr = np.where(known, thresholds[idx], default_t)
         return batch.filter(pa.array(h < thr))
 
@@ -366,7 +377,10 @@ def tail_sample_policies(
     for j in range(len(lat_pols)):
         aggs += [Min(f"_lmin{j}", alias_name=f"_lmin{j}"),
                  Max(f"_lmax{j}", alias_name=f"_lmax{j}")]
-    reduced = (ds.map_batches(partial, batch_format="pyarrow")
+    from ..partitioning import coalesce_blocks
+
+    reduced = (coalesce_blocks(ds.map_batches(partial,
+                                              batch_format="pyarrow"))
                .groupby(key).aggregate(*aggs))
 
     def decide(batch: pa.Table) -> pa.Table:
@@ -381,8 +395,10 @@ def tail_sample_policies(
             decision |= span.to_numpy() >= p.threshold_s
         for p in prob_pols:
             decision |= key_hash_mod(g[key], 100) < p.pct
-        return pa.table({key: pa.array(g.loc[decision, key],
-                                       type=pa.string())})
+        # key type from the INPUT batch, not hardcoded string — integer
+        # keys crashed here despite key_hash_mod's any-id-type contract
+        return pa.table({key: pa.array(g.loc[decision, key].tolist(),
+                                       type=batch[key].type)})
 
     kept_keys = reduced.map_batches(decide, batch_format="pyarrow")
     return semi_join_keys(ds, kept_keys, key,
@@ -406,10 +422,13 @@ def tail_sample_conversations(
     def partial(batch: pa.Table) -> pa.Table:
         m = np.asarray(flag_fn(batch))
         keys = pd.unique(batch[key].to_pandas()[m])
-        return pa.table({key: pa.array(keys, type=pa.string())})
+        return pa.table({key: pa.array(keys.tolist(),
+                                       type=batch[key].type)})
+
+    from ..partitioning import coalesce_blocks
 
     kept_keys = (
-        ds.map_batches(partial, batch_format="pyarrow")
+        coalesce_blocks(ds.map_batches(partial, batch_format="pyarrow"))
         .groupby(key).aggregate(Count(alias_name="_n"))
         .drop_columns(["_n"])
     )
@@ -431,7 +450,12 @@ def smallest_hash_sample(ds: "ray.data.Dataset", id_col: str,
 
     def partial(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_numpy(zero_copy_only=False)
-        h = (mix64(ids) ^ np.uint64(1 << 63)).view(np.int64)
+        # any id type, like every other sampler here: integers feed mix64
+        # directly, anything else hashes via the string fold (SQL twin:
+        # mix64_sql_ctes over string_fold64_sql)
+        base = ids if np.issubdtype(ids.dtype, np.integer) \
+            else string_fold64(t[id_col])
+        h = (mix64(base) ^ np.uint64(1 << 63)).view(np.int64)
         take = np.argsort(h, kind="stable")[:k]
         return pa.table({id_col: pa.array(ids[take], type=t[id_col].type),
                          "_h": pa.array(h[take], type=pa.int64())})
@@ -602,12 +626,15 @@ def quantile_buckets(
         return float(df["lo"].min()), float(df["hi"].max())
 
     def drill(col: str, lo: float, hi: float, pred, rank: int,
-              order_cols: list) -> "pd.DataFrame | None":
+              order_cols: list, counts=None) -> "pd.DataFrame | None":
         """Narrow (col, grid, pred) around global in-window rank ``rank``
         until the boundary cell fits under cell_cap, then pull and return
-        (sorted rows, offset) — or None if the cell stopped splitting."""
+        (sorted rows, offset) — or None if the cell stopped splitting.
+        ``counts`` short-circuits the first histogram pass when the caller
+        already holds it (the top-level histogram is rank-independent)."""
         base = int(rank)
-        counts = hist(col, lo, hi, pred)
+        if counts is None:
+            counts = hist(col, lo, hi, pred)
         while True:
             cum = np.concatenate([[0], np.cumsum(counts)])
             c = int(np.searchsorted(cum, base, side="right") - 1)
@@ -624,8 +651,13 @@ def quantile_buckets(
             lo, hi, pred = nlo, nhi, sel
             counts = hist(col, lo, hi, pred)
 
+    # the top-level histogram does not depend on the rank — compute it
+    # once, not once per boundary (each recompute was a full scan)
+    top_counts = hist(score_col, glo, ghi, None)
+
     def threshold_at(rank: int) -> tuple[float, int]:
-        out = drill(score_col, glo, ghi, None, rank, [score_col, id_col])
+        out = drill(score_col, glo, ghi, None, rank, [score_col, id_col],
+                    counts=top_counts)
         if len(out) == 3:  # score axis saturated on one value → order by id
             sel, base, val = out
             ilo, ihi = window_minmax(id_col, sel)

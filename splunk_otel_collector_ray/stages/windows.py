@@ -77,7 +77,12 @@ def sliding_counts(
         g["window_start"] = pd.to_datetime(g["window_start"], unit="s")
         return pd_table(g)
 
+    from ..pipelines.aggregate import _sum_combine
+
     partials = ds.map_batches(partial, batch_format="pyarrow")
+    # coalesce the tiny per-batch partials before the Aggregate (its
+    # ~80 ms/input-block fixed cost dominates on thousands of them)
+    partials = _sum_combine(partials, [*keys, "window_start"], ["n"])
     return partials.groupby([*keys, "window_start"]).aggregate(
         Sum("n", alias_name="n"))
 
@@ -136,6 +141,10 @@ def drop_late(
     (one i64 per batch) → driver max → broadcast watermark filter. The
     stream itself never shuffles.
     """
+    # both passes (watermark partials, then the gate) consume ds — pin it
+    # once so an expensive upstream chain does not execute twice (the
+    # pack_documents precedent; for a plain read the pin costs one pass)
+    ds = ds.materialize()
 
     def partial(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:

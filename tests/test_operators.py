@@ -1109,3 +1109,82 @@ def test_fluent_zero_entry_message_and_pinned_columns(ray_session,
     buf = bytearray()
     pack(np.int64(5), buf)
     pack({"k": np.uint64(2**63)}, buf)  # numpy scalars pack directly
+
+
+def test_samplers_accept_any_id_and_null_source(ray_session):
+    """Int keys in tail sampling, string ids in smallest-hash sampling,
+    and null source values in mixture sampling all work (the r3
+    'samplers must not assume a corpus id format' contract, extended to
+    the kept-key emit paths and the source column)."""
+    import pyarrow as pa
+    import ray.data
+
+    from splunk_otel_collector_ray.stages.sample import (
+        mixture_sample,
+        smallest_hash_sample,
+        tail_sample_conversations,
+    )
+
+    t = pa.table({
+        "user_id": pa.array([1, 1, 2, 3, 3], type=pa.int64()),
+        "sev": pa.array([1, 9, 1, 9, 1], type=pa.int64())})
+    kept = tail_sample_conversations(
+        ray.data.from_arrow(t),
+        lambda b: (b["sev"].to_numpy() >= 9), key="user_id").to_pandas()
+    assert sorted(set(kept["user_id"])) == [1, 3]
+
+    docs = pa.table({"doc_id": pa.array([f"doc-{i}" for i in range(50)])})
+    s = smallest_hash_sample(ray.data.from_arrow(docs), "doc_id", k=5)
+    assert len(s.to_pandas()) == 5  # string ids hash via the fold path
+
+    mix = pa.table({
+        "source": pa.array(["a", None, "b", None]),
+        "doc_id": pa.array([1, 2, 3, 4], type=pa.int64())})
+    out = mixture_sample(ray.data.from_arrow(mix), "source", "doc_id",
+                         rates={"a": 1.0, "b": 0.0},
+                         default_rate=1.0).to_pandas()
+    # null source takes the default rate (kept), b's rate drops row 3
+    assert sorted(out["doc_id"]) == [1, 2, 4]
+
+
+def test_key_hash_mod_large_ids_match_hugeint_twin(ray_session):
+    """Ids past the int64 wrap point (~3.47e9) hash well-defined (uint64
+    wrap) and match the exact HUGEINT SQL twin that DuckDB BIGINT
+    arithmetic would overflow on."""
+    import duckdb
+    import numpy as np
+
+    from splunk_otel_collector_ray.stages.sample import key_hash_mod
+
+    ids = np.array([4_000_000_000, 2**62, 2**63 - 1, 7], dtype=np.int64)
+    got = key_hash_mod(ids, 10_000)
+    want = [r[0] for r in duckdb.sql(
+        "SELECT (CAST(i AS HUGEINT) * 2654435761) % 18446744073709551616 "
+        "% 10000 FROM (SELECT UNNEST([4000000000, 4611686018427387904, "
+        "9223372036854775807, 7]) AS i)").fetchall()]
+    assert got.tolist() == [int(w) for w in want]
+
+
+def test_asof_left_int_nulls_keep_stable_schema(ray_session):
+    """A nullable int LEFT payload column yields one Arrow dtype (int64)
+    across all buckets — previously blocks disagreed (int64 vs float64)
+    whenever one bucket happened to hold the null."""
+    import pyarrow as pa
+    import ray.data
+
+    from splunk_otel_collector_ray.stages.asof import asof_join
+
+    left = pa.table({
+        "k": pa.array([f"k{i}" for i in range(40)]),
+        "t": pa.array(list(range(40)), type=pa.timestamp("us")),
+        "lv": pa.array([None if i == 3 else i for i in range(40)],
+                       type=pa.int64())})
+    right = pa.table({
+        "k": pa.array([f"k{i}" for i in range(40)]),
+        "t": pa.array([0] * 40, type=pa.timestamp("us")),
+        "rv": pa.array(range(40), type=pa.int64())})
+    out = asof_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
+                    by="k", on="t", left_cols=["lv"], right_cols=["rv"])
+    assert out.schema().types[2] == pa.int64()  # lv stays int64 w/ null
+    pdf = out.to_pandas()
+    assert len(pdf) == 40 and pdf["lv"].isna().sum() == 1
