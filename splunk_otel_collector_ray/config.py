@@ -259,6 +259,15 @@ def build_pipeline(spec: dict[str, Any]) -> "ray.data.Dataset":
 
         ds = read_solace_dump(src["solace_dump"],
                               settled_dir=src.get("settled"))
+    elif "proc_dump" in src:
+        # hostmetrics receiver analogue: /proc snapshot capture → the
+        # enabled scrapers' system.* datapoints as one aligned long table
+        from .sources.procfs import read_hostmetrics
+
+        kw = {}
+        if src.get("scrapers"):
+            kw["scrapers"] = src["scrapers"]
+        ds = read_hostmetrics(src["proc_dump"], **kw)
     elif "hec_jsonl" in src:
         from .sources.hec import read_hec_events
 

@@ -209,6 +209,13 @@ def collector_to_spec(doc: dict) -> dict:
         source = {"solace_dump": recv_cfg["path"]}
         if recv_cfg.get("settled_state"):
             source["settled"] = recv_cfg["settled_state"]
+    elif recv_type in ("hostmetrics", "host_metrics"):
+        # hostmetrics receiver: /proc snapshot capture dir + the enabled
+        # scrapers: map (full_config_linux.yaml:104-120; keys only, like
+        # the collector's scrapers: {cpu:, memory:, ...})
+        source = {"proc_dump": recv_cfg["path"]}
+        if recv_cfg.get("scrapers"):
+            source["scrapers"] = sorted(recv_cfg["scrapers"])
     elif recv_type == "splunk_hec":
         source = {"hec_jsonl": recv_cfg["path"]}
     elif recv_type == "otlp":

@@ -444,7 +444,7 @@ def _render_transcripts(conv_seq: np.ndarray, turn_idx: np.ndarray,
 
 ROWS_PER_FILE = 100_000
 RENDER_CHUNK = 8_000_000  # rows per render super-chunk (~3 GB transient)
-CORPUS_VERSION = "3"  # bump when the generator's output changes → regenerate
+CORPUS_VERSION = "5"  # bump when the generator's output changes → regenerate
 
 
 def _version_ok(path: str) -> bool:
@@ -1075,6 +1075,157 @@ def ensure_solace_dump(sf_dir_or_name: str, force: bool = False) -> str:
     finally:
         for f in files.values():
             f.close()
+    with open(os.path.join(tmpdir, ".version"), "w") as f:
+        f.write(CORPUS_VERSION)
+    try:
+        os.replace(tmpdir, path)
+    except OSError:
+        import shutil
+        shutil.rmtree(tmpdir, ignore_errors=True)
+    return path
+
+
+def ensure_proc_dump(sf_dir_or_name: str, force: bool = False) -> str:
+    """Stage the transcripts as a hostmetrics /proc snapshot capture —
+    HM_HOSTS host dirs × HM_SCRAPES 10 s ticks, each holding verbatim
+    ``stat`` / ``meminfo`` / ``net_dev`` / ``diskstats`` / ``loadavg``
+    text (the files the reference's enabled scrapers read,
+    full_config_linux.yaml:104-120).
+
+    Every counter derives SQL-replayably from the corpus: a turn lands on
+    host ``(conv%64)%HM_HOSTS``, tick ``(conv+turn_idx)%HM_SCRAPES``
+    (conv-offset so every tick sees activity even when conversations are
+    short), cpu ``(conv//4)%HM_CPUS`` (independent of the host digit —
+    conv%2 would pin each host's parity to one cpu), and contributes
+    integer jiffy/byte/op weights
+    (user=len(text), system=(turn_idx%29)+1, idle=100, rx/tx split by
+    role, sectors=len//512); cumulative counters are prefix sums over
+    ticks. The file count is hosts×ticks regardless of scale — the
+    snapshot side stays tiny while the derivation sweeps every turn."""
+    from .sources import procfs as pf
+
+    assert pf.HM_BASE_US == BASE_EPOCH_US
+    tdir = ensure_transcripts(sf_dir_or_name)
+    path = os.path.join(FIXTURE_ROOT, sf_name(sf_dir_or_name), "proc")
+    if os.path.isdir(path) and _version_ok(path) and not force:
+        return path
+    if os.path.isdir(path):
+        import shutil
+        shutil.rmtree(path, ignore_errors=True)
+
+    import pyarrow.compute as pc
+    t = pq.read_table(tdir, columns=["conv_id", "turn_idx", "role", "text"])
+    conv = pc.cast(pc.utf8_slice_codeunits(t["conv_id"], 5, 99),
+                   pa.int64()).to_numpy()
+    turn = t["turn_idx"].to_numpy().astype("int64")
+    ln = pc.utf8_length(t["text"]).to_numpy().astype("int64")
+    role = t["role"].to_numpy(zero_copy_only=False)
+    H, S, C = pf.HM_HOSTS, pf.HM_SCRAPES, pf.HM_CPUS
+    h = (conv % 64) % H
+    s = (conv + turn) % S
+    c = (conv // 4) % C
+    hs = h * S + s
+    hsc = hs * C + c
+    is_user = role == "user"
+    is_asst = role == "assistant"
+    is_tool = role == "tool"
+
+    def cell(idx, weight, shape):
+        out = np.zeros(shape, dtype="int64").ravel()
+        np.add.at(out, idx, weight)
+        return out.reshape(shape)
+
+    one = np.ones_like(ln)
+    # cpu jiffy deltas per (h, s, c) → cumulative over s
+    du = cell(hsc, ln, (H, S, C))
+    dsys = cell(hsc, turn % 29 + 1, (H, S, C))
+    didle = cell(hsc, 100 * one, (H, S, C))
+    ju, js, ji = (a.cumsum(axis=1) for a in (du, dsys, didle))
+    # memory gauges per (h, s)
+    used = cell(hs, ln, (H, S))
+    buf = 4 * cell(hs, one, (H, S))
+    cache = cell(hs, turn % 97, (H, S))
+    free = np.maximum(pf.HM_TOTAL_KB - used - buf - cache, 0)
+    # network byte/packet deltas per (h, s) → cumulative
+    rxb = cell(hs[is_user], ln[is_user], (H, S)).cumsum(axis=1)
+    rxp = cell(hs[is_user], one[is_user], (H, S)).cumsum(axis=1)
+    txb = cell(hs[is_asst], ln[is_asst], (H, S)).cumsum(axis=1)
+    txp = cell(hs[is_asst], one[is_asst], (H, S)).cumsum(axis=1)
+    lob = cell(hs[is_tool], ln[is_tool], (H, S)).cumsum(axis=1)
+    lop = cell(hs[is_tool], one[is_tool], (H, S)).cumsum(axis=1)
+    # disk op/sector deltas per (h, s, c) → cumulative; device = sda/sdb
+    rd = cell(hsc[~is_asst], one[~is_asst], (H, S, C)).cumsum(axis=1)
+    rs = cell(hsc[~is_asst], ln[~is_asst] // 512, (H, S, C)).cumsum(axis=1)
+    wr = cell(hsc[is_asst], one[is_asst], (H, S, C)).cumsum(axis=1)
+    ws = cell(hsc[is_asst], ln[is_asst] // 512, (H, S, C)).cumsum(axis=1)
+    # process counters: created = cumulative turn count; running/blocked
+    # gauges = the tick's user/tool turn counts
+    created = cell(hs, one, (H, S)).cumsum(axis=1)
+    running = cell(hs[is_user], one[is_user], (H, S))
+    blocked = cell(hs[is_tool], one[is_tool], (H, S))
+    # paging: swap gauges per (h, s) + cumulative vmstat page/swap/fault
+    # counters (weights chosen distinct from every other scraper family)
+    sw_cached = cell(hs, turn % 53, (H, S))
+    sw_free = np.maximum(
+        pf.HM_SWAP_KB - cell(hs, ln % 63, (H, S)) - sw_cached, 0)
+    pgpgin = cell(hs[is_user], ln[is_user] % 127, (H, S)).cumsum(axis=1)
+    pgpgout = cell(hs[is_asst], ln[is_asst] % 131, (H, S)).cumsum(axis=1)
+    pswpin = cell(hs[is_tool], turn[is_tool] % 13, (H, S)).cumsum(axis=1)
+    pswpout = cell(hs[is_asst], turn[is_asst] % 11, (H, S)).cumsum(axis=1)
+    pgfault = cell(hs, ln % 251, (H, S)).cumsum(axis=1)
+    pgmaj = cell(hs, (ln % 7 == 0).astype("int64"), (H, S)).cumsum(axis=1)
+    # filesystem: monotone used-kb/inode gauges per (h, s) — root mount
+    # fills with user bytes, the data mount with the rest
+    fs_u1 = 10240 + cell(hs[is_user], ln[is_user], (H, S)).cumsum(axis=1) // 16
+    fs_u2 = 20480 + cell(hs[~is_user], ln[~is_user],
+                         (H, S)).cumsum(axis=1) // 8
+    fs_i1 = 1000 + created // 4
+    fs_i2 = 2000 + cell(hs[is_tool], one[is_tool], (H, S)).cumsum(axis=1) // 2
+
+    tmpdir = tempfile.mkdtemp(dir=os.path.dirname(path), prefix=".proc.tmp")
+    for hh in range(H):
+        for ss in range(S):
+            d = os.path.join(tmpdir, f"host-{hh}", f"scrape-{ss:04d}")
+            os.makedirs(d)
+            jif = [[int(ju[hh, ss, cc]), 0, int(js[hh, ss, cc]),
+                    int(ji[hh, ss, cc]), 0, 0, 0, 0] for cc in range(C)]
+            with open(os.path.join(d, "stat"), "w") as f:
+                f.write(pf.render_stat(jif, int(created[hh, ss]),
+                                       int(running[hh, ss]),
+                                       int(blocked[hh, ss])))
+            with open(os.path.join(d, "meminfo"), "w") as f:
+                f.write(pf.render_meminfo(int(free[hh, ss]),
+                                          int(buf[hh, ss]),
+                                          int(cache[hh, ss]),
+                                          int(sw_free[hh, ss]),
+                                          int(sw_cached[hh, ss])))
+            with open(os.path.join(d, "vmstat"), "w") as f:
+                f.write(pf.render_vmstat(
+                    int(pgpgin[hh, ss]), int(pgpgout[hh, ss]),
+                    int(pswpin[hh, ss]), int(pswpout[hh, ss]),
+                    int(pgfault[hh, ss]), int(pgmaj[hh, ss])))
+            with open(os.path.join(d, "df"), "w") as f:
+                f.write(pf.render_df({
+                    "sda1": (int(fs_u1[hh, ss]), int(fs_i1[hh, ss])),
+                    "sdb1": (int(fs_u2[hh, ss]), int(fs_i2[hh, ss]))}))
+            with open(os.path.join(d, "net_dev"), "w") as f:
+                f.write(pf.render_net_dev({
+                    "eth0": (int(rxb[hh, ss]), int(rxp[hh, ss]),
+                             int(txb[hh, ss]), int(txp[hh, ss])),
+                    "lo": (int(lob[hh, ss]), int(lop[hh, ss]),
+                           int(lob[hh, ss]), int(lop[hh, ss]))}))
+            with open(os.path.join(d, "diskstats"), "w") as f:
+                f.write(pf.render_diskstats({
+                    "sda": (int(rd[hh, ss, 0]), int(rs[hh, ss, 0]),
+                            int(wr[hh, ss, 0]), int(ws[hh, ss, 0])),
+                    "sdb": (int(rd[hh, ss, 1]), int(rs[hh, ss, 1]),
+                            int(wr[hh, ss, 1]), int(ws[hh, ss, 1]))}))
+            u = int(used[hh, ss])
+            with open(os.path.join(d, "loadavg"), "w") as f:
+                f.write(pf.render_loadavg(
+                    (u * 7 + ss) % 1600, (u * 5 + ss) % 800,
+                    (u * 3 + ss) % 400, int(running[hh, ss]),
+                    int(created[hh, ss]), 1000 + ss))
     with open(os.path.join(tmpdir, ".version"), "w") as f:
         f.write(CORPUS_VERSION)
     try:
