@@ -1884,6 +1884,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return cpu_utilization(corpus.ensure_proc_dump(sf))
 
+    # docker_stats monitor analogue (smartagent docker monitor,
+    # conversion.go): Docker stats-API JSONL capture → the basic
+    # datapoint set + the enhanced delta-based percent gauges
+    def q_docker_stats(sf):
+        from splunk_otel_collector_ray.sources.dockerstats import (
+            container_stats)
+
+        return container_stats(corpus.ensure_docker_dump(sf))
+
+    def q_docker_percent(sf):
+        from splunk_otel_collector_ray.sources.dockerstats import (
+            container_percent)
+
+        return container_percent(corpus.ensure_docker_dump(sf))
+
     def q_docs_clean(sf):
         # composite cleaning gate: token bounds + quality ratios +
         # repetition caps + language allowlist in one fused actor-pool
@@ -2902,6 +2917,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hostmetrics_filesystem": q_hostmetrics_filesystem,
         "hostmetrics_paging": q_hostmetrics_paging,
         "hostmetrics_cpu_util": q_hostmetrics_cpu_util,
+        "docker_stats": q_docker_stats,
+        "docker_percent": q_docker_percent,
         # rows-only checks (no SQL twin) — kept LAST so the driver's ~50
         # sample cut falls on them, not on an oracled query
         "ann_lsh": q_ann_lsh,
@@ -3046,6 +3063,50 @@ def _hm_mem_ctes() -> str:
         "COALESCE(cch, 0) AS cch FROM grid g LEFT JOIN md USING (h, s)), "
         "mm AS (SELECT h, s, GREATEST(67108864 - u - b - cch, 0) AS free, "
         "b, cch FROM mg) "
+    )
+
+
+def _docker_sql_ctes() -> str:
+    """CTE chain replaying corpus.ensure_docker_dump's derivation + the
+    docker monitor conversion math: container k = conv % 3, cumulative
+    counters as window prefix sums over the dense host×tick×container
+    grid; the host-wide system counter adds 10^7 ns every tick (empty
+    ticks included)."""
+    return (
+        ", kg AS MATERIALIZED (SELECT "
+        "(CAST(substr(conv_id, 6) AS BIGINT) % 64) % 4 AS h, "
+        "(CAST(substr(conv_id, 6) AS BIGINT) + turn_idx) % 16 AS s, "
+        "CAST(substr(conv_id, 6) AS BIGINT) % 3 AS k, "
+        "length(text) AS len, turn_idx, role FROM raw), "
+        "sgrid AS (SELECT hh.range AS h, ss.range AS s "
+        "FROM range(4) hh CROSS JOIN range(16) ss), "
+        "kgrid AS (SELECT g.h, g.s, kk.range AS k "
+        "FROM sgrid g CROSS JOIN range(3) kk), "
+        "kd AS (SELECT h, s, k, SUM(len) * 100000 AS dt, "
+        "SUM(CASE WHEN role = 'user' THEN len ELSE 0 END) AS rxd, "
+        "SUM(CASE WHEN role = 'assistant' THEN len ELSE 0 END) AS txd, "
+        "SUM(CASE WHEN role <> 'assistant' THEN len % 1021 ELSE 0 END) "
+        "AS brd, "
+        "SUM(CASE WHEN role = 'assistant' THEN len % 1031 ELSE 0 END) "
+        "AS bwd, "
+        "SUM(turn_idx % 89) * 1024 AS cache, "
+        "SUM(len % 509) * 4096 AS usg FROM kg GROUP BY h, s, k), "
+        "sd AS (SELECT h, s, SUM(len) * 400000 + 10000000 AS dsys "
+        "FROM kg GROUP BY h, s), "
+        "sc AS (SELECT g.h, g.s, COALESCE(dsys, 10000000) AS dsys, "
+        "SUM(COALESCE(dsys, 10000000)) OVER "
+        "(PARTITION BY g.h ORDER BY g.s) AS csys "
+        "FROM sgrid g LEFT JOIN sd USING (h, s)), "
+        "kc AS (SELECT kgrid.h, kgrid.s, kgrid.k, "
+        "COALESCE(dt, 0) AS dt, "
+        "SUM(COALESCE(dt, 0)) OVER wk AS ct, "
+        "SUM(COALESCE(rxd, 0)) OVER wk AS crx, "
+        "SUM(COALESCE(txd, 0)) OVER wk AS ctx, "
+        "SUM(COALESCE(brd, 0)) OVER wk AS cbr, "
+        "SUM(COALESCE(bwd, 0)) OVER wk AS cbw, "
+        "COALESCE(cache, 0) AS cache, COALESCE(usg, 0) AS usg "
+        "FROM kgrid LEFT JOIN kd USING (h, s, k) "
+        "WINDOW wk AS (PARTITION BY kgrid.h, kgrid.k ORDER BY kgrid.s)) "
     )
 
 
@@ -3602,6 +3663,37 @@ def oracle_sql() -> dict[str, str]:
             "('system.paging.faults', 'major', ''), "
             "('system.paging.faults', 'minor', '')"
             ") mt(metric, state, direction)"),
+        "docker_stats": C + _docker_sql_ctes() + (
+            f"SELECT 'host-' || h AS host, {_HM_TS} AS ts, "
+            "'svc-' || k AS container_name, "
+            "'ctr-' || h || '-' || k AS container_id, "
+            "'img-' || (k % 2) AS container_image, mt.metric, mt.attr, "
+            "CAST(CASE mt.metric "
+            "WHEN 'cpu.usage.total' THEN ct "
+            "WHEN 'cpu.usage.system' THEN csys "
+            "WHEN 'memory.usage.limit' THEN 2147483648 "
+            "WHEN 'memory.usage.total' THEN usg "
+            "WHEN 'network.usage.rx_bytes' THEN crx "
+            "WHEN 'network.usage.tx_bytes' THEN ctx "
+            "WHEN 'blkio.io_service_bytes_recursive.read' THEN cbr "
+            "ELSE cbw END AS BIGINT) AS value "
+            "FROM kc JOIN sc USING (h, s) CROSS JOIN (VALUES "
+            "('cpu.usage.total', ''), ('cpu.usage.system', ''), "
+            "('memory.usage.limit', ''), ('memory.usage.total', ''), "
+            "('network.usage.rx_bytes', 'eth0'), "
+            "('network.usage.tx_bytes', 'eth0'), "
+            "('blkio.io_service_bytes_recursive.read', '8.0'), "
+            "('blkio.io_service_bytes_recursive.write', '8.0')"
+            ") mt(metric, attr)"),
+        "docker_percent": C + _docker_sql_ctes() + (
+            f"SELECT 'host-' || h AS host, {_HM_TS} AS ts, "
+            "'svc-' || k AS container_name, mt.metric, "
+            "CASE mt.metric WHEN 'cpu.percent' THEN "
+            "CASE WHEN dt > 0 THEN CAST(dt AS DOUBLE) "
+            "/ CAST(dsys AS DOUBLE) * 2 * 100.0 ELSE 0.0 END "
+            "ELSE 100.0 * CAST(usg AS DOUBLE) / 2147483648.0 END "
+            "AS value FROM kc JOIN sc USING (h, s) CROSS JOIN (VALUES "
+            "('cpu.percent'), ('memory.percent')) mt(metric)"),
         "hostmetrics_cpu_util": C + _hostmetrics_sql_ctes() + (
             ", cd AS (SELECT h, s, c, SUM(len) AS du, "
             "SUM(turn_idx % 29 + 1) AS dsys, 100 * COUNT(*) AS didle "

@@ -259,6 +259,10 @@ def build_pipeline(spec: dict[str, Any]) -> "ray.data.Dataset":
 
         ds = read_solace_dump(src["solace_dump"],
                               settled_dir=src.get("settled"))
+    elif "docker_dump" in src:
+        from .sources.dockerstats import container_stats
+
+        ds = container_stats(src["docker_dump"])
     elif "proc_dump" in src:
         # hostmetrics receiver analogue: /proc snapshot capture → the
         # enabled scrapers' system.* datapoints as one aligned long table

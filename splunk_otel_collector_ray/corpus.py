@@ -1234,3 +1234,80 @@ def ensure_proc_dump(sf_dir_or_name: str, force: bool = False) -> str:
         import shutil
         shutil.rmtree(tmpdir, ignore_errors=True)
     return path
+
+
+def ensure_docker_dump(sf_dir_or_name: str, force: bool = False) -> str:
+    """Stage the transcripts as a docker_stats capture — host-H/scrape-S
+    dirs (procfs layout) each holding a ``docker`` JSONL file with one
+    stats-API object per container (DK_CONTAINERS per host, a turn lands
+    on container ``conv % 3``).
+
+    SQL-replayable derivations per (host h, tick s, container k):
+    cpu total Δ = Σlen·100000 ns; system Δ (host-wide, every tick) =
+    Σlen·400000 + 10^7; memory cache = Σ(turn%89)·1024 and usage =
+    cache + Σ(len%509)·4096 (gauges); network rx/tx = cumulative user/
+    assistant bytes; blkio read/write = cumulative Σ(len%1021) over
+    non-assistant / Σ(len%1031) over assistant turns."""
+    from .sources import dockerstats as dk
+    from .sources import procfs as pf
+
+    tdir = ensure_transcripts(sf_dir_or_name)
+    path = os.path.join(FIXTURE_ROOT, sf_name(sf_dir_or_name), "docker")
+    if os.path.isdir(path) and _version_ok(path) and not force:
+        return path
+    if os.path.isdir(path):
+        import shutil
+        shutil.rmtree(path, ignore_errors=True)
+
+    import pyarrow.compute as pc
+    t = pq.read_table(tdir, columns=["conv_id", "turn_idx", "role", "text"])
+    conv = pc.cast(pc.utf8_slice_codeunits(t["conv_id"], 5, 99),
+                   pa.int64()).to_numpy()
+    turn = t["turn_idx"].to_numpy().astype("int64")
+    ln = pc.utf8_length(t["text"]).to_numpy().astype("int64")
+    role = t["role"].to_numpy(zero_copy_only=False)
+    H, S, K = pf.HM_HOSTS, pf.HM_SCRAPES, dk.DK_CONTAINERS
+    h = (conv % 64) % H
+    s = (conv + turn) % S
+    k = conv % K
+    hs = h * S + s
+    hsk = hs * K + k
+    is_user = role == "user"
+    is_asst = role == "assistant"
+
+    def cell(idx, weight, shape):
+        out = np.zeros(shape, dtype="int64").ravel()
+        np.add.at(out, idx, weight)
+        return out.reshape(shape)
+
+    total_ns = cell(hsk, ln * 100_000, (H, S, K)).cumsum(axis=1)
+    sys_ns = (cell(hs, ln * 400_000, (H, S)) + 10_000_000).cumsum(axis=1)
+    cache = cell(hsk, turn % 89, (H, S, K)) * 1024
+    usage = cache + cell(hsk, ln % 509, (H, S, K)) * 4096
+    rx = cell(hsk[is_user], ln[is_user], (H, S, K)).cumsum(axis=1)
+    tx = cell(hsk[is_asst], ln[is_asst], (H, S, K)).cumsum(axis=1)
+    br = cell(hsk[~is_asst], ln[~is_asst] % 1021, (H, S, K)).cumsum(axis=1)
+    bw = cell(hsk[is_asst], ln[is_asst] % 1031, (H, S, K)).cumsum(axis=1)
+
+    tmpdir = tempfile.mkdtemp(dir=os.path.dirname(path), prefix=".dkr.tmp")
+    for hh in range(H):
+        for ss in range(S):
+            d = os.path.join(tmpdir, f"host-{hh}", f"scrape-{ss:04d}")
+            os.makedirs(d)
+            lines = [dk.render_stats_line(
+                f"ctr-{hh}-{kk}", f"svc-{kk}", f"img-{kk % 2}",
+                int(total_ns[hh, ss, kk]), int(sys_ns[hh, ss]),
+                int(usage[hh, ss, kk]), int(cache[hh, ss, kk]),
+                int(rx[hh, ss, kk]), int(tx[hh, ss, kk]),
+                int(br[hh, ss, kk]), int(bw[hh, ss, kk]))
+                for kk in range(K)]
+            with open(os.path.join(d, "docker"), "w") as f:
+                f.write("\n".join(lines) + "\n")
+    with open(os.path.join(tmpdir, ".version"), "w") as f:
+        f.write(CORPUS_VERSION)
+    try:
+        os.replace(tmpdir, path)
+    except OSError:
+        import shutil
+        shutil.rmtree(tmpdir, ignore_errors=True)
+    return path
