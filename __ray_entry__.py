@@ -1899,6 +1899,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return container_percent(corpus.ensure_docker_dump(sf))
 
+    # kubelet_stats receiver analogue (components.go:243; in-tree kubelet
+    # consumer volumes.go:85-127): /stats/summary captures → node/pod/
+    # container datapoints + the volumes-monitor gauges
+    def q_kubelet_summary(sf):
+        from splunk_otel_collector_ray.sources.kubeletstats import (
+            summary_stats)
+
+        return summary_stats(corpus.ensure_kubelet_dump(sf))
+
+    def q_kubelet_volumes(sf):
+        from splunk_otel_collector_ray.sources.kubeletstats import (
+            volume_stats)
+
+        return volume_stats(corpus.ensure_kubelet_dump(sf))
+
     def q_docs_clean(sf):
         # composite cleaning gate: token bounds + quality ratios +
         # repetition caps + language allowlist in one fused actor-pool
@@ -2919,6 +2934,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hostmetrics_cpu_util": q_hostmetrics_cpu_util,
         "docker_stats": q_docker_stats,
         "docker_percent": q_docker_percent,
+        "kubelet_summary": q_kubelet_summary,
+        "kubelet_volumes": q_kubelet_volumes,
         # rows-only checks (no SQL twin) — kept LAST so the driver's ~50
         # sample cut falls on them, not on an oracled query
         "ann_lsh": q_ann_lsh,
@@ -3107,6 +3124,40 @@ def _docker_sql_ctes() -> str:
         "COALESCE(cache, 0) AS cache, COALESCE(usg, 0) AS usg "
         "FROM kgrid LEFT JOIN kd USING (h, s, k) "
         "WINDOW wk AS (PARTITION BY kgrid.h, kgrid.k ORDER BY kgrid.s)) "
+    )
+
+
+def _kubelet_sql_ctes() -> str:
+    """CTE chain replaying corpus.ensure_kubelet_dump + the kubelet
+    summary conversions: pod p = conv//2 % 3, container c = turn_idx % 2,
+    cumulative counters as prefix sums over dense node×tick(×pod(×ctr))
+    grids; the node counter adds 5·10⁶ ns every tick (empty included)."""
+    return (
+        ", pg AS MATERIALIZED (SELECT "
+        "(CAST(substr(conv_id, 6) AS BIGINT) % 64) % 4 AS h, "
+        "(CAST(substr(conv_id, 6) AS BIGINT) + turn_idx) % 16 AS s, "
+        "(CAST(substr(conv_id, 6) AS BIGINT) // 2) % 3 AS p, "
+        "turn_idx % 2 AS c, length(text) AS len, role FROM raw), "
+        "ngrid AS (SELECT hh.range AS h, ss.range AS s "
+        "FROM range(4) hh CROSS JOIN range(16) ss), "
+        "pgrid AS (SELECT g.h, g.s, pp.range AS p "
+        "FROM ngrid g CROSS JOIN range(3) pp), "
+        "cgrid2 AS (SELECT g.h, g.s, g.p, cc.range AS c "
+        "FROM pgrid g CROSS JOIN range(2) cc), "
+        "pd AS (SELECT h, s, p, SUM(len) * 50000 AS dns, "
+        "SUM(len) * 5000 AS nano, SUM(len % 769) * 2048 AS ws, "
+        "SUM(CASE WHEN role = 'user' THEN len ELSE 0 END) AS rxd, "
+        "SUM(CASE WHEN role = 'assistant' THEN len ELSE 0 END) AS txd, "
+        "SUM(len) AS lensum, COUNT(*) AS n FROM pg GROUP BY h, s, p), "
+        "pcum AS (SELECT g.h, g.s, g.p, "
+        "SUM(COALESCE(dns, 0)) OVER wp AS cns, "
+        "COALESCE(nano, 0) AS nano, COALESCE(ws, 0) AS ws, "
+        "SUM(COALESCE(rxd, 0)) OVER wp AS crx, "
+        "SUM(COALESCE(txd, 0)) OVER wp AS ctx, "
+        "SUM(COALESCE(lensum, 0)) OVER wp AS clen, "
+        "SUM(COALESCE(n, 0)) OVER wp AS cn "
+        "FROM pgrid g LEFT JOIN pd USING (h, s, p) "
+        "WINDOW wp AS (PARTITION BY g.h, g.p ORDER BY g.s)) "
     )
 
 
@@ -3694,6 +3745,82 @@ def oracle_sql() -> dict[str, str]:
             "ELSE 100.0 * CAST(usg AS DOUBLE) / 2147483648.0 END "
             "AS value FROM kc JOIN sc USING (h, s) CROSS JOIN (VALUES "
             "('cpu.percent'), ('memory.percent')) mt(metric)"),
+        "kubelet_summary": C + _kubelet_sql_ctes().rstrip() + (
+            ", cd AS (SELECT h, s, p, c, SUM(len) * 25000 AS dnsc, "
+            "SUM(len % 521) * 1024 AS wsc FROM pg GROUP BY h, s, p, c), "
+            "ccum AS (SELECT g.h, g.s, g.p, g.c, "
+            "SUM(COALESCE(dnsc, 0)) OVER wc AS cnsc, "
+            "COALESCE(wsc, 0) AS wsc "
+            "FROM cgrid2 g LEFT JOIN cd USING (h, s, p, c) "
+            "WINDOW wc AS (PARTITION BY g.h, g.p, g.c ORDER BY g.s)), "
+            "nd AS (SELECT h, s, SUM(dns) AS dns, SUM(nano) AS nano, "
+            "SUM(ws) AS ws, SUM(rxd) AS rxd, SUM(txd) AS txd "
+            "FROM pd GROUP BY h, s), "
+            "ncum AS (SELECT g.h, g.s, "
+            "SUM(COALESCE(dns, 0) + 5000000) OVER wn AS cns, "
+            "COALESCE(nano, 0) + 500000 AS nano, "
+            "COALESCE(ws, 0) + 1073741824 AS ws, "
+            "SUM(COALESCE(rxd, 0)) OVER wn AS crx, "
+            "SUM(COALESCE(txd, 0)) OVER wn AS ctx "
+            "FROM ngrid g LEFT JOIN nd USING (h, s) "
+            "WINDOW wn AS (PARTITION BY g.h ORDER BY g.s)) "
+            f"SELECT 'host-' || h AS node, {_HM_TS} AS ts, "
+            "'node' AS level, '' AS pod, '' AS namespace, "
+            "'' AS container, mt.metric, mt.direction, "
+            "CASE mt.metric "
+            "WHEN 'k8s.node.cpu.time' THEN CAST(cns AS DOUBLE) / 1e9 "
+            "WHEN 'k8s.node.cpu.usage' THEN CAST(nano AS DOUBLE) / 1e9 "
+            "WHEN 'k8s.node.memory.working_set' THEN CAST(ws AS DOUBLE) "
+            "WHEN 'k8s.node.network.io' THEN CASE mt.direction "
+            "WHEN 'receive' THEN CAST(crx AS DOUBLE) "
+            "ELSE CAST(ctx AS DOUBLE) END END AS value "
+            "FROM ncum CROSS JOIN (VALUES "
+            "('k8s.node.cpu.time', ''), ('k8s.node.cpu.usage', ''), "
+            "('k8s.node.memory.working_set', ''), "
+            "('k8s.node.network.io', 'receive'), "
+            "('k8s.node.network.io', 'transmit')) mt(metric, direction) "
+            "UNION ALL "
+            f"SELECT 'host-' || h, {_HM_TS}, 'pod', 'pod-' || p, "
+            "'ns-' || (p % 2), '', mt.metric, mt.direction, "
+            "CASE mt.metric "
+            "WHEN 'k8s.pod.cpu.time' THEN CAST(cns AS DOUBLE) / 1e9 "
+            "WHEN 'k8s.pod.cpu.usage' THEN CAST(nano AS DOUBLE) / 1e9 "
+            "WHEN 'k8s.pod.memory.working_set' THEN CAST(ws AS DOUBLE) "
+            "WHEN 'k8s.pod.network.io' THEN CASE mt.direction "
+            "WHEN 'receive' THEN CAST(crx AS DOUBLE) "
+            "ELSE CAST(ctx AS DOUBLE) END END "
+            "FROM pcum CROSS JOIN (VALUES "
+            "('k8s.pod.cpu.time', ''), ('k8s.pod.cpu.usage', ''), "
+            "('k8s.pod.memory.working_set', ''), "
+            "('k8s.pod.network.io', 'receive'), "
+            "('k8s.pod.network.io', 'transmit')) mt(metric, direction) "
+            "UNION ALL "
+            f"SELECT 'host-' || h, {_HM_TS}, 'container', 'pod-' || p, "
+            "'ns-' || (p % 2), 'c' || c, mt.metric, '', "
+            "CASE mt.metric "
+            "WHEN 'container.cpu.time' THEN CAST(cnsc AS DOUBLE) / 1e9 "
+            "ELSE CAST(wsc AS DOUBLE) END "
+            "FROM ccum CROSS JOIN (VALUES ('container.cpu.time'), "
+            "('container.memory.working_set')) mt(metric)"),
+        "kubelet_volumes": C + _kubelet_sql_ctes() + (
+            f"SELECT 'host-' || h AS node, {_HM_TS} AS ts, "
+            "'vol-' || p AS volume, 'pod-' || p AS kubernetes_pod_name, "
+            "'ns-' || (p % 2) AS kubernetes_namespace, "
+            "'uid-' || h || '-' || p AS kubernetes_pod_uid, mt.metric, "
+            "CAST(CASE mt.metric "
+            "WHEN 'kubernetes.volume_available_bytes' "
+            "THEN GREATEST(68719476736 - clen * 4096, 0) "
+            "WHEN 'kubernetes.volume_capacity_bytes' THEN 68719476736 "
+            "WHEN 'kubernetes.volume_inodes' THEN 1048576 "
+            "WHEN 'kubernetes.volume_inodes_free' "
+            "THEN 1048576 - (100 + cn // 2) "
+            "ELSE 100 + cn // 2 END AS BIGINT) AS value "
+            "FROM pcum CROSS JOIN (VALUES "
+            "('kubernetes.volume_available_bytes'), "
+            "('kubernetes.volume_capacity_bytes'), "
+            "('kubernetes.volume_inodes'), "
+            "('kubernetes.volume_inodes_free'), "
+            "('kubernetes.volume_inodes_used')) mt(metric)"),
         "hostmetrics_cpu_util": C + _hostmetrics_sql_ctes() + (
             ", cd AS (SELECT h, s, c, SUM(len) AS du, "
             "SUM(turn_idx % 29 + 1) AS dsys, 100 * COUNT(*) AS didle "

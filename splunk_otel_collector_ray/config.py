@@ -259,6 +259,10 @@ def build_pipeline(spec: dict[str, Any]) -> "ray.data.Dataset":
 
         ds = read_solace_dump(src["solace_dump"],
                               settled_dir=src.get("settled"))
+    elif "kubelet_dump" in src:
+        from .sources.kubeletstats import summary_stats
+
+        ds = summary_stats(src["kubelet_dump"])
     elif "docker_dump" in src:
         from .sources.dockerstats import container_stats
 

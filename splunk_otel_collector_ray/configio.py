@@ -209,6 +209,10 @@ def collector_to_spec(doc: dict) -> dict:
         source = {"solace_dump": recv_cfg["path"]}
         if recv_cfg.get("settled_state"):
             source["settled"] = recv_cfg["settled_state"]
+    elif recv_type in ("kubelet_stats", "kubeletstats"):
+        # kubelet_stats receiver analogue: /stats/summary capture dir →
+        # node/pod/container datapoints (components.go:243)
+        source = {"kubelet_dump": recv_cfg["path"]}
     elif recv_type in ("docker_stats", "docker-container-stats"):
         # smartagent docker monitor analogue: stats-API capture dir →
         # the basic datapoint set (conversion.go's always-on metrics)

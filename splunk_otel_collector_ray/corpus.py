@@ -1311,3 +1311,110 @@ def ensure_docker_dump(sf_dir_or_name: str, force: bool = False) -> str:
         import shutil
         shutil.rmtree(tmpdir, ignore_errors=True)
     return path
+
+
+def ensure_kubelet_dump(sf_dir_or_name: str, force: bool = False) -> str:
+    """Stage the transcripts as kubelet /stats/summary captures —
+    host-H/scrape-S dirs (procfs layout) each holding ``summary.json``
+    (public k8s stats/v1alpha1 Summary subset: node / pods / containers
+    / volumeStats).
+
+    SQL-replayable derivations: pod p = (conv//2) % 3, container c =
+    turn_idx % 2; per (node h, tick s, pod p) cpu Δ = Σlen·50000 ns
+    (cumulative), nanocores gauge = Σlen·5000, workingSet =
+    Σ(len%769)·2048, network rx/tx = cumulative user/assistant bytes;
+    containers use Σlen·25000 / Σ(len%521)·1024 (no nanocores field —
+    exercises present-only emission); node = Σ over pods plus constant
+    bases (5·10⁶ ns and 5·10⁵ nanocores per tick, 1 GiB working set);
+    per-pod volume: available = max(capacity − cumΣlen·4096, 0),
+    inodesUsed = 100 + cum-count//2."""
+    from .sources import kubeletstats as kl
+    from .sources import procfs as pf
+
+    tdir = ensure_transcripts(sf_dir_or_name)
+    path = os.path.join(FIXTURE_ROOT, sf_name(sf_dir_or_name), "kubelet")
+    if os.path.isdir(path) and _version_ok(path) and not force:
+        return path
+    if os.path.isdir(path):
+        import shutil
+        shutil.rmtree(path, ignore_errors=True)
+
+    import pyarrow.compute as pc
+    t = pq.read_table(tdir, columns=["conv_id", "turn_idx", "role", "text"])
+    conv = pc.cast(pc.utf8_slice_codeunits(t["conv_id"], 5, 99),
+                   pa.int64()).to_numpy()
+    turn = t["turn_idx"].to_numpy().astype("int64")
+    ln = pc.utf8_length(t["text"]).to_numpy().astype("int64")
+    role = t["role"].to_numpy(zero_copy_only=False)
+    H, S, P, C = pf.HM_HOSTS, pf.HM_SCRAPES, kl.KS_PODS, kl.KS_CONTAINERS
+    h = (conv % 64) % H
+    s = (conv + turn) % S
+    p = (conv // 2) % P
+    c = turn % C
+    hsp = (h * S + s) * P + p
+    hspc = hsp * C + c
+    is_user = role == "user"
+    is_asst = role == "assistant"
+
+    def cell(idx, weight, shape):
+        out = np.zeros(shape, dtype="int64").ravel()
+        np.add.at(out, idx, weight)
+        return out.reshape(shape)
+
+    one = np.ones_like(ln)
+    pod_dns = cell(hsp, ln * 50_000, (H, S, P))
+    pod_cns = pod_dns.cumsum(axis=1)
+    pod_nano = cell(hsp, ln * 5_000, (H, S, P))
+    pod_ws = cell(hsp, ln % 769, (H, S, P)) * 2048
+    pod_rx = cell(hsp[is_user], ln[is_user], (H, S, P)).cumsum(axis=1)
+    pod_tx = cell(hsp[is_asst], ln[is_asst], (H, S, P)).cumsum(axis=1)
+    ctr_cns = cell(hspc, ln * 25_000, (H, S, P, C)).cumsum(axis=1)
+    ctr_ws = cell(hspc, ln % 521, (H, S, P, C)) * 1024
+    node_cns = (pod_dns.sum(axis=2) + 5_000_000).cumsum(axis=1)
+    node_nano = pod_nano.sum(axis=2) + 500_000
+    node_ws = pod_ws.sum(axis=2) + 1_073_741_824
+    node_rx, node_tx = pod_rx.sum(axis=2), pod_tx.sum(axis=2)
+    vol_used = cell(hsp, ln, (H, S, P)).cumsum(axis=1) * 4096
+    vol_avail = np.maximum(kl.KS_VOL_CAPACITY - vol_used, 0)
+    vol_iused = 100 + cell(hsp, one, (H, S, P)).cumsum(axis=1) // 2
+
+    tmpdir = tempfile.mkdtemp(dir=os.path.dirname(path), prefix=".kl.tmp")
+    for hh in range(H):
+        for ss in range(S):
+            d = os.path.join(tmpdir, f"host-{hh}", f"scrape-{ss:04d}")
+            os.makedirs(d)
+            pods = []
+            for pp in range(P):
+                ctrs = [{"name": f"c{cc}",
+                         "cpu": {"usageCoreNanoSeconds":
+                                 int(ctr_cns[hh, ss, pp, cc])},
+                         "memory": {"workingSetBytes":
+                                    int(ctr_ws[hh, ss, pp, cc])}}
+                        for cc in range(C)]
+                vol = {"name": f"vol-{pp}",
+                       "availableBytes": int(vol_avail[hh, ss, pp]),
+                       "capacityBytes": kl.KS_VOL_CAPACITY,
+                       "inodes": kl.KS_VOL_INODES,
+                       "inodesFree": kl.KS_VOL_INODES
+                       - int(vol_iused[hh, ss, pp]),
+                       "inodesUsed": int(vol_iused[hh, ss, pp])}
+                pods.append(kl.pod_entry(
+                    f"pod-{pp}", f"ns-{pp % 2}", f"uid-{hh}-{pp}",
+                    int(pod_cns[hh, ss, pp]), int(pod_nano[hh, ss, pp]),
+                    int(pod_ws[hh, ss, pp]), int(pod_rx[hh, ss, pp]),
+                    int(pod_tx[hh, ss, pp]), ctrs, vol))
+            node = {"cpu": {"usageCoreNanoSeconds": int(node_cns[hh, ss]),
+                            "usageNanoCores": int(node_nano[hh, ss])},
+                    "memory": {"workingSetBytes": int(node_ws[hh, ss])},
+                    "network": {"rxBytes": int(node_rx[hh, ss]),
+                                "txBytes": int(node_tx[hh, ss])}}
+            with open(os.path.join(d, "summary.json"), "w") as f:
+                f.write(kl.render_summary(f"host-{hh}", node, pods))
+    with open(os.path.join(tmpdir, ".version"), "w") as f:
+        f.write(CORPUS_VERSION)
+    try:
+        os.replace(tmpdir, path)
+    except OSError:
+        import shutil
+        shutil.rmtree(tmpdir, ignore_errors=True)
+    return path
