@@ -1914,6 +1914,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return volume_stats(corpus.ensure_kubelet_dump(sf))
 
+    def q_k8s_cluster(sf):
+        # k8s_cluster receiver analogue (components.go:238): object-state
+        # snapshots → pod-phase / container / deployment / node gauges
+        from splunk_otel_collector_ray.sources.k8scluster import (
+            cluster_metrics)
+
+        return cluster_metrics(corpus.ensure_k8s_dump(sf))
+
     def q_docs_clean(sf):
         # composite cleaning gate: token bounds + quality ratios +
         # repetition caps + language allowlist in one fused actor-pool
@@ -2936,6 +2944,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docker_percent": q_docker_percent,
         "kubelet_summary": q_kubelet_summary,
         "kubelet_volumes": q_kubelet_volumes,
+        "k8s_cluster": q_k8s_cluster,
         # rows-only checks (no SQL twin) — kept LAST so the driver's ~50
         # sample cut falls on them, not on an oracled query
         "ann_lsh": q_ann_lsh,
@@ -3821,6 +3830,57 @@ def oracle_sql() -> dict[str, str]:
             "('kubernetes.volume_inodes'), "
             "('kubernetes.volume_inodes_free'), "
             "('kubernetes.volume_inodes_used')) mt(metric)"),
+        "k8s_cluster": C + (
+            ", pg AS MATERIALIZED (SELECT "
+            "(CAST(substr(conv_id, 6) AS BIGINT) % 64) % 4 AS h, "
+            "(CAST(substr(conv_id, 6) AS BIGINT) + turn_idx) % 16 AS s, "
+            "(CAST(substr(conv_id, 6) AS BIGINT) // 2) % 3 AS p, "
+            "length(text) AS len FROM raw), "
+            "pgrid AS (SELECT hh.range AS h, ss.range AS s, pp.range AS p "
+            "FROM range(4) hh CROSS JOIN range(16) ss "
+            "CROSS JOIN range(3) pp), "
+            "pa0 AS (SELECT h, s, p, SUM(len) AS act, "
+            "SUM(CASE WHEN len % 31 = 0 THEN 1 ELSE 0 END) AS rst "
+            "FROM pg GROUP BY h, s, p), "
+            "pz AS (SELECT g.h, g.s, g.p, COALESCE(act, 0) AS act, "
+            "SUM(COALESCE(rst, 0)) OVER "
+            "(PARTITION BY g.h, g.p ORDER BY g.s) AS crst "
+            "FROM pgrid g LEFT JOIN pa0 USING (h, s, p)), "
+            "ph AS (SELECT h, s, p, crst, "
+            "CASE WHEN act = 0 THEN 1 WHEN act % 23 = 0 THEN 3 "
+            "WHEN act % 17 = 0 THEN 4 WHEN act % 13 = 0 THEN 5 "
+            "ELSE 2 END AS phase FROM pz), "
+            "nq AS (SELECT h, s, SUM(act) AS nact FROM pz "
+            "GROUP BY h, s), "
+            "dq AS (SELECT s, p, "
+            "SUM(CASE WHEN phase = 2 THEN 1 ELSE 0 END) AS avail "
+            "FROM ph GROUP BY s, p) "
+            f"SELECT {_HM_TS} AS ts, 'ns-' || (p % 2) AS namespace, "
+            "'pod-' || p AS pod, 'uid-' || h || '-' || p AS uid, "
+            "'host-' || h AS node, '' AS deployment, '' AS container, "
+            "'k8s.pod.phase' AS metric, CAST(phase AS BIGINT) AS value FROM ph "
+            "UNION ALL "
+            f"SELECT {_HM_TS}, 'ns-' || (p % 2), 'pod-' || p, "
+            "'uid-' || h || '-' || p, 'host-' || h, '', "
+            "'c' || cc.range, mt.metric, "
+            "CAST(CASE mt.metric WHEN 'k8s.container.restarts' THEN crst "
+            "ELSE CASE WHEN phase = 2 THEN 1 ELSE 0 END END "
+            "AS BIGINT) "
+            "FROM ph CROSS JOIN range(2) cc CROSS JOIN (VALUES "
+            "('k8s.container.restarts'), ('k8s.container.ready')"
+            ") mt(metric) "
+            "UNION ALL "
+            f"SELECT {_HM_TS}, 'ns-' || (p % 2), '', '', '', "
+            "'deploy-' || p, '', mt.metric, "
+            "CAST(CASE mt.metric WHEN 'k8s.deployment.desired' THEN 4 "
+            "ELSE avail END AS BIGINT) FROM dq CROSS JOIN (VALUES "
+            "('k8s.deployment.desired'), ('k8s.deployment.available')"
+            ") mt(metric) "
+            "UNION ALL "
+            f"SELECT {_HM_TS}, '', '', '', 'host-' || h, '', '', "
+            "'k8s.node.condition_ready', "
+            "CAST(CASE WHEN nact <> 0 AND nact % 11 <> 0 THEN 1 ELSE 0 END "
+            "AS BIGINT) FROM nq"),
         "hostmetrics_cpu_util": C + _hostmetrics_sql_ctes() + (
             ", cd AS (SELECT h, s, c, SUM(len) AS du, "
             "SUM(turn_idx % 29 + 1) AS dsys, 100 * COUNT(*) AS didle "

@@ -259,6 +259,10 @@ def build_pipeline(spec: dict[str, Any]) -> "ray.data.Dataset":
 
         ds = read_solace_dump(src["solace_dump"],
                               settled_dir=src.get("settled"))
+    elif "k8s_dump" in src:
+        from .sources.k8scluster import cluster_metrics
+
+        ds = cluster_metrics(src["k8s_dump"])
     elif "kubelet_dump" in src:
         from .sources.kubeletstats import summary_stats
 

@@ -209,6 +209,10 @@ def collector_to_spec(doc: dict) -> dict:
         source = {"solace_dump": recv_cfg["path"]}
         if recv_cfg.get("settled_state"):
             source["settled"] = recv_cfg["settled_state"]
+    elif recv_type in ("k8s_cluster", "k8scluster"):
+        # k8s_cluster receiver analogue: object-state snapshot dir →
+        # pod/container/deployment/node gauges (components.go:238)
+        source = {"k8s_dump": recv_cfg["path"]}
     elif recv_type in ("kubelet_stats", "kubeletstats"):
         # kubelet_stats receiver analogue: /stats/summary capture dir →
         # node/pod/container datapoints (components.go:243)

@@ -1418,3 +1418,87 @@ def ensure_kubelet_dump(sf_dir_or_name: str, force: bool = False) -> str:
         import shutil
         shutil.rmtree(tmpdir, ignore_errors=True)
     return path
+
+
+def ensure_k8s_dump(sf_dir_or_name: str, force: bool = False) -> str:
+    """Stage the transcripts as k8s_cluster object-state snapshots — one
+    ``scrape-S/objects.json`` per 10 s tick (cluster-level, no host dim)
+    listing the 12 pods (node h × pod p, the kubelet world's pods), 3
+    deployments and 4 nodes.
+
+    Corpus-swept, SQL-replayable derivations per tick s: pod (h, p)
+    activity act = Σlen of its turns that tick; phase = Pending when
+    act = 0, else Succeeded/Failed/Unknown when act % 23/17/13 = 0 (in
+    that precedence), else Running; container restartCount = cumulative
+    count of turns with len % 31 = 0; container ready ⇔ phase Running;
+    deployment deploy-p: desired = 4 (one pod per node), available =
+    count of its Running pods; node Ready ⇔ node activity Σlen is
+    nonzero and not divisible by 11."""
+    from .sources import k8scluster as kc
+    from .sources import procfs as pf
+
+    tdir = ensure_transcripts(sf_dir_or_name)
+    path = os.path.join(FIXTURE_ROOT, sf_name(sf_dir_or_name), "k8s")
+    if os.path.isdir(path) and _version_ok(path) and not force:
+        return path
+    if os.path.isdir(path):
+        import shutil
+        shutil.rmtree(path, ignore_errors=True)
+
+    import pyarrow.compute as pc
+    t = pq.read_table(tdir, columns=["conv_id", "turn_idx", "text"])
+    conv = pc.cast(pc.utf8_slice_codeunits(t["conv_id"], 5, 99),
+                   pa.int64()).to_numpy()
+    turn = t["turn_idx"].to_numpy().astype("int64")
+    ln = pc.utf8_length(t["text"]).to_numpy().astype("int64")
+    H, S, P = pf.HM_HOSTS, pf.HM_SCRAPES, 3
+    h = (conv % 64) % H
+    s = (conv + turn) % S
+    p = (conv // 2) % P
+    hsp = (h * S + s) * P + p
+
+    def cell(idx, weight, shape):
+        out = np.zeros(shape, dtype="int64").ravel()
+        np.add.at(out, idx, weight)
+        return out.reshape(shape)
+
+    act = cell(hsp, ln, (H, S, P))
+    restarts = cell(hsp, (ln % 31 == 0).astype("int64"),
+                    (H, S, P)).cumsum(axis=1)
+    phase = np.full((H, S, P), 2, dtype="int64")
+    phase[act % 13 == 0] = 5
+    phase[act % 17 == 0] = 4
+    phase[act % 23 == 0] = 3
+    phase[act == 0] = 1
+    nact = act.sum(axis=2)
+    node_ready = (nact != 0) & (nact % 11 != 0)
+    avail = (phase == 2).sum(axis=0)  # (S, P) running-pod counts
+
+    tmpdir = tempfile.mkdtemp(dir=os.path.dirname(path), prefix=".k8.tmp")
+    for ss in range(S):
+        d = os.path.join(tmpdir, f"scrape-{ss:04d}")
+        os.makedirs(d)
+        pods = [{"name": f"pod-{pp}", "namespace": f"ns-{pp % 2}",
+                 "uid": f"uid-{hh}-{pp}", "node": f"host-{hh}",
+                 "phase": kc.phase_name(int(phase[hh, ss, pp])),
+                 "containers": [
+                     {"name": f"c{cc}",
+                      "restartCount": int(restarts[hh, ss, pp]),
+                      "ready": bool(phase[hh, ss, pp] == 2)}
+                     for cc in range(2)]}
+                for hh in range(H) for pp in range(P)]
+        deps = [{"name": f"deploy-{pp}", "namespace": f"ns-{pp % 2}",
+                 "desired": H, "available": int(avail[ss, pp])}
+                for pp in range(P)]
+        nodes = [{"name": f"host-{hh}", "ready": bool(node_ready[hh, ss])}
+                 for hh in range(H)]
+        with open(os.path.join(d, "objects.json"), "w") as f:
+            f.write(kc.render_objects(pods, deps, nodes))
+    with open(os.path.join(tmpdir, ".version"), "w") as f:
+        f.write(CORPUS_VERSION)
+    try:
+        os.replace(tmpdir, path)
+    except OSError:
+        import shutil
+        shutil.rmtree(tmpdir, ignore_errors=True)
+    return path
