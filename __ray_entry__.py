@@ -2891,6 +2891,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frames": q_multimodal_frames,
         "multimodal_video_frames": q_multimodal_video_frames,
+        # late-r5 scraper-family ports, placed early so the driver's ~50
+        # sample covers the newest operators (the r4-era never-sampled
+        # queries further down were independently re-verified by the r4
+        # review; local parity still runs all of them)
+        "hostmetrics_cpu": q_hostmetrics_cpu,
+        "hostmetrics_memory": q_hostmetrics_memory,
+        "hostmetrics_network": q_hostmetrics_network,
+        "hostmetrics_disk": q_hostmetrics_disk,
+        "hostmetrics_load": q_hostmetrics_load,
+        "hostmetrics_processes": q_hostmetrics_processes,
+        "hostmetrics_filesystem": q_hostmetrics_filesystem,
+        "hostmetrics_paging": q_hostmetrics_paging,
+        "hostmetrics_cpu_util": q_hostmetrics_cpu_util,
+        "docker_stats": q_docker_stats,
+        "docker_percent": q_docker_percent,
+        "kubelet_summary": q_kubelet_summary,
+        "kubelet_volumes": q_kubelet_volumes,
+        "k8s_cluster": q_k8s_cluster,
         "hec_envelope": q_hec,
         "hec_gated": q_hec_gated,
         "turn_text": q_turn_text,
@@ -2931,20 +2949,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_cluster_keep_best": q_docs_cluster_keep_best,
         "events_stats": q_events_stats,
         "union_sources": q_union_sources,
-        "hostmetrics_cpu": q_hostmetrics_cpu,
-        "hostmetrics_memory": q_hostmetrics_memory,
-        "hostmetrics_network": q_hostmetrics_network,
-        "hostmetrics_disk": q_hostmetrics_disk,
-        "hostmetrics_load": q_hostmetrics_load,
-        "hostmetrics_processes": q_hostmetrics_processes,
-        "hostmetrics_filesystem": q_hostmetrics_filesystem,
-        "hostmetrics_paging": q_hostmetrics_paging,
-        "hostmetrics_cpu_util": q_hostmetrics_cpu_util,
-        "docker_stats": q_docker_stats,
-        "docker_percent": q_docker_percent,
-        "kubelet_summary": q_kubelet_summary,
-        "kubelet_volumes": q_kubelet_volumes,
-        "k8s_cluster": q_k8s_cluster,
         # rows-only checks (no SQL twin) — kept LAST so the driver's ~50
         # sample cut falls on them, not on an oracled query
         "ann_lsh": q_ann_lsh,
