@@ -1922,6 +1922,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return cluster_metrics(corpus.ensure_k8s_dump(sf))
 
+    def q_observer_endpoints(sf):
+        # docker/k8s observer extensions feeding the discovery tracker
+        # (endpoint_tracker.go:295-410): Running pods + nodes +
+        # containers as ''-aligned entity-state rows with the
+        # service-name precedence chain
+        from splunk_otel_collector_ray.sources.observers import (
+            observer_endpoints)
+
+        return observer_endpoints(corpus.ensure_k8s_dump(sf),
+                                  corpus.ensure_docker_dump(sf))
+
     def q_docs_clean(sf):
         # composite cleaning gate: token bounds + quality ratios +
         # repetition caps + language allowlist in one fused actor-pool
@@ -2909,6 +2920,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kubelet_summary": q_kubelet_summary,
         "kubelet_volumes": q_kubelet_volumes,
         "k8s_cluster": q_k8s_cluster,
+        "observer_endpoints": q_observer_endpoints,
         "hec_envelope": q_hec,
         "hec_gated": q_hec_gated,
         "turn_text": q_turn_text,
@@ -3171,6 +3183,34 @@ def _kubelet_sql_ctes() -> str:
         "SUM(COALESCE(n, 0)) OVER wp AS cn "
         "FROM pgrid g LEFT JOIN pd USING (h, s, p) "
         "WINDOW wp AS (PARTITION BY g.h, g.p ORDER BY g.s)) "
+    )
+
+
+def _k8s_phase_ctes() -> str:
+    """CTE chain replaying corpus.ensure_k8s_dump's pod state: activity
+    sum per (node h, tick s, pod p), the phase classification cascade,
+    and cumulative restart counts — shared by the k8s_cluster and
+    observer oracles."""
+    return (
+        ", pg AS MATERIALIZED (SELECT "
+        "(CAST(substr(conv_id, 6) AS BIGINT) % 64) % 4 AS h, "
+        "(CAST(substr(conv_id, 6) AS BIGINT) + turn_idx) % 16 AS s, "
+        "(CAST(substr(conv_id, 6) AS BIGINT) // 2) % 3 AS p, "
+        "length(text) AS len FROM raw), "
+        "pgrid AS (SELECT hh.range AS h, ss.range AS s, pp.range AS p "
+        "FROM range(4) hh CROSS JOIN range(16) ss "
+        "CROSS JOIN range(3) pp), "
+        "pa0 AS (SELECT h, s, p, SUM(len) AS act, "
+        "SUM(CASE WHEN len % 31 = 0 THEN 1 ELSE 0 END) AS rst "
+        "FROM pg GROUP BY h, s, p), "
+        "pz AS (SELECT g.h, g.s, g.p, COALESCE(act, 0) AS act, "
+        "SUM(COALESCE(rst, 0)) OVER "
+        "(PARTITION BY g.h, g.p ORDER BY g.s) AS crst "
+        "FROM pgrid g LEFT JOIN pa0 USING (h, s, p)), "
+        "ph AS (SELECT h, s, p, crst, "
+        "CASE WHEN act = 0 THEN 1 WHEN act % 23 = 0 THEN 3 "
+        "WHEN act % 17 = 0 THEN 4 WHEN act % 13 = 0 THEN 5 "
+        "ELSE 2 END AS phase FROM pz)"
     )
 
 
@@ -3834,27 +3874,8 @@ def oracle_sql() -> dict[str, str]:
             "('kubernetes.volume_inodes'), "
             "('kubernetes.volume_inodes_free'), "
             "('kubernetes.volume_inodes_used')) mt(metric)"),
-        "k8s_cluster": C + (
-            ", pg AS MATERIALIZED (SELECT "
-            "(CAST(substr(conv_id, 6) AS BIGINT) % 64) % 4 AS h, "
-            "(CAST(substr(conv_id, 6) AS BIGINT) + turn_idx) % 16 AS s, "
-            "(CAST(substr(conv_id, 6) AS BIGINT) // 2) % 3 AS p, "
-            "length(text) AS len FROM raw), "
-            "pgrid AS (SELECT hh.range AS h, ss.range AS s, pp.range AS p "
-            "FROM range(4) hh CROSS JOIN range(16) ss "
-            "CROSS JOIN range(3) pp), "
-            "pa0 AS (SELECT h, s, p, SUM(len) AS act, "
-            "SUM(CASE WHEN len % 31 = 0 THEN 1 ELSE 0 END) AS rst "
-            "FROM pg GROUP BY h, s, p), "
-            "pz AS (SELECT g.h, g.s, g.p, COALESCE(act, 0) AS act, "
-            "SUM(COALESCE(rst, 0)) OVER "
-            "(PARTITION BY g.h, g.p ORDER BY g.s) AS crst "
-            "FROM pgrid g LEFT JOIN pa0 USING (h, s, p)), "
-            "ph AS (SELECT h, s, p, crst, "
-            "CASE WHEN act = 0 THEN 1 WHEN act % 23 = 0 THEN 3 "
-            "WHEN act % 17 = 0 THEN 4 WHEN act % 13 = 0 THEN 5 "
-            "ELSE 2 END AS phase FROM pz), "
-            "nq AS (SELECT h, s, SUM(act) AS nact FROM pz "
+        "k8s_cluster": C + _k8s_phase_ctes() + (
+            ", nq AS (SELECT h, s, SUM(act) AS nact FROM pz "
             "GROUP BY h, s), "
             "dq AS (SELECT s, p, "
             "SUM(CASE WHEN phase = 2 THEN 1 ELSE 0 END) AS avail "
@@ -3885,6 +3906,30 @@ def oracle_sql() -> dict[str, str]:
             "'k8s.node.condition_ready', "
             "CAST(CASE WHEN nact <> 0 AND nact % 11 <> 0 THEN 1 ELSE 0 END "
             "AS BIGINT) FROM nq"),
+        "observer_endpoints": C + _k8s_phase_ctes() + (
+            f" SELECT {_HM_TS} AS ts, 'k8s_observer' AS observer, "
+            "'uid-' || h || '-' || p AS endpoint_id, "
+            "'pod' AS endpoint_type, "
+            "CASE p WHEN 0 THEN 'inst-0' WHEN 1 THEN 'pod' "
+            "ELSE 'app-2' END AS service_name, "
+            "'pod-' || p AS k8s_pod_name, "
+            "'ns-' || (p % 2) AS k8s_namespace_name, "
+            "'uid-' || h || '-' || p AS k8s_pod_uid, "
+            "'host-' || h AS k8s_node_name, '' AS k8s_node_uid, "
+            "'' AS container_id, '' AS container_name "
+            "FROM ph WHERE phase = 2 "
+            "UNION ALL "
+            f"SELECT {_HM_TS}, 'k8s_observer', 'nuid-' || h, 'k8s.node', "
+            "'unknown', '', '', '', 'host-' || h, 'nuid-' || h, '', '' "
+            "FROM (SELECT hh.range AS h, ss.range AS s FROM range(4) hh "
+            "CROSS JOIN range(16) ss) "
+            "UNION ALL "
+            f"SELECT {_HM_TS}, 'docker_observer', "
+            "'ctr-' || h || '-' || k, 'container', 'svc-' || k, "
+            "'', '', '', '', '', 'ctr-' || h || '-' || k, 'svc-' || k "
+            "FROM (SELECT hh.range AS h, ss.range AS s, kk.range AS k "
+            "FROM range(4) hh CROSS JOIN range(16) ss "
+            "CROSS JOIN range(3) kk)"),
         "hostmetrics_cpu_util": C + _hostmetrics_sql_ctes() + (
             ", cd AS (SELECT h, s, c, SUM(len) AS du, "
             "SUM(turn_idx % 29 + 1) AS dsys, 100 * COUNT(*) AS didle "

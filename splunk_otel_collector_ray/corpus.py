@@ -444,7 +444,7 @@ def _render_transcripts(conv_seq: np.ndarray, turn_idx: np.ndarray,
 
 ROWS_PER_FILE = 100_000
 RENDER_CHUNK = 8_000_000  # rows per render super-chunk (~3 GB transient)
-CORPUS_VERSION = "5"  # bump when the generator's output changes → regenerate
+CORPUS_VERSION = "6"  # bump when the generator's output changes → regenerate
 
 
 def _version_ok(path: str) -> bool:
@@ -1478,9 +1478,15 @@ def ensure_k8s_dump(sf_dir_or_name: str, force: bool = False) -> str:
     for ss in range(S):
         d = os.path.join(tmpdir, f"scrape-{ss:04d}")
         os.makedirs(d)
+        # labels exercise the discovery service-name precedence chain:
+        # pod-0 carries app.kubernetes.io/instance (1st), pod-2 carries
+        # app (3rd), pod-1 has none → the pod-name owner regexp
+        labels = {0: {"app.kubernetes.io/instance": "inst-0"},
+                  1: None, 2: {"app": "app-2"}}
         pods = [{"name": f"pod-{pp}", "namespace": f"ns-{pp % 2}",
                  "uid": f"uid-{hh}-{pp}", "node": f"host-{hh}",
                  "phase": kc.phase_name(int(phase[hh, ss, pp])),
+                 "labels": labels[pp],
                  "containers": [
                      {"name": f"c{cc}",
                       "restartCount": int(restarts[hh, ss, pp]),
@@ -1490,7 +1496,8 @@ def ensure_k8s_dump(sf_dir_or_name: str, force: bool = False) -> str:
         deps = [{"name": f"deploy-{pp}", "namespace": f"ns-{pp % 2}",
                  "desired": H, "available": int(avail[ss, pp])}
                 for pp in range(P)]
-        nodes = [{"name": f"host-{hh}", "ready": bool(node_ready[hh, ss])}
+        nodes = [{"name": f"host-{hh}", "uid": f"nuid-{hh}",
+                  "ready": bool(node_ready[hh, ss])}
                  for hh in range(H)]
         with open(os.path.join(d, "objects.json"), "w") as f:
             f.write(kc.render_objects(pods, deps, nodes))

@@ -49,10 +49,13 @@ def render_objects(pods: "list[dict]", deployments: "list[dict]",
     """One snapshot: a k8s-API-shaped item list."""
     items = []
     for p in pods:
+        md = {"name": p["name"], "namespace": p["namespace"],
+              "uid": p["uid"]}
+        if p.get("labels"):
+            md["labels"] = p["labels"]
         items.append({
             "kind": "Pod",
-            "metadata": {"name": p["name"], "namespace": p["namespace"],
-                         "uid": p["uid"]},
+            "metadata": md,
             "spec": {"nodeName": p["node"]},
             "status": {"phase": p["phase"],
                        "containerStatuses": p["containers"]},
@@ -65,9 +68,12 @@ def render_objects(pods: "list[dict]", deployments: "list[dict]",
             "status": {"availableReplicas": d["available"]},
         })
     for n in nodes:
+        md = {"name": n["name"]}
+        if n.get("uid"):
+            md["uid"] = n["uid"]
         items.append({
             "kind": "Node",
-            "metadata": {"name": n["name"]},
+            "metadata": md,
             "status": {"conditions": [
                 {"type": "Ready",
                  "status": "True" if n["ready"] else "False"}]},
