@@ -1085,6 +1085,42 @@ def ensure_solace_dump(sf_dir_or_name: str, force: bool = False) -> str:
     return path
 
 
+def _capture_chunks(tdir: str):
+    """Per-part-file (conv, turn, ln, role) arrays for the capture
+    generators (proc/docker/kubelet/k8s) — the chunked read shape the
+    solace stager established above: the text column never materializes
+    whole (only its LENGTH is needed), and np.add.at scatter
+    accumulation is order-independent, so consumers fold each ~100k-turn
+    chunk into preallocated delta grids and post-process (cumsum, clamps)
+    once after the sweep."""
+    import pyarrow.compute as pc
+    for part in sorted(os.listdir(tdir)):
+        if not part.endswith(".parquet"):
+            continue
+        t = pq.read_table(os.path.join(tdir, part),
+                          columns=["conv_id", "turn_idx", "role", "text"])
+        conv = pc.cast(pc.utf8_slice_codeunits(t["conv_id"], 5, 99),
+                       pa.int64()).to_numpy()
+        turn = t["turn_idx"].to_numpy().astype("int64")
+        ln = pc.utf8_length(t["text"]).to_numpy().astype("int64")
+        role = t["role"].to_numpy(zero_copy_only=False)
+        yield conv, turn, ln, role
+
+
+def _host_tick(conv, turn, hosts: int, ticks: int):
+    """The capture families' shared coordinate invariant (mirrored by
+    every dump-replay SQL oracle): host (conv%64)%hosts, tick
+    (conv+turn)%ticks — conv-offset so every tick sees activity even
+    when conversations are short."""
+    return (conv % 64) % hosts, (conv + turn) % ticks
+
+
+def _scatter(grid, idx, weight):
+    """Accumulating scatter-add into a preallocated grid (np.add.at
+    handles repeated indices)."""
+    np.add.at(grid.reshape(-1), idx, weight)
+
+
 def ensure_proc_dump(sf_dir_or_name: str, force: bool = False) -> str:
     """Stage the transcripts as a hostmetrics /proc snapshot capture —
     HM_HOSTS host dirs × HM_SCRAPES 10 s ticks, each holding verbatim
@@ -1113,74 +1149,79 @@ def ensure_proc_dump(sf_dir_or_name: str, force: bool = False) -> str:
         import shutil
         shutil.rmtree(path, ignore_errors=True)
 
-    import pyarrow.compute as pc
-    t = pq.read_table(tdir, columns=["conv_id", "turn_idx", "role", "text"])
-    conv = pc.cast(pc.utf8_slice_codeunits(t["conv_id"], 5, 99),
-                   pa.int64()).to_numpy()
-    turn = t["turn_idx"].to_numpy().astype("int64")
-    ln = pc.utf8_length(t["text"]).to_numpy().astype("int64")
-    role = t["role"].to_numpy(zero_copy_only=False)
     H, S, C = pf.HM_HOSTS, pf.HM_SCRAPES, pf.HM_CPUS
-    h = (conv % 64) % H
-    s = (conv + turn) % S
-    c = (conv // 4) % C
-    hs = h * S + s
-    hsc = hs * C + c
-    is_user = role == "user"
-    is_asst = role == "assistant"
-    is_tool = role == "tool"
-
-    def cell(idx, weight, shape):
-        out = np.zeros(shape, dtype="int64").ravel()
-        np.add.at(out, idx, weight)
-        return out.reshape(shape)
-
-    one = np.ones_like(ln)
-    # cpu jiffy deltas per (h, s, c) → cumulative over s
-    du = cell(hsc, ln, (H, S, C))
-    dsys = cell(hsc, turn % 29 + 1, (H, S, C))
-    didle = cell(hsc, 100 * one, (H, S, C))
+    # preallocated delta grids, scatter-filled one transcript part file
+    # at a time (never the whole text column resident)
+    du, dsys, didle, rd, rs, wr, ws = (
+        np.zeros((H, S, C), dtype="int64") for _ in range(7))
+    (used, bufn, cache, rxb, rxp, txb, txp, lob, lop, created, running,
+     blocked, sw_cached, sw_used, pgpgin, pgpgout, pswpin, pswpout,
+     pgfault, pgmaj, fs_ub, fs_ob, fs_nt) = (
+        np.zeros((H, S), dtype="int64") for _ in range(23))
+    for conv, turn, ln, role in _capture_chunks(tdir):
+        h, s = _host_tick(conv, turn, H, S)
+        c = (conv // 4) % C  # independent of the host digit — conv%2
+        # would pin each host's parity to one cpu
+        hs = h * S + s
+        hsc = hs * C + c
+        is_user = role == "user"
+        is_asst = role == "assistant"
+        is_tool = role == "tool"
+        one = np.ones_like(ln)
+        # cpu jiffy deltas per (h, s, c)
+        _scatter(du, hsc, ln)
+        _scatter(dsys, hsc, turn % 29 + 1)
+        _scatter(didle, hsc, 100 * one)
+        # memory gauge components per (h, s)
+        _scatter(used, hs, ln)
+        _scatter(bufn, hs, one)
+        _scatter(cache, hs, turn % 97)
+        # network byte/packet deltas per (h, s), split by role
+        _scatter(rxb, hs[is_user], ln[is_user])
+        _scatter(rxp, hs[is_user], one[is_user])
+        _scatter(txb, hs[is_asst], ln[is_asst])
+        _scatter(txp, hs[is_asst], one[is_asst])
+        _scatter(lob, hs[is_tool], ln[is_tool])
+        _scatter(lop, hs[is_tool], one[is_tool])
+        # disk op/sector deltas per (h, s, c); device = sda/sdb
+        _scatter(rd, hsc[~is_asst], one[~is_asst])
+        _scatter(rs, hsc[~is_asst], ln[~is_asst] // 512)
+        _scatter(wr, hsc[is_asst], one[is_asst])
+        _scatter(ws, hsc[is_asst], ln[is_asst] // 512)
+        # process counters
+        _scatter(created, hs, one)
+        _scatter(running, hs[is_user], one[is_user])
+        _scatter(blocked, hs[is_tool], one[is_tool])
+        # paging swap gauges + vmstat page/swap/fault deltas (weights
+        # chosen distinct from every other scraper family)
+        _scatter(sw_cached, hs, turn % 53)
+        _scatter(sw_used, hs, ln % 63)
+        _scatter(pgpgin, hs[is_user], ln[is_user] % 127)
+        _scatter(pgpgout, hs[is_asst], ln[is_asst] % 131)
+        _scatter(pswpin, hs[is_tool], turn[is_tool] % 13)
+        _scatter(pswpout, hs[is_asst], turn[is_asst] % 11)
+        _scatter(pgfault, hs, ln % 251)
+        _scatter(pgmaj, hs, (ln % 7 == 0).astype("int64"))
+        # filesystem: root mount fills with user bytes, data mount rest
+        _scatter(fs_ub, hs[is_user], ln[is_user])
+        _scatter(fs_ob, hs[~is_user], ln[~is_user])
+        _scatter(fs_nt, hs[is_tool], one[is_tool])
+    # post-sweep: cumulative counters are prefix sums over ticks
     ju, js, ji = (a.cumsum(axis=1) for a in (du, dsys, didle))
-    # memory gauges per (h, s)
-    used = cell(hs, ln, (H, S))
-    buf = 4 * cell(hs, one, (H, S))
-    cache = cell(hs, turn % 97, (H, S))
+    buf = 4 * bufn
     free = np.maximum(pf.HM_TOTAL_KB - used - buf - cache, 0)
-    # network byte/packet deltas per (h, s) → cumulative
-    rxb = cell(hs[is_user], ln[is_user], (H, S)).cumsum(axis=1)
-    rxp = cell(hs[is_user], one[is_user], (H, S)).cumsum(axis=1)
-    txb = cell(hs[is_asst], ln[is_asst], (H, S)).cumsum(axis=1)
-    txp = cell(hs[is_asst], one[is_asst], (H, S)).cumsum(axis=1)
-    lob = cell(hs[is_tool], ln[is_tool], (H, S)).cumsum(axis=1)
-    lop = cell(hs[is_tool], one[is_tool], (H, S)).cumsum(axis=1)
-    # disk op/sector deltas per (h, s, c) → cumulative; device = sda/sdb
-    rd = cell(hsc[~is_asst], one[~is_asst], (H, S, C)).cumsum(axis=1)
-    rs = cell(hsc[~is_asst], ln[~is_asst] // 512, (H, S, C)).cumsum(axis=1)
-    wr = cell(hsc[is_asst], one[is_asst], (H, S, C)).cumsum(axis=1)
-    ws = cell(hsc[is_asst], ln[is_asst] // 512, (H, S, C)).cumsum(axis=1)
-    # process counters: created = cumulative turn count; running/blocked
-    # gauges = the tick's user/tool turn counts
-    created = cell(hs, one, (H, S)).cumsum(axis=1)
-    running = cell(hs[is_user], one[is_user], (H, S))
-    blocked = cell(hs[is_tool], one[is_tool], (H, S))
-    # paging: swap gauges per (h, s) + cumulative vmstat page/swap/fault
-    # counters (weights chosen distinct from every other scraper family)
-    sw_cached = cell(hs, turn % 53, (H, S))
-    sw_free = np.maximum(
-        pf.HM_SWAP_KB - cell(hs, ln % 63, (H, S)) - sw_cached, 0)
-    pgpgin = cell(hs[is_user], ln[is_user] % 127, (H, S)).cumsum(axis=1)
-    pgpgout = cell(hs[is_asst], ln[is_asst] % 131, (H, S)).cumsum(axis=1)
-    pswpin = cell(hs[is_tool], turn[is_tool] % 13, (H, S)).cumsum(axis=1)
-    pswpout = cell(hs[is_asst], turn[is_asst] % 11, (H, S)).cumsum(axis=1)
-    pgfault = cell(hs, ln % 251, (H, S)).cumsum(axis=1)
-    pgmaj = cell(hs, (ln % 7 == 0).astype("int64"), (H, S)).cumsum(axis=1)
-    # filesystem: monotone used-kb/inode gauges per (h, s) — root mount
-    # fills with user bytes, the data mount with the rest
-    fs_u1 = 10240 + cell(hs[is_user], ln[is_user], (H, S)).cumsum(axis=1) // 16
-    fs_u2 = 20480 + cell(hs[~is_user], ln[~is_user],
-                         (H, S)).cumsum(axis=1) // 8
+    rxb, rxp, txb, txp, lob, lop = (
+        a.cumsum(axis=1) for a in (rxb, rxp, txb, txp, lob, lop))
+    rd, rs, wr, ws = (a.cumsum(axis=1) for a in (rd, rs, wr, ws))
+    created = created.cumsum(axis=1)
+    sw_free = np.maximum(pf.HM_SWAP_KB - sw_used - sw_cached, 0)
+    pgpgin, pgpgout, pswpin, pswpout, pgfault, pgmaj = (
+        a.cumsum(axis=1)
+        for a in (pgpgin, pgpgout, pswpin, pswpout, pgfault, pgmaj))
+    fs_u1 = 10240 + fs_ub.cumsum(axis=1) // 16
+    fs_u2 = 20480 + fs_ob.cumsum(axis=1) // 8
     fs_i1 = 1000 + created // 4
-    fs_i2 = 2000 + cell(hs[is_tool], one[is_tool], (H, S)).cumsum(axis=1) // 2
+    fs_i2 = 2000 + fs_nt.cumsum(axis=1) // 2
 
     tmpdir = tempfile.mkdtemp(dir=os.path.dirname(path), prefix=".proc.tmp")
     for hh in range(H):
@@ -1259,35 +1300,30 @@ def ensure_docker_dump(sf_dir_or_name: str, force: bool = False) -> str:
         import shutil
         shutil.rmtree(path, ignore_errors=True)
 
-    import pyarrow.compute as pc
-    t = pq.read_table(tdir, columns=["conv_id", "turn_idx", "role", "text"])
-    conv = pc.cast(pc.utf8_slice_codeunits(t["conv_id"], 5, 99),
-                   pa.int64()).to_numpy()
-    turn = t["turn_idx"].to_numpy().astype("int64")
-    ln = pc.utf8_length(t["text"]).to_numpy().astype("int64")
-    role = t["role"].to_numpy(zero_copy_only=False)
     H, S, K = pf.HM_HOSTS, pf.HM_SCRAPES, dk.DK_CONTAINERS
-    h = (conv % 64) % H
-    s = (conv + turn) % S
-    k = conv % K
-    hs = h * S + s
-    hsk = hs * K + k
-    is_user = role == "user"
-    is_asst = role == "assistant"
-
-    def cell(idx, weight, shape):
-        out = np.zeros(shape, dtype="int64").ravel()
-        np.add.at(out, idx, weight)
-        return out.reshape(shape)
-
-    total_ns = cell(hsk, ln * 100_000, (H, S, K)).cumsum(axis=1)
-    sys_ns = (cell(hs, ln * 400_000, (H, S)) + 10_000_000).cumsum(axis=1)
-    cache = cell(hsk, turn % 89, (H, S, K)) * 1024
-    usage = cache + cell(hsk, ln % 509, (H, S, K)) * 4096
-    rx = cell(hsk[is_user], ln[is_user], (H, S, K)).cumsum(axis=1)
-    tx = cell(hsk[is_asst], ln[is_asst], (H, S, K)).cumsum(axis=1)
-    br = cell(hsk[~is_asst], ln[~is_asst] % 1021, (H, S, K)).cumsum(axis=1)
-    bw = cell(hsk[is_asst], ln[is_asst] % 1031, (H, S, K)).cumsum(axis=1)
+    total_ns, cache0, usage0, rx, tx, br, bw = (
+        np.zeros((H, S, K), dtype="int64") for _ in range(7))
+    sys0 = np.zeros((H, S), dtype="int64")
+    for conv, turn, ln, role in _capture_chunks(tdir):
+        h, s = _host_tick(conv, turn, H, S)
+        k = conv % K
+        hs = h * S + s
+        hsk = hs * K + k
+        is_user = role == "user"
+        is_asst = role == "assistant"
+        _scatter(total_ns, hsk, ln * 100_000)
+        _scatter(sys0, hs, ln * 400_000)
+        _scatter(cache0, hsk, turn % 89)
+        _scatter(usage0, hsk, ln % 509)
+        _scatter(rx, hsk[is_user], ln[is_user])
+        _scatter(tx, hsk[is_asst], ln[is_asst])
+        _scatter(br, hsk[~is_asst], ln[~is_asst] % 1021)
+        _scatter(bw, hsk[is_asst], ln[is_asst] % 1031)
+    total_ns = total_ns.cumsum(axis=1)
+    sys_ns = (sys0 + 10_000_000).cumsum(axis=1)
+    cache = cache0 * 1024
+    usage = cache + usage0 * 4096
+    rx, tx, br, bw = (a.cumsum(axis=1) for a in (rx, tx, br, bw))
 
     tmpdir = tempfile.mkdtemp(dir=os.path.dirname(path), prefix=".dkr.tmp")
     for hh in range(H):
@@ -1339,44 +1375,41 @@ def ensure_kubelet_dump(sf_dir_or_name: str, force: bool = False) -> str:
         import shutil
         shutil.rmtree(path, ignore_errors=True)
 
-    import pyarrow.compute as pc
-    t = pq.read_table(tdir, columns=["conv_id", "turn_idx", "role", "text"])
-    conv = pc.cast(pc.utf8_slice_codeunits(t["conv_id"], 5, 99),
-                   pa.int64()).to_numpy()
-    turn = t["turn_idx"].to_numpy().astype("int64")
-    ln = pc.utf8_length(t["text"]).to_numpy().astype("int64")
-    role = t["role"].to_numpy(zero_copy_only=False)
     H, S, P, C = pf.HM_HOSTS, pf.HM_SCRAPES, kl.KS_PODS, kl.KS_CONTAINERS
-    h = (conv % 64) % H
-    s = (conv + turn) % S
-    p = (conv // 2) % P
-    c = turn % C
-    hsp = (h * S + s) * P + p
-    hspc = hsp * C + c
-    is_user = role == "user"
-    is_asst = role == "assistant"
-
-    def cell(idx, weight, shape):
-        out = np.zeros(shape, dtype="int64").ravel()
-        np.add.at(out, idx, weight)
-        return out.reshape(shape)
-
-    one = np.ones_like(ln)
-    pod_dns = cell(hsp, ln * 50_000, (H, S, P))
+    pod_dns, pod_nano, pod_ws0, pod_rx, pod_tx, vol_len, vol_n = (
+        np.zeros((H, S, P), dtype="int64") for _ in range(7))
+    ctr_dns, ctr_ws0 = (np.zeros((H, S, P, C), dtype="int64")
+                        for _ in range(2))
+    for conv, turn, ln, role in _capture_chunks(tdir):
+        h, s = _host_tick(conv, turn, H, S)
+        p = (conv // 2) % P
+        c = turn % C
+        hsp = (h * S + s) * P + p
+        hspc = hsp * C + c
+        is_user = role == "user"
+        is_asst = role == "assistant"
+        one = np.ones_like(ln)
+        _scatter(pod_dns, hsp, ln * 50_000)
+        _scatter(pod_nano, hsp, ln * 5_000)
+        _scatter(pod_ws0, hsp, ln % 769)
+        _scatter(pod_rx, hsp[is_user], ln[is_user])
+        _scatter(pod_tx, hsp[is_asst], ln[is_asst])
+        _scatter(ctr_dns, hspc, ln * 25_000)
+        _scatter(ctr_ws0, hspc, ln % 521)
+        _scatter(vol_len, hsp, ln)
+        _scatter(vol_n, hsp, one)
     pod_cns = pod_dns.cumsum(axis=1)
-    pod_nano = cell(hsp, ln * 5_000, (H, S, P))
-    pod_ws = cell(hsp, ln % 769, (H, S, P)) * 2048
-    pod_rx = cell(hsp[is_user], ln[is_user], (H, S, P)).cumsum(axis=1)
-    pod_tx = cell(hsp[is_asst], ln[is_asst], (H, S, P)).cumsum(axis=1)
-    ctr_cns = cell(hspc, ln * 25_000, (H, S, P, C)).cumsum(axis=1)
-    ctr_ws = cell(hspc, ln % 521, (H, S, P, C)) * 1024
+    pod_ws = pod_ws0 * 2048
+    pod_rx, pod_tx = pod_rx.cumsum(axis=1), pod_tx.cumsum(axis=1)
+    ctr_cns = ctr_dns.cumsum(axis=1)
+    ctr_ws = ctr_ws0 * 1024
     node_cns = (pod_dns.sum(axis=2) + 5_000_000).cumsum(axis=1)
     node_nano = pod_nano.sum(axis=2) + 500_000
     node_ws = pod_ws.sum(axis=2) + 1_073_741_824
     node_rx, node_tx = pod_rx.sum(axis=2), pod_tx.sum(axis=2)
-    vol_used = cell(hsp, ln, (H, S, P)).cumsum(axis=1) * 4096
+    vol_used = vol_len.cumsum(axis=1) * 4096
     vol_avail = np.maximum(kl.KS_VOL_CAPACITY - vol_used, 0)
-    vol_iused = 100 + cell(hsp, one, (H, S, P)).cumsum(axis=1) // 2
+    vol_iused = 100 + vol_n.cumsum(axis=1) // 2
 
     tmpdir = tempfile.mkdtemp(dir=os.path.dirname(path), prefix=".kl.tmp")
     for hh in range(H):
@@ -1445,26 +1478,15 @@ def ensure_k8s_dump(sf_dir_or_name: str, force: bool = False) -> str:
         import shutil
         shutil.rmtree(path, ignore_errors=True)
 
-    import pyarrow.compute as pc
-    t = pq.read_table(tdir, columns=["conv_id", "turn_idx", "text"])
-    conv = pc.cast(pc.utf8_slice_codeunits(t["conv_id"], 5, 99),
-                   pa.int64()).to_numpy()
-    turn = t["turn_idx"].to_numpy().astype("int64")
-    ln = pc.utf8_length(t["text"]).to_numpy().astype("int64")
     H, S, P = pf.HM_HOSTS, pf.HM_SCRAPES, 3
-    h = (conv % 64) % H
-    s = (conv + turn) % S
-    p = (conv // 2) % P
-    hsp = (h * S + s) * P + p
-
-    def cell(idx, weight, shape):
-        out = np.zeros(shape, dtype="int64").ravel()
-        np.add.at(out, idx, weight)
-        return out.reshape(shape)
-
-    act = cell(hsp, ln, (H, S, P))
-    restarts = cell(hsp, (ln % 31 == 0).astype("int64"),
-                    (H, S, P)).cumsum(axis=1)
+    act, rst = (np.zeros((H, S, P), dtype="int64") for _ in range(2))
+    for conv, turn, ln, _role in _capture_chunks(tdir):
+        h, s = _host_tick(conv, turn, H, S)
+        p = (conv // 2) % P
+        hsp = (h * S + s) * P + p
+        _scatter(act, hsp, ln)
+        _scatter(rst, hsp, (ln % 31 == 0).astype("int64"))
+    restarts = rst.cumsum(axis=1)
     phase = np.full((H, S, P), 2, dtype="int64")
     phase[act % 13 == 0] = 5
     phase[act % 17 == 0] = 4

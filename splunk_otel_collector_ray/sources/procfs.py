@@ -63,8 +63,6 @@ USER_HZ = 100  # jiffies → seconds divisor (the kernel's exported clock tick)
 CPU_STATES = ("user", "nice", "system", "idle", "iowait", "irq",
               "softirq", "steal")
 MEM_STATES = ("used", "free", "buffered", "cached")
-PROC_FILES = ("stat", "meminfo", "net_dev", "diskstats", "loadavg",
-              "vmstat", "df")
 # filesystem capture geometry: (device, mountpoint, fstype, total_kb,
 # inodes_total) per mounted fs — two mounts per host like a root+data split
 FS_MOUNTS = (("sda1", "/", "ext4", 268_435_456, 16_777_216),
