@@ -349,6 +349,42 @@ def _prom_dataset():
     }))
 
 
+def _prom_exporter_blob_lines(i: int) -> list[str]:
+    """A redis-exporter-shaped scrape (the prometheus/redis monitor's
+    input, metadata.yaml sendAll: true) covering every conversion branch:
+    counter, gauge, untyped, summary (quantiles + _sum + _count), and
+    histogram (buckets incl. +Inf + _sum + _count)."""
+    return [
+        "# TYPE redis_commands_processed_total counter",
+        f"redis_commands_processed_total {1000 + 7 * i}",
+        "# TYPE redis_blocked_clients gauge",
+        f"redis_blocked_clients {i % 5}",
+        f"redis_untyped_thing {i}",
+        "# TYPE redis_command_call_duration_seconds summary",
+        f'redis_command_call_duration_seconds{{cmd="get",quantile="0.5"}}'
+        f" {0.25 + i}",
+        f'redis_command_call_duration_seconds{{cmd="get",quantile="0.99"}}'
+        f" {0.5 + i}",
+        f'redis_command_call_duration_seconds_sum{{cmd="get"}} {10 + i}',
+        f'redis_command_call_duration_seconds_count{{cmd="get"}} {100 + i}',
+        "# TYPE redis_latency_seconds histogram",
+        f'redis_latency_seconds_bucket{{le="0.25"}} {30 + i}',
+        f'redis_latency_seconds_bucket{{le="+Inf"}} {40 + i}',
+        f"redis_latency_seconds_sum {5 + i}",
+        f"redis_latency_seconds_count {40 + i}",
+    ]
+
+
+def _prom_exporter_dataset():
+    import ray.data
+
+    blobs = ["\n".join(_prom_exporter_blob_lines(i)) for i in range(32)]
+    return ray.data.from_arrow(pa.table({
+        "blob_id": pa.array(np.arange(32, dtype=np.int64)),
+        "text": pa.array(blobs, type=pa.string()),
+    }))
+
+
 _PROM_RX = (r"^([a-zA-Z_:][a-zA-Z0-9_:]*)(\{([^}]*)\})?[ \t]+([^ \t]+)"
             r"([ \t]+([0-9]+))?$")
 
@@ -2334,6 +2370,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return ds.map_batches(flatten, batch_format="pyarrow")
 
+    def q_prometheus_exporter(sf):
+        # the smartagent prometheus-exporter monitor wrapper — the shape
+        # every DB/app exporter monitor shares (prometheus/redis
+        # exemplar, sendAll: true): expfmt parse → conversion.go
+        # datapoint translation (summary/histogram renames, formatted
+        # quantile/upper_bound dims)
+        from splunk_otel_collector_ray.stages.metrics import (
+            parse_prometheus_text, prometheus_exporter_datapoints)
+
+        return _prom_exporter_dataset().map_batches(
+            lambda t: prometheus_exporter_datapoints(
+                parse_prometheus_text(t, id_col="blob_id"),
+                send_all=True),
+            batch_format="pyarrow")
+
     def q_prometheus_parse(sf):
         ds = _prom_dataset()
         from splunk_otel_collector_ray.stages.metrics import (
@@ -2922,6 +2973,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kubelet_volumes": q_kubelet_volumes,
         "k8s_cluster": q_k8s_cluster,
         "observer_endpoints": q_observer_endpoints,
+        "prometheus_exporter": q_prometheus_exporter,
         "hec_envelope": q_hec,
         "hec_gated": q_hec_gated,
         "turn_text": q_turn_text,
@@ -3943,6 +3995,49 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT hh.range AS h, ss.range AS s, kk.range AS k "
             "FROM range(4) hh CROSS JOIN range(16) ss "
             "CROSS JOIN range(3) kk)"),
+        "prometheus_exporter": (
+            "SELECT t.range AS src_row, mt.metric, mt.mtype, mt.labels, "
+            "mt.quantile, mt.upper_bound, "
+            "CAST(CASE mt.metric || '/' || mt.quantile || '/' "
+            "|| mt.upper_bound "
+            "WHEN 'redis_commands_processed_total//' "
+            "THEN 1000 + 7 * t.range "
+            "WHEN 'redis_blocked_clients//' THEN t.range % 5 "
+            "WHEN 'redis_untyped_thing//' THEN t.range "
+            "WHEN 'redis_command_call_duration_seconds_quantile/"
+            "0.500000/' THEN 0.25 + t.range "
+            "WHEN 'redis_command_call_duration_seconds_quantile/"
+            "0.990000/' THEN 0.5 + t.range "
+            "WHEN 'redis_command_call_duration_seconds//' "
+            "THEN 10 + t.range "
+            "WHEN 'redis_command_call_duration_seconds_count//' "
+            "THEN 100 + t.range "
+            "WHEN 'redis_latency_seconds_bucket//0.250000' "
+            "THEN 30 + t.range "
+            "WHEN 'redis_latency_seconds_bucket//+Inf' "
+            "THEN 40 + t.range "
+            "WHEN 'redis_latency_seconds//' THEN 5 + t.range "
+            "ELSE 40 + t.range END AS DOUBLE) AS value "
+            "FROM range(32) t CROSS JOIN (VALUES "
+            "('redis_commands_processed_total', 'cumulative', '', "
+            "'', ''), "
+            "('redis_blocked_clients', 'gauge', '', '', ''), "
+            "('redis_untyped_thing', 'gauge', '', '', ''), "
+            "('redis_command_call_duration_seconds_quantile', 'gauge', "
+            "'cmd=\"get\"', '0.500000', ''), "
+            "('redis_command_call_duration_seconds_quantile', 'gauge', "
+            "'cmd=\"get\"', '0.990000', ''), "
+            "('redis_command_call_duration_seconds', 'cumulative', "
+            "'cmd=\"get\"', '', ''), "
+            "('redis_command_call_duration_seconds_count', 'cumulative', "
+            "'cmd=\"get\"', '', ''), "
+            "('redis_latency_seconds_bucket', 'cumulative', '', '', "
+            "'0.250000'), "
+            "('redis_latency_seconds_bucket', 'cumulative', '', '', "
+            "'+Inf'), "
+            "('redis_latency_seconds', 'cumulative', '', '', ''), "
+            "('redis_latency_seconds_count', 'cumulative', '', '', '')"
+            ") mt(metric, mtype, labels, quantile, upper_bound)"),
         "hostmetrics_cpu_util": R + _hostmetrics_sql_ctes() + (
             ", cd AS (SELECT h, s, c, SUM(len) AS du, "
             "SUM(turn_idx % 29 + 1) AS dsys, 100 * COUNT(*) AS didle "

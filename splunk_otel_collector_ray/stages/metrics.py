@@ -177,6 +177,82 @@ _STATSD_TYPES = {"c": "counter", "g": "gauge", "ms": "timing",
                  "s": "set", "h": "histogram"}
 
 
+def prometheus_exporter_datapoints(parsed: pa.Table,
+                                   include: "set[str] | None" = None,
+                                   send_all: bool = False) -> pa.Table:
+    """The smartagent prometheus-exporter monitor's conversion — the
+    wrapper every DB/app exporter monitor (prometheus/redis, /postgres,
+    /nginxvts, …) shares (internal/signalfx-agent/pkg/monitors/
+    prometheusexporter/conversion.go:26-186):
+
+    - gauge / untyped samples → gauge datapoints (``:14-20,66-77``)
+    - counter samples → cumulative (``:49-63``)
+    - summary families → ``<family>_count`` cumulative, ``<family>``
+      cumulative (the sum), and ``<family>_quantile`` gauges with a
+      ``quantile`` dim formatted FormatFloat(q,'f',6,64) (``:80-129``)
+    - histogram families → ``<family>_bucket`` cumulatives with an
+      ``upper_bound`` dim (same 6-digit formatting, +Inf verbatim),
+      ``<family>_count`` / ``<family>`` cumulatives (``:131-184``)
+    - ``le``/``quantile`` leave the label dims (they're Summary/Histogram
+      protobuf fields, not labels, in the client model the converter
+      reads) and re-enter as the formatted dims above
+    - unless ``send_all`` (the monitor's sendAllMetrics / sendAll
+      metadata), only CONVERTED metric names in ``include`` survive —
+      the per-monitor default-metric allowlist (prometheus.go:54-92)
+
+    Input is `parse_prometheus_text` output; fully vectorized.
+    """
+    name = parsed["name"].to_pandas()
+    typ = parsed["type"].to_pandas()
+    le = parsed["le"].to_pandas()
+    quant = parsed["quantile"].to_pandas()
+    is_hist = (typ == "histogram").to_numpy()
+    is_summ = (typ == "summary").to_numpy()
+    is_ctr = (typ == "counter").to_numpy()
+    family = name.str.replace(r"_(bucket|sum|count)$", "", regex=True)
+    is_bucket = (is_hist & name.str.endswith("_bucket").to_numpy())
+    is_sum = ((is_hist | is_summ) & name.str.endswith("_sum").to_numpy())
+    is_count = ((is_hist | is_summ)
+                & name.str.endswith("_count").to_numpy())
+    is_quant = (is_summ & (quant != "").to_numpy())
+    metric = name.copy()
+    metric[is_sum] = family[is_sum]  # SampleSum keeps the family name
+    metric[is_quant] = family[is_quant] + "_quantile"
+    mtype = np.where(is_ctr | is_bucket | is_sum | is_count,
+                     "cumulative", "gauge")
+
+    def fmt6(strs: "pd.Series", mask: np.ndarray) -> np.ndarray:
+        out = np.full(len(strs), "", dtype=object)
+        if mask.any():
+            vals = strs[mask].to_numpy(dtype=object)
+            inf = np.array([v == "+Inf" for v in vals])
+            fv = np.where(inf, 0.0, [float(v) if v != "+Inf" else 0.0
+                                     for v in vals])
+            fmtd = np.char.mod("%.6f", fv).astype(object)
+            fmtd[inf] = "+Inf"
+            out[mask] = fmtd
+        return out
+
+    upper = fmt6(le, is_bucket)
+    qdim = fmt6(quant, is_quant)
+    labels = pc.replace_substring_regex(
+        parsed["labels"], r'(?:^|,)(?:le|quantile)="[^"]*"', "")
+    labels = pc.replace_substring_regex(labels, r"^,", "")
+    out = pa.table({
+        "src_row": parsed["src_row"],
+        "metric": pa.array(metric.to_numpy(), type=pa.string()),
+        "mtype": pa.array(mtype, type=pa.string()),
+        "labels": labels,
+        "quantile": pa.array(qdim, type=pa.string()),
+        "upper_bound": pa.array(upper, type=pa.string()),
+        "value": parsed["value"],
+    })
+    if send_all or include is None:
+        return out
+    keep = pa.array(metric.isin(include).to_numpy())
+    return out.filter(keep)
+
+
 def parse_statsd_text(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """statsd/dogstatsd line protocol → one row per sample, Arrow-native
     (the statsd receiver of SURVEY §2.1, reg

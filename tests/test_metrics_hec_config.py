@@ -169,6 +169,44 @@ def test_prometheus_error_counters(ray_session):
     assert (row.total_samples, row.malformed_lines, row.nan_samples) == (3, 2, 1)
 
 
+def test_prometheus_exporter_conversion(ray_session):
+    """The exporter-monitor wrapper (conversion.go): summary/histogram
+    renames, 6-digit quantile/upper_bound dims with +Inf verbatim,
+    le/quantile stripped from the label dims, and the default-metric
+    allowlist when sendAll is off."""
+    from splunk_otel_collector_ray.stages.metrics import (
+        parse_prometheus_text, prometheus_exporter_datapoints)
+
+    text = "\n".join([
+        "# TYPE ops_total counter", 'ops_total{db="0"} 7',
+        "# TYPE conns gauge", "conns 3",
+        "plain_untyped 9",
+        "# TYPE rt summary",
+        'rt{q="x",quantile="0.95"} 1.5', "rt_sum 12", "rt_count 4",
+        "# TYPE lat histogram",
+        'lat_bucket{le="0.5"} 2', 'lat_bucket{le="+Inf"} 5',
+        "lat_sum 2.5", "lat_count 5",
+    ])
+    parsed = parse_prometheus_text(pa.table({"text": [text]}))
+    out = prometheus_exporter_datapoints(parsed, send_all=True).to_pandas()
+    by = out.set_index(["metric", "quantile", "upper_bound"])
+    assert by.loc[("ops_total", "", "")]["mtype"] == "cumulative"
+    assert by.loc[("conns", "", "")]["mtype"] == "gauge"
+    assert by.loc[("plain_untyped", "", "")]["mtype"] == "gauge"
+    q = by.loc[("rt_quantile", "0.950000", "")]
+    assert q["mtype"] == "gauge" and q["value"] == 1.5
+    assert q["labels"] == 'q="x"'  # quantile stripped from label dims
+    assert by.loc[("rt", "", "")]["value"] == 12  # _sum keeps family name
+    assert by.loc[("rt_count", "", "")]["mtype"] == "cumulative"
+    assert by.loc[("lat_bucket", "", "0.500000")]["value"] == 2
+    inf = by.loc[("lat_bucket", "", "+Inf")]
+    assert inf["value"] == 5 and inf["labels"] == ""
+    # allowlist: only converted names in include survive
+    kept = prometheus_exporter_datapoints(
+        parsed, include={"ops_total", "rt_quantile"}).to_pandas()
+    assert set(kept["metric"]) == {"ops_total", "rt_quantile"}
+
+
 def test_windows_module(ray_session):
     import ray.data
 
