@@ -1865,6 +1865,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return delivery_lag(read_solace_dump(corpus.ensure_solace_dump(sf)))
 
+    def q_sfx_parse(sf):
+        # signalfx exporter wire (components.go:30,312;
+        # agent_config.yaml:159-167): the corpus staged as gzipped
+        # DataPointUploadMessage request bodies (public sfxproto field
+        # numbers, sources/sfx.py) and decoded back to datapoint rows —
+        # dimensions splat as strings, the Datum oneof surfaced with
+        # proto2 presence. Oracle: the same three-family projection off
+        # the transcript parquet (ms-truncated wire timestamps).
+        from splunk_otel_collector_ray.sources.sfx import read_sfx_dump
+
+        return read_sfx_dump(corpus.ensure_sfx_dump(sf))
+
+    def q_sfx_roundtrip(sf):
+        # exporter symmetry: decode the staged ingest dump, re-encode it
+        # through the exporter analogue (one gzipped upload message per
+        # block, content-hash filenames), decode the re-export — same
+        # oracle as sfx_parse, proving decode∘encode = identity
+        import shutil
+
+        from splunk_otel_collector_ray.sources.sfx import (read_sfx_dump,
+                                                           write_sfx_dump)
+
+        src = corpus.ensure_sfx_dump(sf)
+        out = os.path.join(
+            "/tmp", f"graft_sfx_{os.path.basename(os.path.normpath(sf))}")
+        shutil.rmtree(out, ignore_errors=True)
+        write_sfx_dump(read_sfx_dump(src), out)
+        return read_sfx_dump(out)
+
     # hostmetrics scraper analogues (SURVEY §2.1 row 13): the corpus staged
     # as /proc snapshot captures (hosts × 10s ticks,
     # full_config_linux.yaml:104-120), parsed into the OTel system.*
@@ -2919,6 +2948,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pulsar_roundtrip": q_pulsar_roundtrip,
         "solace_parse": q_solace_parse,
         "solace_delivery_lag": q_solace_delivery_lag,
+        "sfx_parse": q_sfx_parse,
+        "sfx_roundtrip": q_sfx_roundtrip,
         "events_quantiles": q_events_quantiles,
         "emb_centroids": q_emb_centroids,
         "events_range_join": q_events_range_join,
@@ -3567,6 +3598,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type AS name, value, "
             "CAST(epoch_us(ts) // 1000 AS BIGINT) AS ts_ms, user_id "
             "FROM events"),
+        "sfx_parse": C + (
+            # SignalFx v2 ingest staging: per turn a GAUGE chars
+            # datapoint and a CUMULATIVE_COUNTER turn counter, per
+            # conversation one ENUM role datapoint (the strValue arm);
+            # wire timestamps are SignalFx milliseconds
+            "SELECT metric, metric_type, 'transcripts' AS source, "
+            "date_trunc('milliseconds', ts) AS ts, value_int, "
+            "CAST(NULL AS DOUBLE) AS value_dbl, value_str, conv_id, "
+            "role, tool, CAST(turn_idx AS VARCHAR) AS turn_idx FROM ("
+            "SELECT 'chat.turn.chars' AS metric, 'GAUGE' AS metric_type,"
+            " ts, CAST(LENGTH(text) AS BIGINT) AS value_int, "
+            "CAST(NULL AS VARCHAR) AS value_str, conv_id, role, tool, "
+            "turn_idx FROM raw "
+            "UNION ALL SELECT 'chat.conv.turns', 'CUMULATIVE_COUNTER', "
+            "ts, CAST(turn_idx + 1 AS BIGINT), NULL, conv_id, role, "
+            "tool, turn_idx FROM raw "
+            "UNION ALL SELECT 'chat.conv.role', 'ENUM', ts, NULL, role, "
+            "conv_id, role, tool, turn_idx FROM raw WHERE turn_idx = 0)"),
         "kafka_parse": C + (
             # topic-dump staging: partition = conv hash mod 4 (the
             # producer's key hash), offset = per-partition ROW_NUMBER in
@@ -5228,6 +5277,7 @@ def oracle_sql() -> dict[str, str]:
     # producer∘receiver identity: the re-produced topic equals the source
     sql["kafka_roundtrip"] = sql["kafka_parse"]
     sql["pubsub_roundtrip"] = sql["pubsub_parse"]
+    sql["sfx_roundtrip"] = sql["sfx_parse"]
     sql["eventhub_roundtrip"] = sql["eventhub_parse"]
     sql["pulsar_roundtrip"] = sql["pulsar_parse"]
     return sql

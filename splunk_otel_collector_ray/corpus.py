@@ -1085,6 +1085,98 @@ def ensure_solace_dump(sf_dir_or_name: str, force: bool = False) -> str:
     return path
 
 
+def ensure_sfx_dump(sf_dir_or_name: str, force: bool = False) -> str:
+    """Stage the transcripts as a SignalFx v2 ingest dump — gzipped
+    ``DataPointUploadMessage`` request bodies (``dp-<shard>-<seq>.pb.gz``,
+    sources/sfx.py wire), the body the reference's signalfx exporter
+    POSTs to ``/v2/datapoint`` (agent_config.yaml:159-167).
+
+    Every datapoint is SQL-replayable from the corpus. Per turn:
+
+    - GAUGE ``chat.turn.chars`` intValue = length(text)
+    - CUMULATIVE_COUNTER ``chat.conv.turns`` intValue = turn_idx + 1
+      (monotone within the conversation — the cumulative contract)
+
+    and once per conversation (turn_idx == 0):
+
+    - ENUM ``chat.conv.role`` strValue = role (the strValue Datum arm)
+
+    All carry dimensions {conv_id, role, tool, turn_idx} and
+    source = 'transcripts'; wire timestamps are SignalFx's millisecond
+    unit (µs ts truncated — the kafka dump's precision contract).
+    Sharded by numeric(conv_id) % SFX_SHARDS, chunked ~65536 datapoints
+    per request body (the exporter's batch POST analogue)."""
+    from .sources.sfx import SFX_SHARDS, encode_upload
+
+    tdir = ensure_transcripts(sf_dir_or_name)
+    path = os.path.join(FIXTURE_ROOT, sf_name(sf_dir_or_name), "sfx")
+    if os.path.isdir(path) and _version_ok(path) and not force:
+        return path
+    if os.path.isdir(path):
+        import shutil
+        shutil.rmtree(path, ignore_errors=True)
+    tmpdir = tempfile.mkdtemp(dir=os.path.dirname(path), prefix=".sfx.tmp")
+    bufs: dict[int, list] = {s: [] for s in range(SFX_SHARDS)}
+    seqs = {s: 0 for s in range(SFX_SHARDS)}
+
+    def flush(s: int) -> None:
+        if not bufs[s]:
+            return
+        with open(os.path.join(tmpdir,
+                               f"dp-{s}-{seqs[s]:05d}.pb.gz"), "wb") as f:
+            f.write(encode_upload(bufs[s]))
+        seqs[s] += 1
+        bufs[s] = []
+
+    try:
+        # chunked per part file, like the solace stager — only LENGTH of
+        # text is needed beyond the scalar columns
+        for part in sorted(os.listdir(tdir)):
+            if not part.endswith(".parquet"):
+                continue
+            df = pq.read_table(
+                os.path.join(tdir, part),
+                columns=["conv_id", "turn_idx", "role", "text", "tool",
+                         "ts"]).to_pandas()
+            n = df["conv_id"].str.slice(5).astype("int64").to_numpy()
+            turn = df["turn_idx"].astype("int64").to_numpy()
+            p = n % SFX_SHARDS
+            ts_ms = df["ts"].astype("int64").to_numpy() // 1000
+            ln = df["text"].str.len().astype("int64").to_numpy()
+            for i, (conv, role, tool) in enumerate(
+                    zip(df["conv_id"], df["role"], df["tool"])):
+                ti, pi = int(turn[i]), int(p[i])
+                base = {"source": "transcripts", "ts_ms": int(ts_ms[i]),
+                        "conv_id": conv, "role": role, "tool": tool,
+                        "turn_idx": str(ti)}
+                buf = bufs[pi]
+                buf.append({**base, "metric": "chat.turn.chars",
+                            "metric_type": "GAUGE",
+                            "value_int": int(ln[i])})
+                buf.append({**base, "metric": "chat.conv.turns",
+                            "metric_type": "CUMULATIVE_COUNTER",
+                            "value_int": ti + 1})
+                if ti == 0:
+                    buf.append({**base, "metric": "chat.conv.role",
+                                "metric_type": "ENUM", "value_str": role})
+                if len(buf) >= 65536:
+                    flush(pi)
+        for s in range(SFX_SHARDS):
+            flush(s)
+    except BaseException:
+        import shutil
+        shutil.rmtree(tmpdir, ignore_errors=True)
+        raise
+    with open(os.path.join(tmpdir, ".version"), "w") as f:
+        f.write(CORPUS_VERSION)
+    try:
+        os.replace(tmpdir, path)
+    except OSError:
+        import shutil
+        shutil.rmtree(tmpdir, ignore_errors=True)
+    return path
+
+
 def _capture_chunks(tdir: str):
     """Per-part-file (conv, turn, ln, role) arrays for the capture
     generators (proc/docker/kubelet/k8s) — the chunked read shape the
