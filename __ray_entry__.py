@@ -1894,6 +1894,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         write_sfx_dump(read_sfx_dump(src), out)
         return read_sfx_dump(out)
 
+    def q_zipkin_parse(sf):
+        # zipkinreceiver (components.go:135): the corpus staged as
+        # Zipkin v2 POST bodies (one JSON span array per file, the
+        # conversation as a trace chain) and decoded to span rows —
+        # lowercase-hex id canonicalization, null parentId on roots,
+        # exact-µs timestamps (Zipkin's unit), tags splat as strings.
+        # Oracle: the printf-hex replay off the transcript parquet.
+        from splunk_otel_collector_ray.sources.zipkin import (
+            read_zipkin_dump)
+
+        return read_zipkin_dump(corpus.ensure_zipkin_dump(sf))
+
     # hostmetrics scraper analogues (SURVEY §2.1 row 13): the corpus staged
     # as /proc snapshot captures (hosts × 10s ticks,
     # full_config_linux.yaml:104-120), parsed into the OTel system.*
@@ -2950,6 +2962,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "solace_delivery_lag": q_solace_delivery_lag,
         "sfx_parse": q_sfx_parse,
         "sfx_roundtrip": q_sfx_roundtrip,
+        "zipkin_parse": q_zipkin_parse,
         "events_quantiles": q_events_quantiles,
         "emb_centroids": q_emb_centroids,
         "events_range_join": q_events_range_join,
@@ -3616,6 +3629,23 @@ def oracle_sql() -> dict[str, str]:
             "tool, turn_idx FROM raw "
             "UNION ALL SELECT 'chat.conv.role', 'ENUM', ts, NULL, role, "
             "conv_id, role, tool, turn_idx FROM raw WHERE turn_idx = 0)"),
+        "zipkin_parse": C + (
+            # Zipkin v2 staging: the conversation as a trace chain —
+            # traceId/span ids from the numeric conv id, parent = the
+            # previous turn, kind by role, exact-µs timestamps
+            "SELECT printf('%032x', n) AS trace_id, "
+            "printf('%016x', n * 65536 + turn_idx) AS span_id, "
+            "CASE WHEN turn_idx > 0 THEN "
+            "printf('%016x', n * 65536 + turn_idx - 1) END AS parent_id, "
+            "CASE WHEN tool <> '' THEN tool ELSE role END AS name, "
+            "CASE role WHEN 'user' THEN 'CLIENT' "
+            "WHEN 'assistant' THEN 'SERVER' "
+            "WHEN 'tool' THEN 'PRODUCER' ELSE 'CONSUMER' END AS kind, "
+            "'chat-' || role AS service, ts, "
+            "CAST(LENGTH(text) AS BIGINT) AS duration_us, conv_id, "
+            "CAST(turn_idx AS VARCHAR) AS turn_idx FROM "
+            "(SELECT raw.*, CAST(substr(conv_id, 6) AS BIGINT) AS n "
+            "FROM raw)"),
         "kafka_parse": C + (
             # topic-dump staging: partition = conv hash mod 4 (the
             # producer's key hash), offset = per-partition ROW_NUMBER in

@@ -1177,6 +1177,92 @@ def ensure_sfx_dump(sf_dir_or_name: str, force: bool = False) -> str:
     return path
 
 
+def ensure_zipkin_dump(sf_dir_or_name: str, force: bool = False) -> str:
+    """Stage the transcripts as Zipkin v2 POST bodies — each file one
+    JSON span ARRAY (``POST /api/v2/spans``, sources/zipkin.py wire),
+    the conversation as a trace chain. Every field is SQL-replayable
+    (n = numeric conv_id, t = turn_idx, L = length(text)):
+
+    - traceId = ``%032x``(n); id = ``%016x``(n·2¹⁶ + t); parentId = the
+      previous turn's id (absent at t = 0 — the root span)
+    - kind by role: user→CLIENT, assistant→SERVER, tool→PRODUCER,
+      system→CONSUMER; name = tool if non-empty else role;
+      localEndpoint.serviceName = ``chat-<role>``
+    - timestamp = exact epoch µs of ts (Zipkin's µs unit — no
+      truncation, unlike the ms wires), duration = L µs
+    - tags {conv_id, turn_idx} (string→string)
+
+    Sharded by n % ZIPKIN_SHARDS, chunked ≤16384 spans per body."""
+    import json as _json
+
+    from .sources.zipkin import ZIPKIN_SHARDS, encode_span
+
+    tdir = ensure_transcripts(sf_dir_or_name)
+    path = os.path.join(FIXTURE_ROOT, sf_name(sf_dir_or_name), "zipkin")
+    if os.path.isdir(path) and _version_ok(path) and not force:
+        return path
+    if os.path.isdir(path):
+        import shutil
+        shutil.rmtree(path, ignore_errors=True)
+    kinds = {"user": "CLIENT", "assistant": "SERVER", "tool": "PRODUCER",
+             "system": "CONSUMER"}
+    tmpdir = tempfile.mkdtemp(dir=os.path.dirname(path),
+                              prefix=".zipkin.tmp")
+    bufs: dict[int, list] = {s: [] for s in range(ZIPKIN_SHARDS)}
+    seqs = {s: 0 for s in range(ZIPKIN_SHARDS)}
+
+    def flush(s: int) -> None:
+        if not bufs[s]:
+            return
+        with open(os.path.join(tmpdir, f"spans-{s}-{seqs[s]:05d}.json"),
+                  "w", encoding="utf-8") as f:
+            _json.dump(bufs[s], f, ensure_ascii=False)
+        seqs[s] += 1
+        bufs[s] = []
+
+    try:
+        for part in sorted(os.listdir(tdir)):
+            if not part.endswith(".parquet"):
+                continue
+            df = pq.read_table(
+                os.path.join(tdir, part),
+                columns=["conv_id", "turn_idx", "role", "text", "tool",
+                         "ts"]).to_pandas()
+            n = df["conv_id"].str.slice(5).astype("int64").to_numpy()
+            turn = df["turn_idx"].astype("int64").to_numpy()
+            p = n % ZIPKIN_SHARDS
+            ts_us = df["ts"].astype("int64").to_numpy()
+            ln = df["text"].str.len().astype("int64").to_numpy()
+            for i, (conv, role, tool) in enumerate(
+                    zip(df["conv_id"], df["role"], df["tool"])):
+
+                ni, ti, pi = int(n[i]), int(turn[i]), int(p[i])
+                sid = ni * 65536 + ti
+                buf = bufs[pi]
+                buf.append(encode_span(
+                    f"{ni:032x}", f"{sid:016x}",
+                    f"{sid - 1:016x}" if ti > 0 else None,
+                    tool if tool else role, kinds[role], f"chat-{role}",
+                    int(ts_us[i]), int(ln[i]),
+                    {"conv_id": conv, "turn_idx": str(ti)}))
+                if len(buf) >= 16384:
+                    flush(pi)
+        for s in range(ZIPKIN_SHARDS):
+            flush(s)
+    except BaseException:
+        import shutil
+        shutil.rmtree(tmpdir, ignore_errors=True)
+        raise
+    with open(os.path.join(tmpdir, ".version"), "w") as f:
+        f.write(CORPUS_VERSION)
+    try:
+        os.replace(tmpdir, path)
+    except OSError:
+        import shutil
+        shutil.rmtree(tmpdir, ignore_errors=True)
+    return path
+
+
 def _capture_chunks(tdir: str):
     """Per-part-file (conv, turn, ln, role) arrays for the capture
     generators (proc/docker/kubelet/k8s) — the chunked read shape the
