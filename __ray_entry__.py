@@ -1906,6 +1906,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return read_zipkin_dump(corpus.ensure_zipkin_dump(sf))
 
+    def q_jaeger_parse(sf):
+        # jaegerreceiver (components.go:90): the corpus staged as
+        # api_v2 PostSpansRequest protobuf batches (public jaeger-idl
+        # model.proto field numbers, one request per (shard, service)
+        # with Batch.process carrying the service) and decoded to span
+        # rows — bytes ids → lowercase hex, CHILD_OF → parent_id,
+        # Timestamp/Duration → exact-µs columns, span.kind/corpus tags
+        # splat from the typed KeyValue list. Oracle: the printf-hex
+        # replay (the zipkin twin with jaeger's lowercase kinds).
+        from splunk_otel_collector_ray.sources.jaeger import (
+            read_jaeger_dump)
+
+        return read_jaeger_dump(corpus.ensure_jaeger_dump(sf))
+
+    def q_jaeger_roundtrip(sf):
+        # agent-side symmetry: decode the staged dump, re-encode it
+        # through the per-service batch writer (a mixed-service block
+        # must split — Batch.process is batch-common), decode the
+        # re-export — same oracle as jaeger_parse
+        import shutil
+
+        from splunk_otel_collector_ray.sources.jaeger import (
+            read_jaeger_dump, write_jaeger_dump)
+
+        src = corpus.ensure_jaeger_dump(sf)
+        out = os.path.join(
+            "/tmp",
+            f"graft_jaeger_{os.path.basename(os.path.normpath(sf))}")
+        shutil.rmtree(out, ignore_errors=True)
+        write_jaeger_dump(read_jaeger_dump(src), out)
+        return read_jaeger_dump(out)
+
     # hostmetrics scraper analogues (SURVEY §2.1 row 13): the corpus staged
     # as /proc snapshot captures (hosts × 10s ticks,
     # full_config_linux.yaml:104-120), parsed into the OTel system.*
@@ -2963,6 +2995,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sfx_parse": q_sfx_parse,
         "sfx_roundtrip": q_sfx_roundtrip,
         "zipkin_parse": q_zipkin_parse,
+        "jaeger_parse": q_jaeger_parse,
+        "jaeger_roundtrip": q_jaeger_roundtrip,
         "events_quantiles": q_events_quantiles,
         "emb_centroids": q_emb_centroids,
         "events_range_join": q_events_range_join,
@@ -3641,6 +3675,23 @@ def oracle_sql() -> dict[str, str]:
             "CASE role WHEN 'user' THEN 'CLIENT' "
             "WHEN 'assistant' THEN 'SERVER' "
             "WHEN 'tool' THEN 'PRODUCER' ELSE 'CONSUMER' END AS kind, "
+            "'chat-' || role AS service, ts, "
+            "CAST(LENGTH(text) AS BIGINT) AS duration_us, conv_id, "
+            "CAST(turn_idx AS VARCHAR) AS turn_idx FROM "
+            "(SELECT raw.*, CAST(substr(conv_id, 6) AS BIGINT) AS n "
+            "FROM raw)"),
+        "jaeger_parse": C + (
+            # jaeger api_v2 staging: the zipkin trace-chain replay with
+            # jaeger's lowercase span.kind tag values
+            "SELECT printf('%032x', n) AS trace_id, "
+            "printf('%016x', n * 65536 + turn_idx) AS span_id, "
+            "CASE WHEN turn_idx > 0 THEN "
+            "printf('%016x', n * 65536 + turn_idx - 1) END AS parent_id, "
+            "CASE WHEN tool <> '' THEN tool ELSE role END AS operation, "
+            "CASE role WHEN 'user' THEN 'client' "
+            "WHEN 'assistant' THEN 'server' "
+            "WHEN 'tool' THEN 'producer' ELSE 'consumer' END "
+            "AS span_kind, "
             "'chat-' || role AS service, ts, "
             "CAST(LENGTH(text) AS BIGINT) AS duration_us, conv_id, "
             "CAST(turn_idx AS VARCHAR) AS turn_idx FROM "
@@ -5308,6 +5359,7 @@ def oracle_sql() -> dict[str, str]:
     sql["kafka_roundtrip"] = sql["kafka_parse"]
     sql["pubsub_roundtrip"] = sql["pubsub_parse"]
     sql["sfx_roundtrip"] = sql["sfx_parse"]
+    sql["jaeger_roundtrip"] = sql["jaeger_parse"]
     sql["eventhub_roundtrip"] = sql["eventhub_parse"]
     sql["pulsar_roundtrip"] = sql["pulsar_parse"]
     return sql

@@ -1263,6 +1263,90 @@ def ensure_zipkin_dump(sf_dir_or_name: str, force: bool = False) -> str:
     return path
 
 
+def ensure_jaeger_dump(sf_dir_or_name: str, force: bool = False) -> str:
+    """Stage the transcripts as jaeger api_v2 ``PostSpansRequest``
+    bodies (``batch-*.pb``, sources/jaeger.py wire) — the same
+    conversation-as-trace-chain derivation as the zipkin dump (traceId
+    ``%032x``(n) as 16 BYTES on this wire, span id n·2¹⁶ + t as 8
+    bytes, CHILD_OF reference to the previous turn), but batched the
+    way the jaeger agent emits: one request per (shard, service) with
+    the service carried ONCE in Batch.process and ``span.kind`` as a
+    lowercase string tag (client/server/producer/consumer by role).
+    Start times ride google.protobuf.Timestamp (exact µs), durations =
+    length(text) µs. Chunked ≤16384 spans per request body."""
+    from .sources.jaeger import JAEGER_SHARDS, encode_batch
+
+    tdir = ensure_transcripts(sf_dir_or_name)
+    path = os.path.join(FIXTURE_ROOT, sf_name(sf_dir_or_name), "jaeger")
+    if os.path.isdir(path) and _version_ok(path) and not force:
+        return path
+    if os.path.isdir(path):
+        import shutil
+        shutil.rmtree(path, ignore_errors=True)
+    kinds = {"user": "client", "assistant": "server", "tool": "producer",
+             "system": "consumer"}
+    tmpdir = tempfile.mkdtemp(dir=os.path.dirname(path),
+                              prefix=".jaeger.tmp")
+    bufs: dict[tuple, list] = {}
+    seqs: dict[tuple, int] = {}
+
+    def flush(key: tuple) -> None:
+        if not bufs.get(key):
+            return
+        p, svc = key
+        seq = seqs.get(key, 0)
+        with open(os.path.join(tmpdir,
+                               f"batch-{p}-{svc}-{seq:05d}.pb"),
+                  "wb") as f:
+            f.write(encode_batch(svc, bufs[key]))
+        seqs[key] = seq + 1
+        bufs[key] = []
+
+    try:
+        for part in sorted(os.listdir(tdir)):
+            if not part.endswith(".parquet"):
+                continue
+            df = pq.read_table(
+                os.path.join(tdir, part),
+                columns=["conv_id", "turn_idx", "role", "text", "tool",
+                         "ts"]).to_pandas()
+            n = df["conv_id"].str.slice(5).astype("int64").to_numpy()
+            turn = df["turn_idx"].astype("int64").to_numpy()
+            p = n % JAEGER_SHARDS
+            ts_us = df["ts"].astype("int64").to_numpy()
+            ln = df["text"].str.len().astype("int64").to_numpy()
+            for i, (conv, role, tool) in enumerate(
+                    zip(df["conv_id"], df["role"], df["tool"])):
+                ni, ti, pi = int(n[i]), int(turn[i]), int(p[i])
+                sid = ni * 65536 + ti
+                key = (pi, f"chat-{role}")
+                buf = bufs.setdefault(key, [])
+                buf.append({
+                    "trace_id": f"{ni:032x}",
+                    "span_id": f"{sid:016x}",
+                    "parent_id": (f"{sid - 1:016x}" if ti > 0 else None),
+                    "operation": tool if tool else role,
+                    "span_kind": kinds[role],
+                    "ts_us": int(ts_us[i]), "duration_us": int(ln[i]),
+                    "conv_id": conv, "turn_idx": str(ti)})
+                if len(buf) >= 16384:
+                    flush(key)
+        for key in list(bufs):
+            flush(key)
+    except BaseException:
+        import shutil
+        shutil.rmtree(tmpdir, ignore_errors=True)
+        raise
+    with open(os.path.join(tmpdir, ".version"), "w") as f:
+        f.write(CORPUS_VERSION)
+    try:
+        os.replace(tmpdir, path)
+    except OSError:
+        import shutil
+        shutil.rmtree(tmpdir, ignore_errors=True)
+    return path
+
+
 def _capture_chunks(tdir: str):
     """Per-part-file (conv, turn, ln, role) arrays for the capture
     generators (proc/docker/kubelet/k8s) — the chunked read shape the
