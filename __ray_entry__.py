@@ -1938,6 +1938,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
         write_jaeger_dump(read_jaeger_dump(src), out)
         return read_jaeger_dump(out)
 
+    def q_influx_parse(sf):
+        # influxdb receiver (components.go:235): line protocol → one
+        # row per field (the converter's one-metric-per-field rule),
+        # typed value arms (1i/bool/"str"/float), ns→µs timestamps,
+        # timestampless lines → null. Oracle: the same per-field
+        # construction replayed relationally.
+        import ray.data
+        from splunk_otel_collector_ray.stages.metrics import (
+            parse_influx_text)
+
+        lines = []
+        for i in range(192):
+            tags = f",host=h{i % 5},region=r{i % 3}" if i % 2 == 0 else ""
+            fields = [f"usage={i * 0.25}"]
+            if i % 3 == 0:
+                fields.append(f"count={i}i")
+            if i % 5 == 0:
+                fields.append("ok=" + ("true" if i % 4 == 0 else "false"))
+            if i % 7 == 0:
+                fields.append(f'note="n{i}"')
+            ts = f" {(1767225600 + i) * 1000000000}" if i % 2 == 0 else ""
+            lines.append(f"m{i % 3}{tags} {','.join(fields)}{ts}")
+        ds = ray.data.from_arrow(pa.table({"text": pa.array(lines)}))
+        out = ds.map_batches(parse_influx_text, batch_format="pyarrow")
+
+        def bool_to_str(t: pa.Table) -> pa.Table:
+            # typed bool arm → 'true'/'false'/'' for the value-hash
+            # compare (null BOOLEAN canonizes differently in the two
+            # runtimes — the CLAUDE.md coalesce-both-sides rule; the
+            # typed arm itself is pinned by tests/test_influx_parse.py)
+            b = t["value_bool"]
+            s = pc.fill_null(
+                pc.if_else(b, pa.scalar("true"), pa.scalar("false")), "")
+            return t.set_column(t.schema.get_field_index("value_bool"),
+                                "value_bool", s)
+
+        return out.map_batches(bool_to_str, batch_format="pyarrow")
+
     # hostmetrics scraper analogues (SURVEY §2.1 row 13): the corpus staged
     # as /proc snapshot captures (hosts × 10s ticks,
     # full_config_linux.yaml:104-120), parsed into the OTel system.*
@@ -2997,6 +3035,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zipkin_parse": q_zipkin_parse,
         "jaeger_parse": q_jaeger_parse,
         "jaeger_roundtrip": q_jaeger_roundtrip,
+        "influx_parse": q_influx_parse,
         "events_quantiles": q_events_quantiles,
         "emb_centroids": q_emb_centroids,
         "events_range_join": q_events_range_join,
@@ -5326,6 +5365,27 @@ def oracle_sql() -> dict[str, str]:
             r"to_timestamp(CAST(regexp_extract(line, '^([^; ]+)(;([^ ]*))? "
             r"(\S+) ([0-9]+)$', 5) AS BIGINT)) AT TIME ZONE 'UTC' AS ts "
             "FROM gb"),
+        "influx_parse": (
+            # the staged 192-line construction replayed directly as
+            # per-field rows (one metric per line-protocol field)
+            "WITH ib AS (SELECT range AS i FROM range(192)), "
+            "base AS (SELECT i, 'm' || (i % 3) AS measurement, "
+            "CASE WHEN i % 2 = 0 THEN 'host=h' || (i % 5) || "
+            "',region=r' || (i % 3) ELSE '' END AS tags, "
+            "CASE WHEN i % 2 = 0 THEN "
+            "make_timestamp((1767225600 + i) * 1000000) END AS ts "
+            "FROM ib) "
+            "SELECT measurement, tags, 'usage' AS field, "
+            "i * 0.25 AS value_dbl, CAST(NULL AS BIGINT) AS value_int, "
+            "'' AS value_bool, "
+            "CAST(NULL AS VARCHAR) AS value_str, ts FROM base "
+            "UNION ALL SELECT measurement, tags, 'count', NULL, i, "
+            "'', NULL, ts FROM base WHERE i % 3 = 0 "
+            "UNION ALL SELECT measurement, tags, 'ok', NULL, NULL, "
+            "CASE WHEN i % 4 = 0 THEN 'true' ELSE 'false' END, NULL, "
+            "ts FROM base WHERE i % 5 = 0 "
+            "UNION ALL SELECT measurement, tags, 'note', NULL, NULL, "
+            "'', 'n' || i, ts FROM base WHERE i % 7 = 0"),
         "wavefront_parse": (
             "WITH wb AS (SELECT 'cpu.load.h' || (i % 4) || ' ' || "
             "CAST(i * 0.5 AS VARCHAR) || CASE WHEN i % 2 = 0 THEN ' ' || "

@@ -348,6 +348,75 @@ def parse_wavefront_text(batch: pa.Table, text_col: str = "text") -> pa.Table:
     })
 
 
+# influx line protocol: measurement[,tagset] fieldset [timestamp_ns] —
+# the unescaped/unquoted-space subset (the same scoping as the graphite
+# plaintext-tag and wavefront subsets above)
+_INFLUX_RX = (r"^(?P<measurement>[^, ]+)(?:,(?P<tags>[^ ]*))?"
+              r" (?P<fields>[^ ]+)(?: (?P<ts>[0-9]+))?$")
+_INFLUX_FIELD_RX = r"^(?P<key>[^=]+)=(?P<val>.*)$"
+
+
+def parse_influx_text(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """InfluxDB line protocol → ONE ROW PER FIELD, Arrow-native (the
+    influxdb receiver of SURVEY §2.1, reg components.go:235 — its
+    converter emits one OTel metric per line-protocol field).
+
+    One extract_regex pass over the lines, an Arrow ``split_pattern``
+    explode of the comma-separated fieldset (line-level columns repeated
+    per field with one ``take`` — no Python loop), then one
+    extract_regex over the exploded ``k=v`` pairs. Field values keep
+    the protocol's type system: ``1i`` → value_int, ``true``/``false``
+    → value_bool, ``"…"`` → value_str, bare numbers → value_dbl
+    (exactly one arm non-null). Nanosecond timestamps → timestamp[us];
+    a line without one → null (the receiver stamps arrival time).
+    Malformed lines are dropped (receiver discards them)."""
+    text = batch[text_col]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    st = pc.extract_regex(text, _INFLUX_RX)
+    valid_mask = pc.is_valid(st)
+    st = st.filter(valid_mask)
+    fields_list = pc.split_pattern(st.field("fields"), ",")
+    counts = pc.list_value_length(fields_list).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    idx = pa.array(np.repeat(np.arange(len(counts)), counts))
+    measurement = st.field("measurement").take(idx)
+    tags = pc.fill_null(st.field("tags"), "").take(idx)
+    ts_s = st.field("ts").take(idx)
+    flat = pc.list_flatten(fields_list)
+    fkv = pc.extract_regex(flat, _INFLUX_FIELD_RX)
+    key = fkv.field("key")
+    val = fkv.field("val")
+    # type arms: int (trailing i), bool, quoted string, else float
+    is_int = pc.match_substring_regex(val, r"^-?[0-9]+i$")
+    is_bool = pc.match_substring_regex(
+        val, r"^(t|T|true|True|TRUE|f|F|false|False|FALSE)$")
+    is_str = pc.match_substring_regex(val, r'^".*"$')
+    vp = val.to_pandas()
+    im = is_int.to_numpy(zero_copy_only=False)
+    bm = is_bool.to_numpy(zero_copy_only=False)
+    sm = is_str.to_numpy(zero_copy_only=False)
+    fm = ~(im | bm | sm)
+    value_int = pd.to_numeric(vp.str.slice(0, -1).where(im),
+                              errors="coerce").astype("Int64")
+    value_bool = pd.Series(np.where(
+        bm, vp.str.lower().str.startswith("t"), None), dtype="object")
+    value_str = vp.str.slice(1, -1).where(sm)
+    value_dbl = pd.to_numeric(vp.where(fm), errors="coerce")
+    ts_ns = pd.to_numeric(ts_s.to_pandas(), errors="coerce")
+    ts_us = (ts_ns // 1000).astype("Int64")
+    return pa.table({
+        "measurement": measurement,
+        "tags": tags,
+        "field": key,
+        "value_dbl": pa.array(value_dbl, type=pa.float64()),
+        "value_int": pa.array(value_int, type=pa.int64()),
+        "value_bool": pa.array(value_bool, type=pa.bool_()),
+        "value_str": pa.array(value_str, type=pa.string()),
+        "ts": pa.array(ts_us, type=pa.int64()).cast(pa.timestamp("us")),
+    })
+
+
 def prometheus_error_counters(
     ds: "ray.data.Dataset", text_col: str = "text"
 ) -> "ray.data.Dataset":
