@@ -1976,6 +1976,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return out.map_batches(bool_to_str, batch_format="pyarrow")
 
+    def q_k8s_events(sf):
+        # k8s_events receiver (components.go:239): the corpus staged as
+        # an API watch-stream dump and each Event object converted to a
+        # log record — body = message, Normal/Warning → Info(9)/Warn(13),
+        # µs-exact eventTime, reason/count/involvedObject/source as
+        # attribute columns. Oracle: the documented capture derivation
+        # replayed off the transcript parquet.
+        from splunk_otel_collector_ray.sources.k8sevents import (
+            events_to_logs)
+
+        return events_to_logs(corpus.ensure_k8sevents_dump(sf))
+
+    def q_k8s_objects(sf):
+        # k8sobjects receiver (components.go:240): the SAME watch dump
+        # through the kind-agnostic object view — watch type +
+        # apiVersion/kind/metadata coordinates per object (an Event is
+        # just another object to this receiver).
+        from splunk_otel_collector_ray.sources.k8sevents import (
+            objects_to_rows)
+
+        return objects_to_rows(corpus.ensure_k8sevents_dump(sf))
+
     # hostmetrics scraper analogues (SURVEY §2.1 row 13): the corpus staged
     # as /proc snapshot captures (hosts × 10s ticks,
     # full_config_linux.yaml:104-120), parsed into the OTel system.*
@@ -3036,6 +3058,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaeger_parse": q_jaeger_parse,
         "jaeger_roundtrip": q_jaeger_roundtrip,
         "influx_parse": q_influx_parse,
+        "k8s_events": q_k8s_events,
+        "k8s_objects": q_k8s_objects,
         "events_quantiles": q_events_quantiles,
         "emb_centroids": q_emb_centroids,
         "events_range_join": q_events_range_join,
@@ -3735,6 +3759,36 @@ def oracle_sql() -> dict[str, str]:
             "CAST(LENGTH(text) AS BIGINT) AS duration_us, conv_id, "
             "CAST(turn_idx AS VARCHAR) AS turn_idx FROM "
             "(SELECT raw.*, CAST(substr(conv_id, 6) AS BIGINT) AS n "
+            "FROM raw)"),
+        "k8s_events": C + (
+            # watch-dump staging: Event per turn — Normal/Warning on
+            # turn_idx % 5, reason cycle % 4, count = turn_idx + 1,
+            # µs-exact eventTime, uids from the numeric conv id
+            "SELECT ts, CASE WHEN turn_idx % 5 = 0 THEN 'Warn' "
+            "ELSE 'Info' END AS severity_text, "
+            "CAST(CASE WHEN turn_idx % 5 = 0 THEN 13 ELSE 9 END "
+            "AS TINYINT) AS severity_number, text AS body, "
+            "CASE turn_idx % 4 WHEN 0 THEN 'Created' "
+            "WHEN 1 THEN 'Started' WHEN 2 THEN 'Pulled' "
+            "ELSE 'Killing' END AS reason, "
+            "CAST(turn_idx + 1 AS BIGINT) AS \"count\", "
+            "conv_id || '.' || CAST(turn_idx AS VARCHAR) AS event_name, "
+            "printf('uid-%012x', n * 65536 + turn_idx) AS event_uid, "
+            "role AS namespace, 'Pod' AS object_kind, "
+            "conv_id AS object_name, printf('uid-%08x', n) AS object_uid,"
+            " 'kubelet' AS component, 'host-' || (n % 8) AS host FROM "
+            "(SELECT raw.*, CAST(substr(conv_id, 6) AS BIGINT) AS n "
+            "FROM raw)"),
+        "k8s_objects": C + (
+            # the same watch dump through the kind-agnostic object view
+            "SELECT CASE WHEN turn_idx % 2 = 0 THEN 'ADDED' "
+            "ELSE 'MODIFIED' END AS watch_type, 'v1' AS api_version, "
+            "'Event' AS kind, "
+            "conv_id || '.' || CAST(turn_idx AS VARCHAR) AS name, "
+            "role AS namespace, "
+            "printf('uid-%012x', n * 65536 + turn_idx) AS uid, "
+            "CAST(n * 65536 + turn_idx AS VARCHAR) AS resource_version "
+            "FROM (SELECT raw.*, CAST(substr(conv_id, 6) AS BIGINT) AS n "
             "FROM raw)"),
         "kafka_parse": C + (
             # topic-dump staging: partition = conv hash mod 4 (the

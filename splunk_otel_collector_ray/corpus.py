@@ -1347,6 +1347,89 @@ def ensure_jaeger_dump(sf_dir_or_name: str, force: bool = False) -> str:
     return path
 
 
+def ensure_k8sevents_dump(sf_dir_or_name: str, force: bool = False) -> str:
+    """Stage the transcripts as a Kubernetes API WATCH-stream dump —
+    one ``{"type": …, "object": <Event>}`` JSON line per turn
+    (sources/k8sevents.py wire; the ``watch=true`` chunked-response
+    framing).  Every field is SQL-replayable (n = numeric conv_id,
+    t = turn_idx):
+
+    - watch type ADDED (t even) / MODIFIED (t odd)
+    - Event.metadata: name = ``conv_id || '.' || t``, namespace = role,
+      uid = ``uid-%012x``(n·2¹⁶ + t), resourceVersion = n·2¹⁶ + t
+    - involvedObject: Pod ``conv_id`` in namespace role,
+      uid = ``uid-%08x``(n)
+    - reason cycles Created/Started/Pulled/Killing on t % 4; message =
+      the turn text; type = Warning when t % 5 == 0 else Normal;
+      count = t + 1; eventTime = RFC3339 µs of ts (MicroTime);
+      source = kubelet on ``host-<n % 8>``
+
+    Sharded by n % K8SEVENTS_SHARDS (line-splittable JSONL)."""
+    from .sources.k8sevents import K8SEVENTS_SHARDS, encode_watch_line
+    from .sources.wire import iso_us
+
+    tdir = ensure_transcripts(sf_dir_or_name)
+    path = os.path.join(FIXTURE_ROOT, sf_name(sf_dir_or_name), "k8sevents")
+    if os.path.isdir(path) and _version_ok(path) and not force:
+        return path
+    if os.path.isdir(path):
+        import shutil
+        shutil.rmtree(path, ignore_errors=True)
+    reasons = ["Created", "Started", "Pulled", "Killing"]
+    tmpdir = tempfile.mkdtemp(dir=os.path.dirname(path),
+                              prefix=".k8sevents.tmp")
+    files = {s: open(os.path.join(tmpdir, f"watch-{s}.jsonl"), "w",
+                     encoding="utf-8") for s in range(K8SEVENTS_SHARDS)}
+    try:
+        for part in sorted(os.listdir(tdir)):
+            if not part.endswith(".parquet"):
+                continue
+            df = pq.read_table(
+                os.path.join(tdir, part),
+                columns=["conv_id", "turn_idx", "role", "text",
+                         "ts"]).to_pandas()
+            n = df["conv_id"].str.slice(5).astype("int64").to_numpy()
+            turn = df["turn_idx"].astype("int64").to_numpy()
+            p = n % K8SEVENTS_SHARDS
+            ts_us = df["ts"].astype("int64").to_numpy()
+            for i, (conv, role, text) in enumerate(
+                    zip(df["conv_id"], df["role"], df["text"])):
+                ni, ti = int(n[i]), int(turn[i])
+                rv = ni * 65536 + ti
+                ev = {
+                    "apiVersion": "v1", "kind": "Event",
+                    "metadata": {"name": f"{conv}.{ti}",
+                                 "namespace": role,
+                                 "uid": f"uid-{rv:012x}",
+                                 "resourceVersion": str(rv)},
+                    "involvedObject": {"kind": "Pod", "name": conv,
+                                       "namespace": role,
+                                       "uid": f"uid-{ni:08x}"},
+                    "reason": reasons[ti % 4],
+                    "message": text,
+                    "type": "Warning" if ti % 5 == 0 else "Normal",
+                    "count": ti + 1,
+                    "eventTime": iso_us(int(ts_us[i])),
+                    "source": {"component": "kubelet",
+                               "host": f"host-{ni % 8}"},
+                }
+                files[int(p[i])].write(
+                    encode_watch_line(
+                        "ADDED" if ti % 2 == 0 else "MODIFIED", ev)
+                    + "\n")
+    finally:
+        for f in files.values():
+            f.close()
+    with open(os.path.join(tmpdir, ".version"), "w") as f:
+        f.write(CORPUS_VERSION)
+    try:
+        os.replace(tmpdir, path)
+    except OSError:
+        import shutil
+        shutil.rmtree(tmpdir, ignore_errors=True)
+    return path
+
+
 def _capture_chunks(tdir: str):
     """Per-part-file (conv, turn, ln, role) arrays for the capture
     generators (proc/docker/kubelet/k8s) — the chunked read shape the
