@@ -1998,6 +1998,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return objects_to_rows(corpus.ensure_k8sevents_dump(sf))
 
+    def q_filestats(sf):
+        # filestats receiver (components.go:226): a stat-listing capture
+        # (each conversation as one matched log file) → the receiver's
+        # per-file gauges: file.size bytes, file.mtime/atime epoch
+        # seconds, file.name/path attributes. Oracle: the per-
+        # conversation aggregate replay.
+        from splunk_otel_collector_ray.sources.filestats import (
+            read_filestats_dump)
+
+        return read_filestats_dump(corpus.ensure_filestats_dump(sf))
+
     # hostmetrics scraper analogues (SURVEY §2.1 row 13): the corpus staged
     # as /proc snapshot captures (hosts × 10s ticks,
     # full_config_linux.yaml:104-120), parsed into the OTel system.*
@@ -3060,6 +3071,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "influx_parse": q_influx_parse,
         "k8s_events": q_k8s_events,
         "k8s_objects": q_k8s_objects,
+        "filestats": q_filestats,
         "events_quantiles": q_events_quantiles,
         "emb_centroids": q_emb_centroids,
         "events_range_join": q_events_range_join,
@@ -3779,6 +3791,15 @@ def oracle_sql() -> dict[str, str]:
             " 'kubelet' AS component, 'host-' || (n % 8) AS host FROM "
             "(SELECT raw.*, CAST(substr(conv_id, 6) AS BIGINT) AS n "
             "FROM raw)"),
+        "filestats": C + (
+            # stat-listing staging: one file per conversation — size =
+            # total chars, mtime/atime = last/first turn epoch seconds
+            "SELECT conv_id || '.log' AS file_name, "
+            "'/var/log/chat/' || conv_id || '.log' AS file_path, "
+            "CAST(SUM(LENGTH(text)) AS BIGINT) AS size_bytes, "
+            "CAST(MAX(epoch_us(ts)) // 1000000 AS BIGINT) AS mtime_s, "
+            "CAST(MIN(epoch_us(ts)) // 1000000 AS BIGINT) AS atime_s "
+            "FROM raw GROUP BY conv_id"),
         "k8s_objects": C + (
             # the same watch dump through the kind-agnostic object view
             "SELECT CASE WHEN turn_idx % 2 = 0 THEN 'ADDED' "

@@ -1430,6 +1430,65 @@ def ensure_k8sevents_dump(sf_dir_or_name: str, force: bool = False) -> str:
     return path
 
 
+def ensure_filestats_dump(sf_dir_or_name: str, force: bool = False) -> str:
+    """Stage a filestats stat-listing capture — each conversation as one
+    matched log file (``/var/log/chat/<conv_id>.log``,
+    sources/filestats.py): size = Σ length(text) over its turns,
+    mtime = its last turn's epoch second, atime = its first turn's.
+    One row per conversation (snapshot-bounded), sharded by
+    n % FILESTATS_SHARDS."""
+    from .sources.filestats import FILESTATS_SHARDS, encode_stat_line
+
+    tdir = ensure_transcripts(sf_dir_or_name)
+    path = os.path.join(FIXTURE_ROOT, sf_name(sf_dir_or_name), "filestats")
+    if os.path.isdir(path) and _version_ok(path) and not force:
+        return path
+    if os.path.isdir(path):
+        import shutil
+        shutil.rmtree(path, ignore_errors=True)
+    # accumulate per-conversation stats across part chunks (bounded by
+    # conversation count, not turn count)
+    size: dict[str, int] = {}
+    mtime: dict[str, int] = {}
+    atime: dict[str, int] = {}
+    for part in sorted(os.listdir(tdir)):
+        if not part.endswith(".parquet"):
+            continue
+        df = pq.read_table(
+            os.path.join(tdir, part),
+            columns=["conv_id", "text", "ts"]).to_pandas()
+        ln = df["text"].str.len().astype("int64")
+        ts_s = df["ts"].astype("int64") // 1_000_000
+        g = df.assign(ln=ln, ts_s=ts_s).groupby("conv_id")
+        agg = g.agg(sz=("ln", "sum"), mt=("ts_s", "max"),
+                    at=("ts_s", "min"))
+        for conv, row in agg.iterrows():
+            size[conv] = size.get(conv, 0) + int(row["sz"])
+            mtime[conv] = max(mtime.get(conv, 0), int(row["mt"]))
+            atime[conv] = min(atime.get(conv, 1 << 62), int(row["at"]))
+    tmpdir = tempfile.mkdtemp(dir=os.path.dirname(path),
+                              prefix=".filestats.tmp")
+    files = {s: open(os.path.join(tmpdir, f"stat-{s}.jsonl"), "w",
+                     encoding="utf-8") for s in range(FILESTATS_SHARDS)}
+    try:
+        for conv in sorted(size):
+            s = int(conv[5:]) % FILESTATS_SHARDS
+            files[s].write(encode_stat_line(
+                f"/var/log/chat/{conv}.log", size[conv], mtime[conv],
+                atime[conv]) + "\n")
+    finally:
+        for f in files.values():
+            f.close()
+    with open(os.path.join(tmpdir, ".version"), "w") as f:
+        f.write(CORPUS_VERSION)
+    try:
+        os.replace(tmpdir, path)
+    except OSError:
+        import shutil
+        shutil.rmtree(tmpdir, ignore_errors=True)
+    return path
+
+
 def _capture_chunks(tdir: str):
     """Per-part-file (conv, turn, ln, role) arrays for the capture
     generators (proc/docker/kubelet/k8s) — the chunked read shape the
