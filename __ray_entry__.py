@@ -2009,6 +2009,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return read_filestats_dump(corpus.ensure_filestats_dump(sf))
 
+    def q_cloudfoundry_logs(sf):
+        # cloudfoundry receiver (components.go:220), logs pipeline: the
+        # corpus staged as loggregator v2 envelopes (string-ns
+        # timestamps, oneof by role), log envelopes → log records with
+        # OUT→Info(9) / ERR→Error(17) and the base64 payload as body.
+        from splunk_otel_collector_ray.sources.cloudfoundry import (
+            envelopes_to_logs)
+
+        return envelopes_to_logs(corpus.ensure_cloudfoundry_dump(sf))
+
+    def q_cloudfoundry_metrics(sf):
+        # the same dump's metrics pipeline: counter envelopes →
+        # cumulative rows (string-int64 delta/total decoded), gauge
+        # envelopes exploded one row per named metric with its unit.
+        from splunk_otel_collector_ray.sources.cloudfoundry import (
+            envelopes_to_metrics)
+
+        return envelopes_to_metrics(corpus.ensure_cloudfoundry_dump(sf))
+
     # hostmetrics scraper analogues (SURVEY §2.1 row 13): the corpus staged
     # as /proc snapshot captures (hosts × 10s ticks,
     # full_config_linux.yaml:104-120), parsed into the OTel system.*
@@ -3072,6 +3091,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k8s_events": q_k8s_events,
         "k8s_objects": q_k8s_objects,
         "filestats": q_filestats,
+        "cloudfoundry_logs": q_cloudfoundry_logs,
+        "cloudfoundry_metrics": q_cloudfoundry_metrics,
         "events_quantiles": q_events_quantiles,
         "emb_centroids": q_emb_centroids,
         "events_range_join": q_events_range_join,
@@ -3791,6 +3812,41 @@ def oracle_sql() -> dict[str, str]:
             " 'kubelet' AS component, 'host-' || (n % 8) AS host FROM "
             "(SELECT raw.*, CAST(substr(conv_id, 6) AS BIGINT) AS n "
             "FROM raw)"),
+        "cloudfoundry_logs": C + (
+            # envelope staging: log oneof on user/assistant turns,
+            # OUT/ERR by role → Info(9)/Error(17)
+            "SELECT ts, conv_id AS source_id, "
+            "CAST(n % 8 AS VARCHAR) AS instance_id, 'rep' AS origin, "
+            "text AS body, "
+            "CASE role WHEN 'user' THEN 'OUT' ELSE 'ERR' END "
+            "AS log_type, "
+            "CASE role WHEN 'user' THEN 'Info' ELSE 'Error' END "
+            "AS severity_text, "
+            "CAST(CASE role WHEN 'user' THEN 9 ELSE 17 END AS TINYINT) "
+            "AS severity_number FROM "
+            "(SELECT raw.*, CAST(substr(conv_id, 6) AS BIGINT) AS n "
+            "FROM raw) WHERE role IN ('user', 'assistant')"),
+        "cloudfoundry_metrics": C + (
+            # counter oneof on tool turns (running name-scoped totals),
+            # gauge oneof on system turns (cpu/memory entries)
+            ", cfb AS (SELECT raw.*, "
+            "CAST(substr(conv_id, 6) AS BIGINT) AS n FROM raw) "
+            "SELECT ts, conv_id AS source_id, "
+            "CAST(n % 8 AS VARCHAR) AS instance_id, 'rep' AS origin, "
+            "'counter' AS type, tool AS name, '' AS unit, "
+            "CAST(NULL AS DOUBLE) AS value, "
+            "CAST(LENGTH(text) AS BIGINT) AS delta, "
+            "CAST(SUM(LENGTH(text)) OVER (PARTITION BY conv_id, tool "
+            "ORDER BY turn_idx) AS BIGINT) AS total "
+            "FROM cfb WHERE role = 'tool' "
+            "UNION ALL SELECT ts, conv_id, CAST(n % 8 AS VARCHAR), "
+            "'rep', 'gauge', 'cpu', 'percentage', "
+            "CAST(turn_idx AS DOUBLE), NULL, NULL FROM cfb "
+            "WHERE role = 'system' "
+            "UNION ALL SELECT ts, conv_id, CAST(n % 8 AS VARCHAR), "
+            "'rep', 'gauge', 'memory', 'bytes', "
+            "CAST(LENGTH(text) AS DOUBLE), NULL, NULL FROM cfb "
+            "WHERE role = 'system'"),
         "filestats": C + (
             # stat-listing staging: one file per conversation — size =
             # total chars, mtime/atime = last/first turn epoch seconds

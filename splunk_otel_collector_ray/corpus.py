@@ -1489,6 +1489,88 @@ def ensure_filestats_dump(sf_dir_or_name: str, force: bool = False) -> str:
     return path
 
 
+def ensure_cloudfoundry_dump(sf_dir_or_name: str,
+                             force: bool = False) -> str:
+    """Stage the transcripts as a loggregator v2 envelope dump — one
+    envelope JSON line per turn (sources/cloudfoundry.py wire), the
+    message oneof chosen by role:
+
+    - user → ``log`` OUT (payload = the turn text, base64)
+    - assistant → ``log`` ERR
+    - tool → ``counter`` name = tool, delta = length(text), total =
+      the running sum of delta over the conversation's turns with that
+      tool name (cumulative counter semantics)
+    - system → ``gauge`` {cpu: percentage = turn_idx,
+      memory: bytes = length(text)}
+
+    source_id = conv_id (the app-guid analogue), instance_id = n % 8,
+    tags {origin: rep, deployment: cf}; timestamps are loggregator's
+    STRING nanoseconds. Sharded by n % CF_SHARDS. Conversations are
+    part-file-aligned (the transcript renderer's super-chunk contract),
+    so the per-part running sums are global."""
+    from .sources.cloudfoundry import CF_SHARDS, encode_envelope
+
+    tdir = ensure_transcripts(sf_dir_or_name)
+    path = os.path.join(FIXTURE_ROOT, sf_name(sf_dir_or_name),
+                        "cloudfoundry")
+    if os.path.isdir(path) and _version_ok(path) and not force:
+        return path
+    if os.path.isdir(path):
+        import shutil
+        shutil.rmtree(path, ignore_errors=True)
+    tmpdir = tempfile.mkdtemp(dir=os.path.dirname(path),
+                              prefix=".cf.tmp")
+    files = {s: open(os.path.join(tmpdir, f"rlp-{s}.jsonl"), "w",
+                     encoding="utf-8") for s in range(CF_SHARDS)}
+    try:
+        for part in sorted(os.listdir(tdir)):
+            if not part.endswith(".parquet"):
+                continue
+            df = pq.read_table(
+                os.path.join(tdir, part),
+                columns=["conv_id", "turn_idx", "role", "text", "tool",
+                         "ts"]).to_pandas()
+            n = df["conv_id"].str.slice(5).astype("int64").to_numpy()
+            turn = df["turn_idx"].astype("int64").to_numpy()
+            p = n % CF_SHARDS
+            ts_ns = df["ts"].astype("int64").to_numpy() * 1000
+            ln = df["text"].str.len().astype("int64")
+            total = ln.groupby(
+                [df["conv_id"], df["tool"]]).cumsum().to_numpy()
+            ln = ln.to_numpy()
+            for i, (conv, role, text, tool) in enumerate(
+                    zip(df["conv_id"], df["role"], df["text"],
+                        df["tool"])):
+                ni, ti = int(n[i]), int(turn[i])
+                kw = {}
+                if role in ("user", "assistant"):
+                    kw["log"] = {"payload": text,
+                                 "type": "OUT" if role == "user"
+                                 else "ERR"}
+                elif role == "tool":
+                    kw["counter"] = {"name": tool, "delta": int(ln[i]),
+                                     "total": int(total[i])}
+                else:
+                    kw["gauge"] = {"metrics": {
+                        "cpu": {"unit": "percentage", "value": ti},
+                        "memory": {"unit": "bytes", "value": int(ln[i])},
+                    }}
+                files[int(p[i])].write(encode_envelope(
+                    int(ts_ns[i]), conv, str(ni % 8),
+                    {"origin": "rep", "deployment": "cf"}, **kw) + "\n")
+    finally:
+        for f in files.values():
+            f.close()
+    with open(os.path.join(tmpdir, ".version"), "w") as f:
+        f.write(CORPUS_VERSION)
+    try:
+        os.replace(tmpdir, path)
+    except OSError:
+        import shutil
+        shutil.rmtree(tmpdir, ignore_errors=True)
+    return path
+
+
 def _capture_chunks(tdir: str):
     """Per-part-file (conv, turn, ln, role) arrays for the capture
     generators (proc/docker/kubelet/k8s) — the chunked read shape the
