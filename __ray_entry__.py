@@ -2028,6 +2028,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return envelopes_to_metrics(corpus.ensure_cloudfoundry_dump(sf))
 
+    def q_cloudwatch_logs(sf):
+        # awscloudwatch receiver, logs mode (components.go:211): the
+        # corpus staged as per-group FilterLogEvents dumps (the group
+        # rides the filename slug — the poller's per-group fan-out),
+        # each event → a log record with ms event/ingestion timestamps
+        # and group/stream/eventId coordinates.
+        from splunk_otel_collector_ray.sources.cloudwatch import (
+            read_cloudwatch_dump)
+
+        return read_cloudwatch_dump(corpus.ensure_cloudwatch_dump(sf))
+
     # hostmetrics scraper analogues (SURVEY §2.1 row 13): the corpus staged
     # as /proc snapshot captures (hosts × 10s ticks,
     # full_config_linux.yaml:104-120), parsed into the OTel system.*
@@ -3093,6 +3104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filestats": q_filestats,
         "cloudfoundry_logs": q_cloudfoundry_logs,
         "cloudfoundry_metrics": q_cloudfoundry_metrics,
+        "cloudwatch_logs": q_cloudwatch_logs,
         "events_quantiles": q_events_quantiles,
         "emb_centroids": q_emb_centroids,
         "events_range_join": q_events_range_join,
@@ -3810,6 +3822,17 @@ def oracle_sql() -> dict[str, str]:
             "role AS namespace, 'Pod' AS object_kind, "
             "conv_id AS object_name, printf('uid-%08x', n) AS object_uid,"
             " 'kubelet' AS component, 'host-' || (n % 8) AS host FROM "
+            "(SELECT raw.*, CAST(substr(conv_id, 6) AS BIGINT) AS n "
+            "FROM raw)"),
+        "cloudwatch_logs": C + (
+            # per-group event-dump staging: ms-truncated timestamps,
+            # ingestion = event + 123 ms, decimal event ids
+            "SELECT date_trunc('milliseconds', ts) AS ts, "
+            "date_trunc('milliseconds', ts) + INTERVAL 123 MILLISECOND "
+            "AS ingestion_ts, '/aws/chat/' || role AS log_group, "
+            "conv_id AS log_stream, "
+            "CAST(n * 65536 + turn_idx AS VARCHAR) AS event_id, "
+            "text AS body FROM "
             "(SELECT raw.*, CAST(substr(conv_id, 6) AS BIGINT) AS n "
             "FROM raw)"),
         "cloudfoundry_logs": C + (

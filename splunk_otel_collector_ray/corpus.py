@@ -1571,6 +1571,69 @@ def ensure_cloudfoundry_dump(sf_dir_or_name: str,
     return path
 
 
+def ensure_cloudwatch_dump(sf_dir_or_name: str, force: bool = False) -> str:
+    """Stage the transcripts as CloudWatch Logs API event dumps — one
+    FilterLogEvents-shaped JSON line per turn (sources/cloudwatch.py),
+    fanned out per log group the way the receiver polls: group =
+    ``/aws/chat/<role>`` (the group rides the filename slug), stream =
+    conv_id, eventId = n·2¹⁶ + turn_idx (decimal string), timestamp =
+    CloudWatch's millisecond unit (µs ts truncated), ingestionTime =
+    timestamp + 123 ms. Sharded by n % CLOUDWATCH_SHARDS per group."""
+    from .sources.cloudwatch import (CLOUDWATCH_SHARDS, encode_event,
+                                     group_slug)
+
+    tdir = ensure_transcripts(sf_dir_or_name)
+    path = os.path.join(FIXTURE_ROOT, sf_name(sf_dir_or_name),
+                        "cloudwatch")
+    if os.path.isdir(path) and _version_ok(path) and not force:
+        return path
+    if os.path.isdir(path):
+        import shutil
+        shutil.rmtree(path, ignore_errors=True)
+    tmpdir = tempfile.mkdtemp(dir=os.path.dirname(path),
+                              prefix=".cw.tmp")
+    handles: dict[tuple, object] = {}
+
+    def handle(role: str, s: int):
+        key = (role, s)
+        if key not in handles:
+            slug = group_slug(f"/aws/chat/{role}")
+            handles[key] = open(
+                os.path.join(tmpdir, f"events-{slug}-{s}.jsonl"), "w",
+                encoding="utf-8")
+        return handles[key]
+
+    try:
+        for part in sorted(os.listdir(tdir)):
+            if not part.endswith(".parquet"):
+                continue
+            df = pq.read_table(
+                os.path.join(tdir, part),
+                columns=["conv_id", "turn_idx", "role", "text",
+                         "ts"]).to_pandas()
+            n = df["conv_id"].str.slice(5).astype("int64").to_numpy()
+            turn = df["turn_idx"].astype("int64").to_numpy()
+            p = n % CLOUDWATCH_SHARDS
+            ts_ms = df["ts"].astype("int64").to_numpy() // 1000
+            for i, (conv, role, text) in enumerate(
+                    zip(df["conv_id"], df["role"], df["text"])):
+                ni, ti, ms = int(n[i]), int(turn[i]), int(ts_ms[i])
+                handle(role, int(p[i])).write(encode_event(
+                    ms, text, conv, str(ni * 65536 + ti), ms + 123)
+                    + "\n")
+    finally:
+        for f in handles.values():
+            f.close()
+    with open(os.path.join(tmpdir, ".version"), "w") as f:
+        f.write(CORPUS_VERSION)
+    try:
+        os.replace(tmpdir, path)
+    except OSError:
+        import shutil
+        shutil.rmtree(tmpdir, ignore_errors=True)
+    return path
+
+
 def _capture_chunks(tdir: str):
     """Per-part-file (conv, turn, ln, role) arrays for the capture
     generators (proc/docker/kubelet/k8s) — the chunked read shape the
