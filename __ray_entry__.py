@@ -3753,7 +3753,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type AS name, value, "
             "CAST(epoch_us(ts) // 1000 AS BIGINT) AS ts_ms, user_id "
             "FROM events"),
-        "sfx_parse": C + (
+        "sfx_parse": R + (
             # SignalFx v2 ingest staging: per turn a GAUGE chars
             # datapoint and a CUMULATIVE_COUNTER turn counter, per
             # conversation one ENUM role datapoint (the strValue arm);
@@ -3771,7 +3771,7 @@ def oracle_sql() -> dict[str, str]:
             "tool, turn_idx FROM raw "
             "UNION ALL SELECT 'chat.conv.role', 'ENUM', ts, NULL, role, "
             "conv_id, role, tool, turn_idx FROM raw WHERE turn_idx = 0)"),
-        "zipkin_parse": C + (
+        "zipkin_parse": R + (
             # Zipkin v2 staging: the conversation as a trace chain —
             # traceId/span ids from the numeric conv id, parent = the
             # previous turn, kind by role, exact-µs timestamps
@@ -3788,7 +3788,7 @@ def oracle_sql() -> dict[str, str]:
             "CAST(turn_idx AS VARCHAR) AS turn_idx FROM "
             "(SELECT raw.*, CAST(substr(conv_id, 6) AS BIGINT) AS n "
             "FROM raw)"),
-        "jaeger_parse": C + (
+        "jaeger_parse": R + (
             # jaeger api_v2 staging: the zipkin trace-chain replay with
             # jaeger's lowercase span.kind tag values
             "SELECT printf('%032x', n) AS trace_id, "
@@ -3805,7 +3805,7 @@ def oracle_sql() -> dict[str, str]:
             "CAST(turn_idx AS VARCHAR) AS turn_idx FROM "
             "(SELECT raw.*, CAST(substr(conv_id, 6) AS BIGINT) AS n "
             "FROM raw)"),
-        "k8s_events": C + (
+        "k8s_events": R + (
             # watch-dump staging: Event per turn — Normal/Warning on
             # turn_idx % 5, reason cycle % 4, count = turn_idx + 1,
             # µs-exact eventTime, uids from the numeric conv id
@@ -3824,7 +3824,7 @@ def oracle_sql() -> dict[str, str]:
             " 'kubelet' AS component, 'host-' || (n % 8) AS host FROM "
             "(SELECT raw.*, CAST(substr(conv_id, 6) AS BIGINT) AS n "
             "FROM raw)"),
-        "cloudwatch_logs": C + (
+        "cloudwatch_logs": R + (
             # per-group event-dump staging: ms-truncated timestamps,
             # ingestion = event + 123 ms, decimal event ids
             "SELECT date_trunc('milliseconds', ts) AS ts, "
@@ -3835,7 +3835,7 @@ def oracle_sql() -> dict[str, str]:
             "text AS body FROM "
             "(SELECT raw.*, CAST(substr(conv_id, 6) AS BIGINT) AS n "
             "FROM raw)"),
-        "cloudfoundry_logs": C + (
+        "cloudfoundry_logs": R + (
             # envelope staging: log oneof on user/assistant turns,
             # OUT/ERR by role → Info(9)/Error(17)
             "SELECT ts, conv_id AS source_id, "
@@ -3849,7 +3849,7 @@ def oracle_sql() -> dict[str, str]:
             "AS severity_number FROM "
             "(SELECT raw.*, CAST(substr(conv_id, 6) AS BIGINT) AS n "
             "FROM raw) WHERE role IN ('user', 'assistant')"),
-        "cloudfoundry_metrics": C + (
+        "cloudfoundry_metrics": R + (
             # counter oneof on tool turns (running name-scoped totals),
             # gauge oneof on system turns (cpu/memory entries)
             ", cfb AS (SELECT raw.*, "
@@ -3870,7 +3870,7 @@ def oracle_sql() -> dict[str, str]:
             "'rep', 'gauge', 'memory', 'bytes', "
             "CAST(LENGTH(text) AS DOUBLE), NULL, NULL FROM cfb "
             "WHERE role = 'system'"),
-        "filestats": C + (
+        "filestats": R + (
             # stat-listing staging: one file per conversation — size =
             # total chars, mtime/atime = last/first turn epoch seconds
             "SELECT conv_id || '.log' AS file_name, "
@@ -3879,7 +3879,7 @@ def oracle_sql() -> dict[str, str]:
             "CAST(MAX(epoch_us(ts)) // 1000000 AS BIGINT) AS mtime_s, "
             "CAST(MIN(epoch_us(ts)) // 1000000 AS BIGINT) AS atime_s "
             "FROM raw GROUP BY conv_id"),
-        "k8s_objects": C + (
+        "k8s_objects": R + (
             # the same watch dump through the kind-agnostic object view
             "SELECT CASE WHEN turn_idx % 2 = 0 THEN 'ADDED' "
             "ELSE 'MODIFIED' END AS watch_type, 'v1' AS api_version, "
