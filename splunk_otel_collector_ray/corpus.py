@@ -1417,6 +1417,12 @@ def ensure_k8sevents_dump(sf_dir_or_name: str, force: bool = False) -> str:
                     encode_watch_line(
                         "ADDED" if ti % 2 == 0 else "MODIFIED", ev)
                     + "\n")
+    except BaseException:
+        for f in files.values():
+            f.close()
+        import shutil
+        shutil.rmtree(tmpdir, ignore_errors=True)
+        raise
     finally:
         for f in files.values():
             f.close()
@@ -1476,6 +1482,12 @@ def ensure_filestats_dump(sf_dir_or_name: str, force: bool = False) -> str:
             files[s].write(encode_stat_line(
                 f"/var/log/chat/{conv}.log", size[conv], mtime[conv],
                 atime[conv]) + "\n")
+    except BaseException:
+        for f in files.values():
+            f.close()
+        import shutil
+        shutil.rmtree(tmpdir, ignore_errors=True)
+        raise
     finally:
         for f in files.values():
             f.close()
@@ -1558,6 +1570,12 @@ def ensure_cloudfoundry_dump(sf_dir_or_name: str,
                 files[int(p[i])].write(encode_envelope(
                     int(ts_ns[i]), conv, str(ni % 8),
                     {"origin": "rep", "deployment": "cf"}, **kw) + "\n")
+    except BaseException:
+        for f in files.values():
+            f.close()
+        import shutil
+        shutil.rmtree(tmpdir, ignore_errors=True)
+        raise
     finally:
         for f in files.values():
             f.close()
@@ -1621,6 +1639,12 @@ def ensure_cloudwatch_dump(sf_dir_or_name: str, force: bool = False) -> str:
                 handle(role, int(p[i])).write(encode_event(
                     ms, text, conv, str(ni * 65536 + ti), ms + 123)
                     + "\n")
+    except BaseException:
+        for f in handles.values():
+            f.close()
+        import shutil
+        shutil.rmtree(tmpdir, ignore_errors=True)
+        raise
     finally:
         for f in handles.values():
             f.close()

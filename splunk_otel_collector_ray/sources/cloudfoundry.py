@@ -33,6 +33,8 @@ import os
 
 import pyarrow as pa
 
+from .wire import cols_to_table
+
 CF_SHARDS = 4
 
 _LOGS_SCHEMA = pa.schema([
@@ -117,14 +119,7 @@ def envelopes_to_logs(staging_dir: str) -> "ray.data.Dataset":
             cols["log_type"].append(log.get("type"))
             cols["severity_text"].append(sev_text)
             cols["severity_number"].append(sev_num)
-        arrays = []
-        for f in _LOGS_SCHEMA:
-            vals = cols[f.name]
-            if f.name == "ts":
-                arrays.append(pa.array(vals, type=pa.int64()).cast(f.type))
-            else:
-                arrays.append(pa.array(vals, type=f.type))
-        return pa.Table.from_arrays(arrays, schema=_LOGS_SCHEMA)
+        return cols_to_table(_LOGS_SCHEMA, cols)
 
     return _read_lines(staging_dir).map_batches(
         decode, batch_format="numpy")
@@ -165,14 +160,7 @@ def envelopes_to_metrics(staging_dir: str) -> "ray.data.Dataset":
                     cols["value"].append(float(m["value"]))
                     cols["delta"].append(None)
                     cols["total"].append(None)
-        arrays = []
-        for f in _METRICS_SCHEMA:
-            vals = cols[f.name]
-            if f.name == "ts":
-                arrays.append(pa.array(vals, type=pa.int64()).cast(f.type))
-            else:
-                arrays.append(pa.array(vals, type=f.type))
-        return pa.Table.from_arrays(arrays, schema=_METRICS_SCHEMA)
+        return cols_to_table(_METRICS_SCHEMA, cols)
 
     return _read_lines(staging_dir).map_batches(
         decode, batch_format="numpy")

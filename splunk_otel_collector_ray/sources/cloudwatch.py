@@ -25,6 +25,8 @@ import os
 
 import pyarrow as pa
 
+from .wire import cols_to_table
+
 CLOUDWATCH_SHARDS = 4
 
 _OUT_SCHEMA = pa.schema([
@@ -38,7 +40,16 @@ _OUT_SCHEMA = pa.schema([
 
 
 def group_slug(group: str) -> str:
-    """Log-group name → filename slug (path separators flattened)."""
+    """Log-group name → filename slug (path separators flattened).
+
+    The slug is only reversible for the dot-free, leading-slash group
+    names this dump layout supports (dots are legal in CloudWatch group
+    names but would decode back as separators) — refuse anything else
+    up front instead of silently mis-attributing events on read."""
+    if not group.startswith("/") or "." in group:
+        raise ValueError(
+            f"unsupported log-group name {group!r}: the dump layout "
+            "requires a leading '/' and dot-free path segments")
     return group.strip("/").replace("/", ".")
 
 
@@ -74,14 +85,7 @@ def read_cloudwatch_dump(staging_dir: str) -> "ray.data.Dataset":
             cols["log_stream"].append(ev.get("logStreamName"))
             cols["event_id"].append(ev.get("eventId"))
             cols["body"].append(ev.get("message"))
-        arrays = []
-        for f in _OUT_SCHEMA:
-            vals = cols[f.name]
-            if f.type == pa.timestamp("us"):
-                arrays.append(pa.array(vals, type=pa.int64()).cast(f.type))
-            else:
-                arrays.append(pa.array(vals, type=f.type))
-        return pa.Table.from_arrays(arrays, schema=_OUT_SCHEMA)
+        return cols_to_table(_OUT_SCHEMA, cols)
 
     return ray.data.read_text(files, include_paths=True).map_batches(
         decode, batch_format="numpy")

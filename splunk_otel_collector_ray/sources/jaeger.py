@@ -30,20 +30,12 @@ import pyarrow as pa
 
 from google.protobuf import descriptor_pb2, descriptor_pool, message_factory
 
+from .wire import cols_to_table, pb_field as _field
+
 JAEGER_SHARDS = 4
 
 _PKG = "jaeger.api_v2"
 _T = descriptor_pb2.FieldDescriptorProto
-
-
-def _field(name: str, number: int, ftype: int, type_name: str | None = None,
-           repeated: bool = False) -> descriptor_pb2.FieldDescriptorProto:
-    f = descriptor_pb2.FieldDescriptorProto(
-        name=name, number=number, type=ftype,
-        label=(_T.LABEL_REPEATED if repeated else _T.LABEL_OPTIONAL))
-    if type_name:
-        f.type_name = type_name
-    return f
 
 
 def _build_pool() -> descriptor_pool.DescriptorPool:
@@ -154,12 +146,14 @@ _OUT_SCHEMA = pa.schema([
 ] + [(k, pa.string()) for k in TAG_KEYS])
 
 
-def encode_batch(service: str, spans: "list[dict]") -> bytes:
+def encode_batch(service: "str | None", spans: "list[dict]") -> bytes:
     """Span dicts (the decode row shape, hex ids) → one serialized
     PostSpansRequest with a Batch-level Process (the batch-common
-    service, as the jaeger agent emits it)."""
+    service, as the jaeger agent emits it). ``service=None`` emits no
+    Process — the shape the reader maps back to null services."""
     req = PostSpansRequest()
-    req.batch.process.service_name = service
+    if service is not None:
+        req.batch.process.service_name = service
     for r in spans:
         sp = req.batch.spans.add()
         sp.trace_id = bytes.fromhex(r["trace_id"])
@@ -224,14 +218,7 @@ def decode_batch(data: bytes, cols: "dict[str, list]") -> None:
 
 
 def _cols_to_table(cols: "dict[str, list]") -> pa.Table:
-    arrays = []
-    for f in _OUT_SCHEMA:
-        vals = cols[f.name]
-        if f.name == "ts":
-            arrays.append(pa.array(vals, type=pa.int64()).cast(f.type))
-        else:
-            arrays.append(pa.array(vals, type=f.type))
-    return pa.Table.from_arrays(arrays, schema=_OUT_SCHEMA)
+    return cols_to_table(_OUT_SCHEMA, cols)
 
 
 def read_jaeger_dump(staging_dir: str) -> "ray.data.Dataset":
@@ -279,7 +266,12 @@ def write_jaeger_dump(ds: "ray.data.Dataset", out_dir: str) -> int:
                 "duration_us": d["duration_us"][i],
                 **{k: d[k][i] for k in TAG_KEYS},
             })
-        for svc, rows in sorted(by_svc.items()):
+        # None-service groups (a request with no Batch.process) sort
+        # first under a stable key — the writer must accept every shape
+        # its own reader produces
+        for svc, rows in sorted(by_svc.items(),
+                                key=lambda kv: (kv[0] is not None,
+                                                kv[0] or "")):
             data = encode_batch(svc, rows)
             digest = hashlib.sha1(data).hexdigest()[:16]
             path = os.path.join(out_dir, f"batch-{digest}.pb")

@@ -31,6 +31,8 @@ import os
 
 import pyarrow as pa
 
+from .wire import cols_to_table
+
 K8SEVENTS_SHARDS = 4
 
 # k8seventsreceiver severity mapping: Normal → Info, Warning → Warn
@@ -71,11 +73,14 @@ def encode_watch_line(watch_type: str, event: dict) -> str:
 
 
 def _iso_to_us(s: str) -> int:
-    """RFC3339 µs-fraction timestamp → epoch µs (the MicroTime shape
-    the corpus stager writes via sources.wire.iso_us)."""
+    """RFC3339 timestamp → epoch µs. Accepts both the µs-fraction
+    MicroTime shape (eventTime) and the fraction-less metav1.Time shape
+    (first/lastTimestamp serialize with second precision)."""
     import datetime
 
-    dt = datetime.datetime.strptime(s, "%Y-%m-%dT%H:%M:%S.%fZ")
+    fmt = ("%Y-%m-%dT%H:%M:%S.%fZ" if "." in s
+           else "%Y-%m-%dT%H:%M:%SZ")
+    dt = datetime.datetime.strptime(s, fmt)
     return int(dt.replace(tzinfo=datetime.timezone.utc).timestamp()
                ) * 1_000_000 + dt.microsecond
 
@@ -107,7 +112,12 @@ def events_to_logs(staging_dir: str) -> "ray.data.Dataset":
             meta = obj.get("metadata") or {}
             inv = obj.get("involvedObject") or {}
             src = obj.get("source") or {}
-            cols["ts"].append(_iso_to_us(obj["eventTime"]))
+            # eventTime is OPTIONAL on corev1 Event — real kubelet
+            # events often carry only last/firstTimestamp; fall back
+            # down the chain, null when none is present
+            t = (obj.get("eventTime") or obj.get("lastTimestamp")
+                 or obj.get("firstTimestamp"))
+            cols["ts"].append(_iso_to_us(t) if t else None)
             cols["severity_text"].append(sev_text)
             cols["severity_number"].append(sev_num)
             cols["body"].append(obj.get("message"))
@@ -121,14 +131,7 @@ def events_to_logs(staging_dir: str) -> "ray.data.Dataset":
             cols["object_uid"].append(inv.get("uid"))
             cols["component"].append(src.get("component"))
             cols["host"].append(src.get("host"))
-        arrays = []
-        for f in _EVENTS_SCHEMA:
-            vals = cols[f.name]
-            if f.name == "ts":
-                arrays.append(pa.array(vals, type=pa.int64()).cast(f.type))
-            else:
-                arrays.append(pa.array(vals, type=f.type))
-        return pa.Table.from_arrays(arrays, schema=_EVENTS_SCHEMA)
+        return cols_to_table(_EVENTS_SCHEMA, cols)
 
     return _read_lines(staging_dir).map_batches(
         decode, batch_format="numpy")

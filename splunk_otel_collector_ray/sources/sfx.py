@@ -16,9 +16,10 @@ Engine mapping (both directions):
 
 - receiver analogue :func:`read_sfx_dump` — a staged ingest dump
   (``dp-*.pb.gz`` request bodies) → one row per datapoint with the
-  dimensions splat as string columns and the ``Datum`` oneof surfaced
-  as ``value_int`` / ``value_dbl`` / ``value_str`` (exactly one
-  non-null, proto2 presence-tested).
+  dimensions splat as string columns and the ``Datum`` arms surfaced
+  as ``value_int`` / ``value_dbl`` / ``value_str`` (proto2
+  presence-tested; Datum is three independent optional fields, so a
+  body may legally set several — decode and re-encode preserve all).
 - exporter analogue :func:`write_sfx_dump` — one gzipped
   ``DataPointUploadMessage`` per block with content-hash filenames
   (retry-idempotent), so subscriber∘publisher is an identity the
@@ -41,20 +42,12 @@ import pyarrow as pa
 
 from google.protobuf import descriptor_pb2, descriptor_pool, message_factory
 
+from .wire import cols_to_table, pb_field as _field
+
 SFX_SHARDS = 4
 
 _PKG = "com.signalfx.metrics.protobuf"
 _T = descriptor_pb2.FieldDescriptorProto
-
-
-def _field(name: str, number: int, ftype: int, type_name: str | None = None,
-           repeated: bool = False) -> descriptor_pb2.FieldDescriptorProto:
-    f = descriptor_pb2.FieldDescriptorProto(
-        name=name, number=number, type=ftype,
-        label=(_T.LABEL_REPEATED if repeated else _T.LABEL_OPTIONAL))
-    if type_name:
-        f.type_name = type_name
-    return f
 
 
 def _build_pool() -> descriptor_pool.DescriptorPool:
@@ -136,11 +129,14 @@ def encode_upload(rows: "list[dict]") -> bytes:
         dp.metric = r["metric"]
         dp.timestamp = int(r["ts_ms"])
         dp.metricType = _TYPE_NUM[r["metric_type"]]
+        # Datum is three INDEPENDENT optional fields, not a true oneof —
+        # set every non-null arm so decode∘encode is the identity even
+        # for wire bodies that carry more than one
         if r.get("value_int") is not None:
             dp.value.intValue = int(r["value_int"])
-        elif r.get("value_dbl") is not None:
+        if r.get("value_dbl") is not None:
             dp.value.doubleValue = float(r["value_dbl"])
-        elif r.get("value_str") is not None:
+        if r.get("value_str") is not None:
             dp.value.strValue = r["value_str"]
         for k in DIM_KEYS:
             v = r.get(k)
@@ -180,14 +176,7 @@ def _decode_upload(data: bytes, cols: "dict[str, list]") -> None:
 
 
 def _cols_to_table(cols: "dict[str, list]") -> pa.Table:
-    arrays = []
-    for f in _OUT_SCHEMA:
-        vals = cols[f.name]
-        if f.name == "ts":
-            arrays.append(pa.array(vals, type=pa.int64()).cast(f.type))
-        else:
-            arrays.append(pa.array(vals, type=f.type))
-    return pa.Table.from_arrays(arrays, schema=_OUT_SCHEMA)
+    return cols_to_table(_OUT_SCHEMA, cols)
 
 
 def read_sfx_dump(staging_dir: str) -> "ray.data.Dataset":

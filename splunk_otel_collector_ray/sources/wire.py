@@ -88,3 +88,34 @@ def ts_us(col: "pa.ChunkedArray | pa.Array") -> pa.Array:
         t = pc.cast(t, pa.timestamp(t.type.unit))
     return t if t.type.unit == "us" else pc.cast(
         t, pa.timestamp("us"), safe=False)
+
+
+def pb_field(name: str, number: int, ftype: int,
+             type_name: "str | None" = None,
+             repeated: bool = False):
+    """FieldDescriptorProto builder shared by the runtime-declared
+    protobuf codecs (otlp_pb/prw/sfx/jaeger) — one copy of the
+    label/type_name plumbing."""
+    from google.protobuf import descriptor_pb2
+
+    t = descriptor_pb2.FieldDescriptorProto
+    f = descriptor_pb2.FieldDescriptorProto(
+        name=name, number=number, type=ftype,
+        label=(t.LABEL_REPEATED if repeated else t.LABEL_OPTIONAL))
+    if type_name:
+        f.type_name = type_name
+    return f
+
+
+def cols_to_table(schema: pa.Schema, cols: "dict[str, list]") -> pa.Table:
+    """Column lists → a schema-stable Arrow table; epoch-µs int lists
+    build through int64 and cast for every timestamp field (the shared
+    tail of all the decode loops in this package)."""
+    arrays = []
+    for f in schema:
+        vals = cols[f.name]
+        if pa.types.is_timestamp(f.type):
+            arrays.append(pa.array(vals, type=pa.int64()).cast(f.type))
+        else:
+            arrays.append(pa.array(vals, type=f.type))
+    return pa.Table.from_arrays(arrays, schema=schema)

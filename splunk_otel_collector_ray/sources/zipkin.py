@@ -23,6 +23,8 @@ import os
 
 import pyarrow as pa
 
+from .wire import cols_to_table
+
 ZIPKIN_SHARDS = 4
 TAG_KEYS = ("conv_id", "turn_idx")
 _OUT_SCHEMA = pa.schema([
@@ -64,7 +66,9 @@ def decode_spans(body: "list[dict]", cols: "dict[str, list]") -> None:
         cols["kind"].append(s.get("kind"))
         ep = s.get("localEndpoint") or {}
         cols["service"].append(ep.get("serviceName"))
-        cols["ts"].append(s["timestamp"])
+        # timestamp is optional in the v2 model (shared-span/clock-less
+        # instrumentation) → null ts, like every other optional field
+        cols["ts"].append(s.get("timestamp"))
         cols["duration_us"].append(s.get("duration"))
         tags = s.get("tags") or {}
         for k in TAG_KEYS:
@@ -72,14 +76,7 @@ def decode_spans(body: "list[dict]", cols: "dict[str, list]") -> None:
 
 
 def _cols_to_table(cols: "dict[str, list]") -> pa.Table:
-    arrays = []
-    for f in _OUT_SCHEMA:
-        vals = cols[f.name]
-        if f.name == "ts":
-            arrays.append(pa.array(vals, type=pa.int64()).cast(f.type))
-        else:
-            arrays.append(pa.array(vals, type=f.type))
-    return pa.Table.from_arrays(arrays, schema=_OUT_SCHEMA)
+    return cols_to_table(_OUT_SCHEMA, cols)
 
 
 def read_zipkin_dump(staging_dir: str) -> "ray.data.Dataset":

@@ -369,7 +369,10 @@ def parse_influx_text(batch: pa.Table, text_col: str = "text") -> pa.Table:
     → value_bool, ``"…"`` → value_str, bare numbers → value_dbl
     (exactly one arm non-null). Nanosecond timestamps → timestamp[us];
     a line without one → null (the receiver stamps arrival time).
-    Malformed lines are dropped (receiver discards them)."""
+    Malformed lines are dropped (receiver discards them) — including
+    lines where any FIELD fails to parse (missing ``=``, empty value,
+    unquoted non-numeric): a field parse error invalidates its whole
+    line, the protocol's error semantics."""
     text = batch[text_col]
     if isinstance(text, pa.ChunkedArray):
         text = text.combine_chunks()
@@ -393,9 +396,9 @@ def parse_influx_text(batch: pa.Table, text_col: str = "text") -> pa.Table:
         val, r"^(t|T|true|True|TRUE|f|F|false|False|FALSE)$")
     is_str = pc.match_substring_regex(val, r'^".*"$')
     vp = val.to_pandas()
-    im = is_int.to_numpy(zero_copy_only=False)
-    bm = is_bool.to_numpy(zero_copy_only=False)
-    sm = is_str.to_numpy(zero_copy_only=False)
+    im = pc.fill_null(is_int, False).to_numpy(zero_copy_only=False)
+    bm = pc.fill_null(is_bool, False).to_numpy(zero_copy_only=False)
+    sm = pc.fill_null(is_str, False).to_numpy(zero_copy_only=False)
     fm = ~(im | bm | sm)
     value_int = pd.to_numeric(vp.str.slice(0, -1).where(im),
                               errors="coerce").astype("Int64")
@@ -405,6 +408,27 @@ def parse_influx_text(batch: pa.Table, text_col: str = "text") -> pa.Table:
     value_dbl = pd.to_numeric(vp.where(fm), errors="coerce")
     ts_ns = pd.to_numeric(ts_s.to_pandas(), errors="coerce")
     ts_us = (ts_ns // 1000).astype("Int64")
+    # a field that matched NO arm (missing '=', empty value, unquoted
+    # non-numeric like `x=abc`) invalidates its WHOLE line — the
+    # protocol's parse-error semantics: the receiver drops the line,
+    # never emits a phantom metric with no value
+    field_ok = (im | bm | sm
+                | (fm & pc.is_valid(fkv).to_numpy(zero_copy_only=False)
+                   & value_dbl.notna().to_numpy()))
+    n_lines = len(counts)
+    bad_line = np.zeros(n_lines, dtype=bool)
+    np.logical_or.at(bad_line, np.asarray(idx), ~field_ok)
+    keep = ~bad_line[np.asarray(idx)]
+    if not keep.all():
+        kp = pa.array(keep)
+        measurement = measurement.filter(kp)
+        tags = tags.filter(kp)
+        key = key.filter(kp)
+        value_int = value_int[keep]
+        value_bool = value_bool[keep]
+        value_str = value_str[keep]
+        value_dbl = value_dbl[keep]
+        ts_us = ts_us[keep]
     return pa.table({
         "measurement": measurement,
         "tags": tags,

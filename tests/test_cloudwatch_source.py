@@ -26,6 +26,18 @@ def test_cloudwatch_decode_unit(ray_session, tmp_path):
     assert r["ingestion_ts"].value == 1767225600999 * 10 ** 6
 
 
+def test_group_slug_refuses_unsupported_names():
+    """Dots are legal in CloudWatch group names but not reversible in
+    this dump layout — refuse up front instead of mis-attributing
+    events on read; same for names without the leading slash."""
+    import pytest
+
+    with pytest.raises(ValueError):
+        group_slug("/aws/my.app")
+    with pytest.raises(ValueError):
+        group_slug("no-leading-slash")
+
+
 def test_cloudwatch_dump(ray_session, sf_dir):
     path = corpus.ensure_cloudwatch_dump(sf_dir)
     df = read_cloudwatch_dump(path).to_pandas()

@@ -44,3 +44,18 @@ def test_influx_malformed_dropped():
                 "ok usage=1"])
     assert t.num_rows == 1
     assert t["measurement"].to_pylist() == ["ok"]
+
+
+def test_influx_bad_field_invalidates_line():
+    """A field parse error drops the WHOLE line (protocol error
+    semantics) — no phantom all-null-arm rows, even when the line's
+    other fields are fine."""
+    t = _parse(["m novalue 1767225600000000000",   # field without '='
+                "m x=abc",                          # unquoted non-numeric
+                "m w=",                             # empty value
+                "m good=1,x=abc",                   # one bad field → line
+                "ok usage=2.5,count=4i"])
+    assert t["measurement"].to_pylist() == ["ok", "ok"]
+    arms = t.select(["value_dbl", "value_int", "value_bool",
+                     "value_str"]).to_pylist()
+    assert all(sum(v is not None for v in r.values()) == 1 for r in arms)

@@ -90,6 +90,21 @@ def test_jaeger_span_process_overrides_batch():
     assert cols["parent_id"] == [None]
 
 
+def test_jaeger_null_service_roundtrip():
+    """A request with no Batch.process decodes to service=None; the
+    writer must accept that shape back (no-Process batch, stable
+    mixed-with-named-service sort)."""
+    data = encode_batch(None, [
+        {"trace_id": "ab" * 16, "span_id": "cd" * 8, "parent_id": None,
+         "operation": "op", "span_kind": None, "ts_us": 5,
+         "duration_us": 6, "conv_id": None, "turn_idx": None}])
+    cols = _decode(data)
+    assert cols["service"] == [None]
+    req = PostSpansRequest()
+    req.ParseFromString(data)
+    assert not req.batch.HasField("process")
+
+
 def test_jaeger_dump_chain(ray_session, sf_dir, tmp_path):
     path = corpus.ensure_jaeger_dump(sf_dir)
     ds = read_jaeger_dump(path)

@@ -53,6 +53,28 @@ def test_watch_decode_unit(ray_session, tmp_path):
     assert set(objs["watch_type"]) == {"ADDED", "DELETED"}
 
 
+def test_event_time_fallback(ray_session, tmp_path):
+    """eventTime is optional on corev1 Event: fall back to
+    lastTimestamp (fraction-less metav1.Time form), then
+    firstTimestamp, then null — never a decode crash."""
+    base = {"apiVersion": "v1", "kind": "Event",
+            "metadata": {"name": "e", "namespace": "ns", "uid": "u",
+                         "resourceVersion": "1"},
+            "involvedObject": {"kind": "Pod", "name": "p",
+                               "namespace": "ns", "uid": "pu"},
+            "reason": "Started", "message": "m", "type": "Normal",
+            "count": 1, "source": {}}
+    no_evt = dict(base, lastTimestamp="2026-01-01T00:00:02Z")
+    first_only = dict(base, firstTimestamp="2026-01-01T00:00:03Z")
+    no_time = dict(base)
+    path = _stage(tmp_path, [encode_watch_line("ADDED", e)
+                             for e in (no_evt, first_only, no_time)])
+    df = events_to_logs(path).to_pandas()
+    assert df["ts"].iloc[0].value == 1767225602 * 10 ** 9
+    assert df["ts"].iloc[1].value == 1767225603 * 10 ** 9
+    assert df["ts"].isna().iloc[2]
+
+
 def test_k8sevents_dump(ray_session, sf_dir):
     path = corpus.ensure_k8sevents_dump(sf_dir)
     df = events_to_logs(path).to_pandas()

@@ -97,6 +97,18 @@ def test_sfx_datum_presence_not_defaults():
     assert t.schema == _OUT_SCHEMA
 
 
+def test_sfx_multi_arm_datum_preserved():
+    """Datum is three independent optional fields, not a true oneof —
+    a body carrying several arms must survive decode∘encode."""
+    rows = [{"metric": "m", "metric_type": "GAUGE", "ts_ms": 1,
+             "source": None, **{k: None for k in DIM_KEYS},
+             "value_int": 7, "value_dbl": 2.5, "value_str": "s"}]
+    cols = _rows_to_cols(rows)
+    assert cols["value_int"] == [7]
+    assert cols["value_dbl"] == [2.5]
+    assert cols["value_str"] == ["s"]
+
+
 def test_sfx_dump_decode(ray_session, sf_dir):
     path = corpus.ensure_sfx_dump(sf_dir)
     ds = read_sfx_dump(path)

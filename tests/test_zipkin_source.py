@@ -44,6 +44,15 @@ def test_zipkin_decode_unit():
     assert t["conv_id"].to_pylist() == ["c", None]
 
 
+def test_zipkin_optional_timestamp():
+    """timestamp is optional in the v2 model → null ts, not a crash."""
+    sp = encode_span("ab" * 16, "cd" * 8, None, "op", "CLIENT", "svc",
+                     1, 2, {})
+    del sp["timestamp"]
+    t = _decode([sp])
+    assert t["ts"].to_pylist() == [None]
+
+
 def test_zipkin_dump_chain(ray_session, sf_dir):
     path = corpus.ensure_zipkin_dump(sf_dir)
     # each staged file is one POST body: a bare JSON array
