@@ -1676,6 +1676,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         docs = _table(sf, "documents")
         return langid_model_predict(docs, train_langid_profiles(docs))
 
+    def q_docs_paragraph_dedup(sf):
+        # C4/RefinedWeb segment-level exact dedup WITH document
+        # reassembly: drop every non-first occurrence of each distinct
+        # segment corpus-wide (winner = min (doc_id, seg_idx)), stitch
+        # each doc back from its surviving segments in order. The
+        # synthetic docs carry no newlines, so ' the ' is the separator
+        # (the docs_sentences convention); real corpora pass '\n\n'.
+        from splunk_otel_collector_ray.partitioning import (
+            read_parquet_clean)
+        from splunk_otel_collector_ray.stages.dedup import paragraph_dedup
+
+        docs = read_parquet_clean(
+            os.path.join(sf, "documents.parquet"), columns=["doc_id", "text"])
+        return paragraph_dedup(docs, sep=" the ")
+
     def q_docs_ccnet_buckets(sf):
         # CCNet-style head/middle/tail corpus split: exact global NTILE(3)
         # over (quality-model logit, doc_id) WITHOUT a global sort —
@@ -3120,6 +3135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_familiarity": q_docs_familiarity,
         "docs_ccnet_familiarity": q_docs_ccnet_familiarity,
         "docs_langid_model": q_docs_langid_model,
+        "docs_paragraph_dedup": q_docs_paragraph_dedup,
         "docs_ccnet_buckets": q_docs_ccnet_buckets,
         "boilerplate_turns": q_boilerplate_turns,
         "docs_langid": q_docs_langid,
@@ -4710,6 +4726,17 @@ def oracle_sql() -> dict[str, str]:
             "unnest(arr) AS sentence FROM (SELECT doc_id, "
             "regexp_split_to_array(COALESCE(text, ''), '[.!?] | the ') AS arr "
             "FROM documents)"),
+        "docs_paragraph_dedup": (
+            # single-reference CTE chain — no MATERIALIZED needed
+            "WITH segs AS (SELECT doc_id, unnest(parts) AS seg, "
+            "CAST(generate_subscripts(parts, 1) AS BIGINT) AS seg_idx "
+            "FROM (SELECT doc_id, string_split(COALESCE(text, ''), "
+            "' the ') AS parts FROM documents)), "
+            "firsts AS (SELECT doc_id, seg_idx, seg, row_number() OVER ("
+            "PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn FROM segs) "
+            "SELECT doc_id, string_agg(seg, ' the ' ORDER BY seg_idx) "
+            "AS text, COUNT(*) AS n_kept FROM firsts WHERE rn = 1 "
+            "GROUP BY doc_id"),
         "events_props_extract": (
             # regexp mirror of the engine's RE2 extraction (NOT a JSON
             # parser on either side — flat scalar subset by design)

@@ -86,7 +86,11 @@ def read_parquet_clean(path: str, **kw) -> "ray.data.Dataset":
     if "schema" not in kw:
         p = path if os.path.isfile(path) else sorted(
             glob.glob(os.path.join(path, "*.parquet")))[0]
-        kw["schema"] = pq.read_schema(p).remove_metadata()
+        schema = pq.read_schema(p).remove_metadata()
+        if kw.get("columns"):
+            # read_parquet requires schema ⊆ columns when both are given
+            schema = pa.schema([schema.field(c) for c in kw["columns"]])
+        kw["schema"] = schema
     return ray.data.read_parquet(path, **kw)
 
 

@@ -238,6 +238,89 @@ def remove_boilerplate(ds: "ray.data.Dataset", col: str = "text",
     return out.select_columns(keep_cols) if keep_cols else out
 
 
+def _explode_segments(batch: pa.Table, sep: str, text_col: str,
+                      id_col: str) -> pa.Table:
+    """One row per LITERAL-separator segment with its 1-based index —
+    split_sentences' flat-buffer expansion (text_analysis.py) specialized
+    to a fixed separator so the DuckDB twin is a plain ``string_split``."""
+    import pyarrow.compute as pc
+
+    parts = pc.split_pattern(pc.coalesce(batch[text_col], ""), pattern=sep)
+    parts = parts.combine_chunks()
+    lens = pc.list_value_length(parts).to_numpy(zero_copy_only=False)
+    lens = np.nan_to_num(lens.astype(np.float64)).astype(np.int64)
+    ids = np.repeat(batch[id_col].to_numpy(zero_copy_only=False), lens)
+    offsets = np.repeat(np.cumsum(lens) - lens, lens)
+    seg_idx = np.arange(int(lens.sum()), dtype=np.int64) - offsets + 1
+    flat = parts.flatten() if isinstance(parts, pa.ChunkedArray) else parts
+    values = flat.values if isinstance(flat, pa.ListArray) else flat
+    return pa.table({id_col: pa.array(ids, type=batch[id_col].type),
+                     "seg_idx": pa.array(seg_idx, type=pa.int64()),
+                     "seg": values})
+
+
+def paragraph_dedup(ds: "ray.data.Dataset", sep: str = "\n\n",
+                    text_col: str = "text", id_col: str = "doc_id",
+                    num_buckets: int | None = None) -> "ray.data.Dataset":
+    """Segment-level exact dedup with document reassembly — the C4 /
+    RefinedWeb line-dedup step: split every document at a literal
+    separator, keep each distinct segment's FIRST occurrence corpus-wide
+    (min ``(doc_id, seg_idx)``), drop every other occurrence (including
+    within-document repeats), and stitch each document back together from
+    its surviving segments in original order. Emits
+    ``(doc_id, text, n_kept)``; documents whose every segment lost
+    disappear (same as the SQL twin's GROUP BY over kept rows). Exact by
+    segment STRING — the hash is only the partitioning key.
+
+    Scale shape: vectorized explode, per-batch local first-per-segment
+    shrink (min of mins is safe because only global winners survive), then
+    TWO bucketed exchanges — winner election on ``hash(seg) % B`` and
+    reassembly on ``doc_id % B`` — each one `bucket_fold` pass. Segment
+    text crosses the wire at most twice, already locally deduped; no
+    driver materialization, no broadcast of the (corpus-sized) segment set.
+    """
+    if num_buckets is None:
+        from ..partitioning import spread_num_buckets
+
+        num_buckets = spread_num_buckets()
+
+    def explode_shrink(t: pa.Table) -> pa.Table:
+        segs = _explode_segments(t, sep, text_col, id_col)
+        if segs.num_rows == 0:
+            return pa.table({
+                id_col: pa.array([], t[id_col].type),
+                "seg_idx": pa.array([], pa.int64()),
+                "seg": pa.array([], pa.string()),
+                "_hb": pa.array([], pa.int32())})
+        df = pd.DataFrame({
+            id_col: segs[id_col].to_numpy(zero_copy_only=False),
+            "seg_idx": segs["seg_idx"].to_numpy(zero_copy_only=False),
+            "seg": segs["seg"].to_pandas()})
+        df = df.sort_values([id_col, "seg_idx"], kind="mergesort")
+        df = df.drop_duplicates("seg", keep="first")
+        h = pd.util.hash_array(df["seg"].to_numpy(dtype=object))
+        df["_hb"] = (h % num_buckets).astype(np.int32)
+        return pd_table(df)
+
+    def elect_winner(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["seg", id_col, "seg_idx"], kind="mergesort")
+        g = g.drop_duplicates("seg", keep="first")
+        db = g[id_col].to_numpy().astype(np.uint64) % num_buckets
+        return g.assign(_db=db.astype(np.int32)).drop(columns=["_hb"])
+
+    def reassemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([id_col, "seg_idx"], kind="mergesort")
+        out = g.groupby(id_col, sort=False, as_index=False).agg(
+            text=("seg", sep.join), n_kept=("seg", "size"))
+        out["n_kept"] = out["n_kept"].astype(np.int64)
+        return out[[id_col, "text", "n_kept"]]
+
+    winners = bucket_fold(
+        ds.map_batches(explode_shrink, batch_format="pyarrow"),
+        "_hb", elect_winner)
+    return bucket_fold(winners, "_db", reassemble)
+
+
 class MinHasher:
     """Actor-pool stage: text → MinHash signature → LSH band rows.
 

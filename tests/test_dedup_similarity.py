@@ -587,3 +587,27 @@ def test_cluster_keep_best_distributed_path_equals_driver(
                                   max_broadcast_pairs=0))
     assert (~ref["keep"]).sum() > 0  # fixture must exercise real clusters
     pd.testing.assert_frame_equal(got, ref)
+
+
+def test_paragraph_dedup_exact_semantics(ray_session):
+    """Hand-built corpus pinning the C4-style line-dedup contract: global
+    first-occurrence winner by (doc_id, seg_idx), within-doc repeats drop,
+    all-duplicate docs vanish, survivors reassemble in original order."""
+    import ray.data
+
+    from splunk_otel_collector_ray.stages.dedup import paragraph_dedup
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "text": [
+            "alpha\n\nbeta\n\nalpha",          # within-doc repeat of alpha
+            "beta\n\ngamma",                    # beta loses to doc 1
+            "alpha\n\nbeta",                    # nothing novel -> vanishes
+            "",                                 # empty seg: first occurrence
+        ],
+    })
+    out = (paragraph_dedup(ray.data.from_arrow(docs), sep="\n\n")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["doc_id"].tolist() == [1, 2, 4]
+    assert out["text"].tolist() == ["alpha\n\nbeta", "gamma", ""]
+    assert out["n_kept"].tolist() == [2, 1, 1]
