@@ -1691,6 +1691,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
             os.path.join(sf, "documents.parquet"), columns=["doc_id", "text"])
         return paragraph_dedup(docs, sep=" the ")
 
+    def q_docs_gopher_rules(sf):
+        # Gopher quality-rule filter (Rae et al. 2021): published numeric
+        # thresholds; the stop-word list is the corpus's high-frequency
+        # words (the synthetic corpus is a domain word soup — the
+        # published English list would be constant-0, see
+        # text_analysis.GOPHER_STOPWORDS)
+        from splunk_otel_collector_ray.stages.text_analysis import (
+            gopher_quality_rules)
+
+        docs = _table(sf, "documents")
+        return docs.map_batches(
+            gopher_quality_rules, batch_format="pyarrow",
+            fn_kwargs={"stop_words": ("the", "a", "data", "table", "value",
+                                      "row", "fast", "key")},
+        ).select_columns(["doc_id", "n_words", "mean_word_len",
+                          "symbol_to_word", "frac_alpha_words",
+                          "n_stop_hits", "keep"])
+
+    def q_docs_c4_filters(sf):
+        # C4 line-level cleaning with document reassembly (Raffel et al.
+        # 2020): line = ' the '-separated segment (the corpus carries no
+        # newlines/punctuation — docs_sentences convention; the terminal-
+        # punctuation and brace rules are exercised by pytest on
+        # hand-built docs), banned phrase 'spark' fires on real rows
+        from splunk_otel_collector_ray.partitioning import (
+            read_parquet_clean)
+        from splunk_otel_collector_ray.stages.text_analysis import (
+            c4_line_filter)
+
+        docs = read_parquet_clean(
+            os.path.join(sf, "documents.parquet"), columns=["doc_id", "text"])
+        return c4_line_filter(
+            docs, sep=" the ", min_words_per_line=5, banned=("spark",),
+            require_terminal_punct=False, min_kept_lines=2)
+
     def q_docs_ccnet_buckets(sf):
         # CCNet-style head/middle/tail corpus split: exact global NTILE(3)
         # over (quality-model logit, doc_id) WITHOUT a global sort —
@@ -3136,6 +3171,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_ccnet_familiarity": q_docs_ccnet_familiarity,
         "docs_langid_model": q_docs_langid_model,
         "docs_paragraph_dedup": q_docs_paragraph_dedup,
+        "docs_gopher_rules": q_docs_gopher_rules,
+        "docs_c4_filters": q_docs_c4_filters,
         "docs_ccnet_buckets": q_docs_ccnet_buckets,
         "boilerplate_turns": q_boilerplate_turns,
         "docs_langid": q_docs_langid,
@@ -4737,6 +4774,65 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, string_agg(seg, ' the ' ORDER BY seg_idx) "
             "AS text, COUNT(*) AS n_kept FROM firsts WHERE rn = 1 "
             "GROUP BY doc_id"),
+        "docs_gopher_rules": (
+            # same RE2 patterns as the engine kernels; ratios are raw
+            # IEEE divisions of identical int64 counts (no rounding)
+            r"WITH f AS (SELECT doc_id, "
+            r"CAST(len(regexp_extract_all(COALESCE(text, ''), "
+            r"'[^ \t\n]+')) AS BIGINT) AS n_words, "
+            r"CAST(len(regexp_extract_all(COALESCE(text, ''), "
+            r"'[^ \t\n]')) AS BIGINT) AS n_nonspace, "
+            r"CAST(len(regexp_extract_all(COALESCE(text, ''), '#')) + "
+            r"len(regexp_extract_all(COALESCE(text, ''), '\.\.\.')) "
+            r"AS BIGINT) AS n_sym, "
+            r"CAST(len(regexp_extract_all(COALESCE(text, ''), "
+            r"'[^ \t\n]*[A-Za-z][^ \t\n]*')) AS BIGINT) AS n_alpha_words, "
+            r"CAST("
+            r"(CASE WHEN regexp_matches(lower(COALESCE(text, '')), "
+            r"'\bthe\b') THEN 1 ELSE 0 END) + "
+            r"(CASE WHEN regexp_matches(lower(COALESCE(text, '')), "
+            r"'\ba\b') THEN 1 ELSE 0 END) + "
+            r"(CASE WHEN regexp_matches(lower(COALESCE(text, '')), "
+            r"'\bdata\b') THEN 1 ELSE 0 END) + "
+            r"(CASE WHEN regexp_matches(lower(COALESCE(text, '')), "
+            r"'\btable\b') THEN 1 ELSE 0 END) + "
+            r"(CASE WHEN regexp_matches(lower(COALESCE(text, '')), "
+            r"'\bvalue\b') THEN 1 ELSE 0 END) + "
+            r"(CASE WHEN regexp_matches(lower(COALESCE(text, '')), "
+            r"'\brow\b') THEN 1 ELSE 0 END) + "
+            r"(CASE WHEN regexp_matches(lower(COALESCE(text, '')), "
+            r"'\bfast\b') THEN 1 ELSE 0 END) + "
+            r"(CASE WHEN regexp_matches(lower(COALESCE(text, '')), "
+            r"'\bkey\b') THEN 1 ELSE 0 END) AS BIGINT) AS n_stop_hits "
+            r"FROM documents), "
+            r"g AS (SELECT doc_id, n_words, "
+            r"CASE WHEN n_words > 0 THEN CAST(n_nonspace AS DOUBLE) / "
+            r"n_words ELSE 0.0 END AS mean_word_len, "
+            r"CASE WHEN n_words > 0 THEN CAST(n_sym AS DOUBLE) / "
+            r"n_words ELSE 0.0 END AS symbol_to_word, "
+            r"CASE WHEN n_words > 0 THEN CAST(n_alpha_words AS DOUBLE) / "
+            r"n_words ELSE 0.0 END AS frac_alpha_words, "
+            r"n_stop_hits FROM f) "
+            r"SELECT doc_id, n_words, mean_word_len, symbol_to_word, "
+            r"frac_alpha_words, n_stop_hits, "
+            r"(n_words >= 50 AND n_words <= 100000 "
+            r"AND mean_word_len >= 3.0 AND mean_word_len <= 10.0 "
+            r"AND symbol_to_word <= 0.1 AND frac_alpha_words >= 0.8 "
+            r"AND n_stop_hits >= 2) AS keep FROM g"),
+        "docs_c4_filters": (
+            r"WITH segs AS (SELECT doc_id, unnest(parts) AS seg, "
+            r"CAST(generate_subscripts(parts, 1) AS BIGINT) AS seg_idx, "
+            r"CAST(len(parts) AS BIGINT) AS n_lines "
+            r"FROM (SELECT doc_id, string_split(COALESCE(text, ''), "
+            r"' the ') AS parts FROM documents "
+            r"WHERE NOT contains(COALESCE(text, ''), '{'))), "
+            r"kept AS (SELECT * FROM segs WHERE "
+            r"len(regexp_extract_all(seg, '[^ \t\n]+')) >= 5 "
+            r"AND NOT contains(lower(seg), 'spark')) "
+            r"SELECT doc_id, string_agg(seg, ' the ' ORDER BY seg_idx) "
+            r"AS text, any_value(n_lines) AS n_lines, "
+            r"CAST(COUNT(*) AS BIGINT) AS n_kept "
+            r"FROM kept GROUP BY doc_id HAVING COUNT(*) >= 2"),
         "events_props_extract": (
             # regexp mirror of the engine's RE2 extraction (NOT a JSON
             # parser on either side — flat scalar subset by design)

@@ -397,6 +397,140 @@ def pii_signals(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return out.append_column("has_pii", pa.array(total > 0))
 
 
+# Rae et al. 2021 (Gopher), Table A1: the published stop-word list for the
+# "contains at least 2 stop words" rule. The corpus-specific list is a
+# parameter — the synthetic test corpus is a domain word soup, so its
+# queries pass high-frequency corpus words instead.
+GOPHER_STOPWORDS: "tuple[str, ...]" = (
+    "the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_rules(
+    batch: pa.Table, text_col: str = "text",
+    min_words: int = 50, max_words: int = 100_000,
+    min_mean_word_len: float = 3.0, max_mean_word_len: float = 10.0,
+    max_symbol_to_word: float = 0.1, min_frac_alpha_words: float = 0.8,
+    min_stop_hits: int = 2,
+    stop_words: "tuple[str, ...]" = GOPHER_STOPWORDS,
+) -> pa.Table:
+    """Gopher document-quality rules (Rae et al. 2021 §A1.1, public):
+    word-count bounds, mean-word-length bounds, symbol-to-word ratio
+    (``#`` and ``...``), fraction of words containing an alphabetic
+    character, and distinct-stop-word presence — emitted as raw feature
+    columns plus the composite ``keep`` verdict, the doc-scale analogue
+    of the collector's filter processor gates (reference
+    internal/configconverter semantics are boolean include gates too).
+
+    Every feature is one RE2 kernel over the zero-copy Arrow column
+    (``count_substring_regex`` / ``match_substring_regex``) — the same
+    engine DuckDB runs, so the oracle twin shares class and alternation
+    semantics by construction. Ratios are raw IEEE divisions of
+    identically-computed int64 counts (no rounding; CLAUDE.md rule).
+    A token matches the alpha-word pattern at most once: the match is
+    anchored inside ``[^ \\t\\n]`` runs, so matches never span tokens and
+    greedy expansion consumes the whole token."""
+    col = batch[text_col]
+    n_words = _rx_count(col, _WS_TOKEN_PAT).astype(np.int64)
+    n_nonspace = _rx_count(col, r"[^ \t\n]").astype(np.int64)
+    n_sym = (_rx_count(col, r"#") + _rx_count(col, r"\.\.\.")) \
+        .astype(np.int64)
+    n_alpha_words = _rx_count(
+        col, r"[^ \t\n]*[A-Za-z][^ \t\n]*").astype(np.int64)
+    low = pc.utf8_lower(pc.fill_null(col, ""))
+    hits = np.zeros(batch.num_rows, dtype=np.int64)
+    for w in stop_words:
+        m = pc.match_substring_regex(low, r"\b" + w + r"\b")
+        hits += m.to_numpy(zero_copy_only=False).astype(np.int64)
+    pos = n_words > 0
+    fw = n_words.astype(np.float64)
+    mean_word_len = np.where(pos, n_nonspace / np.where(pos, fw, 1.0), 0.0)
+    symbol_to_word = np.where(pos, n_sym / np.where(pos, fw, 1.0), 0.0)
+    frac_alpha = np.where(pos, n_alpha_words / np.where(pos, fw, 1.0), 0.0)
+    keep = ((n_words >= min_words) & (n_words <= max_words)
+            & (mean_word_len >= min_mean_word_len)
+            & (mean_word_len <= max_mean_word_len)
+            & (symbol_to_word <= max_symbol_to_word)
+            & (frac_alpha >= min_frac_alpha_words)
+            & (hits >= min_stop_hits))
+    return (batch.append_column("n_words", pa.array(n_words))
+            .append_column("mean_word_len", pa.array(mean_word_len))
+            .append_column("symbol_to_word", pa.array(symbol_to_word))
+            .append_column("frac_alpha_words", pa.array(frac_alpha))
+            .append_column("n_stop_hits", pa.array(hits))
+            .append_column("keep", pa.array(keep)))
+
+
+def c4_line_filter(
+    ds: "ray.data.Dataset", sep: str = "\n",
+    text_col: str = "text", id_col: str = "doc_id",
+    min_words_per_line: int = 5,
+    banned: "tuple[str, ...]" = ("javascript", "lorem ipsum"),
+    require_terminal_punct: bool = True,
+    min_kept_lines: int = 3, drop_brace_docs: bool = True,
+) -> "ray.data.Dataset":
+    """C4 line-level cleaning (Raffel et al. 2020 §2.2, public): drop
+    documents containing ``{`` (code), split the rest into lines, keep
+    only lines with ≥ ``min_words_per_line`` words, (optionally) ending
+    in terminal punctuation, and not containing a banned phrase; stitch
+    each document back from its kept lines and drop documents with fewer
+    than ``min_kept_lines`` survivors. Emits
+    ``(doc_id, text, n_lines, n_kept)``.
+
+    Scale shape: every rule is LINE- or DOC-local, so unlike
+    ``dedup.paragraph_dedup`` (whose winner election is global) this is a
+    single ``map_batches`` pass — vectorized explode, RE2 line predicates,
+    batch-local pandas regroup — with no exchange at all; at 100 TB it
+    runs embarrassingly parallel behind the read."""
+    import pyarrow.compute as _pc
+
+    from .dedup import _explode_segments
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            id_col: pa.array([], t[id_col].type),
+            "text": pa.array([], pa.string()),
+            "n_lines": pa.array([], pa.int64()),
+            "n_kept": pa.array([], pa.int64())})
+        if drop_brace_docs:
+            t = t.filter(_pc.invert(_pc.match_substring(
+                _pc.fill_null(t[text_col], ""), "{")))
+        if t.num_rows == 0:
+            return empty
+        segs = _explode_segments(t, sep, text_col, id_col)
+        seg = segs["seg"]
+        if isinstance(seg, pa.ChunkedArray):
+            seg = seg.combine_chunks()
+        ok = _rx_count(seg, _WS_TOKEN_PAT) >= min_words_per_line
+        low = _pc.utf8_lower(seg)
+        for phrase in banned:
+            ok &= ~_pc.match_substring(low, phrase.lower()) \
+                .to_numpy(zero_copy_only=False)
+        if require_terminal_punct:
+            ok &= _pc.match_substring_regex(seg, r"[.!?\"]$") \
+                .to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            id_col: segs[id_col].to_numpy(zero_copy_only=False),
+            "seg_idx": segs["seg_idx"].to_numpy(zero_copy_only=False),
+            "seg": seg.to_pandas(), "ok": ok})
+        out = df.groupby(id_col, sort=True, as_index=False).agg(
+            n_lines=("ok", "size"), n_kept=("ok", "sum"))
+        kept = df[df["ok"]].sort_values([id_col, "seg_idx"],
+                                        kind="mergesort")
+        txt = kept.groupby(id_col, sort=True, as_index=False).agg(
+            text=("seg", sep.join))
+        out = out.merge(txt, on=id_col, how="inner")
+        out = out[out["n_kept"] >= min_kept_lines]
+        if not len(out):
+            return empty
+        out["n_lines"] = out["n_lines"].astype(np.int64)
+        out["n_kept"] = out["n_kept"].astype(np.int64)
+        from ..partitioning import pd_table
+
+        return pd_table(out[[id_col, "text", "n_lines", "n_kept"]])
+
+    return ds.map_batches(per_batch, batch_format="pyarrow")
+
+
 def repeated_ngram_stats(
     ds: "ray.data.Dataset", n: int = 8, min_docs: int = 2,
     text_col: str = "text", id_col: str = "doc_id",

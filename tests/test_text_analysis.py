@@ -220,3 +220,72 @@ def test_langid_model_trains_and_beats_stopword_heuristic(ray_session):
                 == truth).mean()
     assert model_acc >= heur_acc
     assert model_acc >= 0.9
+
+
+def test_gopher_quality_rules_hand_docs():
+    import numpy as np
+    import pyarrow as pa
+
+    from splunk_otel_collector_ray.stages.text_analysis import (
+        gopher_quality_rules,
+    )
+
+    good = " ".join(["the quick brown fox jumps over lazy dogs"] * 8)
+    t = pa.table({"text": [
+        good,                                # passes every rule
+        "too few words with the and",        # < min_words
+        good + " ##### ##### ##### #####",   # symbol ratio blown
+        "1 2 3 " * 30,                       # no alpha words, short words
+        None,                                # null → zeros, keep False
+    ]})
+    out = gopher_quality_rules(
+        t, min_words=20, stop_words=("the", "and", "over")).to_pandas()
+    assert list(out["keep"]) == [True, False, False, False, False]
+    assert out["n_words"][4] == 0 and out["mean_word_len"][4] == 0.0
+    # 64 words of the repeated 8-word sentence, every one alphabetic
+    assert out["n_words"][0] == 64
+    assert out["frac_alpha_words"][0] == 1.0
+    assert out["n_stop_hits"][0] == 2
+    # '...' counted non-overlapping, '#' per char
+    assert np.isclose(out["symbol_to_word"][2],
+                      20 / out["n_words"][2])
+
+
+def test_c4_line_filter_rules(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from splunk_otel_collector_ray.stages.text_analysis import c4_line_filter
+
+    docs = pd.DataFrame({"doc_id": [1, 2, 3, 4], "text": [
+        # doc 1: three good lines, one too short, one no terminal punct,
+        # one banned phrase — reassembles from the three survivors
+        "this first line has enough words here.\n"
+        "short line.\n"
+        "this second line also has enough words!\n"
+        "this line has no terminal punctuation at all\n"
+        "enable javascript to view this page now.\n"
+        "a third good line closes the document?",
+        # doc 2: code-ish, dropped by the brace rule
+        "function f() { return 1; }\nanother perfectly fine line here.",
+        # doc 3: only one surviving line → below min_kept_lines
+        "one single good line with enough words.",
+        # doc 4: lines survive only when terminal punct not required
+        "five words but no punctuation here\nsame again on this line too",
+    ]})
+    out = c4_line_filter(
+        ray.data.from_pandas(docs), sep="\n", min_words_per_line=5,
+        banned=("javascript",), require_terminal_punct=True,
+        min_kept_lines=2).to_pandas().set_index("doc_id")
+    assert list(out.index) == [1]
+    assert out.loc[1, "n_lines"] == 6 and out.loc[1, "n_kept"] == 3
+    assert out.loc[1, "text"] == (
+        "this first line has enough words here.\n"
+        "this second line also has enough words!\n"
+        "a third good line closes the document?")
+    # without the punctuation rule doc 4 survives, doc 2 still brace-dropped
+    out2 = c4_line_filter(
+        ray.data.from_pandas(docs), sep="\n", min_words_per_line=5,
+        banned=("javascript",), require_terminal_punct=False,
+        min_kept_lines=2).to_pandas()
+    assert sorted(out2["doc_id"]) == [1, 4]
