@@ -3171,8 +3171,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_ccnet_familiarity": q_docs_ccnet_familiarity,
         "docs_langid_model": q_docs_langid_model,
         "docs_paragraph_dedup": q_docs_paragraph_dedup,
-        "docs_gopher_rules": q_docs_gopher_rules,
-        "docs_c4_filters": q_docs_c4_filters,
         "docs_ccnet_buckets": q_docs_ccnet_buckets,
         "boilerplate_turns": q_boilerplate_turns,
         "docs_langid": q_docs_langid,
@@ -3237,6 +3235,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collectd_parse": q_collectd_parse,
         "winevt_parse": q_winevt_parse,
         "syslog_5424": q_syslog_5424,
+        # late-r5 additions, parity-verified at sf0.001/sf0.01 — placed
+        # AFTER the never-driver-sampled block so the r4-rotation goal
+        # (the 22 queries above land in CORRECTNESS_r05) is preserved
+        "docs_gopher_rules": q_docs_gopher_rules,
+        "docs_c4_filters": q_docs_c4_filters,
         "graphite_parse": q_graphite_parse,
         "wavefront_parse": q_wavefront_parse,
         "groupbyattrs": q_groupbyattrs,
