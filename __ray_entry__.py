@@ -2279,6 +2279,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return embedding_neardup_pairs(_table(sf, "embeddings"),
                                        threshold=0.45, num_blocks=4)
 
+    def q_emb_semdedup(sf):
+        # SemDeDup (Abbas et al. 2023): cluster-scoped embedding near-dup
+        # prune — cluster = the corpus label column (SQL-oracle-able);
+        # keep_rule='id' is the order-free NOT-EXISTS twin; the paper's
+        # centroid rule + the kmeans_distributed cluster source are
+        # pytest-pinned (iterative float fitting, not SQL-expressible)
+        from splunk_otel_collector_ray.stages.similarity import semdedup
+
+        return semdedup(_table(sf, "embeddings"), threshold=0.45,
+                        cluster_col="label", keep_rule="id")
+
     def q_emb_neardup_lsh(sf):
         # banded-LSH approximate variant (the 100 TB path): candidates from
         # shared LSH pair generator + exact cosine verify (rows-only —
@@ -3184,6 +3195,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_signals": q_pii_signals,
         "emb_ann_topk": q_emb_ann_topk,
         "emb_neardup": q_emb_neardup,
+        "emb_semdedup": q_emb_semdedup,
         "emb_neardup_lsh": q_emb_neardup_lsh,
         "stratified_sample": q_stratified_sample,
         "multimodal_features": q_multimodal_features,
@@ -4951,6 +4963,16 @@ def oracle_sql() -> dict[str, str]:
             "' +', ' ', 'g'), '^ | $', '', 'g') AS norm_text "
             "FROM documents"),
         "docs_reservoir": _docs_reservoir_sql(),
+        "emb_semdedup": (
+            # cluster-scoped NOT EXISTS: dropped iff some smaller-id
+            # member of the same label has cosine >= threshold; e is
+            # referenced twice -> MATERIALIZED per the CTE rule
+            "WITH e AS MATERIALIZED (SELECT vec_id, label, "
+            "CAST(embedding AS DOUBLE[]) AS v FROM embeddings) "
+            "SELECT e.vec_id, e.label, NOT EXISTS (SELECT 1 FROM e p "
+            "WHERE p.label = e.label AND p.vec_id < e.vec_id "
+            "AND list_cosine_similarity(p.v, e.v) >= 0.45) AS keep "
+            "FROM e"),
         "emb_dup_clusters": (
             # recursive closure over the exact cosine pair graph; e and p
             # are referenced repeatedly → MATERIALIZED per the CTE rule

@@ -482,22 +482,23 @@ def label_centroids(ds: "ray.data.Dataset", vec_col: str = "embedding",
     return agg[[key_col, "dim", "centroid"]]
 
 
-def kmeans_distributed(
+def kmeans_centroids(
     ds: "ray.data.Dataset", vec_col: str = "embedding",
     id_col: str = "doc_id", k: int = 8, iters: int = 5,
-) -> "ray.data.Dataset":
-    """Full distributed Lloyd k-means over an embedding column — the scale
-    path past kmeans_fit's bounded driver sample (which stays the IVF coarse
-    quantizer trainer): every E-step touches the WHOLE stream, yet nothing
-    wide shuffles.
+) -> np.ndarray:
+    """Fit distributed Lloyd k-means and return the final (k × dim)
+    centroid matrix — the fitting loop of :func:`kmeans_distributed`,
+    exposed so consumers (semdedup's cluster source) can broadcast the
+    centroids and assign inline instead of shuffling vectors through a
+    keyed join (Arrow hash join cannot carry list<float> payloads
+    anyway).
 
     Per iteration: centroids broadcast once (ray.put); each batch assigns
     via one (n×d)·(d×k) matmul (argmin of −2x·c + ‖c‖², never an n×k×d
     broadcast) and folds to per-cluster (sum-vector, count) partials —
     k × dim doubles per batch — which the driver combines into new
     centroids (empty clusters keep their previous position). Init is
-    deterministic: the vectors of the k smallest ids. Returns the final
-    (id, cluster) assignment as a Dataset.
+    deterministic: the vectors of the k smallest ids.
     """
     import ray
 
@@ -506,18 +507,9 @@ def kmeans_distributed(
     dim = cent.shape[1]
 
     def _mat(t: pa.Table) -> np.ndarray:
-        fl = t[vec_col]
-        if isinstance(fl, pa.ChunkedArray):
-            fl = fl.combine_chunks()
-        if hasattr(fl, "flatten"):  # plain list<float> — zero-copy flatten
-            return (fl.flatten().to_numpy(zero_copy_only=False)
-                    .astype(np.float64).reshape(t.num_rows, dim))
-        # tensor-extension arrays (ray from_pandas) lack flatten
-        return _as_matrix(t[vec_col].to_pandas()).astype(np.float64)
+        return _vec_matrix(t, vec_col, dim)
 
-    def _assign(mat: np.ndarray, c: np.ndarray) -> np.ndarray:
-        scores = mat @ c.T - 0.5 * (c * c).sum(axis=1)[None, :]
-        return scores.argmax(axis=1)
+    _assign = _centroid_assign
 
     for _ in range(iters):
         cent_ref = ray.put(cent)
@@ -550,11 +542,158 @@ def kmeans_distributed(
                 new[j] = piv_s.loc[j].to_numpy() / cnt
         cent = new
 
+    return cent
+
+
+def _vec_matrix(t: pa.Table, vec_col: str, dim: int) -> np.ndarray:
+    fl = t[vec_col]
+    if isinstance(fl, pa.ChunkedArray):
+        fl = fl.combine_chunks()
+    if hasattr(fl, "flatten"):  # plain list<float> — zero-copy flatten
+        return (fl.flatten().to_numpy(zero_copy_only=False)
+                .astype(np.float64).reshape(t.num_rows, dim))
+    # tensor-extension arrays (ray from_pandas) lack flatten
+    return _as_matrix(t[vec_col].to_pandas()).astype(np.float64)
+
+
+def _centroid_assign(mat: np.ndarray, c: np.ndarray) -> np.ndarray:
+    scores = mat @ c.T - 0.5 * (c * c).sum(axis=1)[None, :]
+    return scores.argmax(axis=1)
+
+
+def kmeans_distributed(
+    ds: "ray.data.Dataset", vec_col: str = "embedding",
+    id_col: str = "doc_id", k: int = 8, iters: int = 5,
+) -> "ray.data.Dataset":
+    """Full distributed Lloyd k-means over an embedding column — the scale
+    path past kmeans_fit's bounded driver sample (which stays the IVF
+    coarse quantizer trainer). Fitting loop in :func:`kmeans_centroids`;
+    returns the final (id, cluster) assignment as a Dataset via one
+    broadcast-assign pass."""
+    import ray
+
+    cent = kmeans_centroids(ds, vec_col=vec_col, id_col=id_col,
+                            k=k, iters=iters)
+    dim = cent.shape[1]
     final_ref = ray.put(cent)
 
     def label(t: pa.Table, cent_ref=final_ref) -> pa.Table:
-        a = _assign(_mat(t), ray.get(cent_ref))
+        a = _centroid_assign(_vec_matrix(t, vec_col, dim),
+                             ray.get(cent_ref))
         return pa.table({id_col: t[id_col],
                          "cluster": pa.array(a.astype(np.int64))})
 
     return ds.map_batches(label, batch_format="pyarrow")
+
+
+def semdedup(
+    ds: "ray.data.Dataset", threshold: float = 0.45,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+    cluster_col: "str | None" = None, keep_rule: str = "id",
+    k: int = 8, iters: int = 5, num_buckets: int | None = None,
+) -> "ray.data.Dataset":
+    """SemDeDup (Abbas et al. 2023, public): partition the embedding space
+    into clusters, then near-duplicate-dedup WITHIN each cluster only —
+    the published scale path that turns the exact sweep's O(N²) compare
+    count into O(Σ n_c²) with cluster-bounded tiles. Emits
+    ``(id, cluster, keep)``.
+
+    Cluster source: an existing ``cluster_col`` (the oracled query uses
+    the corpus label column), else a ``kmeans_distributed`` assignment
+    hash-joined back onto the vectors (iterative float fitting — that
+    path is pytest-pinned, not SQL-oracled).
+
+    ``keep_rule='id'``: a member is dropped iff SOME smaller-id member of
+    its cluster has cosine ≥ threshold — order-free, exactly the SQL
+    twin's correlated NOT EXISTS. ``keep_rule='centroid'``: the paper's
+    rule — members are visited in (cosine-to-cluster-centroid ASC, id)
+    order and kept iff no already-KEPT member is within threshold, so
+    each duplicate group's surviving representative is its least
+    prototypical member.
+
+    Scale shape: one ``bucket_fold`` exchange on ``cluster % B`` (a
+    cluster never splits across fold blocks); the fold runs one unit-row
+    matmul per cluster — per-cluster tiles are the operator's bound, the
+    same memory story as the paper's per-cluster pass. Vectors cross the
+    wire once; no driver materialization.
+    """
+    import ray  # noqa: F401  (kmeans path spawns Ray work)
+
+    from ..partitioning import bucket_fold, spread_num_buckets
+
+    if num_buckets is None:
+        num_buckets = spread_num_buckets()
+    out_cluster = cluster_col or "cluster"
+
+    sch = ds.schema()
+    types = dict(zip(sch.names, sch.types))
+    id_dtype = types[id_col].to_pandas_dtype()
+    cl_dtype = (types[cluster_col].to_pandas_dtype()
+                if cluster_col else np.int64)
+
+    if cluster_col is None:
+        # fit centroids distributed, broadcast ONCE, assign inline in the
+        # normalize pass — no keyed shuffle of the vector payload (Arrow
+        # hash join cannot carry list<float> non-key columns anyway)
+        cent = kmeans_centroids(ds, vec_col=vec_col, id_col=id_col,
+                                k=k, iters=iters)
+        cent_ref = ray.put(cent)
+        src = ds.select_columns([id_col, vec_col])
+    else:
+        cent_ref = None
+        src = ds.select_columns([id_col, vec_col, cluster_col])
+
+    def to_units(t: pa.Table) -> pa.Table:
+        m = _as_matrix(t[vec_col].to_pandas()).astype(np.float64)
+        if cent_ref is not None:
+            c = ray.get(cent_ref)
+            cl = _centroid_assign(m, c).astype(np.int64)
+            cl_arr = pa.array(cl)
+        else:
+            cl_arr = t[out_cluster]
+            cl = cl_arr.to_numpy(zero_copy_only=False)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        unit = pa.FixedSizeListArray.from_arrays(
+            pa.array(m.ravel(), type=pa.float64()), m.shape[1])
+        return pa.table({
+            id_col: t[id_col], out_cluster: cl_arr, "_unit": unit,
+            "_cb": pa.array((cl.astype(np.int64) % num_buckets)
+                            .astype(np.int32))})
+
+    def fold(g: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        empty = pd.DataFrame({
+            id_col: pd.Series([], dtype=id_dtype),
+            out_cluster: pd.Series([], dtype=cl_dtype),
+            "keep": pd.Series([], dtype=bool)})
+        if g.empty or out_cluster not in g.columns:
+            return empty
+        frames = [empty]
+        # per-cluster matmul tiles: the loop count is the (small) number
+        # of clusters in this fold block; each iteration is vectorized
+        for _, grp in g.groupby(out_cluster, sort=True):
+            grp = grp.sort_values(id_col, kind="mergesort")
+            m = np.stack(grp["_unit"].to_numpy())
+            sims = m @ m.T
+            n = len(grp)
+            if keep_rule == "id":
+                dup = (sims >= threshold) & np.tri(n, k=-1, dtype=bool)
+                keep = ~dup.any(axis=1)
+            else:  # 'centroid' — greedy in least-prototypical-first order
+                c = m.mean(axis=0)
+                c = c / max(np.linalg.norm(c), 1e-12)
+                order = np.lexsort((np.arange(n), m @ c))
+                kept_mask = np.zeros(n, dtype=bool)
+                for i in order:
+                    if not (sims[i, kept_mask] >= threshold).any():
+                        kept_mask[i] = True
+                keep = kept_mask
+            frames.append(pd.DataFrame({
+                id_col: grp[id_col].to_numpy(),
+                out_cluster: grp[out_cluster].to_numpy(),
+                "keep": keep}))
+        return pd.concat(frames, ignore_index=True)
+
+    units = src.map_batches(to_units, batch_format="pyarrow")
+    return bucket_fold(units, "_cb", fold)

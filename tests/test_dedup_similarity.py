@@ -611,3 +611,97 @@ def test_paragraph_dedup_exact_semantics(ray_session):
     assert out["doc_id"].tolist() == [1, 2, 4]
     assert out["text"].tolist() == ["alpha\n\nbeta", "gamma", ""]
     assert out["n_kept"].tolist() == [2, 1, 1]
+
+
+def _semdedup_frame(vectors, labels):
+    import pyarrow as pa
+
+    flat = [float(x) for v in vectors for x in v]
+    emb = pa.FixedSizeListArray.from_arrays(
+        pa.array(flat, type=pa.float32()), len(vectors[0]))
+    return pa.table({
+        "vec_id": pa.array(range(len(vectors)), type=pa.int64()),
+        "embedding": emb.cast(pa.list_(pa.float32())),
+        "label": pa.array(labels, type=pa.int32()),
+    })
+
+
+def test_semdedup_id_rule_matches_numpy(ray_session):
+    """keep iff no smaller-id same-label member with cosine >= t —
+    brute-force numpy reference over a random labeled set."""
+    import numpy as np
+    import ray.data
+
+    from splunk_otel_collector_ray.stages.similarity import semdedup
+
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(80, 8))
+    # plant near-dups: copies with small noise
+    x[40:60] = x[0:20] + rng.normal(scale=0.01, size=(20, 8))
+    labels = (np.arange(80) % 3).astype(np.int32)
+    t = _semdedup_frame(x, labels)
+    out = (semdedup(ray.data.from_arrow(t), threshold=0.9,
+                    cluster_col="label", keep_rule="id")
+           .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    u = x / np.linalg.norm(x, axis=1, keepdims=True)
+    sims = u @ u.T
+    ref = np.ones(80, dtype=bool)
+    for i in range(80):
+        for j in range(i):
+            if labels[j] == labels[i] and sims[i, j] >= 0.9:
+                ref[i] = False
+                break
+    assert out["vec_id"].tolist() == list(range(80))
+    assert out["keep"].tolist() == ref.tolist()
+    assert not ref.all() and ref.any()  # planted dups actually fired
+
+
+def test_semdedup_centroid_rule_keeps_least_prototypical(ray_session):
+    """Paper rule: within a duplicate group the survivor is the member
+    with the LOWEST cosine to the cluster centroid — a hand-built
+    cluster where that differs from the min-id winner."""
+    import numpy as np
+    import ray.data
+
+    from splunk_otel_collector_ray.stages.similarity import semdedup
+
+    # three near-identical vectors (one dup group) + one far outlier;
+    # id 2 is tilted furthest from the centroid -> centroid rule keeps 2,
+    # id rule would keep 0
+    base = np.array([1.0, 0.0, 0.0, 0.0])
+    tilt = np.array([0.9, 0.4359, 0.0, 0.0])  # unit-ish, cos ~ 0.9 to base
+    vecs = np.stack([base, base, tilt, np.array([0.0, 0.0, 1.0, 0.0])])
+    t = _semdedup_frame(vecs, np.zeros(4, dtype=np.int32))
+    out = (semdedup(ray.data.from_arrow(t), threshold=0.85,
+                    cluster_col="label", keep_rule="centroid")
+           .to_pandas().set_index("vec_id"))
+    assert out.loc[3, "keep"]            # outlier untouched
+    assert out.loc[2, "keep"]            # least prototypical survivor
+    assert not out.loc[0, "keep"] and not out.loc[1, "keep"]
+    out_id = (semdedup(ray.data.from_arrow(t), threshold=0.85,
+                       cluster_col="label", keep_rule="id")
+              .to_pandas().set_index("vec_id"))
+    assert out_id.loc[0, "keep"] and not out_id.loc[2, "keep"]
+
+
+def test_semdedup_kmeans_cluster_source(ray_session):
+    """The scale path: kmeans_distributed assignment joined back onto the
+    vectors — every id appears exactly once, planted exact copies are
+    co-clustered and all but one drop."""
+    import numpy as np
+    import ray.data
+
+    from splunk_otel_collector_ray.stages.similarity import semdedup
+
+    rng = np.random.default_rng(9)
+    centers = rng.normal(scale=5.0, size=(3, 8))
+    x = np.vstack([c + rng.normal(scale=0.05, size=(20, 8))
+                   for c in centers])
+    t = _semdedup_frame(x, np.zeros(60, dtype=np.int32)).drop_columns(
+        ["label"])
+    out = (semdedup(ray.data.from_arrow(t), threshold=0.999,
+                    keep_rule="id", k=3, iters=4)
+           .to_pandas().sort_values("vec_id"))
+    assert out["vec_id"].tolist() == list(range(60))
+    assert set(out.columns) == {"vec_id", "cluster", "keep"}
+    assert out["keep"].any()
