@@ -3223,6 +3223,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k8s_cluster": q_k8s_cluster,
         "observer_endpoints": q_observer_endpoints,
         "prometheus_exporter": q_prometheus_exporter,
+        # late-r5 doc-filter additions: never driver-sampled NOR
+        # judge-re-run, so they outrank the r4-review-verified block below
+        # for the ~50-entry driver cut
+        "docs_gopher_rules": q_docs_gopher_rules,
+        "docs_c4_filters": q_docs_c4_filters,
         "hec_envelope": q_hec,
         "hec_gated": q_hec_gated,
         "turn_text": q_turn_text,
@@ -3247,11 +3252,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collectd_parse": q_collectd_parse,
         "winevt_parse": q_winevt_parse,
         "syslog_5424": q_syslog_5424,
-        # late-r5 additions, parity-verified at sf0.001/sf0.01 — placed
-        # AFTER the never-driver-sampled block so the r4-rotation goal
-        # (the 22 queries above land in CORRECTNESS_r05) is preserved
-        "docs_gopher_rules": q_docs_gopher_rules,
-        "docs_c4_filters": q_docs_c4_filters,
         "graphite_parse": q_graphite_parse,
         "wavefront_parse": q_wavefront_parse,
         "groupbyattrs": q_groupbyattrs,
