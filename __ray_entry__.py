@@ -1726,6 +1726,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
             docs, sep=" the ", min_words_per_line=5, banned=("spark",),
             require_terminal_punct=False, min_kept_lines=2)
 
+    def q_docs_substring_dedup(sf):
+        # Lee et al. 2021 ExactSubstr span dedup: drop every token covered
+        # by a ≥2-occurrence 5-token window except the window's global
+        # first occurrence; exact by window STRING (hashes prefilter only)
+        from splunk_otel_collector_ray.partitioning import (
+            read_parquet_clean)
+        from splunk_otel_collector_ray.stages.dedup import substring_dedup
+
+        docs = read_parquet_clean(
+            os.path.join(sf, "documents.parquet"), columns=["doc_id", "text"])
+        return substring_dedup(docs, k=5)
+
+    def q_docs_dsir(sf):
+        # DSIR importance weights (Xie et al. 2023): integer-exact
+        # per-token target/raw unigram ratio, target split = lang='en';
+        # keep = integer comparison (no float boundary)
+        from splunk_otel_collector_ray.stages.text_analysis import (
+            dsir_vocab, dsir_weights)
+
+        docs = _table(sf, "documents")
+        return dsir_weights(docs, dsir_vocab(docs, target_lang="en"))
+
     def q_docs_ccnet_buckets(sf):
         # CCNet-style head/middle/tail corpus split: exact global NTILE(3)
         # over (quality-model logit, doc_id) WITHOUT a global sort —
@@ -3228,6 +3250,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # for the ~50-entry driver cut
         "docs_gopher_rules": q_docs_gopher_rules,
         "docs_c4_filters": q_docs_c4_filters,
+        "docs_substring_dedup": q_docs_substring_dedup,
+        "docs_dsir": q_docs_dsir,
         "hec_envelope": q_hec,
         "hec_gated": q_hec_gated,
         "turn_text": q_turn_text,
@@ -4848,6 +4872,52 @@ def oracle_sql() -> dict[str, str]:
             r"AS text, any_value(n_lines) AS n_lines, "
             r"CAST(COUNT(*) AS BIGINT) AS n_kept "
             r"FROM kept GROUP BY doc_id HAVING COUNT(*) >= 2"),
+        "docs_substring_dedup": (
+            # every CTE referenced ≥2× or expensive — MATERIALIZED per the
+            # CLAUDE.md rule; wins/marked are the window self-count pass
+            "WITH d AS MATERIALIZED (SELECT doc_id, "
+            "string_split(COALESCE(text,''), ' ') AS parts "
+            "FROM documents), "
+            "toks AS MATERIALIZED (SELECT doc_id, unnest(parts) AS tok, "
+            "CAST(generate_subscripts(parts, 1) AS BIGINT) - 1 AS pos "
+            "FROM d), "
+            "wins AS MATERIALIZED (SELECT doc_id, CAST(i - 1 AS BIGINT) "
+            "AS pos, array_to_string(parts[i:i+4], ' ') AS gram "
+            "FROM d, UNNEST(generate_series(1, len(parts) - 4)) AS t(i)), "
+            "marked AS MATERIALIZED (SELECT doc_id, pos, "
+            "COUNT(*) OVER (PARTITION BY gram) >= 2 AS is_dup, "
+            "(COUNT(*) OVER (PARTITION BY gram) >= 2 AND row_number() "
+            "OVER (PARTITION BY gram ORDER BY doc_id, pos) = 1) "
+            "AS is_canon FROM wins), "
+            "cov AS (SELECT t.doc_id, t.pos, t.tok, "
+            "COALESCE(bool_or(m.is_dup), FALSE) AS dup_cov, "
+            "COALESCE(bool_or(m.is_canon), FALSE) AS canon_cov "
+            "FROM toks t LEFT JOIN marked m ON m.doc_id = t.doc_id "
+            "AND t.pos >= m.pos AND t.pos < m.pos + 5 "
+            "GROUP BY t.doc_id, t.pos, t.tok) "
+            "SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) "
+            "FILTER (WHERE NOT dup_cov OR canon_cov) AS text, "
+            "CAST(COUNT(*) FILTER (WHERE dup_cov AND NOT canon_cov) "
+            "AS BIGINT) AS n_dropped FROM cov GROUP BY doc_id "
+            "HAVING COUNT(*) FILTER (WHERE NOT dup_cov OR canon_cov) > 0"),
+        "docs_dsir": (
+            # integer-exact DSIR surrogate: both sides sum the SAME
+            # integer per-token ratios and divide once (familiarity
+            # precedent); keep is an integer comparison
+            "WITH toks AS MATERIALIZED (SELECT doc_id, "
+            "unnest(string_split(COALESCE(text,''), ' ')) AS tok "
+            "FROM documents), "
+            "cnt AS MATERIALIZED (SELECT t.tok, "
+            "SUM(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END) AS ct, "
+            "COUNT(*) AS cr FROM toks t JOIN documents d USING (doc_id) "
+            "GROUP BY t.tok), "
+            "per AS (SELECT t.doc_id, "
+            "((c.ct + 1) * 1000000) // (c.cr + 1) AS w "
+            "FROM toks t JOIN cnt c USING (tok)) "
+            "SELECT doc_id, CAST(SUM(w) AS DOUBLE) / COUNT(*) "
+            "AS dsir_ratio, CAST(COUNT(*) AS BIGINT) AS n_toks, "
+            "SUM(w) >= 433000 * COUNT(*) AS keep "
+            "FROM per GROUP BY doc_id"),
         "events_props_extract": (
             # regexp mirror of the engine's RE2 extraction (NOT a JSON
             # parser on either side — flat scalar subset by design)

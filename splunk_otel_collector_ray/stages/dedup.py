@@ -1126,3 +1126,206 @@ def _keep_best_distributed(
                          "keep": keep.cast(pa.bool_())})
 
     return final.map_batches(finalize, batch_format="pyarrow")
+
+
+def _flat_space_tokens(batch: pa.Table, text_col: str, id_col: str
+                       ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """LITERAL single-space tokens for a whole batch: per-doc token counts
+    and one flat object array, split in Arrow C++ (``pc.split_pattern``)
+    so the DuckDB twin is a plain ``string_split(text, ' ')`` — empties
+    from doubled spaces are KEPT on both sides.
+
+    Returns (ids, per-doc token counts, flat token object array)."""
+    import pyarrow.compute as pc
+
+    parts = pc.split_pattern(pc.coalesce(batch[text_col], ""), pattern=" ")
+    parts = parts.combine_chunks()
+    lens = pc.list_value_length(parts).to_numpy(zero_copy_only=False)
+    lens = np.nan_to_num(lens.astype(np.float64)).astype(np.int64)
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    flat = parts.flatten() if isinstance(parts, pa.ChunkedArray) else parts
+    values = flat.values if isinstance(flat, pa.ListArray) else flat
+    return ids, lens, values.to_numpy(zero_copy_only=False)
+
+
+def _window_hashes(lens: np.ndarray, tok_hash: np.ndarray, k: int
+                   ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """All within-doc k-token window starts for a batch, with an FNV-1a
+    fold of the k token hashes per window — one vectorized pass, no
+    per-doc loop. Returns (flat start indices, 0-based positions within
+    their doc, window fold hashes); docs shorter than ``k`` tokens
+    contribute nothing."""
+    nw = np.maximum(lens - k + 1, 0)
+    total_w = int(nw.sum())
+    if total_w == 0:
+        z = np.array([], dtype=np.int64)
+        return z, z, np.array([], dtype=np.uint64)
+    off = np.cumsum(lens) - lens
+    pos = np.arange(total_w, dtype=np.int64) - np.repeat(
+        np.cumsum(nw) - nw, nw)
+    starts = np.repeat(off, nw) + pos
+    fold = np.full(total_w, FNV_BASIS, dtype=np.uint64)
+    for j in range(k):
+        fold = (fold ^ tok_hash[starts + j]) * FNV_PRIME
+    return starts, pos, fold
+
+
+def substring_dedup(ds: "ray.data.Dataset", k: int = 5,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    num_buckets: int | None = None) -> "ray.data.Dataset":
+    """Exact duplicated-SUBSTRING removal — the span-level ExactSubstr
+    dedup of Lee et al. 2021 ("Deduplicating Training Data Makes Language
+    Models Better", arXiv:2107.06499), at word-token granularity: a token
+    is DROPPED iff it is covered by at least one k-token window whose
+    exact string occurs ≥2 times corpus-wide AND it is not covered by that
+    window set's canonical occurrence (the global first by
+    ``(doc_id, pos)`` per distinct window string — the "all but one copy"
+    rule). Documents are re-emitted as ``(doc_id, text, n_dropped)`` from
+    their surviving tokens in original order; documents whose every token
+    is dropped disappear (same as the SQL twin's GROUP BY over kept rows).
+    Exact by window STRING — hashes are only the prefilter.
+
+    Scale shape (three streaming passes over the doc stream, the corpus
+    never materializes):
+
+    1. hash prefilter — per-batch FNV window hashes, local
+       (hash → count) shrink, ONE `bucket_fold` exchange of 8-byte rows;
+       only hashes with corpus count ≥ 2 survive (a SUPERSET of the true
+       duplicate set: collisions only add candidates, never lose one).
+       The surviving set is output-bounded and broadcast via ``ray.put``.
+    2. string confirm — candidate windows re-emit their exact gram string
+       (duplicated spans only; clean text never shuffles), ONE
+       `bucket_fold` on the window hash groups equal strings, elects the
+       canonical occurrence and emits the (doc_id, pos, is_canon) mask —
+       bounded by the true duplicate-occurrence count.
+    3. rebuild — the mask broadcasts once; per batch an interval
+       delta/cumsum marks covered tokens (no per-window loop) and each
+       doc is stitched from its kept tokens.
+
+    At 100 TB the broadcast dup set is bounded by the DISTINCT duplicated
+    window count; heavily-duplicated corpora should shard pass 2/3 by the
+    hash-bucket ranges instead of one global broadcast (the
+    `sample.py` cardinality-threshold idiom) — documented, not needed at
+    benchmark scales. Reference has no analogue (training-data op from
+    the build brief).
+    """
+    import ray
+
+    if num_buckets is None:
+        from ..partitioning import spread_num_buckets
+
+        num_buckets = spread_num_buckets()
+
+    def hash_partial(t: pa.Table) -> pa.Table:
+        _, lens, flat = _flat_space_tokens(t, text_col, id_col)
+        th = pd.util.hash_array(flat)
+        _, _, fold = _window_hashes(lens, th, k)
+        u, c = np.unique(fold, return_counts=True)
+        return pa.table({
+            "whash": pa.array(u.view(np.int64)),
+            "cnt": pa.array(c.astype(np.int64)),
+            "_hb": pa.array((u % num_buckets).astype(np.int32))})
+
+    def sum_filter(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("whash", sort=False, as_index=False)["cnt"].sum()
+        return tot[tot["cnt"] >= 2][["whash"]]
+
+    dup_hashes = bucket_fold(
+        ds.map_batches(hash_partial, batch_format="pyarrow"),
+        "_hb", sum_filter)
+    # output-bounded driver gather (distinct duplicated windows only)
+    dups = np.sort(dup_hashes.to_pandas()["whash"].to_numpy()
+                   .astype(np.int64))
+    dups_ref = ray.put(dups)
+
+    def candidates(t: pa.Table) -> pa.Table:
+        ids, lens, flat = _flat_space_tokens(t, text_col, id_col)
+        th = pd.util.hash_array(flat)
+        starts, pos, fold = _window_hashes(lens, th, k)
+        d = ray.get(dups_ref)
+        sfold = fold.view(np.int64)
+        loc = np.searchsorted(d, sfold)
+        loc_c = np.clip(loc, 0, max(len(d) - 1, 0))
+        hit = (d[loc_c] == sfold) if len(d) else np.zeros(len(sfold), bool)
+        if not hit.any():
+            return pa.table({
+                id_col: pa.array([], t[id_col].type),
+                "pos": pa.array([], pa.int64()),
+                "gram": pa.array([], pa.string()),
+                "_hb": pa.array([], pa.int32())})
+        sc = starts[hit]
+        gram = flat[sc].copy()
+        for j in range(1, k):
+            gram = gram + " "
+            gram = gram + flat[sc + j]
+        nw = np.maximum(lens - k + 1, 0)
+        doc_of_w = np.repeat(np.arange(len(lens)), nw)[hit]
+        return pa.table({
+            id_col: pa.array(ids[doc_of_w], type=t[id_col].type),
+            "pos": pa.array(pos[hit]),
+            "gram": pa.array(gram, type=pa.string()),
+            "_hb": pa.array((fold[hit] % num_buckets).astype(np.int32))})
+
+    def confirm(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["gram", id_col, "pos"], kind="mergesort")
+        c = g.groupby("gram", sort=False)["gram"].transform("size")
+        keep = (c >= 2).to_numpy()
+        first = (~g["gram"].duplicated()).to_numpy()
+        out = g[keep]
+        return pd.DataFrame({
+            id_col: out[id_col].to_numpy(),
+            "pos": out["pos"].to_numpy().astype(np.int64),
+            "is_canon": first[keep]})
+
+    mask_df = bucket_fold(
+        ds.map_batches(candidates, batch_format="pyarrow"),
+        "_hb", confirm).to_pandas()
+    order = np.lexsort((mask_df["pos"].to_numpy(),
+                        mask_df[id_col].to_numpy()))
+    m_ids = mask_df[id_col].to_numpy()[order]
+    m_pos = mask_df["pos"].to_numpy().astype(np.int64)[order]
+    m_canon = mask_df["is_canon"].to_numpy().astype(bool)[order]
+    mask_ref = ray.put((m_ids, m_pos, m_canon))
+
+    def rebuild(t: pa.Table) -> pa.Table:
+        ids, lens, flat = _flat_space_tokens(t, text_col, id_col)
+        total = int(lens.sum())
+        mi, mp, mc = ray.get(mask_ref)
+        off = np.cumsum(lens) - lens
+        # locate this batch's mask rows: mask is sorted by (doc_id, pos)
+        sort_ids = np.argsort(ids, kind="mergesort")
+        lo = np.searchsorted(mi, ids[sort_ids], side="left")
+        hi = np.searchsorted(mi, ids[sort_ids], side="right")
+        dropped = np.zeros(total, dtype=bool)
+        if total and len(mi):
+            # gather (batch row, window pos, is_canon) for present docs
+            counts = hi - lo
+            rows = np.repeat(sort_ids, counts)
+            take = np.concatenate(
+                [np.arange(a, b) for a, b in zip(lo, hi) if b > a]
+            ) if counts.sum() else np.array([], dtype=np.int64)
+            g_start = off[rows] + mp[take]
+            canon = mc[take]
+            for sel, out in ((~canon, "dup"), (canon, "can")):
+                delta = np.zeros(total + 1, dtype=np.int64)
+                np.add.at(delta, g_start[sel], 1)
+                np.add.at(delta, np.minimum(g_start[sel] + k, total), -1)
+                cov = np.cumsum(delta[:total]) > 0
+                if out == "dup":
+                    cov_dup = cov
+                else:
+                    cov_can = cov
+            dropped = cov_dup & ~cov_can
+        kept = ~dropped
+        doc_of = np.repeat(np.arange(len(lens)), lens)
+        n_drop = np.bincount(doc_of[dropped], minlength=len(lens)) \
+            if total else np.zeros(len(lens), dtype=np.int64)
+        kdf = pd.DataFrame({"d": doc_of[kept], "tok": flat[kept]})
+        out = kdf.groupby("d", sort=True)["tok"].agg(" ".join)
+        rows_d = out.index.to_numpy()
+        return pa.table({
+            id_col: pa.array(ids[rows_d], type=t[id_col].type),
+            text_col: pa.array(out.to_numpy(), type=pa.string()),
+            "n_dropped": pa.array(n_drop[rows_d].astype(np.int64))})
+
+    return ds.map_batches(rebuild, batch_format="pyarrow")

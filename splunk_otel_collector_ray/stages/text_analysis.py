@@ -1062,3 +1062,113 @@ def langid_model_predict(
                          "model_hits": pa.array(mx, type=pa.int64())})
 
     return ds.map_batches(predict, batch_format="pyarrow")
+
+
+def dsir_vocab(ds: "ray.data.Dataset", target_lang: str = "en",
+               text_col: str = "text", lang_col: str = "lang",
+               ) -> pd.DataFrame:
+    """Corpus unigram counts split by target membership — the feature
+    model for :func:`dsir_weights` (DSIR, Xie et al. 2023,
+    arXiv:2302.03169 "Data Selection for Language Models via Importance
+    Resampling"). Tokens are LITERAL single-space splits (empties kept) so
+    the DuckDB twin is a plain ``string_split(text, ' ')``.
+
+    Distributed shape: per-batch (tok → target count, raw count) shrink,
+    coalesced with ``_sum_combine``; only the vocabulary table reaches the
+    driver (bounded by distinct-token count — the paper's hashed-feature
+    variant buckets tokens by hash to cap this at 10k on open-vocabulary
+    corpora; exact grams keep the oracle string-comparable here).
+
+    Returns (tok, ct, cr) sorted by tok."""
+    import pyarrow.compute as pc_
+
+    def partial(t: pa.Table) -> pa.Table:
+        parts = pc_.split_pattern(
+            pc_.coalesce(t[text_col], ""), pattern=" ")
+        parts = parts.combine_chunks()
+        lens = pc_.list_value_length(parts).to_numpy(zero_copy_only=False)
+        lens = np.nan_to_num(lens.astype(np.float64)).astype(np.int64)
+        flat = parts.flatten() if isinstance(parts, pa.ChunkedArray) \
+            else parts
+        toks = (flat.values if isinstance(flat, pa.ListArray) else flat
+                ).to_numpy(zero_copy_only=False)
+        is_t = np.repeat(
+            pc_.equal(pc_.coalesce(t[lang_col], ""), target_lang
+                      ).to_numpy(zero_copy_only=False), lens)
+        df = pd.DataFrame({"tok": toks, "t": is_t.astype(np.int64)})
+        g = df.groupby("tok", sort=False, as_index=False).agg(
+            ct=("t", "sum"), cr=("t", "size"))
+        return pa.table({"tok": pa.array(g["tok"].to_numpy(), pa.string()),
+                         "ct": pa.array(g["ct"].to_numpy(np.int64)),
+                         "cr": pa.array(g["cr"].to_numpy(np.int64))})
+
+    from ..pipelines.aggregate import _sum_combine
+
+    parts = _sum_combine(
+        ds.map_batches(partial, batch_format="pyarrow"), ["tok"],
+        ["ct", "cr"])
+    pdf = parts.to_pandas().groupby("tok", as_index=False)[
+        ["ct", "cr"]].sum()
+    return pdf.sort_values("tok").reset_index(drop=True)
+
+
+def dsir_weights(ds: "ray.data.Dataset", vocab: pd.DataFrame,
+                 id_col: str = "doc_id", text_col: str = "text",
+                 scale: int = 1_000_000, keep_threshold: int = 433_000,
+                 ) -> "ray.data.Dataset":
+    """Per-doc DSIR importance score over the unigram feature model:
+    mean over the doc's tokens of the integer per-token target/raw ratio
+    ``((ct+1) * scale) // (cr+1)`` — the integer-exact surrogate of
+    DSIR's log-likelihood-ratio weight (arXiv:2302.03169 §2.2; the
+    log-sum needs transcendentals whose last-ulp behavior differs between
+    numpy and SQL, so like :func:`familiarity_score` both sides sum the
+    SAME integers and divide once — bit-identical doubles). Resampling
+    keep decision is the integer comparison
+    ``sum(w) >= keep_threshold * n_toks`` (no float boundary).
+
+    The vocab broadcasts once via ``ray.put``; scoring is one flat Arrow
+    split + one ``np.searchsorted`` per batch. Unknown tokens score
+    ``scale`` (ct=cr=0 smoothing), unreachable when vocab and stream come
+    from the same corpus.
+
+    Emits (id_col, dsir_ratio, n_toks, keep)."""
+    import ray
+
+    import pyarrow.compute as pc_
+
+    v_tok = vocab["tok"].to_numpy(dtype=object)
+    v_ct = vocab["ct"].to_numpy().astype(np.int64)
+    v_cr = vocab["cr"].to_numpy().astype(np.int64)
+    model = ray.put((v_tok, v_ct, v_cr))
+
+    def score(t: pa.Table) -> pa.Table:
+        tok, ct, cr = ray.get(model)
+        parts = pc_.split_pattern(
+            pc_.coalesce(t[text_col], ""), pattern=" ")
+        parts = parts.combine_chunks()
+        lens = pc_.list_value_length(parts).to_numpy(zero_copy_only=False)
+        lens = np.nan_to_num(lens.astype(np.float64)).astype(np.int64)
+        flat = parts.flatten() if isinstance(parts, pa.ChunkedArray) \
+            else parts
+        toks = (flat.values if isinstance(flat, pa.ListArray) else flat
+                ).to_numpy(zero_copy_only=False)
+        n = len(lens)
+        if len(toks) and len(tok):
+            loc = np.searchsorted(tok, toks)
+            loc_c = np.clip(loc, 0, len(tok) - 1)
+            hit = tok[loc_c] == toks
+            w = np.where(hit, ((ct[loc_c] + 1) * scale) // (cr[loc_c] + 1),
+                         scale)
+        else:
+            w = np.full(len(toks), scale, dtype=np.int64)
+        doc_of = np.repeat(np.arange(n), lens)
+        sums = np.bincount(doc_of, weights=w.astype(np.float64),
+                           minlength=n).astype(np.int64)
+        return pa.table({
+            id_col: t[id_col],
+            "dsir_ratio": pa.array(
+                sums.astype(np.float64) / np.maximum(lens, 1)),
+            "n_toks": pa.array(lens),
+            "keep": pa.array(sums >= keep_threshold * lens)})
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -705,3 +705,79 @@ def test_semdedup_kmeans_cluster_source(ray_session):
     assert out["vec_id"].tolist() == list(range(60))
     assert set(out.columns) == {"vec_id", "cluster", "keep"}
     assert out["keep"].any()
+
+
+def test_substring_dedup_exact_semantics(ray_session):
+    """Hand-built corpus pinning the ExactSubstr span-dedup contract
+    (Lee et al. 2021): dup-covered tokens drop except the window set's
+    canonical (global-first) occurrence, short docs have no windows,
+    all-duplicate docs vanish, survivors keep original token order."""
+    import ray.data
+
+    from splunk_otel_collector_ray.stages.dedup import substring_dedup
+
+    span = "one two three four five"          # the 5-token duplicated span
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "text": [
+            "x " + span + " y",               # canonical occurrence -> kept
+            "p q " + span,                    # later occurrence -> span cut
+            span,                             # nothing survives -> vanishes
+            "one two three",                  # < k tokens: no windows
+        ],
+    })
+    out = (substring_dedup(ray.data.from_arrow(docs), k=5)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["doc_id"].tolist() == [1, 2, 4]
+    assert out["text"].tolist() == [
+        "x " + span + " y", "p q", "one two three"]
+    assert out["n_dropped"].tolist() == [0, 5, 0]
+
+
+def test_substring_dedup_canonical_rescue(ray_session):
+    """A token covered by BOTH a canonical and a non-canonical window is
+    rescued (the OR-canon rule), and within-doc repeats count as dups."""
+    import ray.data
+
+    from splunk_otel_collector_ray.stages.dedup import substring_dedup
+
+    s = "a b c d e"
+    docs = pa.table({
+        "doc_id": pa.array([7], type=pa.int64()),
+        "text": [s + " " + s],               # self-duplicate inside one doc
+    })
+    out = substring_dedup(ray.data.from_arrow(docs), k=5).to_pandas()
+    assert out["text"].tolist() == [s]
+    assert out["n_dropped"].tolist() == [5]
+
+
+def test_dsir_weights_known_counts(ray_session):
+    """3-doc corpus with hand-computable unigram ratios: target docs score
+    higher, ratio = mean of ((ct+1)*1e6)//(cr+1) per token, keep is the
+    integer threshold comparison."""
+    import ray.data
+
+    from splunk_otel_collector_ray.stages.text_analysis import (
+        dsir_vocab, dsir_weights)
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "lang": ["en", "en", "de"],
+        "text": ["cat cat dog", "cat dog", "dog dog fish"],
+    })
+    ds = ray.data.from_arrow(docs)
+    vocab = dsir_vocab(ds, target_lang="en")
+    assert vocab.set_index("tok")["cr"].to_dict() == {
+        "cat": 3, "dog": 4, "fish": 1}
+    assert vocab.set_index("tok")["ct"].to_dict() == {
+        "cat": 3, "dog": 2, "fish": 0}
+    out = (dsir_weights(ds, vocab, keep_threshold=700_000)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    w_cat = (4 * 1_000_000) // 4             # 1_000_000
+    w_dog = (3 * 1_000_000) // 5             # 600_000
+    w_fish = (1 * 1_000_000) // 2            # 500_000
+    assert out["dsir_ratio"].tolist() == [
+        (2 * w_cat + w_dog) / 3, (w_cat + w_dog) / 2,
+        (2 * w_dog + w_fish) / 3]
+    assert out["n_toks"].tolist() == [3, 2, 3]
+    assert out["keep"].tolist() == [True, True, False]
