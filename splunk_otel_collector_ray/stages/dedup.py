@@ -1221,6 +1221,12 @@ def substring_dedup(ds: "ray.data.Dataset", k: int = 5,
         th = pd.util.hash_array(flat)
         _, _, fold = _window_hashes(lens, th, k)
         u, c = np.unique(fold, return_counts=True)
+        if not len(u):
+            # cnt=0 sentinel: never passes the ≥2 filter, but keeps every
+            # task's output non-empty (a 0-row block becomes a schemaless
+            # RefBundle and trips Ray's schema-divergence warning)
+            u = np.array([0], dtype=np.uint64)
+            c = np.array([0], dtype=np.int64)
         return pa.table({
             "whash": pa.array(u.view(np.int64)),
             "cnt": pa.array(c.astype(np.int64)),
@@ -1248,11 +1254,14 @@ def substring_dedup(ds: "ray.data.Dataset", k: int = 5,
         loc_c = np.clip(loc, 0, max(len(d) - 1, 0))
         hit = (d[loc_c] == sfold) if len(d) else np.zeros(len(sfold), bool)
         if not hit.any():
+            # gram="" sentinel (a real k-token gram always contains k-1
+            # separator spaces, so "" is unreachable): keeps the task
+            # output non-empty; `confirm` drops it before grouping
             return pa.table({
-                id_col: pa.array([], t[id_col].type),
-                "pos": pa.array([], pa.int64()),
-                "gram": pa.array([], pa.string()),
-                "_hb": pa.array([], pa.int32())})
+                id_col: t[id_col].slice(0, 1),
+                "pos": pa.array([np.int64(-1)]),
+                "gram": pa.array([""], type=pa.string()),
+                "_hb": pa.array([np.int32(0)])})
         sc = starts[hit]
         gram = flat[sc].copy()
         for j in range(1, k):
@@ -1267,11 +1276,20 @@ def substring_dedup(ds: "ray.data.Dataset", k: int = 5,
             "_hb": pa.array((fold[hit] % num_buckets).astype(np.int32))})
 
     def confirm(g: pd.DataFrame) -> pd.DataFrame:
+        sent = g.head(1)
+        g = g[g["gram"] != ""]
         g = g.sort_values(["gram", id_col, "pos"], kind="mergesort")
         c = g.groupby("gram", sort=False)["gram"].transform("size")
         keep = (c >= 2).to_numpy()
         first = (~g["gram"].duplicated()).to_numpy()
         out = g[keep]
+        if not len(out):
+            # pos=-1 sentinel, dtype-safe (reuses a real id value);
+            # filtered at the driver before the mask broadcast
+            return pd.DataFrame({
+                id_col: sent[id_col].to_numpy(),
+                "pos": np.array([-1], dtype=np.int64),
+                "is_canon": np.array([True])})
         return pd.DataFrame({
             id_col: out[id_col].to_numpy(),
             "pos": out["pos"].to_numpy().astype(np.int64),
@@ -1280,6 +1298,7 @@ def substring_dedup(ds: "ray.data.Dataset", k: int = 5,
     mask_df = bucket_fold(
         ds.map_batches(candidates, batch_format="pyarrow"),
         "_hb", confirm).to_pandas()
+    mask_df = mask_df[mask_df["pos"] >= 0]
     order = np.lexsort((mask_df["pos"].to_numpy(),
                         mask_df[id_col].to_numpy()))
     m_ids = mask_df[id_col].to_numpy()[order]
