@@ -1242,9 +1242,12 @@ def substring_dedup(ds: "ray.data.Dataset", k: int = 5,
     dup_hashes = bucket_fold(
         ds.map_batches(hash_partial, batch_format="pyarrow"),
         "_hb", sum_filter, coalesce=1 << 17)
-    # output-bounded driver gather (distinct duplicated windows only)
-    dups = np.sort(dup_hashes.to_pandas()["whash"].to_numpy()
-                   .astype(np.int64))
+    # output-bounded driver gather (distinct duplicated windows only);
+    # a duplicate-free corpus yields an EMPTY dataset whose to_pandas()
+    # has no columns at all — guard before projecting
+    dup_pdf = dup_hashes.to_pandas()
+    dups = (np.sort(dup_pdf["whash"].to_numpy().astype(np.int64))
+            if "whash" in dup_pdf.columns else np.array([], np.int64))
     dups_ref = ray.put(dups)
 
     def candidates(t: pa.Table) -> pa.Table:
@@ -1301,6 +1304,10 @@ def substring_dedup(ds: "ray.data.Dataset", k: int = 5,
     mask_df = bucket_fold(
         ds.map_batches(candidates, batch_format="pyarrow"),
         "_hb", confirm).to_pandas()
+    if "pos" not in mask_df.columns:
+        mask_df = pd.DataFrame({id_col: pd.Series([], dtype=np.int64),
+                                "pos": pd.Series([], dtype=np.int64),
+                                "is_canon": pd.Series([], dtype=bool)})
     mask_df = mask_df[mask_df["pos"] >= 0]
     order = np.lexsort((mask_df["pos"].to_numpy(),
                         mask_df[id_col].to_numpy()))

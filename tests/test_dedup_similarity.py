@@ -781,3 +781,56 @@ def test_dsir_weights_known_counts(ray_session):
         (2 * w_dog + w_fish) / 3]
     assert out["n_toks"].tolist() == [3, 2, 3]
     assert out["keep"].tolist() == [True, True, False]
+
+
+def _ref_substring_dedup(texts, k):
+    """Brute-force pure-Python reference of the ExactSubstr contract."""
+    toks = [t.split(" ") for t in texts]
+    occ = {}
+    for d, tk in enumerate(toks):
+        for p in range(len(tk) - k + 1):
+            occ.setdefault(tuple(tk[p:p + k]), []).append((d, p))
+    cov_dup = [[False] * len(tk) for tk in toks]
+    cov_can = [[False] * len(tk) for tk in toks]
+    for lst in occ.values():
+        if len(lst) < 2:
+            continue
+        for (d, p) in lst:
+            for j in range(p, p + k):
+                cov_dup[d][j] = True
+        d, p = min(lst)
+        for j in range(p, p + k):
+            cov_can[d][j] = True
+    rows = []
+    for d, tk in enumerate(toks):
+        kept = [t for j, t in enumerate(tk)
+                if not cov_dup[d][j] or cov_can[d][j]]
+        nd = sum(1 for j in range(len(tk))
+                 if cov_dup[d][j] and not cov_can[d][j])
+        if kept:
+            rows.append((d, " ".join(kept), nd))
+    return sorted(rows)
+
+
+def test_substring_dedup_matches_bruteforce_random(ray_session):
+    """Randomized corpora from a 3-word vocabulary (duplicates dense by
+    construction: overlapping windows, within-doc repeats, all-dup docs)
+    must match the pure-Python reference exactly."""
+    import ray.data
+
+    from splunk_otel_collector_ray.stages.dedup import substring_dedup
+
+    rng = np.random.default_rng(777)
+    vocab = np.array(["a", "bb", "ccc"], dtype=object)
+    for trial in range(8):
+        n_docs = int(rng.integers(2, 9))
+        texts = [" ".join(vocab[rng.integers(0, 3, rng.integers(1, 13))])
+                 for _ in range(n_docs)]
+        docs = pa.table({
+            "doc_id": pa.array(range(n_docs), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string())})
+        got = (substring_dedup(ray.data.from_arrow(docs), k=3)
+               .to_pandas().sort_values("doc_id"))
+        got_rows = sorted(zip(got["doc_id"].astype(int),
+                              got["text"], got["n_dropped"].astype(int)))
+        assert got_rows == _ref_substring_dedup(texts, 3), (trial, texts)
