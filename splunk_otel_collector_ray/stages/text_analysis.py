@@ -1107,8 +1107,12 @@ def dsir_vocab(ds: "ray.data.Dataset", target_lang: str = "en",
     parts = _sum_combine(
         ds.map_batches(partial, batch_format="pyarrow"), ["tok"],
         ["ct", "cr"])
-    pdf = parts.to_pandas().groupby("tok", as_index=False)[
-        ["ct", "cr"]].sum()
+    pdf = parts.to_pandas()
+    if "tok" not in pdf.columns:  # empty input dataset → no columns
+        return pd.DataFrame({"tok": pd.Series([], dtype=object),
+                             "ct": pd.Series([], dtype=np.int64),
+                             "cr": pd.Series([], dtype=np.int64)})
+    pdf = pdf.groupby("tok", as_index=False)[["ct", "cr"]].sum()
     return pdf.sort_values("tok").reset_index(drop=True)
 
 
