@@ -44,9 +44,18 @@ def ensure_corpus(n_docs: int) -> str:
     import pyarrow.parquet as pq
 
     out = f"/tmp/graft_doc_scale/docs_{n_docs}"
-    if os.path.isdir(out) and glob.glob(os.path.join(out, "*.parquet")):
+    n_parts = (n_docs + 100_000 - 1) // 100_000
+    # a killed generation must not be reused as a smaller corpus under
+    # the full n_docs label — require the exact part count, and build
+    # into a temp dir renamed atomically at the end
+    if len(glob.glob(os.path.join(out, "*.parquet"))) == n_parts:
         return out
-    os.makedirs(out, exist_ok=True)
+    import shutil
+
+    tmp = out + ".tmp"
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
     rng = np.random.default_rng(42)
     chunk = 100_000
     span = "alpha beta gamma delta epsilon"  # planted duplicated span
@@ -67,7 +76,8 @@ def ensure_corpus(n_docs: int) -> str:
             "text": pa.array(texts, type=pa.string()),
             "lang": pa.array(langs.astype(object), type=pa.string()),
         })
-        pq.write_table(t, os.path.join(out, f"part-{part:04d}.parquet"))
+        pq.write_table(t, os.path.join(tmp, f"part-{part:04d}.parquet"))
+    os.rename(tmp, out)
     return out
 
 

@@ -1128,24 +1128,33 @@ def _keep_best_distributed(
     return final.map_batches(finalize, batch_format="pyarrow")
 
 
-def _flat_space_tokens(batch: pa.Table, text_col: str, id_col: str
-                       ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """LITERAL single-space tokens for a whole batch: per-doc token counts
-    and one flat object array, split in Arrow C++ (``pc.split_pattern``)
-    so the DuckDB twin is a plain ``string_split(text, ' ')`` — empties
-    from doubled spaces are KEPT on both sides.
-
-    Returns (ids, per-doc token counts, flat token object array)."""
+def _split_space_column(col) -> tuple[np.ndarray, np.ndarray]:
+    """LITERAL single-space tokens for a whole column: per-doc token
+    counts and one flat object array, split in Arrow C++
+    (``pc.split_pattern``) so the DuckDB twin is a plain
+    ``string_split(text, ' ')`` — empties from doubled spaces are KEPT
+    and nulls coalesce to '' on both sides. This tokenization is the
+    parity contract shared by substring_dedup and the DSIR scorer — keep
+    the single implementation."""
     import pyarrow.compute as pc
 
-    parts = pc.split_pattern(pc.coalesce(batch[text_col], ""), pattern=" ")
+    parts = pc.split_pattern(pc.coalesce(col, ""), pattern=" ")
     parts = parts.combine_chunks()
     lens = pc.list_value_length(parts).to_numpy(zero_copy_only=False)
     lens = np.nan_to_num(lens.astype(np.float64)).astype(np.int64)
-    ids = batch[id_col].to_numpy(zero_copy_only=False)
     flat = parts.flatten() if isinstance(parts, pa.ChunkedArray) else parts
     values = flat.values if isinstance(flat, pa.ListArray) else flat
-    return ids, lens, values.to_numpy(zero_copy_only=False)
+    return lens, values.to_numpy(zero_copy_only=False)
+
+
+def _flat_space_tokens(batch: pa.Table, text_col: str, id_col: str
+                       ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """:func:`_split_space_column` plus the batch's id column.
+
+    Returns (ids, per-doc token counts, flat token object array)."""
+    lens, values = _split_space_column(batch[text_col])
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    return ids, lens, values
 
 
 def _window_hashes(lens: np.ndarray, tok_hash: np.ndarray, k: int
@@ -1211,6 +1220,11 @@ def substring_dedup(ds: "ray.data.Dataset", k: int = 5,
     """
     import ray
 
+    if k < 2:
+        # the gram="" sentinel below is only unreachable when a real gram
+        # carries >=1 separator space; k=1 would also collapse to plain
+        # token dedup, which exact_dedup already covers
+        raise ValueError("substring_dedup requires k >= 2")
     if num_buckets is None:
         from ..partitioning import spread_num_buckets
 
@@ -1261,13 +1275,17 @@ def substring_dedup(ds: "ray.data.Dataset", k: int = 5,
         hit = (d[loc_c] == sfold) if len(d) else np.zeros(len(sfold), bool)
         if not hit.any():
             # gram="" sentinel (a real k-token gram always contains k-1
-            # separator spaces, so "" is unreachable): keeps the task
-            # output non-empty; `confirm` drops it before grouping
+            # separator spaces, so "" is unreachable for the enforced
+            # k >= 2): keeps the task output non-empty; `confirm` drops
+            # it before grouping. A 0-row block (possible if a future Ray
+            # version stops skipping UDFs on empties) has no id value to
+            # reuse — return the typed empty instead of a mismatched row.
+            n_sent = min(t.num_rows, 1)
             return pa.table({
-                id_col: t[id_col].slice(0, 1),
-                "pos": pa.array([np.int64(-1)]),
-                "gram": pa.array([""], type=pa.string()),
-                "_hb": pa.array([np.int32(0)])})
+                id_col: t[id_col].slice(0, n_sent),
+                "pos": pa.array([np.int64(-1)] * n_sent),
+                "gram": pa.array([""] * n_sent, type=pa.string()),
+                "_hb": pa.array([np.int32(0)] * n_sent)})
         sc = starts[hit]
         gram = flat[sc].copy()
         for j in range(1, k):

@@ -1082,16 +1082,10 @@ def dsir_vocab(ds: "ray.data.Dataset", target_lang: str = "en",
     Returns (tok, ct, cr) sorted by tok."""
     import pyarrow.compute as pc_
 
+    from .dedup import _split_space_column
+
     def partial(t: pa.Table) -> pa.Table:
-        parts = pc_.split_pattern(
-            pc_.coalesce(t[text_col], ""), pattern=" ")
-        parts = parts.combine_chunks()
-        lens = pc_.list_value_length(parts).to_numpy(zero_copy_only=False)
-        lens = np.nan_to_num(lens.astype(np.float64)).astype(np.int64)
-        flat = parts.flatten() if isinstance(parts, pa.ChunkedArray) \
-            else parts
-        toks = (flat.values if isinstance(flat, pa.ListArray) else flat
-                ).to_numpy(zero_copy_only=False)
+        lens, toks = _split_space_column(t[text_col])
         is_t = np.repeat(
             pc_.equal(pc_.coalesce(t[lang_col], ""), target_lang
                       ).to_numpy(zero_copy_only=False), lens)
@@ -1138,8 +1132,12 @@ def dsir_weights(ds: "ray.data.Dataset", vocab: pd.DataFrame,
     Emits (id_col, dsir_ratio, n_toks, keep)."""
     import ray
 
-    import pyarrow.compute as pc_
+    from .dedup import _split_space_column
 
+    # np.searchsorted requires sortedness — enforce it here instead of
+    # trusting the caller (a shard-concatenated or reloaded vocab would
+    # otherwise silently score every token as unknown)
+    vocab = vocab.sort_values("tok")
     v_tok = vocab["tok"].to_numpy(dtype=object)
     v_ct = vocab["ct"].to_numpy().astype(np.int64)
     v_cr = vocab["cr"].to_numpy().astype(np.int64)
@@ -1147,15 +1145,7 @@ def dsir_weights(ds: "ray.data.Dataset", vocab: pd.DataFrame,
 
     def score(t: pa.Table) -> pa.Table:
         tok, ct, cr = ray.get(model)
-        parts = pc_.split_pattern(
-            pc_.coalesce(t[text_col], ""), pattern=" ")
-        parts = parts.combine_chunks()
-        lens = pc_.list_value_length(parts).to_numpy(zero_copy_only=False)
-        lens = np.nan_to_num(lens.astype(np.float64)).astype(np.int64)
-        flat = parts.flatten() if isinstance(parts, pa.ChunkedArray) \
-            else parts
-        toks = (flat.values if isinstance(flat, pa.ListArray) else flat
-                ).to_numpy(zero_copy_only=False)
+        lens, toks = _split_space_column(t[text_col])
         n = len(lens)
         if len(toks) and len(tok):
             loc = np.searchsorted(tok, toks)

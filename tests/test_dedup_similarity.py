@@ -834,3 +834,52 @@ def test_substring_dedup_matches_bruteforce_random(ray_session):
         got_rows = sorted(zip(got["doc_id"].astype(int),
                               got["text"], got["n_dropped"].astype(int)))
         assert got_rows == _ref_substring_dedup(texts, 3), (trial, texts)
+
+
+def test_substring_dedup_duplicate_free_and_k_validation(ray_session):
+    """A corpus with no repeated windows must pass through untouched (the
+    empty dup-hash dataset's to_pandas() has no columns — regression for
+    the KeyError guard), and k < 2 is rejected (the gram sentinel is only
+    unreachable for k >= 2)."""
+    import pytest
+    import ray.data
+
+    from splunk_otel_collector_ray.stages.dedup import substring_dedup
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "text": ["u v w x y", "p q r s t"]})
+    out = (substring_dedup(ray.data.from_arrow(docs), k=5)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["text"].tolist() == ["u v w x y", "p q r s t"]
+    assert out["n_dropped"].tolist() == [0, 0]
+    with pytest.raises(ValueError):
+        substring_dedup(ray.data.from_arrow(docs), k=1)
+
+
+def test_dsir_vocab_empty_and_unsorted_vocab(ray_session):
+    """dsir_vocab on an empty dataset returns the typed empty frame
+    (regression for the zero-column to_pandas guard), and dsir_weights
+    re-sorts an unsorted vocab before the searchsorted lookup."""
+    import ray.data
+
+    from splunk_otel_collector_ray.stages.text_analysis import (
+        dsir_vocab, dsir_weights)
+
+    empty = pa.table({
+        "doc_id": pa.array([], type=pa.int64()),
+        "lang": pa.array([], type=pa.string()),
+        "text": pa.array([], type=pa.string())})
+    v = dsir_vocab(ray.data.from_arrow(empty))
+    assert list(v.columns) == ["tok", "ct", "cr"] and len(v) == 0
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "lang": ["en", "de"],
+        "text": ["cat dog", "dog dog"]})
+    ds = ray.data.from_arrow(docs)
+    vocab = dsir_vocab(ds, target_lang="en")
+    shuffled = vocab.iloc[::-1].reset_index(drop=True)
+    a = dsir_weights(ds, vocab).to_pandas().sort_values("doc_id")
+    b = dsir_weights(ds, shuffled).to_pandas().sort_values("doc_id")
+    assert a["dsir_ratio"].tolist() == b["dsir_ratio"].tolist()
