@@ -1748,6 +1748,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         docs = _table(sf, "documents")
         return dsir_weights(docs, dsir_vocab(docs, target_lang="en"))
 
+    def q_docs_temperature_sample(sf):
+        # XLM/mT5 temperature flattening at alpha=0.5: keep fraction
+        # sqrt(N_min/N_s) per group — division/sqrt/multiply are each
+        # IEEE correctly-rounded, so thresholds are bit-identical in SQL.
+        # Grouped by LANG (the corpus's skewed axis — `source` is uniform
+        # and would make the filter vacuous): en is cut toward the
+        # flattened mix, the rarest language keeps everything
+        from splunk_otel_collector_ray.stages.sample import (
+            temperature_sample)
+
+        docs = _table(sf, "documents")
+        return temperature_sample(docs, source_col="lang").select_columns(
+            ["doc_id", "lang"])
+
     def q_docs_ccnet_buckets(sf):
         # CCNet-style head/middle/tail corpus split: exact global NTILE(3)
         # over (quality-model logit, doc_id) WITHOUT a global sort —
@@ -3252,6 +3266,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_c4_filters": q_docs_c4_filters,
         "docs_substring_dedup": q_docs_substring_dedup,
         "docs_dsir": q_docs_dsir,
+        "docs_temperature_sample": q_docs_temperature_sample,
         "hec_envelope": q_hec,
         "hec_gated": q_hec_gated,
         "turn_text": q_turn_text,
@@ -4900,6 +4915,17 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(*) FILTER (WHERE dup_cov AND NOT canon_cov) "
             "AS BIGINT) AS n_dropped FROM cov GROUP BY doc_id "
             "HAVING COUNT(*) FILTER (WHERE NOT dup_cov OR canon_cov) > 0"),
+        "docs_temperature_sample": (
+            # thresholds from one division + sqrt + multiply + floor —
+            # all IEEE correctly-rounded, bit-identical to the engine
+            "WITH c AS MATERIALIZED (SELECT COALESCE(lang, '') AS src, "
+            "COUNT(*) AS ns FROM documents GROUP BY 1), "
+            "thr AS (SELECT src, CAST(floor(10000 * sqrt("
+            "CAST((SELECT MIN(ns) FROM c) AS DOUBLE) / ns)) AS BIGINT) "
+            "AS t FROM c) "
+            "SELECT d.doc_id, d.lang FROM documents d "
+            "JOIN thr ON COALESCE(d.lang, '') = thr.src "
+            "WHERE (d.doc_id * 2654435761) % 10000 < thr.t"),
         "docs_dsir": (
             # integer-exact DSIR surrogate: both sides sum the SAME
             # integer per-token ratios and divide once (familiarity

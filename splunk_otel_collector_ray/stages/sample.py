@@ -680,3 +680,60 @@ def quantile_buckets(
         return t.append_column("bucket", pa.array(b))
 
     return scores.map_batches(assign, batch_format="pyarrow")
+
+
+def temperature_sample(ds: "ray.data.Dataset", source_col: str = "source",
+                       id_col: str = "doc_id", alpha: float = 0.5,
+                       modulus: int = 10_000) -> "ray.data.Dataset":
+    """Temperature-based mixture flattening (multilingual sampling of
+    XLM / mT5, arXiv:1901.07291 §3.1): re-balance sources toward
+    ``N_s^alpha`` proportions by DOWN-sampling only — per-source keep
+    fraction ``(N_min / N_s) ** (1 - alpha)``, so the smallest source
+    keeps everything and large sources are cut toward the flattened mix.
+    Keep decisions reuse the :func:`mixture_sample` determinism:
+    ``hash(id) % modulus < floor(modulus * fraction)``.
+
+    Parity note: the default ``alpha=0.5`` makes the fraction a single
+    division + ``sqrt`` + multiply — each IEEE-754 correctly-rounded, so
+    the DuckDB twin computes bit-identical thresholds (an arbitrary
+    ``pow`` would not be exactly reproducible across libms).
+
+    Distributed shape: one per-batch source-count shrink (+ coalesce)
+    feeding a tiny driver table (bounded by #sources), thresholds carried
+    in the filter closure; the stream itself is one stateless
+    map_batches, no shuffle."""
+    import pyarrow.compute as pc
+
+    from ..pipelines.aggregate import _sum_combine
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        src = pc.coalesce(t[source_col], "")
+        g = pa.table({source_col: src}).group_by([source_col]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns([source_col, "n"])
+
+    parts = _sum_combine(
+        ds.map_batches(count_partial, batch_format="pyarrow"),
+        [source_col], ["n"])
+    pdf = parts.to_pandas()
+    if source_col not in pdf.columns:  # empty input dataset
+        return ds
+    counts = pdf.groupby(source_col, as_index=False)["n"].sum()
+    ns = counts["n"].to_numpy().astype(np.float64)
+    frac = (counts["n"].min() / ns) ** (1.0 - alpha) if alpha != 0.5 \
+        else np.sqrt(counts["n"].min() / ns)
+    thr = np.floor(modulus * frac).astype(np.int64)
+    names = counts[source_col].to_numpy(dtype=object)
+    order = np.argsort(names)
+    names, thr = names[order], thr[order]
+
+    def fn(batch: pa.Table) -> pa.Table:
+        h = key_hash_mod(batch[id_col], modulus)
+        src = pc.coalesce(batch[source_col], "").to_pandas() \
+            .to_numpy(dtype=object)
+        idx = np.clip(np.searchsorted(names, src), 0, len(names) - 1)
+        known = names[idx] == src
+        t = np.where(known, thr[idx], modulus)  # unseen source: keep all
+        return batch.filter(pa.array(h < t))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -883,3 +883,25 @@ def test_dsir_vocab_empty_and_unsorted_vocab(ray_session):
     a = dsir_weights(ds, vocab).to_pandas().sort_values("doc_id")
     b = dsir_weights(ds, shuffled).to_pandas().sort_values("doc_id")
     assert a["dsir_ratio"].tolist() == b["dsir_ratio"].tolist()
+
+
+def test_temperature_sample_flattens_by_group(ray_session):
+    """Skewed 2-group corpus: the small group keeps everything
+    (threshold = modulus), the large group keeps the hash subset under
+    floor(modulus*sqrt(n_min/n_s)) — checked against the closed form."""
+    import ray.data
+
+    from splunk_otel_collector_ray.stages.sample import temperature_sample
+
+    n_big, n_small = 64, 4
+    docs = pa.table({
+        "doc_id": pa.array(range(n_big + n_small), type=pa.int64()),
+        "source": ["big"] * n_big + ["small"] * n_small})
+    out = (temperature_sample(ray.data.from_arrow(docs), modulus=10_000)
+           .to_pandas())
+    thr_big = int(np.floor(10_000 * np.sqrt(n_small / n_big)))  # 2500
+    exp = {i for i in range(n_big)
+           if (i * 2654435761) % 10_000 < thr_big} | set(
+        range(n_big, n_big + n_small))
+    assert set(out["doc_id"]) == exp
+    assert (out["source"] == "small").sum() == n_small  # small: kept whole
