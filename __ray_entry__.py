@@ -1762,6 +1762,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return temperature_sample(docs, source_col="lang").select_columns(
             ["doc_id", "lang"])
 
+    def q_docs_curation_pipeline(sf):
+        # composed curation showpiece: Gopher quality gate → temperature
+        # flattening over the survivors' lang mix → ExactSubstr span
+        # dedup of what remains. Each stage's threshold/count pass runs
+        # over ITS OWN input (the oracle CTE chain mirrors that order)
+        from splunk_otel_collector_ray.partitioning import (
+            read_parquet_clean)
+        from splunk_otel_collector_ray.stages.dedup import substring_dedup
+        from splunk_otel_collector_ray.stages.sample import (
+            temperature_sample)
+        from splunk_otel_collector_ray.stages.text_analysis import (
+            gopher_quality_rules)
+
+        docs = read_parquet_clean(
+            os.path.join(sf, "documents.parquet"),
+            columns=["doc_id", "text", "lang"])
+        feats = docs.map_batches(
+            gopher_quality_rules, batch_format="pyarrow",
+            fn_kwargs={"stop_words": ("the", "a", "data", "table", "value",
+                                      "row", "fast", "key")})
+        kept = feats.map_batches(
+            lambda t: t.filter(t["keep"]).select(
+                ["doc_id", "text", "lang"]),
+            batch_format="pyarrow")
+        flat = temperature_sample(kept, source_col="lang")
+        return substring_dedup(flat, k=5)
+
     def q_docs_ccnet_buckets(sf):
         # CCNet-style head/middle/tail corpus split: exact global NTILE(3)
         # over (quality-model logit, doc_id) WITHOUT a global sort —
@@ -3267,6 +3294,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_substring_dedup": q_docs_substring_dedup,
         "docs_dsir": q_docs_dsir,
         "docs_temperature_sample": q_docs_temperature_sample,
+        "docs_curation_pipeline": q_docs_curation_pipeline,
         "hec_envelope": q_hec,
         "hec_gated": q_hec_gated,
         "turn_text": q_turn_text,
@@ -4926,6 +4954,82 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.doc_id, d.lang FROM documents d "
             "JOIN thr ON COALESCE(d.lang, '') = thr.src "
             "WHERE (d.doc_id * 2654435761) % 10000 < thr.t"),
+        "docs_curation_pipeline": (
+            # the gopher/temperature/substring oracle chains composed in
+            # stage order; every multiply-referenced or expensive CTE is
+            # MATERIALIZED per the CLAUDE.md rule
+            r"WITH f AS MATERIALIZED (SELECT doc_id, text, lang, "
+            r"CAST(len(regexp_extract_all(COALESCE(text, ''), "
+            r"'[^ \t\n]+')) AS BIGINT) AS n_words, "
+            r"CAST(len(regexp_extract_all(COALESCE(text, ''), "
+            r"'[^ \t\n]')) AS BIGINT) AS n_nonspace, "
+            r"CAST(len(regexp_extract_all(COALESCE(text, ''), '#')) + "
+            r"len(regexp_extract_all(COALESCE(text, ''), '\.\.\.')) "
+            r"AS BIGINT) AS n_sym, "
+            r"CAST(len(regexp_extract_all(COALESCE(text, ''), "
+            r"'[^ \t\n]*[A-Za-z][^ \t\n]*')) AS BIGINT) AS n_alpha_words, "
+            r"CAST("
+            r"(CASE WHEN regexp_matches(lower(COALESCE(text, '')), "
+            r"'\bthe\b') THEN 1 ELSE 0 END) + "
+            r"(CASE WHEN regexp_matches(lower(COALESCE(text, '')), "
+            r"'\ba\b') THEN 1 ELSE 0 END) + "
+            r"(CASE WHEN regexp_matches(lower(COALESCE(text, '')), "
+            r"'\bdata\b') THEN 1 ELSE 0 END) + "
+            r"(CASE WHEN regexp_matches(lower(COALESCE(text, '')), "
+            r"'\btable\b') THEN 1 ELSE 0 END) + "
+            r"(CASE WHEN regexp_matches(lower(COALESCE(text, '')), "
+            r"'\bvalue\b') THEN 1 ELSE 0 END) + "
+            r"(CASE WHEN regexp_matches(lower(COALESCE(text, '')), "
+            r"'\brow\b') THEN 1 ELSE 0 END) + "
+            r"(CASE WHEN regexp_matches(lower(COALESCE(text, '')), "
+            r"'\bfast\b') THEN 1 ELSE 0 END) + "
+            r"(CASE WHEN regexp_matches(lower(COALESCE(text, '')), "
+            r"'\bkey\b') THEN 1 ELSE 0 END) AS BIGINT) AS n_stop_hits "
+            r"FROM documents), "
+            r"base AS MATERIALIZED (SELECT doc_id, text, lang FROM f "
+            r"WHERE n_words >= 50 AND n_words <= 100000 "
+            r"AND (CASE WHEN n_words > 0 THEN CAST(n_nonspace AS DOUBLE) "
+            r"/ n_words ELSE 0.0 END) >= 3.0 "
+            r"AND (CASE WHEN n_words > 0 THEN CAST(n_nonspace AS DOUBLE) "
+            r"/ n_words ELSE 0.0 END) <= 10.0 "
+            r"AND (CASE WHEN n_words > 0 THEN CAST(n_sym AS DOUBLE) "
+            r"/ n_words ELSE 0.0 END) <= 0.1 "
+            r"AND (CASE WHEN n_words > 0 THEN CAST(n_alpha_words "
+            r"AS DOUBLE) / n_words ELSE 0.0 END) >= 0.8 "
+            r"AND n_stop_hits >= 2), "
+            r"c AS MATERIALIZED (SELECT COALESCE(lang, '') AS src, "
+            r"COUNT(*) AS ns FROM base GROUP BY 1), "
+            r"thr AS (SELECT src, CAST(floor(10000 * sqrt("
+            r"CAST((SELECT MIN(ns) FROM c) AS DOUBLE) / ns)) AS BIGINT) "
+            r"AS t FROM c), "
+            r"ts AS MATERIALIZED (SELECT b.doc_id, b.text FROM base b "
+            r"JOIN thr ON COALESCE(b.lang, '') = thr.src "
+            r"WHERE (b.doc_id * 2654435761) % 10000 < thr.t), "
+            r"d AS MATERIALIZED (SELECT doc_id, "
+            r"string_split(COALESCE(text,''), ' ') AS parts FROM ts), "
+            r"toks AS MATERIALIZED (SELECT doc_id, unnest(parts) AS tok, "
+            r"CAST(generate_subscripts(parts, 1) AS BIGINT) - 1 AS pos "
+            r"FROM d), "
+            r"wins AS MATERIALIZED (SELECT doc_id, CAST(i - 1 AS BIGINT) "
+            r"AS pos, array_to_string(parts[i:i+4], ' ') AS gram "
+            r"FROM d, UNNEST(generate_series(1, len(parts) - 4)) AS t(i)), "
+            r"marked AS MATERIALIZED (SELECT doc_id, pos, "
+            r"COUNT(*) OVER (PARTITION BY gram) >= 2 AS is_dup, "
+            r"(COUNT(*) OVER (PARTITION BY gram) >= 2 AND row_number() "
+            r"OVER (PARTITION BY gram ORDER BY doc_id, pos) = 1) "
+            r"AS is_canon FROM wins), "
+            r"cov AS (SELECT t.doc_id, t.pos, t.tok, "
+            r"COALESCE(bool_or(m.is_dup), FALSE) AS dup_cov, "
+            r"COALESCE(bool_or(m.is_canon), FALSE) AS canon_cov "
+            r"FROM toks t LEFT JOIN marked m ON m.doc_id = t.doc_id "
+            r"AND t.pos >= m.pos AND t.pos < m.pos + 5 "
+            r"GROUP BY t.doc_id, t.pos, t.tok) "
+            r"SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) "
+            r"FILTER (WHERE NOT dup_cov OR canon_cov) AS text, "
+            r"CAST(COUNT(*) FILTER (WHERE dup_cov AND NOT canon_cov) "
+            r"AS BIGINT) AS n_dropped FROM cov GROUP BY doc_id "
+            r"HAVING COUNT(*) FILTER (WHERE NOT dup_cov OR canon_cov) "
+            r"> 0"),
         "docs_dsir": (
             # integer-exact DSIR surrogate: both sides sum the SAME
             # integer per-token ratios and divide once (familiarity
