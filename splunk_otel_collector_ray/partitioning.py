@@ -118,9 +118,16 @@ def bucket_fold(ds: "ray.data.Dataset", bucket_col: str, fold,
     Leave None when blocks carry text/binary payloads — there the copy
     costs more than the per-block overhead saved (measured on recombine).
     """
+    # strip BEFORE the coalesce: _strip_md carries no resource override so
+    # it fuses into the producer task and the b'pandas' metadata dies
+    # there; coalesce breaks fusion (num_cpus=0), so the old
+    # coalesce-then-strip order shipped metadata-carrying bundles across
+    # two operator boundaries — each logging "Failed to hash the schemas"
+    # once bundles go multi-block (sf0.1+)
+    ds = _strip_md(ds)
     if coalesce:
         ds = coalesce_blocks(ds, coalesce)
-    return _strip_md(ds).sort(bucket_col).map_batches(
+    return ds.sort(bucket_col).map_batches(
         fold, batch_size=None, batch_format=batch_format)
 
 

@@ -518,7 +518,14 @@ def candidate_pairs_from_bands(
         else:
             h = (a.astype(np.int64) * 0x9E3779B9
                  + b.astype(np.int64)) % num_buckets
-        return t.append_column("_pk", pa.array(h.astype(np.int32)))
+        # fused after pandas folds: Ray's in-chain pandas→Arrow conversion
+        # attaches the b'pandas' metadata dict, and this UDF's output IS
+        # the fused task's block — strip here or every multi-block bundle
+        # downstream logs "Failed to hash the schemas" (sf0.1+ only: at
+        # sf0.01 bundles are single-block and never unify)
+        return t.append_column(
+            "_pk", pa.array(h.astype(np.int32))
+        ).replace_schema_metadata(None)
 
     return bucket_fold(
         cand.map_batches(local_dedup, batch_format="pandas")
