@@ -110,10 +110,18 @@ def main() -> None:
     dsir_rows = dsir_weights(ds, vocab).count()
     t_dsir = time.monotonic() - t0
 
+    from splunk_otel_collector_ray.stages.sample import temperature_sample
+
+    t0 = time.monotonic()
+    flat_rows = substring_dedup(
+        temperature_sample(ds, source_col="lang"), k=5).count()
+    t_cur = time.monotonic() - t0
+
     print(json.dumps({
         "metric": "doc-op scale check", "n_docs": n_docs,
         "substring_dedup_sec": round(t_sub, 2), "substring_rows": sub_rows,
         "dsir_sec": round(t_dsir, 2), "dsir_rows": dsir_rows,
+        "curation_sec": round(t_cur, 2), "curation_rows": flat_rows,
         "vocab_size": len(vocab), "spill_lines": spill_lines(),
         "num_cpus": int(os.environ.get("RAY_GRAFT_CPUS", "32"))}))
     ray.shutdown()
