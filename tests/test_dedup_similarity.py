@@ -905,3 +905,34 @@ def test_temperature_sample_flattens_by_group(ray_session):
         range(n_big, n_big + n_small))
     assert set(out["doc_id"]) == exp
     assert (out["source"] == "small").sum() == n_small  # small: kept whole
+
+
+def test_temperature_sample_alpha_one_keeps_all(ray_session):
+    """alpha=1 is the identity temperature (fraction (N_min/N_s)^0 = 1):
+    the generic-exponent path must keep every row."""
+    import ray.data
+
+    from splunk_otel_collector_ray.stages.sample import temperature_sample
+
+    docs = pa.table({
+        "doc_id": pa.array(range(30), type=pa.int64()),
+        "source": ["big"] * 25 + ["small"] * 5})
+    out = temperature_sample(ray.data.from_arrow(docs), alpha=1.0) \
+        .to_pandas()
+    assert len(out) == 30
+
+
+def test_dsir_unknown_tokens_score_scale(ray_session):
+    """Tokens absent from the vocab take the ct=cr=0 smoothing score
+    (= scale), so a fully-unknown doc scores exactly scale."""
+    import ray.data
+
+    from splunk_otel_collector_ray.stages.text_analysis import dsir_weights
+
+    vocab = pd.DataFrame({"tok": ["cat"], "ct": [1], "cr": [2]})
+    docs = pa.table({
+        "doc_id": pa.array([1], type=pa.int64()),
+        "text": ["zebra yak"]})
+    out = dsir_weights(ray.data.from_arrow(docs), vocab).to_pandas()
+    assert out["dsir_ratio"].tolist() == [1_000_000.0]
+    assert out["n_toks"].tolist() == [2]
