@@ -1789,6 +1789,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         flat = temperature_sample(kept, source_col="lang")
         return substring_dedup(flat, k=5)
 
+    def q_docs_contamination_frac(sf):
+        # PaLM-appendix refinement of the binary decontaminate guard:
+        # per-doc fraction of 8-gram occurrences shared with the eval
+        # split + the 70% high-overlap verdict (integer comparison)
+        import ray
+
+        ds = _table(sf, "documents")
+        ref = ray.put(ta.build_eval_ngram_hashes(ds))
+        return ds.map_batches(
+            ta.DecontaminateStage, fn_constructor_args=(ref,),
+            fn_constructor_kwargs={"fractions": True},
+            batch_format="pyarrow", concurrency=(1, 4)
+        ).select_columns(["doc_id", "n_grams", "n_hit",
+                          "contamination_frac", "contaminated_hi"])
+
     def q_docs_ccnet_buckets(sf):
         # CCNet-style head/middle/tail corpus split: exact global NTILE(3)
         # over (quality-model logit, doc_id) WITHOUT a global sort —
@@ -3295,6 +3310,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dsir": q_docs_dsir,
         "docs_temperature_sample": q_docs_temperature_sample,
         "docs_curation_pipeline": q_docs_curation_pipeline,
+        "docs_contamination_frac": q_docs_contamination_frac,
         "hec_envelope": q_hec,
         "hec_gated": q_hec_gated,
         "turn_text": q_turn_text,
@@ -5375,6 +5391,31 @@ def oracle_sql() -> dict[str, str]:
             "WHERE doc_id % 25 <> 0 AND g IN (SELECT g FROM eg)) "
             "SELECT doc_id, doc_id IN (SELECT doc_id FROM hits) "
             "AS contaminated FROM documents WHERE doc_id % 25 <> 0"),
+        "docs_contamination_frac": (
+            # same gram construction as docs_decontaminate; fraction =
+            # one division of identical int64 counts, verdict = integer
+            # comparison (10*n_hit >= 7*n_grams)
+            "WITH toks AS MATERIALIZED (SELECT doc_id, "
+            r"regexp_extract_all(text, '[^ \t\n]+') AS t FROM documents), "
+            "grams AS MATERIALIZED (SELECT doc_id, "
+            "array_to_string(t[i:i+7], ' ') AS g FROM ("
+            "SELECT doc_id, t, unnest(range(1, greatest(length(t)-6, 1))) "
+            "AS i FROM toks)), "
+            "eg AS MATERIALIZED (SELECT DISTINCT g FROM grams "
+            "WHERE doc_id % 25 = 0), "
+            "agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams, "
+            "CAST(SUM(CASE WHEN g IN (SELECT g FROM eg) THEN 1 ELSE 0 "
+            "END) AS BIGINT) AS n_hit FROM grams WHERE doc_id % 25 <> 0 "
+            "GROUP BY doc_id) "
+            "SELECT d.doc_id, COALESCE(a.n_grams, 0) AS n_grams, "
+            "COALESCE(a.n_hit, 0) AS n_hit, "
+            "CASE WHEN COALESCE(a.n_grams, 0) > 0 THEN "
+            "CAST(a.n_hit AS DOUBLE) / a.n_grams ELSE 0.0 END "
+            "AS contamination_frac, "
+            "(COALESCE(a.n_hit, 0) * 10 >= COALESCE(a.n_grams, 0) * 7 "
+            "AND COALESCE(a.n_grams, 0) > 0) AS contaminated_hi "
+            "FROM documents d LEFT JOIN agg a USING (doc_id) "
+            "WHERE d.doc_id % 25 <> 0"),
         "pii_signals": C + (
             r"SELECT conv_id, turn_idx, "
             r"CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@"

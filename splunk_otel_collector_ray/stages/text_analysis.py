@@ -348,7 +348,8 @@ class DecontaminateStage:
     """
 
     def __init__(self, eval_hashes, eval_mod: int = 25, n: int = 8,
-                 text_col: str = "text", id_col: str = "doc_id") -> None:
+                 text_col: str = "text", id_col: str = "doc_id",
+                 fractions: bool = False) -> None:
         if not isinstance(eval_hashes, np.ndarray):
             import ray
 
@@ -356,16 +357,35 @@ class DecontaminateStage:
         self.eval_h = np.sort(eval_hashes.astype(np.uint64))
         self.eval_mod, self.n = eval_mod, n
         self.text_col, self.id_col = text_col, id_col
+        self.fractions = fractions
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
         sub = batch.filter(pa.array(ids % self.eval_mod != 0))
         h, doc = _token_ngram_hashes(sub[self.text_col], self.n)
-        hit = np.zeros(sub.num_rows, dtype=bool)
-        if len(h):
-            contaminated = doc[np.isin(h, self.eval_h)]
-            hit[np.unique(contaminated)] = True
-        return sub.append_column("contaminated", pa.array(hit))
+        isin = np.isin(h, self.eval_h) if len(h) \
+            else np.zeros(0, dtype=bool)
+        if not self.fractions:
+            hit = np.zeros(sub.num_rows, dtype=bool)
+            if len(h):
+                hit[np.unique(doc[isin])] = True
+            return sub.append_column("contaminated", pa.array(hit))
+        # PaLM-appendix refinement: per-OCCURRENCE overlap fraction and
+        # the high-overlap verdict at 70% — the fraction is one raw IEEE
+        # division of identical int64 counts, the verdict a pure integer
+        # comparison (no float threshold boundary)
+        n_grams = np.bincount(doc, minlength=sub.num_rows) if len(h) \
+            else np.zeros(sub.num_rows, dtype=np.int64)
+        n_hit = np.bincount(doc[isin], minlength=sub.num_rows) if len(h) \
+            else np.zeros(sub.num_rows, dtype=np.int64)
+        pos = n_grams > 0
+        frac = np.where(pos, n_hit / np.where(pos, n_grams, 1), 0.0)
+        return (sub.append_column("n_grams",
+                                  pa.array(n_grams.astype(np.int64)))
+                .append_column("n_hit", pa.array(n_hit.astype(np.int64)))
+                .append_column("contamination_frac", pa.array(frac))
+                .append_column("contaminated_hi", pa.array(
+                    (n_hit * 10 >= n_grams * 7) & pos)))
 
 
 _PII_PATTERNS = {

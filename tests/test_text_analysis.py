@@ -289,3 +289,33 @@ def test_c4_line_filter_rules(ray_session):
         banned=("javascript",), require_terminal_punct=False,
         min_kept_lines=2).to_pandas()
     assert sorted(out2["doc_id"]) == [1, 4]
+
+
+def test_contamination_fraction_semantics(ray_session):
+    """Hand-built corpus: eval doc (id % 25 == 0) defines the gram set;
+    a training doc sharing ALL its 8-gram occurrences scores 1.0 and
+    trips the 70% verdict, a disjoint doc scores 0.0."""
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    from splunk_otel_collector_ray.stages import text_analysis as ta
+
+    eval_text = "a b c d e f g h i"          # 9 tokens -> two 8-grams
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "text": [eval_text,                   # eval split (0 % 25 == 0)
+                 eval_text,                   # full overlap
+                 "q r s t u v w x y z"],      # disjoint
+    })
+    ds = ray.data.from_arrow(docs)
+    ref = ray.put(ta.build_eval_ngram_hashes(ds))
+    out = (ds.map_batches(ta.DecontaminateStage, fn_constructor_args=(ref,),
+                          fn_constructor_kwargs={"fractions": True},
+                          batch_format="pyarrow", concurrency=1)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["doc_id"].tolist() == [1, 2]   # eval doc dropped
+    assert out["n_grams"].tolist() == [2, 3]
+    assert out["n_hit"].tolist() == [2, 0]
+    assert out["contamination_frac"].tolist() == [1.0, 0.0]
+    assert out["contaminated_hi"].tolist() == [True, False]
