@@ -1188,7 +1188,9 @@ def _window_hashes(lens: np.ndarray, tok_hash: np.ndarray, k: int
 
 def substring_dedup(ds: "ray.data.Dataset", k: int = 5,
                     text_col: str = "text", id_col: str = "doc_id",
-                    num_buckets: int | None = None) -> "ray.data.Dataset":
+                    num_buckets: int | None = None,
+                    max_broadcast_masks: int = 1_000_000,
+                    ) -> "ray.data.Dataset":
     """Exact duplicated-SUBSTRING removal — the span-level ExactSubstr
     dedup of Lee et al. 2021 ("Deduplicating Training Data Makes Language
     Models Better", arXiv:2107.06499), at word-token granularity: a token
@@ -1219,11 +1221,15 @@ def substring_dedup(ds: "ray.data.Dataset", k: int = 5,
        doc is stitched from its kept tokens.
 
     At 100 TB the broadcast dup set is bounded by the DISTINCT duplicated
-    window count; heavily-duplicated corpora should shard pass 2/3 by the
-    hash-bucket ranges instead of one global broadcast (the
-    `sample.py` cardinality-threshold idiom) — documented, not needed at
-    benchmark scales. Reference has no analogue (training-data op from
-    the build brief).
+    window count, and the MASK broadcast switches shape behind
+    ``max_broadcast_masks`` (the `sample.py` cardinality-threshold
+    idiom): past the threshold the rebuild runs fully distributed —
+    per-doc masks packed into binary payload columns via one bucketed
+    exchange, LEFT-joined onto the doc stream (zero-CPU aggregators,
+    capped partitions), decoded per batch only for duplicate-carrying
+    docs (:func:`_substring_rebuild_joined`; path equality pinned by
+    test). Reference has no analogue (training-data op from the build
+    brief).
     """
     import ray
 
@@ -1326,9 +1332,14 @@ def substring_dedup(ds: "ray.data.Dataset", k: int = 5,
             "pos": out["pos"].to_numpy().astype(np.int64),
             "is_canon": first[keep]})
 
-    mask_df = bucket_fold(
+    mask_ds = bucket_fold(
         ds.map_batches(candidates, batch_format="pyarrow"),
-        "_hb", confirm).to_pandas()
+        "_hb", confirm)
+    if mask_ds.count() > max_broadcast_masks:
+        return _substring_rebuild_joined(ds, mask_ds, k, text_col, id_col,
+                                         num_buckets)
+
+    mask_df = mask_ds.to_pandas()
     if "pos" not in mask_df.columns:
         mask_df = pd.DataFrame({id_col: pd.Series([], dtype=np.int64),
                                 "pos": pd.Series([], dtype=np.int64),
@@ -1343,43 +1354,154 @@ def substring_dedup(ds: "ray.data.Dataset", k: int = 5,
 
     def rebuild(t: pa.Table) -> pa.Table:
         ids, lens, flat = _flat_space_tokens(t, text_col, id_col)
-        total = int(lens.sum())
         mi, mp, mc = ray.get(mask_ref)
         off = np.cumsum(lens) - lens
         # locate this batch's mask rows: mask is sorted by (doc_id, pos)
         sort_ids = np.argsort(ids, kind="mergesort")
         lo = np.searchsorted(mi, ids[sort_ids], side="left")
         hi = np.searchsorted(mi, ids[sort_ids], side="right")
-        dropped = np.zeros(total, dtype=bool)
-        if total and len(mi):
-            # gather (batch row, window pos, is_canon) for present docs
-            counts = hi - lo
+        counts = hi - lo
+        if counts.sum():
             rows = np.repeat(sort_ids, counts)
             take = np.concatenate(
-                [np.arange(a, b) for a, b in zip(lo, hi) if b > a]
-            ) if counts.sum() else np.array([], dtype=np.int64)
+                [np.arange(a, b) for a, b in zip(lo, hi) if b > a])
             g_start = off[rows] + mp[take]
             canon = mc[take]
-            for sel, out in ((~canon, "dup"), (canon, "can")):
-                delta = np.zeros(total + 1, dtype=np.int64)
-                np.add.at(delta, g_start[sel], 1)
-                np.add.at(delta, np.minimum(g_start[sel] + k, total), -1)
-                cov = np.cumsum(delta[:total]) > 0
-                if out == "dup":
-                    cov_dup = cov
-                else:
-                    cov_can = cov
-            dropped = cov_dup & ~cov_can
-        kept = ~dropped
-        doc_of = np.repeat(np.arange(len(lens)), lens)
-        n_drop = np.bincount(doc_of[dropped], minlength=len(lens)) \
-            if total else np.zeros(len(lens), dtype=np.int64)
-        kdf = pd.DataFrame({"d": doc_of[kept], "tok": flat[kept]})
-        out = kdf.groupby("d", sort=True)["tok"].agg(" ".join)
-        rows_d = out.index.to_numpy()
-        return pa.table({
-            id_col: pa.array(ids[rows_d], type=t[id_col].type),
-            text_col: pa.array(out.to_numpy(), type=pa.string()),
-            "n_dropped": pa.array(n_drop[rows_d].astype(np.int64))})
+        else:
+            g_start = np.array([], dtype=np.int64)
+            canon = np.array([], dtype=bool)
+        return _mark_and_emit(t[id_col], ids, lens, flat, g_start, canon,
+                              k, text_col, id_col)
 
     return ds.map_batches(rebuild, batch_format="pyarrow")
+
+
+def _mark_and_emit(id_arr: "pa.Array", ids: np.ndarray, lens: np.ndarray,
+                   flat: np.ndarray, g_start: np.ndarray,
+                   canon: np.ndarray, k: int, text_col: str,
+                   id_col: str) -> pa.Table:
+    """Shared rebuild tail for both substring-dedup mask paths: interval
+    delta/cumsum coverage over the batch's global token index space
+    (``g_start`` = window start indices, ``canon`` = canonical flags),
+    then stitch each doc from its kept tokens. Docs losing every token
+    are dropped (the SQL twin's GROUP BY over kept rows)."""
+    total = int(lens.sum())
+    dropped = np.zeros(total, dtype=bool)
+    if total and len(g_start):
+        for sel_canon in (False, True):
+            sel = canon if sel_canon else ~canon
+            delta = np.zeros(total + 1, dtype=np.int64)
+            np.add.at(delta, g_start[sel], 1)
+            np.add.at(delta, np.minimum(g_start[sel] + k, total), -1)
+            cov = np.cumsum(delta[:total]) > 0
+            if sel_canon:
+                cov_can = cov
+            else:
+                cov_dup = cov
+        dropped = cov_dup & ~cov_can
+    kept = ~dropped
+    doc_of = np.repeat(np.arange(len(lens)), lens)
+    n_drop = np.bincount(doc_of[dropped], minlength=len(lens)) \
+        if total else np.zeros(len(lens), dtype=np.int64)
+    kdf = pd.DataFrame({"d": doc_of[kept], "tok": flat[kept]})
+    out = kdf.groupby("d", sort=True)["tok"].agg(" ".join)
+    rows_d = out.index.to_numpy()
+    id_type = id_arr.type if isinstance(id_arr, (pa.Array, pa.ChunkedArray)) \
+        else pa.int64()
+    return pa.table({
+        id_col: pa.array(ids[rows_d], type=id_type),
+        text_col: pa.array(out.to_numpy(), type=pa.string()),
+        "n_dropped": pa.array(n_drop[rows_d].astype(np.int64))})
+
+
+def _substring_rebuild_joined(ds: "ray.data.Dataset",
+                              mask_ds: "ray.data.Dataset", k: int,
+                              text_col: str, id_col: str,
+                              num_buckets: int) -> "ray.data.Dataset":
+    """Distributed rebuild for :func:`substring_dedup` past the mask
+    broadcast threshold (the semi_join_keys cardinality-switch idiom,
+    sample.py — no driver-side mask frame at 100-TB duplication density):
+
+    1. pack each doc's mask rows into two binary payload columns (pos as
+       little-endian int64 bytes, canonical flags as one byte each) via
+       ONE bucketed exchange on ``hash(doc_id) % B`` — the
+       shingle_hash_rows payload pattern, Acero-join-safe;
+    2. LEFT join the doc stream to the packed masks (zero-CPU
+       aggregators, capped partitions per the CLAUDE.md join rules);
+    3. per batch, decode only the docs WITH masks (bounded by
+       duplicate-doc count) and run the shared interval-marking tail.
+    """
+    import ray
+
+    import pyarrow.compute as pc
+
+    def add_db(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["pos"], 0))  # drop fold sentinels
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return pa.table({
+                id_col: t[id_col], "pos": t["pos"],
+                "is_canon": t["is_canon"],
+                "_db": pa.array([], pa.int32())})
+        if ids.dtype == object:
+            h = pd.util.hash_array(ids.astype(object)) % num_buckets
+        else:
+            h = ids.astype(np.uint64) % np.uint64(num_buckets)
+        return t.append_column(
+            "_db", pa.array(h.astype(np.int32))).replace_schema_metadata(
+            None)
+
+    def pack(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values([id_col, "pos"], kind="mergesort")
+        ids = g[id_col].to_numpy()
+        pos = g["pos"].to_numpy().astype("<i8")
+        can = g["is_canon"].to_numpy().astype(np.uint8)
+        starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]]) \
+            if len(ids) else np.array([], dtype=np.int64)
+        counts = np.diff(np.r_[starts, len(ids)])
+        offsets = np.r_[0, np.cumsum(counts)].astype(np.int64)
+        mpos = pa.Array.from_buffers(
+            pa.large_binary(), len(starts),
+            [None, pa.py_buffer((offsets * 8).tobytes()),
+             pa.py_buffer(pos.tobytes())])
+        mcan = pa.Array.from_buffers(
+            pa.large_binary(), len(starts),
+            [None, pa.py_buffer(offsets.tobytes()),
+             pa.py_buffer(can.tobytes())])
+        return pa.table({id_col: pa.array(ids[starts]),
+                         "mpos": mpos, "mcanon": mcan})
+
+    packed = bucket_fold(mask_ds.map_batches(
+        add_db, batch_format="pyarrow"), "_db", pack)
+
+    num_partitions = max(
+        1, int(ray.cluster_resources().get("CPU", 8)) // 8)
+    joined = ds.join(packed, join_type="left_outer",
+                     num_partitions=num_partitions, on=(id_col,),
+                     aggregator_ray_remote_args={"num_cpus": 0})
+
+    def rebuild(t: pa.Table) -> pa.Table:
+        ids, lens, flat = _flat_space_tokens(t, text_col, id_col)
+        off = np.cumsum(lens) - lens
+        mp = t["mpos"].to_pandas()
+        mc = t["mcanon"].to_pandas()
+        rows = np.flatnonzero(mp.notna().to_numpy())
+        if len(rows):
+            # decode only duplicate-carrying docs (the verify() buffer
+            # pattern): one frombuffer over their concatenated payloads
+            pos_flat = np.frombuffer(
+                b"".join(mp.iloc[i] for i in rows), dtype="<i8")
+            canon = np.frombuffer(
+                b"".join(mc.iloc[i] for i in rows),
+                dtype=np.uint8).astype(bool)
+            counts = np.fromiter(
+                (len(mp.iloc[i]) // 8 for i in rows), np.int64, len(rows))
+            g_start = np.repeat(off[rows], counts) + pos_flat
+        else:
+            g_start = np.array([], dtype=np.int64)
+            canon = np.array([], dtype=bool)
+        return _mark_and_emit(t[id_col], ids, lens, flat,
+                              g_start.astype(np.int64), canon, k,
+                              text_col, id_col)
+
+    return joined.map_batches(rebuild, batch_format="pyarrow")

@@ -936,3 +936,27 @@ def test_dsir_unknown_tokens_score_scale(ray_session):
     out = dsir_weights(ray.data.from_arrow(docs), vocab).to_pandas()
     assert out["dsir_ratio"].tolist() == [1_000_000.0]
     assert out["n_toks"].tolist() == [2]
+
+
+def test_substring_dedup_join_path_equals_broadcast(ray_session):
+    """max_broadcast_masks=0 forces the distributed packed-mask join
+    rebuild; it must emit exactly the broadcast path's output on the
+    hand-built edge corpus (canonical rescue, all-dup vanish, short doc,
+    within-doc repeat)."""
+    import ray.data
+
+    from splunk_otel_collector_ray.stages.dedup import substring_dedup
+
+    span = "one two three four five"
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 7], type=pa.int64()),
+        "text": ["x " + span + " y", "p q " + span, span,
+                 "one two three", "a b c d e a b c d e"],
+    })
+    ds = ray.data.from_arrow(docs)
+    a = (substring_dedup(ds, k=5).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    b = (substring_dedup(ds, k=5, max_broadcast_masks=0).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    assert a["doc_id"].tolist() == [1, 2, 4, 7]  # doc 3 vanishes
